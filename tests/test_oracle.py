@@ -1,0 +1,105 @@
+"""Oracle harness mirroring the driver's correctness gate: run every
+registered query in Spark AND its DuckDB oracle SQL on the same parquet,
+compare row count, column names, and order-insensitive values (columns
+sorted by name, rows sorted by their full tuple, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_ORACLE
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def _norm_rows(cols, rows):
+    """Sort columns by name, then rows by stringified tuple (the driver's
+    order-insensitive hash equivalent)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    res = duck.execute(spec.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row counts differ spark={len(srows)} duckdb={len(drows)}"
+    )
+    ncols, nsrows = _norm_rows(scols, srows)
+    _, ndrows = _norm_rows(dcols, drows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(nsrows, ndrows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}; cols={ncols}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, SF_ORACLE)
+    rows = sdf.collect()
+    assert rows is not None
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))

@@ -1,0 +1,23 @@
+from .columns import (
+    temporal_features,
+    impute_value,
+    normalize_empty_string,
+    bool_to_int,
+    token_count,
+    word_tokens,
+    dot_product,
+    l2_norm,
+    cosine_similarity,
+)
+
+__all__ = [
+    "temporal_features",
+    "impute_value",
+    "normalize_empty_string",
+    "bool_to_int",
+    "token_count",
+    "word_tokens",
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+]

@@ -1,0 +1,750 @@
+"""Driver-facing query catalog: one entry per operator from SURVEY.md §2,
+each with a DuckDB oracle SQL (or None for non-SQL-expressible ops).
+
+Conventions for Spark↔DuckDB hash agreement (driver compares row count +
+schema + order-insensitive value hash, columns sorted by name):
+
+- Every computed column is aliased identically on both sides.
+- Float aggregates are ``round()``ed (2 decimals for sums, 4 for
+  means/ratios) on BOTH sides: summation order is engine/partition
+  dependent at the ulp level, rounding absorbs it. Raw column values
+  (parquet-exact) are never rounded.
+- DuckDB ``SUM(int)`` returns HUGEINT and ``EXTRACT``/``row_number``
+  return BIGINT — oracles CAST to match Spark's LONG/INT output types.
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``dow`` is 0=Sunday → +1.
+- Session timezone pinned UTC (session.py) so timestamp extraction
+  agrees.
+- Top-k queries break ties with a unique key so the selected SET is
+  identical across engines.
+
+Scale notes: every query is written for the 100 TB plan shape, not the
+60k-row test shape — dimension joins carry ``F.broadcast`` hints,
+aggregations are expressed so Catalyst plans partial (map-side) aggs,
+filters/projections sit directly on the scan so parquet pushdown and
+column pruning apply. See docstrings per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions import (
+    cosine_similarity,
+    impute_value,
+    normalize_empty_string,
+    word_tokens,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild the
+    microsecond timestamp with integer division (double division would
+    lose precision at 1e18 magnitudes — 53-bit mantissa). DuckDB's
+    microsecond TIMESTAMP truncates the same way, so oracles agree.
+    """
+    if name == "events":
+        # Set defensively at read time: the driver owns its SparkSession,
+        # so session.py's defaults may not be present there. Timestamp
+        # extraction must agree with DuckDB's UTC-naive semantics.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+# =====================================================================
+# §2.4 A1 / §2.5 O1 — group-by count + order (the reference's signature
+# severity-distribution query, data_cleaning.py:144, mapped onto
+# o_orderpriority per FIXTURES §6).
+# Plan shape: scan(1 col) → partial hash agg → shuffle(key) → final agg.
+# Scales: map-side combine reduces shuffle to |distinct keys| rows/task.
+# =====================================================================
+
+
+@_register(
+    "priority_distribution",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders GROUP BY o_orderpriority""",
+    doc="A1/O1: severity-distribution analog (data_cleaning.py:144)",
+)
+def q_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "event_type_distribution",
+    """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    doc="A1: prediction-distribution analog (v2:cell22,51)",
+)
+def q_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# §2.2 P1/P2/P11 — projection / rename / drop
+# Plan: pure scan-project; ReadSchema must carry only selected columns.
+# =====================================================================
+
+
+@_register(
+    "projection_select",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer""",
+    doc="P1/P11: explicit column projection (data_cleaning.py:34-46)",
+)
+def q_projection_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "rename_columns",
+    """SELECT c_custkey AS cust_id, c_acctbal AS balance FROM customer""",
+    doc="P2: unsafe→safe identifier rename (data_cleaning.py:52-60)",
+)
+def q_rename_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_acctbal").alias("balance")
+    )
+
+
+# =====================================================================
+# §2.2 P3/P4/P5 — predicates. Pushed to the parquet scan
+# (PushedFilters in explain).
+# =====================================================================
+
+
+@_register(
+    "filter_not_null_range",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity IS NOT NULL AND l_quantity BETWEEN 10 AND 40""",
+    doc="P3/P4: null + range predicates (data_cleaning.py:96-97)",
+)
+def q_filter_not_null_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_register(
+    "filter_in_list",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    doc="P5: IN-list predicate (v2:cell19 isin)",
+)
+def q_filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+# =====================================================================
+# §2.2 P7/P8/P12/P13 — conditional imputation (median/0/'Unknown'),
+# NaN-aware null tests, empty-string normalization
+# (data_cleaning.py:69-86). All whole-stage-codegen expressions.
+# =====================================================================
+
+
+@_register(
+    "conditional_impute",
+    """SELECT event_id,
+              CASE WHEN value IS NULL OR isnan(value) THEN 0.0 ELSE value END
+                  AS value_filled,
+              CASE WHEN props IS NULL OR props = '' THEN 'Unknown' ELSE props END
+                  AS props_norm
+       FROM events""",
+    doc="P7/P8/P12/P13: when/otherwise imputation (data_cleaning.py:69-86)",
+)
+def q_conditional_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        impute_value("value", 0.0).alias("value_filled"),
+        normalize_empty_string("props").alias("props_norm"),
+    )
+
+
+@_register(
+    "cast_arithmetic",
+    """SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d, p_size - 1 AS size_label
+       FROM part""",
+    doc="P9/P10: cast + label-shift arithmetic (random_forest.py:76-79)",
+)
+def q_cast_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size_d"),
+        (F.col("p_size") - F.lit(1)).alias("size_label"),
+    )
+
+
+# =====================================================================
+# §2.7 — temporal extraction (hour/dayofweek/month on Start_Time,
+# data_cleaning.py:89-93, mapped onto events.ts).
+# =====================================================================
+
+
+@_register(
+    "temporal_extract",
+    """SELECT event_id,
+              CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+              CAST(EXTRACT(dow FROM ts) AS INTEGER) + 1 AS day_of_week,
+              CAST(EXTRACT(month FROM ts) AS INTEGER) AS month
+       FROM events""",
+    doc="scalar date funcs (data_cleaning.py:89-93); Spark dayofweek 1=Sunday",
+)
+def q_temporal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").alias("day_of_week"),
+        F.month("ts").alias("month"),
+    )
+
+
+@_register(
+    "hourly_event_stats",
+    """SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+              count(*) AS n,
+              round(avg(value), 4) AS avg_value
+       FROM events GROUP BY 1""",
+    doc="temporal feature + agg: accidents-by-hour analog",
+)
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# =====================================================================
+# §2.4 A2/A3 — multi-agg group-by (per-cluster stats,
+# kmeans_clustering.py:202-208). Partial aggregation (map-side) keeps
+# the shuffle at |groups|×|aggs| — scale-safe for low-cardinality keys.
+# =====================================================================
+
+
+@_register(
+    "multi_agg_group",
+    """SELECT l_returnflag,
+              count(*) AS n,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(stddev_samp(l_quantity), 4) AS std_qty,
+              round(sum(l_extendedprice), 2) AS sum_price,
+              min(l_quantity) AS min_qty,
+              max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="A2: count/avg/stddev multi-agg (kmeans_clustering.py:202-208)",
+)
+def q_multi_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@_register(
+    "global_mean",
+    """SELECT round(avg(c_acctbal), 4) AS avg_balance FROM customer""",
+    doc="A4: global scalar agg for imputation (v1/v2:cell19)",
+)
+def q_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance")
+    )
+
+
+@_register(
+    "null_audit",
+    """SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_value,
+              CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_props,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_user,
+              count(*) AS n_rows
+       FROM events""",
+    doc="A5: single-pass multi-column null audit (v2:cell17) — one job, "
+    "not one per column",
+)
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def nulls(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+
+    return ev.agg(
+        nulls("value").alias("n_null_value"),
+        nulls("props").alias("n_null_props"),
+        nulls("user_id").alias("n_null_user"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "median_exact",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="A6: exact median per group (reference uses approxQuantile, "
+    "data_cleaning.py:67 — exact variant is the oracle-checkable one; "
+    "percentile_approx kept as the scale path in operators/profile.py)",
+)
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+    )
+
+
+@_register(
+    "describe_stats",
+    """SELECT count(o_totalprice) AS n,
+              round(avg(o_totalprice), 4) AS mean_price,
+              round(stddev_samp(o_totalprice), 4) AS std_price,
+              round(min(o_totalprice), 2) AS min_price,
+              round(max(o_totalprice), 2) AS max_price
+       FROM orders""",
+    doc="A7: describe()/summary() equivalent in one agg (v2:cell15)",
+)
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("o_totalprice").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        F.round(F.stddev("o_totalprice"), 4).alias("std_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@_register(
+    "total_count",
+    """SELECT count(*) AS n FROM lineitem""",
+    doc="A8: materialization checkpoint count (data_cleaning.py:31)",
+)
+def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "distinct_count",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps
+       FROM lineitem""",
+    doc="A9: distinct counts kept in Spark (vs driver-side np.unique); "
+    "approx_count_distinct is the 100TB path (operators/profile.py)",
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# =====================================================================
+# §2.5 O1/O2 — order-by + limit / top-k. Spark plans TakeOrderedAndProject
+# (per-partition heap + driver merge) — no full sort at scale.
+# Tie-break on the unique key so the selected set is deterministic.
+# =====================================================================
+
+
+@_register(
+    "topk_orders",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    doc="O2: top-k via orderBy+limit → TakeOrderedAndProject",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.6 — joins. The reference has zero relational joins (its only
+# join-like op is the broadcast kNN, ml/knn.py); these expose the full
+# join surface the engine must have. Dimension tables get broadcast
+# hints — at 100 TB, region/nation/supplier remain KB-MB-scale, so the
+# fact-side scan never shuffles for these joins.
+# =====================================================================
+
+
+@_register(
+    "join_region_stats",
+    """SELECT r.r_name,
+              count(*) AS n_customers,
+              round(avg(c.c_acctbal), 4) AS avg_balance
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+    doc="equi-join chain over broadcast dims, then agg",
+)
+def q_join_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+@_register(
+    "join_revenue_topk",
+    """SELECT l.l_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderpriority
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate > TIMESTAMP '1996-06-01'
+       GROUP BY l.l_orderkey, o.o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3-shaped: filtered fact-fact equi-join + agg + top-k. "
+    "At scale both sides shuffle on orderkey (sort-merge); filters push "
+    "to both scans first.",
+)
+def q_join_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1996-06-01"))
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "join_left_outer",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+       FROM customer c
+       LEFT JOIN orders o
+         ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+       GROUP BY c.c_custkey""",
+    doc="left outer join preserving zero-order customers",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_register(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000)""",
+    doc="left-semi join ≡ EXISTS",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+    doc="left-anti join ≡ NOT EXISTS (null-safe, unlike NOT IN)",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =====================================================================
+# TPC-H Q1 — the canonical pricing-summary scan-heavy aggregate.
+# =====================================================================
+
+
+@_register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                  AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 shape: scan-dominant multi-agg; partial agg keeps "
+    "shuffle tiny regardless of input size",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# =====================================================================
+# Window functions — rank-based top-k per group and running aggregates.
+# (Absent in the reference; required engine surface, SURVEY §2.5 note.)
+# =====================================================================
+
+
+@_register(
+    "window_topk_per_group",
+    """SELECT * FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+         FROM orders) t
+       WHERE rn <= 3""",
+    doc="top-k per group via ranking window; tie-broken on unique key",
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "window_running_sum",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_value
+       FROM events""",
+    doc="running aggregate window per user (sessionization building block)",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+# =====================================================================
+# Set operations (engine surface; absent in reference).
+# =====================================================================
+
+
+@_register(
+    "setop_union_distinct",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    doc="UNION (distinct) of two predicate sets",
+)
+def q_setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+@_register(
+    "setop_intersect",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
+    doc="INTERSECT (distinct)",
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@_register(
+    "setop_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 200000""",
+    doc="EXCEPT (distinct)",
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o.distinct()).distinct()
+
+
+# =====================================================================
+# Rollup / cube / pivot (engine surface).
+# =====================================================================
+
+
+@_register(
+    "rollup_agg",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    doc="hierarchical subtotals via ROLLUP",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_register(
+    "cube_agg",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    doc="all grouping-set combinations via CUBE",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_register(
+    "pivot_linestatus",
+    """SELECT l_returnflag,
+              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="pivot with explicit value list (unbounded pivot would need a "
+    "distinct-values job first — anti-pattern at scale)",
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Re-expresses the reference's session/tuning surface (SURVEY §2.12 X5/X6:
+``spark.sql.shuffle.partitions`` overrides, AQE from
+``BigDataPipeline/config/spark-defaults.conf:26-27``, Kryo from
+``spark-defaults.conf:23``) as one idiomatic builder:
+
+- AQE on (coalesce + skew-join): runtime re-planning replaces the
+  reference's hand-tuned per-job partition counts at 100 TB scale.
+- Arrow on: every pandas boundary (pandas_udf kNN, toPandas samples) is
+  Arrow-batched, never pickle-per-row (fixes the reference's v2:cell35
+  non-Arrow 7.7M-row toPandas and the row-at-a-time kNN UDF).
+- Session timezone pinned UTC so timestamp semantics are stable across
+  engines (oracle comparison) and clusters.
+- Shuffle partitions default to local parallelism for local[] masters;
+  on a real cluster pass ``shuffle_partitions`` ~ 2-3x total cores and
+  let AQE coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "us_accidents_bigdata_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning.
+
+    Parameters are overrides; environment variable ``SPARK_GRAFT_CPUS``
+    sets local parallelism (driver contract), defaulting to all cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        # Keep broadcast threshold at default 10MB; dimension tables
+        # (region/nation/supplier) broadcast automatically. Explicit
+        # F.broadcast hints are used where the stats are not available.
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
