@@ -1,0 +1,64 @@
+"""Load-shaping operators: seeded sampling, count-targeted sampling,
+train/test and stratified splits (SURVEY §2.3 L1-L5).
+
+These are the reference's main "optimizer" (pervasive
+``sample(fraction, seed)`` calls); kept as explicit, seeded, documented
+operators. Note SURVEY §7.4.1: sample/randomSplit are
+partition-layout-dependent even when seeded — they never appear inside
+oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int = DEFAULT_SEED) -> DataFrame:
+    """L1 (data_cleaning.py:118 etc.)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def count_targeted_sample(
+    df: DataFrame, target_rows: int, total: int | None = None, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """L2: fraction = min(target/total, 1.0) then hard ``limit``
+    (kmeans_large_scale.py:53-54). ``total`` avoids a count() when known."""
+    n = total if total is not None else df.count()
+    fraction = min(target_rows / max(n, 1), 1.0)
+    if fraction >= 1.0:
+        return df
+    return df.sample(False, fraction, seed).limit(target_rows)
+
+
+def train_test_split(
+    df: DataFrame, test_fraction: float = 0.2, seed: int = DEFAULT_SEED
+) -> tuple[DataFrame, DataFrame]:
+    """L3: randomSplit([0.8, 0.2], 42) (knn_classification.py:305)."""
+    train, test = df.randomSplit([1.0 - test_fraction, test_fraction], seed=seed)
+    return train, test
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fraction: float, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """L4 Spark-native: ``sampleBy`` with a uniform per-stratum fraction
+    (replaces the reference's driver-side sklearn stratify, v2:cell37).
+    The strata enumeration is one distinct job over the key column."""
+    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+    return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)
+
+
+def deterministic_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.2, buckets: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Partition-layout-INdependent split: hash the key column into
+    buckets and cut by bucket index. Unlike randomSplit, re-runs and
+    repartitions give identical membership — required for reproducible
+    ML golden tests (SURVEY §7.4.1).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+    cut = int(buckets * (1.0 - test_fraction))
+    return df.filter(bucket < cut), df.filter(bucket >= cut)

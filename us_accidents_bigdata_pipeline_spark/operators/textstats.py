@@ -1,0 +1,81 @@
+"""Text-analysis operators (LLM-pipeline extension): token counting,
+quality scoring, language ID, fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — a 100 TB text scan never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import word_tokens
+
+# Tiny high-frequency stopword lists for the language-ID heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+# BPE-ish word/punct segmentation: word pieces or single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(word_tokens(text))
+
+
+def n_tokens_bpe_ish(text: Column | str) -> Column:
+    """Token count under a BPE-ish regex segmentation (words / digit runs /
+    single symbols) — the cheap proxy for tokenizer-cost estimation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens that are stopwords (array filter, JVM-side)."""
+    return F.size(F.filter(word_tokens(text), lambda t: t.isin(*stopwords)))
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
+    mean token length, stopword ratio."""
+    toks = n_tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        toks.alias("n_tokens"),
+        n_tokens_bpe_ish(text_col).alias("n_tokens_bpe"),
+        F.round(
+            (F.length(F.regexp_replace(text_col, r"\s+", "")) / toks), 4
+        ).alias("avg_token_len"),
+        F.round(stopword_count(text_col) / toks, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length adequacy,
+    stopword presence, and mean-word-length plausibility (the
+    Gopher/C4-style rule-based filters, rule subset)."""
+    toks = n_tokens(text)
+    swr = stopword_count(text) / toks
+    awl = F.length(F.regexp_replace(text, r"\s+", "")) / toks
+    len_ok = F.least(toks / F.lit(50.0), F.lit(1.0))
+    sw_ok = F.least(swr / F.lit(0.05), F.lit(1.0))
+    wl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.3)
+    return F.round(0.4 * len_ok + 0.3 * sw_ok + 0.3 * wl_ok, 4)
+
+
+def language_id(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic (en vs unknown on this
+    corpus; extend the stopword table per language for more)."""
+    swr = stopword_count(text) / n_tokens(text)
+    return F.when(swr >= 0.02, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit content fingerprint (xxhash64 of normalized text):
+    whitespace-collapsed, lowercased — catches formatting-only dupes
+    that exact string equality misses."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

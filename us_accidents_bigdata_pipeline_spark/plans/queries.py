@@ -748,3 +748,284 @@ def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
+
+
+# =====================================================================
+# LLM-data-pipeline operators (driver extension scope): deduplication,
+# text analysis, similarity search over the documents/embeddings tables.
+# Implementations live in operators/{dedup,textstats,similarity}.py;
+# these entries bind them to the oracle harness.
+# =====================================================================
+
+
+@_register(
+    "exact_dedup_docs",
+    """SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY text""",
+    doc="exact dedup: hash-groupBy on content, deterministic keeper "
+    "(operators/dedup.py::exact_dedup)",
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@_register(
+    "text_stats_docs",
+    r"""SELECT doc_id,
+              length(text) AS n_chars,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+                  AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS INTEGER) AS n_tokens_bpe,
+              round(length(regexp_replace(text, '\s+', '', 'g'))
+                    / len(string_split_regex(trim(text), '\s+')), 4)
+                  AS avg_token_len,
+              round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is','it')))
+                    / len(string_split_regex(trim(text), '\s+')), 4)
+                  AS stopword_ratio
+       FROM documents""",
+    doc="per-doc token counts / quality inputs, all JVM-side "
+    "(operators/textstats.py::text_stats)",
+)
+def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_quality_scores",
+    r"""WITH s AS (
+         SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                    AS toks,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it')))
+                    AS DOUBLE) AS sw,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    AS chars
+         FROM documents)
+       SELECT doc_id,
+              round(0.4 * least(toks / 50.0, 1.0)
+                  + 0.3 * least((sw / toks) / 0.05, 1.0)
+                  + 0.3 * (CASE WHEN chars / toks BETWEEN 2.0 AND 12.0
+                                THEN 1.0 ELSE 0.3 END), 4) AS quality
+       FROM s""",
+    doc="rule-based quality score (operators/textstats.py::quality_score)",
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@_register(
+    "language_id_docs",
+    r"""SELECT doc_id,
+              CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t IN ('the','a','of','and','to','in','is','it')))
+                        / len(string_split_regex(trim(text), '\s+')) >= 0.02
+                   THEN 'en' ELSE 'unknown' END AS lang_pred
+       FROM documents""",
+    doc="stopword-ratio language-ID heuristic "
+    "(operators/textstats.py::language_id)",
+)
+def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b,
+              round(CAST(p.n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+       FROM pairs p
+       JOIN sizes sa ON p.doc_a = sa.doc_id
+       JOIN sizes sb ON p.doc_b = sb.doc_id
+       WHERE round(CAST(p.n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5""",
+    doc="exact 3-gram Jaccard near-dup pairs — the correctness reference "
+    "for MinHash (operators/dedup.py::ngram_jaccard_pairs)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_register(
+    "minhash_near_dup_pairs",
+    None,  # approximate (LSH) → rows-only; exact reference above
+    doc="MinHash LSH near-dup candidates at scale "
+    "(operators/dedup.py::minhash_near_dup_pairs)",
+)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_register(
+    "fingerprint_dedup",
+    None,  # xxhash64 values are engine-specific → rows-only
+    doc="64-bit normalized-content fingerprints "
+    "(operators/textstats.py::fingerprint64)",
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint64("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@_register(
+    "knn_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       FROM e, q WHERE e.vec_id <> 0
+       ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+    doc="brute-force cosine top-k, single query "
+    "(operators/similarity.py::cosine_topk)",
+)
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5)
+
+
+@_register(
+    "knn_cosine_batch",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+         FROM e, q WHERE e.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, cosine FROM scored
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) <= 5""",
+    doc="batched brute-force ANN baseline: broadcast queries + ranking "
+    "window (operators/similarity.py::cosine_topk_batch)",
+)
+def q_knn_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "knn_label_vote",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                round(list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+         FROM e, q WHERE e.vec_id <> q.query_id),
+       top5 AS (SELECT * FROM scored
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id)
+                        <= 5),
+       votes AS (SELECT query_id, neighbor_label, count(*) AS n_votes
+                 FROM top5 GROUP BY 1, 2)
+       SELECT query_id, neighbor_label AS predicted_label, n_votes FROM votes
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, neighbor_label) = 1""",
+    doc="kNN classification by neighbor majority vote — relational "
+    "re-expression of the reference's custom kNN "
+    "(knn_classification.py:124-164; operators/similarity.py::knn_label_vote)",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_label_vote
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "embedding_norm_stats",
+    """SELECT label, count(*) AS n,
+              round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))), 4)
+                  AS avg_norm
+       FROM embeddings GROUP BY label""",
+    doc="per-label embedding norm profile (functions/columns.py::l2_norm)",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(l2_norm("embedding")), 4).alias("avg_norm"),
+    )
+
+
+@_register(
+    "multimodal_byte_stats",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+       FROM documents""",
+    doc="opaque-binary plumbing check: byte length of the encoded "
+    "payload (operators/multimodal.py treats media as binary columns)",
+)
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.octet_length("text").alias("n_bytes"))
+
+
+@_register(
+    "lsh_ann_candidates",
+    None,  # approximate → rows-only; knn_cosine_topk is the exact reference
+    doc="BucketedRandomProjectionLSH approximate NN "
+    "(operators/similarity.py::lsh_topk_candidates)",
+)
+def q_lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_candidates
+
+    return lsh_topk_candidates(_t(spark, sf_dir, "embeddings"), query_id=0, k=5)
+
+
+@_register(
+    "ivf_cell_assignment",
+    None,  # KMeans-dependent → rows-only
+    doc="IVF coarse quantizer cell assignment "
+    "(operators/similarity.py::ivf_assign)",
+)
+def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign
+
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
