@@ -1,0 +1,188 @@
+"""ML operator tests: reference-parity pipeline on synthetic accidents
+(golden-tolerance idiom, SURVEY §5.2) + kNN formulation equivalence +
+metric parity with MLlib evaluators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.ml.features import (
+    array_to_features,
+    assemble_and_scale,
+    index_categoricals,
+)
+from us_accidents_bigdata_pipeline_spark.ml.kmeans import (
+    cluster_stats,
+    fit_kmeans,
+    k_sweep,
+    silhouette,
+)
+from us_accidents_bigdata_pipeline_spark.ml.knn import (
+    knn_predict,
+    knn_predict_exact,
+    optimal_k_sweep,
+)
+from us_accidents_bigdata_pipeline_spark.ml.metrics import (
+    confusion_matrix,
+    evaluate_classifier,
+    one_vs_rest_auc,
+    per_class_report,
+)
+from us_accidents_bigdata_pipeline_spark.ml.rf import (
+    RFParams,
+    feature_importance,
+    train_rf,
+    train_with_retry,
+)
+from us_accidents_bigdata_pipeline_spark.operators.clean import (
+    ACCIDENTS_CLEAN_SPEC,
+    clean,
+)
+from us_accidents_bigdata_pipeline_spark.operators.sample import deterministic_split
+from us_accidents_bigdata_pipeline_spark.sources.accidents import generate_accidents_raw
+
+from .conftest import SF_ORACLE
+
+FEATURES = [
+    "Distance_mi",
+    "Temperature_F",
+    "Humidity_Percent",
+    "Visibility_mi",
+    "Wind_Speed_mph",
+    "Traffic_Signal",
+]
+
+
+@pytest.fixture(scope="module")
+def accidents_cleaned(spark):
+    raw = generate_accidents_raw(spark, n_rows=4000, seed=42)
+    return clean(raw, ACCIDENTS_CLEAN_SPEC).cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_rf_severity_pipeline(accidents_cleaned):
+    df = accidents_cleaned.withColumn(
+        "label", (F.col("Severity") - 1).cast("double")
+    )
+    feat, _ = assemble_and_scale(df, FEATURES, with_mean=False)
+    train, test = deterministic_split(feat, "ID", 0.25)
+    model = train_with_retry(train, RFParams.notebook_tuned())[0]
+    preds = model.transform(test)
+    m = evaluate_classifier(preds)
+    # golden floor: the planted signal is learnable well above the
+    # majority-class rate (~0.66 on this synthetic mix)
+    assert m["accuracy"] > 0.70, m
+    assert 0 < m["f1"] <= 1
+    imp = feature_importance(model, FEATURES)
+    assert imp[0][0] in ("Distance_mi", "Visibility_mi"), imp
+    aucs = one_vs_rest_auc(preds)
+    assert all(0.5 <= v <= 1.0 for v in aucs.values()), aucs
+
+
+def test_metrics_match_mllib_evaluator(accidents_cleaned):
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    df = accidents_cleaned.withColumn(
+        "label", (F.col("Severity") - 1).cast("double")
+    )
+    feat, _ = assemble_and_scale(df, FEATURES, with_mean=False)
+    train, test = deterministic_split(feat, "ID", 0.25)
+    preds = train_rf(train, RFParams(num_trees=20, max_depth=6)).transform(test)
+    ours = evaluate_classifier(preds)
+    for metric, key in [
+        ("accuracy", "accuracy"),
+        ("weightedPrecision", "precision"),
+        ("weightedRecall", "recall"),
+        ("f1", "f1"),
+    ]:
+        ref = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        ).evaluate(preds)
+        assert abs(ours[key] - ref) < 1e-9, (metric, ours[key], ref)
+    cm = confusion_matrix(preds)
+    assert cm.agg(F.sum("n")).head()[0] == preds.count()
+    rep = per_class_report(preds)
+    assert set(rep.columns) == {"class", "precision", "recall", "f1", "support"}
+
+
+def test_knn_pandas_udf_matches_exact(spark, embeddings):
+    train = embeddings.filter(F.col("vec_id") >= 100)
+    test = embeddings.filter(F.col("vec_id") < 100)
+    fast = knn_predict(
+        test, train, k=5, features_col="embedding", label_col="label"
+    ).select("vec_id", "prediction")
+    exact = knn_predict_exact(
+        test,
+        train,
+        k=5,
+        id_col="vec_id",
+        features_col="embedding",
+        label_col="label",
+    ).select("vec_id", "prediction")
+    f = {r.vec_id: r.prediction for r in fast.collect()}
+    e = {r.vec_id: r.prediction for r in exact.collect()}
+    agree = sum(1 for vid in f if f[vid] == e[vid]) / len(f)
+    # identical semantics; tolerate rare float-tie divergence at the
+    # k-th neighbor boundary between the two distance formulations
+    assert agree >= 0.99, f"agreement {agree}"
+
+
+def test_knn_learns_separable_blobs(spark):
+    # testdata embeddings have geometry-independent labels (measured 1-NN
+    # label agreement = chance), so accuracy is asserted on synthetic
+    # separable blobs instead; the real table covers formulation parity.
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for cls, center in enumerate([(0.0, 0.0), (5.0, 5.0), (-5.0, 5.0)]):
+        pts = rng.normal(center, 0.7, size=(60, 2))
+        rows += [
+            (cls * 60 + i, [float(x), float(y)], cls)
+            for i, (x, y) in enumerate(pts)
+        ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>, label int")
+    train = df.filter(F.col("id") % 3 != 0)
+    test = df.filter(F.col("id") % 3 == 0)
+    best_k, accs = optimal_k_sweep(
+        train, test, ks=(3, 5), features_col="embedding", label_col="label"
+    )
+    assert best_k in (3, 5)
+    assert max(accs.values()) > 0.95, accs
+
+
+def test_kmeans_sweep_and_stats(accidents_cleaned):
+    geo = accidents_cleaned.select("Start_Lat", "Start_Lng", "Severity")
+    feat, _ = assemble_and_scale(geo, ["Start_Lat", "Start_Lng"])
+    best_k, results = k_sweep(feat, [2, 3, 4], max_iter=20)
+    assert best_k in (2, 3, 4)
+    assert all(-1 <= s <= 1 for _, s, _ in results)
+    model = fit_kmeans(feat, best_k, max_iter=20)
+    pred = model.transform(feat)
+    sil = silhouette(pred)
+    assert sil > 0.3  # uniform geo data still separates under kmeans
+    stats = cluster_stats(pred, stat_cols=["Severity"])
+    rows = stats.collect()
+    assert len(rows) == best_k
+    assert sum(r.n for r in rows) == feat.count()
+    assert len(model.clusterCenters()) == best_k
+
+
+def test_string_indexer_frequency_order(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",), ("b",), ("c",)], ["cat"]
+    )
+    out, _ = index_categoricals(df, ["cat"])
+    m = {r.cat: r.cat_idx for r in out.distinct().collect()}
+    assert m == {"b": 0.0, "c": 1.0, "a": 2.0}
+
+
+def test_array_to_features_roundtrip(embeddings):
+    out = array_to_features(embeddings, "embedding")
+    row = out.select("features").head()
+    assert len(row.features) == 64

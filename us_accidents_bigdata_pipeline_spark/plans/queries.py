@@ -1029,3 +1029,189 @@ def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_assign
 
     return ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+
+# =====================================================================
+# ML operators (SURVEY §2.8-2.9) bound to the driver tables. Training
+# happens inside the builder (eager fit, lazy transform); metrics are
+# returned as DataFrames. Model-dependent outputs are rows-only — the
+# golden-tolerance ML tests live in tests/test_ml.py (SURVEY §5.2).
+# =====================================================================
+
+
+@_register(
+    "ml_rf_lineitem_metrics",
+    None,  # model-dependent → rows-only; metric parity tested in tests/test_ml.py
+    doc="RandomForest M5/M9/E1/E2: predict l_returnflag from quantity/"
+    "price/discount/ship-year; one-row metrics frame (ml/rf.py). NOTE: "
+    "testdata l_returnflag is uniformly random (verified independent "
+    "of all features) so ~0.33 accuracy is the correct result here; "
+    "learnability goldens run on the seeded accidents fixture "
+    "(tests/test_ml.py::test_rf_severity_pipeline, acc > 0.70)",
+)
+def q_ml_rf_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import assemble_and_scale
+    from ..ml.metrics import evaluate_classifier
+    from ..ml.rf import RFParams, train_rf
+    from ..operators.sample import deterministic_split
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("id"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        F.year("l_shipdate").cast("double").alias("ship_year"),
+        F.when(F.col("l_returnflag") == "N", 0.0)
+        .when(F.col("l_returnflag") == "A", 1.0)
+        .otherwise(2.0)
+        .alias("label"),
+    )
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "ship_year"]
+    feat, _ = assemble_and_scale(li, feats, with_mean=False)
+    train, test = deterministic_split(feat, "id", 0.25)
+    model = train_rf(train, RFParams(num_trees=20, max_depth=6))
+    m = evaluate_classifier(model.transform(test))
+    return spark.createDataFrame(
+        [
+            (
+                round(m["accuracy"], 4),
+                round(m["precision"], 4),
+                round(m["recall"], 4),
+                round(m["f1"], 4),
+            )
+        ],
+        "accuracy double, precision double, recall double, f1 double",
+    )
+
+
+@_register(
+    "ml_kmeans_customer_clusters",
+    None,  # model-dependent → rows-only
+    doc="KMeans M7/M10/A2: cluster customers on scaled (acctbal, "
+    "nationkey); per-cluster stats frame (ml/kmeans.py)",
+)
+def q_ml_kmeans_customer_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import assemble_and_scale
+    from ..ml.kmeans import cluster_stats, fit_kmeans
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    feat, _ = assemble_and_scale(c, ["acctbal", "nationkey"])
+    model = fit_kmeans(feat, k=4, max_iter=20)
+    pred = model.transform(feat)
+    return cluster_stats(pred, stat_cols=["acctbal"]).orderBy("cluster")
+
+
+@_register(
+    "ml_knn_embedding_predictions",
+    None,  # pandas_udf model path → rows-only; exact-formulation parity
+    # is tested in tests/test_ml.py::test_knn_pandas_udf_matches_exact
+    doc="vectorized broadcast-kNN J1/M8: pandas_udf BLAS distance "
+    "matrix, the reference's custom operator done right (ml/knn.py)",
+)
+def q_ml_knn_embedding_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.knn import knn_predict
+
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") >= 100)
+    test = e.filter(F.col("vec_id") < 100)
+    return knn_predict(
+        test, train, k=5, features_col="embedding", label_col="label"
+    ).select("vec_id", "prediction")
+
+
+# =====================================================================
+# Structured Streaming (SURVEY §2.10 extension): the windowed
+# aggregation runs as a REAL streaming query (file source → watermark →
+# tumbling window → memory sink, driven to completion) and, because the
+# bounded input arrives in one micro-batch, its result equals the batch
+# time-bucket aggregate — which is the DuckDB oracle.
+# =====================================================================
+
+
+@_register(
+    "streaming_windowed_counts",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                  AS window_end,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
+    doc="real streaming query: readStream → withWatermark → tumbling "
+    "window agg → memory sink (streaming/windows.py)",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import parquet_stream_reader, run_windowed_batch, windowed_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = parquet_stream_reader(
+        spark, sf_dir, schema, glob_filter="events.parquet"
+    )
+    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_counts(events, window_duration="1 hour", watermark="2 hours")
+    out = run_windowed_batch(agg, query_name="windowed_counts_oracle")
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (LLM-pipeline extension): binary payloads +
+# mapInPandas decode/frame-sample. The byte-offset frame sampler is
+# deterministic → oracle-able; the digest-feature decode is rows-only.
+# =====================================================================
+
+
+@_register(
+    "multimodal_frame_sample",
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+              CAST(i * 1024 AS BIGINT) AS frame_offset
+       FROM (SELECT doc_id,
+                    least(8, greatest(octet_length(encode(text)) // 1024, 1))
+                        AS nf
+             FROM documents) d,
+            UNNEST(generate_series(0, nf - 1)) AS u(i)""",
+    doc="mapInPandas frame-sampling plumbing over binary payloads "
+    "(operators/multimodal.py::sample_frames)",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(d, id_col="doc_id")
+
+
+@_register(
+    "multimodal_decode_features",
+    None,  # digest-based fake decode → rows-only (real codec stubbed)
+    doc="mapInPandas decode plumbing: binary → feature vector "
+    "(operators/multimodal.py::decode_image_features, fake codec)",
+)
+def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return decode_image_features(d, id_col="doc_id", dim=16, fake=True)

@@ -1,0 +1,13 @@
+from .windows import (
+    kafka_stream_reader,
+    parquet_stream_reader,
+    run_windowed_batch,
+    windowed_counts,
+)
+
+__all__ = [
+    "kafka_stream_reader",
+    "parquet_stream_reader",
+    "run_windowed_batch",
+    "windowed_counts",
+]

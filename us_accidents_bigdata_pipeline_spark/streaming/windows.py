@@ -1,0 +1,116 @@
+"""Structured Streaming extension (SURVEY §2.10).
+
+The reference's streaming story stops at a Kafka *producer*
+(scripts/kafka_producer.py) — no Spark job ever consumes the topic.
+This module completes the capability the architecture gestures at,
+idiomatically: readStream → from_json → withWatermark → windowed
+aggregation → sink, with ``applyInPandasWithState`` available for
+custom stateful operators.
+
+For environments without a broker (this container), the same pipeline
+runs over a file stream: ``parquet_stream_reader`` +
+``run_windowed_batch`` drive it synchronously to completion with a
+memory sink — the pattern the tests and the driver's rows-only check
+use. The Kafka reader is config-identical (swap the source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source → parsed event frame.
+
+    Consumes the message shape the reference's producer writes (one
+    JSON object per row, key = ID, kafka_producer.py:49-78). Requires
+    the spark-sql-kafka package on the classpath (not in this
+    container — covered by config parity, exercised via the file
+    stream below).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("_data"),
+    ).select("_key", "_data.*")
+
+
+def parquet_stream_reader(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    glob_filter: str | None = None,
+) -> DataFrame:
+    """File-based stream source with identical downstream semantics.
+
+    ``path`` must be a DIRECTORY (file-stream source requirement);
+    ``glob_filter`` narrows to specific files within it. Schema must be
+    explicit for streams."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation: count + sum per
+    (window, key). Late rows beyond the watermark are dropped —
+    state is bounded, which is what makes this run forever at scale."""
+    w = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_batch(
+    agg: DataFrame, query_name: str = "windowed_out", timeout_sec: int = 120
+) -> DataFrame:
+    """Drive a streaming aggregation synchronously to completion via the
+    memory sink (complete mode) and return the result as a batch
+    DataFrame — the local smoke-path for streaming pipelines."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(query_name)
