@@ -66,6 +66,50 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
+    # Pipeline-level throughput on the seeded accidents fixture, sized
+    # by SF (sf0.1 → 60k rows) — directly comparable to BASELINE.md's
+    # reference numbers (RF ≈ 77K train rows/s on local[*]).
+    pipeline_stats: dict = {}
+    try:
+        from us_accidents_bigdata_pipeline_spark.pipeline import (
+            PipelineConfig,
+            run_complete_pipeline,
+        )
+        from us_accidents_bigdata_pipeline_spark.sources.accidents import (
+            generate_accidents_raw_distributed,
+        )
+
+        # mirror the reference's mid "2M-row" benchmark tier
+        # (BASELINE.md kmeans_results_2m) at this scale factor; the
+        # full-7.7M tier is reachable by running bench at sf=1
+        n_rows = max(int(2_000_000 * sf), 3000) if sf > 0 else 3000
+        # materialize the fixture to parquet OUTSIDE the timed window -
+        # the pipeline should be measured reading from storage (like the
+        # reference reading its CSV), not re-serializing driver-local
+        # rows through every stage
+        import tempfile
+
+        fixture_dir = tempfile.mkdtemp(prefix="bench_accidents_")
+        generate_accidents_raw_distributed(spark, n_rows=n_rows, seed=42).write.mode(
+            "overwrite"
+        ).parquet(fixture_dir)
+        raw = spark.read.parquet(fixture_dir)
+        t0 = time.perf_counter()
+        summary = run_complete_pipeline(spark, raw, config=PipelineConfig())
+        pipe_sec = time.perf_counter() - t0
+        times["accidents_pipeline"] = round(pipe_sec, 3)
+        total += pipe_sec
+        rf = summary["stages"]["random_forest"]
+        pipeline_stats = {
+            "rows": summary["rows_processed"],
+            "rf_train_rows_per_sec": rf["rows_per_sec"],
+            "rf_accuracy": rf["metrics"]["accuracy"],
+            "kmeans_silhouette": summary["stages"]["kmeans"]["silhouette"],
+            "total_sec": summary["total_seconds"],
+        }
+    except Exception as e:  # bench must always emit its JSON line
+        pipeline_stats = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -74,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "pipeline": pipeline_stats,
             }
         )
     )

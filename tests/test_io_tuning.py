@@ -1,0 +1,83 @@
+"""Sink + tuning operator tests (SURVEY §2.1 S4-S11, §2.12, §7.4.7)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.sources.io import (
+    kafka_payload,
+    load_tables,
+    read_csv,
+    write_csv,
+    write_json,
+    write_table,
+)
+from us_accidents_bigdata_pipeline_spark.tuning import (
+    DriverCollectGuard,
+    safe_collect,
+    safe_to_pandas,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_json_and_csv_sinks_roundtrip(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+    write_json(df, str(tmp_path / "j"))
+    back_j = spark.read.json(str(tmp_path / "j"))
+    assert back_j.count() == df.count()
+    write_csv(df, str(tmp_path / "c"))
+    back_c = read_csv(spark, str(tmp_path / "c"), "r_regionkey int, r_name string")
+    assert {r.r_name for r in back_c.collect()} == {r.r_name for r in df.collect()}
+
+
+def test_csv_quoted_commas_roundtrip(spark, tmp_path):
+    # SURVEY §7.4.9: quoted commas must survive (the Hive TEXTFILE serde
+    # in the reference would mis-split these)
+    df = spark.createDataFrame(
+        [(1, 'on I-5, "heavy traffic", blocked'), (2, "plain")], ["id", "desc"]
+    )
+    write_csv(df, str(tmp_path / "q"))
+    back = read_csv(spark, str(tmp_path / "q"), "id int, desc string")
+    assert {r.desc for r in back.collect()} == {r.desc for r in df.collect()}
+
+
+def test_write_table_catalog(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    write_table(df, "nation_tbl")
+    assert spark.table("nation_tbl").count() == 25
+    assert spark.sql("SELECT count(*) AS n FROM nation_tbl").head().n == 25
+    spark.sql("DROP TABLE nation_tbl")
+
+
+def test_kafka_payload_shape(spark):
+    df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+    payload = kafka_payload(df, "r_regionkey")
+    rows = payload.collect()
+    assert set(payload.columns) == {"key", "value"}
+    doc = json.loads(rows[0].value)
+    assert set(doc) == {"r_regionkey", "r_name"}
+
+
+def test_load_tables_registers_views(spark):
+    tables = load_tables(spark, SF_ORACLE, ("region", "nation"))
+    assert set(tables) == {"region", "nation"}
+    joined = spark.sql(
+        """SELECT r.r_name, count(*) AS n FROM nation n
+           JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"""
+    )
+    assert joined.agg(F.sum("n")).head()[0] == 25
+
+
+def test_collect_guards(spark):
+    df = spark.range(1000)
+    assert len(safe_collect(df, max_rows=1000)) == 1000
+    with pytest.raises(DriverCollectGuard):
+        safe_collect(df, max_rows=999)
+    pdf = safe_to_pandas(df, max_rows=1000)
+    assert len(pdf) == 1000
+    with pytest.raises(DriverCollectGuard):
+        safe_to_pandas(df, max_rows=10)

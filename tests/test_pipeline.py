@@ -1,0 +1,53 @@
+"""End-to-end pipeline golden test (the reference's golden-JSON idiom
+made automatic, SURVEY §5.2): run the complete pipeline on the seeded
+accidents fixture and assert metrics within tolerance bands."""
+
+from __future__ import annotations
+
+import json
+
+from us_accidents_bigdata_pipeline_spark.pipeline import run_complete_pipeline
+from us_accidents_bigdata_pipeline_spark.sources.accidents import generate_accidents_raw
+
+
+def test_complete_pipeline_golden(spark, tmp_path):
+    raw = generate_accidents_raw(spark, n_rows=3000, seed=42)
+    summary = run_complete_pipeline(spark, raw, output_dir=str(tmp_path / "out"))
+
+    st = summary["stages"]
+    # clean drops ~2-3% (null coords, severity out of range)
+    assert 2800 <= st["clean"]["rows"] <= 3000
+    # RF learns the planted signal well above the ~0.66 majority rate
+    assert st["random_forest"]["metrics"]["accuracy"] > 0.70
+    assert st["random_forest"]["feature_importance"][0]["feature"] in (
+        "Distance_mi",
+        "Visibility_mi",
+    )
+    # kNN on a 10% broadcast sample still beats majority-class
+    assert st["knn"]["metrics"]["accuracy"] > 0.55
+    # geographic clustering separates
+    assert st["kmeans"]["best_k"] in (4, 6, 8)
+    assert st["kmeans"]["silhouette"] > 0.3
+    n_stats = {r["cluster"] for r in st["kmeans"]["cluster_stats"]}
+    assert len(n_stats) == st["kmeans"]["best_k"]
+
+    # sinks: parquet + summary JSON round-trip
+    back = spark.read.parquet(str(tmp_path / "out" / "cleaned_data"))
+    assert back.count() == st["clean"]["rows"]
+    clustered = spark.read.parquet(str(tmp_path / "out" / "clustered_data"))
+    assert set(clustered.columns) == {
+        "ID",
+        "Severity",
+        "Start_Lat",
+        "Start_Lng",
+        "cluster",
+    }
+    with open(tmp_path / "out" / "pipeline_summary.json") as f:
+        assert json.load(f)["rows_processed"] == st["clean"]["rows"]
+
+    # determinism: same seed + same data → same RF accuracy
+    summary2 = run_complete_pipeline(spark, raw)
+    assert (
+        summary2["stages"]["random_forest"]["metrics"]["accuracy"]
+        == st["random_forest"]["metrics"]["accuracy"]
+    )

@@ -1,0 +1,183 @@
+"""End-to-end accidents pipeline: the reference's
+``BigDataPipeline/spark/complete_pipeline.py`` (and
+``run_pipeline.sh`` job sequence) as one orchestrated, idiomatic
+Spark flow:
+
+    ingest → clean/impute/encode → Random Forest severity
+    classification → distributed kNN → K-Means geographic clustering
+    → metrics/JSON export → parquet sink
+
+Differences from the reference, by design (SURVEY §7):
+- one cached cleaned frame feeds all three model stages (the reference
+  re-reads parquet per job);
+- kNN is the vectorized pandas_udf operator, not a row-at-a-time UDF;
+- confusion matrix is a DataFrame aggregate, not RDD MulticlassMetrics;
+- splits are hash-bucket deterministic (partition-layout independent);
+- all sinks go through sources/io.py; metrics JSON mirrors the
+  reference's result-document shape (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ml.features import assemble_and_scale
+from .ml.kmeans import cluster_stats, fit_kmeans, k_sweep, silhouette
+from .ml.knn import knn_predict
+from .ml.metrics import evaluate_classifier
+from .ml.rf import RFParams, feature_importance, train_with_retry
+from .operators.clean import ACCIDENTS_CLEAN_SPEC, CleanSpec, clean
+from .operators.sample import deterministic_split
+from .tuning import right_size_partitions
+from .sources.io import write_parquet
+
+RF_FEATURES = [
+    "Distance_mi",
+    "Temperature_F",
+    "Humidity_Percent",
+    "Visibility_mi",
+    "Wind_Speed_mph",
+    "Traffic_Signal",
+]
+GEO_FEATURES = ["Start_Lat", "Start_Lng"]
+
+
+@dataclass
+class PipelineConfig:
+    clean_spec: CleanSpec = field(default_factory=lambda: ACCIDENTS_CLEAN_SPEC)
+    rf_params: RFParams = field(default_factory=RFParams.notebook_tuned)
+    rf_features: list[str] = field(default_factory=lambda: list(RF_FEATURES))
+    knn_k: int = 5
+    knn_train_fraction: float = 0.1  # knn_classification.py:132
+    kmeans_ks: tuple[int, ...] = (4, 6, 8)  # full_scale_pipeline.py:197-222
+    kmeans_max_iter: int = 30
+    # sweep on a capped sample with fewer iterations (the reference's
+    # own 200K elbow-sample pattern, v2:cell47-48) - the final fit uses
+    # the full data and full iteration budget
+    kmeans_sweep_sample_rows: int = 200_000
+    kmeans_sweep_max_iter: int = 15
+    test_fraction: float = 0.2
+    seed: int = 42
+
+
+def run_complete_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    output_dir: str | None = None,
+    config: PipelineConfig | None = None,
+) -> dict:
+    """Run the full pipeline; returns the metrics document (the
+    reference's pipeline_summary.json shape) and, when ``output_dir``
+    is set, writes cleaned parquet + clustered sample + metrics JSON."""
+    cfg = config or PipelineConfig()
+    t_start = time.time()
+    summary: dict = {"stages": {}}
+
+    # -- stage 1: clean (data_cleaning.py semantics) --------------------
+    t0 = time.time()
+    cleaned = clean(raw, cfg.clean_spec).cache()
+    n_clean = cleaned.count()
+    summary["stages"]["clean"] = {"rows": n_clean, "sec": round(time.time() - t0, 2)}
+
+    # -- stage 2: features + RF severity classification -----------------
+    t0 = time.time()
+    labeled = cleaned.withColumn("label", (F.col("Severity") - 1).cast("double"))
+    feat, _ = assemble_and_scale(labeled, cfg.rf_features, with_mean=False)
+    # iterative trainers pay per-task overhead per iteration: size
+    # partitions by rows, not by cluster width (tuning.py rationale)
+    feat = right_size_partitions(feat, n_rows=n_clean).cache()
+    train, test = deterministic_split(feat, "ID", cfg.test_fraction)
+    n_train = train.count()
+    rf_model, used_fraction = train_with_retry(train, cfg.rf_params)
+    rf_train_sec = time.time() - t0
+    rf_preds = rf_model.transform(test)
+    rf_metrics = evaluate_classifier(rf_preds)
+    summary["stages"]["random_forest"] = {
+        "train_rows": n_train,
+        "train_fraction_used": used_fraction,
+        "training_time_seconds": round(rf_train_sec, 2),
+        "rows_per_sec": round(n_train / max(rf_train_sec, 1e-9)),
+        "metrics": {k: round(v, 4) for k, v in rf_metrics.items()},
+        "feature_importance": [
+            {"feature": f, "importance": round(i, 4)}
+            for f, i in feature_importance(rf_model, cfg.rf_features)[:15]
+        ],
+    }
+
+    # -- stage 3: distributed kNN --------------------------------------
+    t0 = time.time()
+    knn_preds = knn_predict(
+        test,
+        train,
+        k=cfg.knn_k,
+        features_col="features",
+        label_col="label",
+        train_fraction=cfg.knn_train_fraction,
+        seed=cfg.seed,
+    )
+    knn_metrics = evaluate_classifier(
+        knn_preds.withColumn("prediction", F.col("prediction").cast("double"))
+    )
+    summary["stages"]["knn"] = {
+        "k": cfg.knn_k,
+        "train_fraction": cfg.knn_train_fraction,
+        "sec": round(time.time() - t0, 2),
+        "metrics": {k: round(v, 4) for k, v in knn_metrics.items()},
+    }
+
+    # -- stage 4: K-Means geographic clustering -------------------------
+    t0 = time.time()
+    geo, _ = assemble_and_scale(
+        cleaned.select("ID", "Severity", *GEO_FEATURES), GEO_FEATURES
+    )
+    geo = right_size_partitions(geo, n_rows=n_clean).cache()
+    if n_clean > cfg.kmeans_sweep_sample_rows:
+        sweep_df = geo.sample(
+            False, cfg.kmeans_sweep_sample_rows / n_clean, cfg.seed
+        )
+    else:
+        sweep_df = geo
+    best_k, sweep = k_sweep(
+        sweep_df, list(cfg.kmeans_ks), max_iter=cfg.kmeans_sweep_max_iter,
+        seed=cfg.seed,
+    )
+    km_model = fit_kmeans(geo, best_k, max_iter=cfg.kmeans_max_iter, seed=cfg.seed)
+    clustered = km_model.transform(geo)
+    sil = silhouette(clustered)
+    stats = cluster_stats(clustered, stat_cols=["Severity"])
+    summary["stages"]["kmeans"] = {
+        "best_k": best_k,
+        "silhouette": round(sil, 4),
+        "wssse": round(km_model.summary.trainingCost, 2),
+        "sweep": [
+            {"k": k, "silhouette": round(s, 4), "wssse": round(w, 2)}
+            for k, s, w in sweep
+        ],
+        "sec": round(time.time() - t0, 2),
+        "cluster_stats": [r.asDict() for r in stats.orderBy("cluster").collect()],
+    }
+
+    summary["total_seconds"] = round(time.time() - t_start, 2)
+    summary["rows_processed"] = n_clean
+
+    # -- stage 5: sinks (S3/S5/S7) --------------------------------------
+    if output_dir:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        write_parquet(cleaned, str(out / "cleaned_data"))
+        write_parquet(
+            clustered.select("ID", "Severity", "Start_Lat", "Start_Lng", "cluster"),
+            str(out / "clustered_data"),
+        )
+        with open(out / "pipeline_summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+
+    cleaned.unpersist()
+    feat.unpersist()
+    return summary

@@ -40,10 +40,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    # In local mode the driver JVM is the only memory pool (executors are
+    # threads inside it) — the 1g default OOMs tree training well below
+    # the data sizes this box handles. Overridable for smaller hosts.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -54,6 +60,13 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # One BLAS thread per Python worker: N workers x M BLAS threads
+        # oversubscribes the host and thrashes (measured 7x slowdown in
+        # the kNN pandas_udf); Spark's task parallelism IS the
+        # parallelism.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # Keep broadcast threshold at default 10MB; dimension tables
         # (region/nation/supplier) broadcast automatically. Explicit
         # F.broadcast hints are used where the stats are not available.

@@ -84,3 +84,71 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """Distributed CSV sink (S7 done right: the reference funnels samples
+    through ``limit(n).toPandas().to_csv`` — driver-bound; this writes
+    part-files from executors)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_table(
+    df: DataFrame, name: str, format: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Catalog-managed table (S10 — the Hive ORC tables re-expressed as
+    ``saveAsTable``; format stays parquet per SURVEY §1.1)."""
+    df.write.mode(mode).format(format).saveAsTable(name)
+
+
+def kafka_batch_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str,
+) -> None:
+    """Kafka batch sink (S11): replaces the reference's driver-side
+    kafka-python producer loop (scripts/kafka_producer.py:40-88 — one
+    process, row-at-a-time) with the distributed
+    ``to_json(struct(*))`` writer: every executor publishes its
+    partitions in parallel. Requires the spark-sql-kafka package on the
+    classpath (not in this container; covered by tests via payload-
+    shape checks on ``kafka_payload``)."""
+    kafka_payload(df, key_col).write.format("kafka").option(
+        "kafka.bootstrap.servers", bootstrap_servers
+    ).option("topic", topic).save()
+
+
+def kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
+    """The (key, value) frame the Kafka sink publishes: key = key_col,
+    value = whole-row JSON (the producer's message shape,
+    kafka_producer.py:49-65)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
+def mongodb_sink(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    mode: str = "append",
+) -> None:
+    """MongoDB sink (S6, knn_classification.py:267-271). Requires the
+    mongo-spark-connector on the classpath; callers without it should
+    catch the AnalysisException and fall back to ``write_json`` (the
+    reference keeps the same dual-sink pattern)."""
+    (
+        df.write.format("mongodb")
+        .mode(mode)
+        .option("spark.mongodb.write.connection.uri", uri)
+        .option("spark.mongodb.write.database", database)
+        .option("spark.mongodb.write.collection", collection)
+        .save()
+    )
