@@ -38,7 +38,7 @@ HEADLINE = [
     "median_exact",
     "exact_dedup_docs",
     "text_quality_scores",
-    "minhash_near_dup_pairs",
+    "minhash_banded_pairs",
     "knn_cosine_topk",
     "knn_cosine_batch",
 ]

@@ -54,9 +54,31 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc (set semantics for Jaccard)."""
+    """(id, shingle) pairs, distinct per doc (set semantics for Jaccard).
+
+    Relational formulation: tokenize ONCE via posexplode, then form
+    n-gram windows with ``lead()`` over (doc, position). The array-
+    expression alternative (``shingles()``) re-executes the regex split
+    per produced shingle — Catalyst has no let-binding, so the split
+    subexpression is inlined into every lambda element; measured ~5s
+    for 5k docs vs sub-second here. One shuffle on id (the window),
+    which downstream groupBys reuse.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("pos", "tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+        toks.select(
+            F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
         .distinct()
     )
 
@@ -190,4 +212,89 @@ def simhash_buckets(
         F.col(id_col),
         h.alias("simhash"),
         (h.bitwiseAND(F.lit(0xFFFF).cast("long"))).alias("band_lo16"),
+    )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded MinHash near-dup candidates as PURE DataFrame ops — the
+    preferred scale path (no MLlib vector machinery, no Python).
+
+    Signature: for each of ``bands*rows_per_band`` salted hash
+    functions, the min of ``xxhash64(salt, shingle)`` over the doc's
+    shingle set — computed with JVM higher-order functions inside one
+    projection. Band key = hash of its ``rows_per_band`` signature
+    slots; candidates join on (band index, band key); candidate pairs
+    are then verified with EXACT Jaccard on their shingle sets, so the
+    output has no false positives — banding only bounds recall
+    (P[candidate] = 1-(1-s^r)^b; r=2, b=8 → 0.96 at s=0.5, ~1.0 at
+    s≥0.8).
+
+    At 100 TB: per-doc signatures are one grouped aggregate over the
+    exploded shingles (map-side partial min per hash — tiny shuffle);
+    the candidate join shuffles ~b rows per doc; the exact-Jaccard
+    verify joins touch only candidate pairs.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n).cache()
+
+    n_hashes = bands * rows_per_band
+    sigs = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_sh"),
+        *[
+            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+    band_entries = []
+    for b in range(bands):
+        slots = [
+            F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_entries.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*slots).alias("key"))
+        )
+    # band rows carry ONLY (id, band, key): shuffling shingle payloads
+    # through the band explode would multiply shuffle volume by `bands`
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "key")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification: count shared shingles per candidate pair
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sizes_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    return (
+        inter.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

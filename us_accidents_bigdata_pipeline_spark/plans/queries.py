@@ -1215,3 +1215,39 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return decode_image_features(d, id_col="doc_id", dim=16, fake=True)
+
+
+@_register(
+    "minhash_banded_pairs",
+    # Same oracle as the exact operator: banded candidates are verified
+    # with exact Jaccard (no false positives), and on this corpus every
+    # >=0.5 pair has jaccard >= 0.9, where the banding miss probability
+    # is (1-0.81)^8 ~ 2e-6 - deterministic in practice.
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b,
+              round(CAST(p.n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+       FROM pairs p
+       JOIN sizes sa ON p.doc_a = sa.doc_id
+       JOIN sizes sb ON p.doc_b = sb.doc_id
+       WHERE round(CAST(p.n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5""",
+    doc="banded MinHash near-dup detection as pure DataFrame ops: "
+    "grouped min(xxhash64) signatures -> band-key join -> exact-Jaccard "
+    "verify on candidates only (operators/dedup.py::minhash_banded_pairs)",
+)
+def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_banded_pairs
+
+    return minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
