@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale story is in the plan, not the
+row counts. These tests pin the plan properties each query's 100 TB
+viability depends on — a regression here means a silent 10-100x cost at
+scale even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = plan_of(spark, "filter_not_null_range")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan or (
+        "PushedFilters" in plan and "GreaterThanOrEqual(l_quantity" in plan
+    ), plan
+    # and the scan reads only the projected columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_column_pruning_on_projection(spark):
+    plan = plan_of(spark, "projection_select")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_acctbal" not in read_schema
+    assert "c_name" in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "join_region_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    semi = plan_of(spark, "join_semi")
+    anti = plan_of(spark, "join_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_aggregation_is_partial(spark):
+    # two HashAggregates (partial + final) around the exchange: the
+    # map-side combine that keeps a 100 TB groupBy's shuffle tiny
+    plan = plan_of(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_topk_uses_take_ordered(spark):
+    # orderBy+limit must plan TakeOrderedAndProject (per-partition heap
+    # + driver merge), never a full global sort
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = plan_of(spark, "conditional_impute")
+    # the "*(n)" stage prefix is the WholeStageCodegen marker in the
+    # compact executedPlan rendering
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_knn_query_broadcast_no_shuffle_of_corpus(spark):
+    # single-query cosine top-k: corpus scan + broadcast of the 1-row
+    # query side + TakeOrderedAndProject; no exchange of the corpus
+    plan = plan_of(spark, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["priority_distribution", "multi_agg_group", "hourly_event_stats"],
+)
+def test_groupby_queries_have_single_shuffle(spark, name):
+    plan = plan_of(spark, name)
+    # one Exchange for the agg (plus possibly one for a final orderBy of
+    # the tiny result) - never more
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, f"{name}: {n_exchanges} exchanges\n{plan}"
