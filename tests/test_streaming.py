@@ -1,0 +1,139 @@
+"""Structured Streaming extension tests (SURVEY §2.10): sliding
+windows, session windows, and a custom stateful operator via
+applyInPandasWithState — the full streaming surface the reference's
+architecture gestures at but never executes."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from us_accidents_bigdata_pipeline_spark.streaming import (
+    parquet_stream_reader,
+    run_windowed_batch,
+    windowed_counts,
+)
+
+from .conftest import SF_ORACLE
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _event_stream(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = parquet_stream_reader(
+        spark, SF_ORACLE, EVENT_SCHEMA, glob_filter="events.parquet"
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _event_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    agg = windowed_counts(
+        _event_stream(spark),
+        window_duration="2 hours",
+        slide="1 hour",
+        watermark="4 hours",
+    )
+    out = run_windowed_batch(agg, query_name="sliding_out")
+    stream_rows = {
+        (r.window_start, r.event_type): r.n for r in out.collect()
+    }
+    batch = (
+        _event_batch(spark)
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    batch_rows = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_session_window_batch(spark):
+    # session_window is the declarative form of the sessionize_events
+    # contract query; each user's sessions partition their events
+    ev = _event_batch(spark)
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = sessions.agg(F.sum("n_events")).head()[0]
+    assert total == ev.count()
+    # session windows must not overlap per user
+    rows = sessions.select(
+        "user_id", F.col("sw.start").alias("s"), F.col("sw.end").alias("e")
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.s, r.e))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_apply_in_pandas_with_state(spark):
+    # custom stateful operator: running per-key event counter across
+    # micro-batches (applyInPandasWithState, SURVEY §2.10 mapping)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "n_total": [total]})
+
+    agg = (
+        _event_stream(spark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="event_type string, n_total long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = {
+        r.event_type: r.n_total
+        for r in spark.table("stateful_out").collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in _event_batch(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert result == expected

@@ -1251,3 +1251,105 @@ def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_banded_pairs
 
     return minhash_banded_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# =====================================================================
+# Advanced relational patterns the reference lacks but a complete
+# engine provides: sessionization, as-of join, frequency indexing.
+# =====================================================================
+
+
+@_register(
+    "sessionize_events",
+    """WITH x AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+         FROM events)
+       SELECT event_id, user_id,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INTEGER)
+                  AS session_id
+       FROM x""",
+    doc="sessionization via lag + running sum of gap breaks (the "
+    "batch counterpart of streaming session windows)",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(brk).over(wrun).cast("int").alias("session_id"),
+    )
+
+
+@_register(
+    "asof_last_purchase",
+    """SELECT event_id, user_id,
+              last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                         IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS last_purchase_ts
+       FROM events""",
+    doc="as-of join (an operator Spark lacks natively) expressed as an "
+    "ignore-nulls last_value window: each event matched to the user's "
+    "most recent strictly-earlier purchase",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+
+
+@_register(
+    "string_indexer_mapping",
+    """SELECT event_type,
+              CAST(dense_rank() OVER (ORDER BY n DESC, event_type) - 1
+                   AS DOUBLE) AS idx
+       FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)""",
+    doc="M3 StringIndexer semantics as SQL: frequency-desc index with "
+    "alphabetical tie-break (verified against pyspark.ml StringIndexer; "
+    "ml/features.index_categoricals is the Pipeline form)",
+)
+def q_string_indexer_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import StringIndexer
+
+    ev = _t(spark, sf_dir, "events")
+    model = StringIndexer(
+        inputCol="event_type", outputCol="idx", stringOrderType="frequencyDesc"
+    ).fit(ev)
+    labels = [(v, float(i)) for i, v in enumerate(model.labels)]
+    return spark.createDataFrame(labels, "event_type string, idx double")
+
+
+@_register(
+    "approx_profile",
+    None,  # approximate sketches (KLL/HLL) → rows-only by design
+    doc="A6/A9 approximate tier: percentile_approx + HLL distinct in "
+    "one pass (operators/profile.approx_distinct_counts; the exact "
+    "variants are oracle-checked by median_exact / distinct_count)",
+)
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_qty"
+        ),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
