@@ -1,0 +1,99 @@
+"""Viz-input aggregates + result-document sink shapes (SURVEY E3,
+FIXTURES §4, generate_visualizations.py parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.ml.features import assemble_and_scale
+from us_accidents_bigdata_pipeline_spark.ml.kmeans import cluster_stats, fit_kmeans
+from us_accidents_bigdata_pipeline_spark.ml.metrics import (
+    binary_auc_severe,
+    cluster_centers_document,
+    result_documents,
+)
+from us_accidents_bigdata_pipeline_spark.operators.clean import (
+    ACCIDENTS_CLEAN_SPEC,
+    clean,
+)
+from us_accidents_bigdata_pipeline_spark.operators.viz import (
+    cluster_scatter_input,
+    geo_scatter_sample,
+    hourly_profile,
+    severity_histogram,
+    state_top_n,
+    weather_breakdown,
+)
+from us_accidents_bigdata_pipeline_spark.sources.accidents import generate_accidents_raw
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    raw = generate_accidents_raw(spark, n_rows=2000, seed=42)
+    return clean(raw, ACCIDENTS_CLEAN_SPEC).cache()
+
+
+def test_viz_aggregates(cleaned):
+    n = cleaned.count()
+    sev = severity_histogram(cleaned).collect()
+    assert sum(r.n for r in sev) == n
+    hours = hourly_profile(cleaned).collect()
+    assert {r.hour_of_day for r in hours} <= set(range(24))
+    top = state_top_n(cleaned, n=3).collect()
+    assert len(top) == 3 and top[0].n >= top[-1].n
+    weather = weather_breakdown(cleaned, n=5).collect()
+    assert len(weather) == 5
+    scatter = geo_scatter_sample(cleaned, max_points=500)
+    assert scatter.count() <= 500
+
+
+def test_cluster_scatter_stratified(cleaned):
+    geo, _ = assemble_and_scale(
+        cleaned.select("ID", "Severity", "Start_Lat", "Start_Lng"),
+        ["Start_Lat", "Start_Lng"],
+    )
+    model = fit_kmeans(geo, 3, max_iter=10)
+    pred = model.transform(geo)
+    capped = cluster_scatter_input(pred, max_points_per_cluster=100)
+    per_cluster = capped.groupBy("cluster").count().collect()
+    assert all(r["count"] <= 100 for r in per_cluster)
+    assert len(per_cluster) == 3
+
+    stats = cluster_stats(pred, stat_cols=["Severity"]).collect()
+    doc = cluster_centers_document(pred.sparkSession, model, stats)
+    rows = doc.collect()
+    assert len(rows) == 3
+    assert sum(r.point_count for r in rows) == geo.count()
+
+
+def test_result_documents_shape(spark):
+    doc = result_documents(
+        spark,
+        "random_forest",
+        {"accuracy": 0.8, "f1": 0.7},
+        parameters="numTrees=50",
+        run_timestamp="2026-08-13T00:00:00",
+    )
+    rows = {r.metric_name: r.metric_value for r in doc.collect()}
+    assert rows == {"accuracy": 0.8, "f1": 0.7}
+    assert set(doc.columns) == {
+        "model_name", "metric_name", "metric_value", "run_timestamp", "parameters",
+    }
+
+
+def test_binary_auc_severe(cleaned):
+    from us_accidents_bigdata_pipeline_spark.ml.rf import RFParams, train_rf
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        deterministic_split,
+    )
+
+    df = cleaned.withColumn("label", (F.col("Severity") - 1).cast("double"))
+    feat, _ = assemble_and_scale(
+        df, ["Distance_mi", "Visibility_mi", "Wind_Speed_mph"], with_mean=False
+    )
+    train, test = deterministic_split(feat, "ID", 0.3)
+    preds = train_rf(train, RFParams(num_trees=10, max_depth=5)).transform(test)
+    auc = binary_auc_severe(preds)
+    assert 0.5 < auc <= 1.0  # planted signal → better than chance

@@ -127,3 +127,77 @@ def one_vs_rest_auc(
         )
         aucs[c] = ev.evaluate(scored)
     return aucs
+
+
+def result_documents(
+    spark,
+    model_name: str,
+    metrics: dict[str, float],
+    parameters: str = "",
+    run_timestamp: str = "",
+):
+    """FIXTURES.md §4 ``model_results`` sink shape (the reference's
+    Mongo/Hive result documents, knn_classification.py:253-262): one
+    row per metric."""
+    rows = [
+        (model_name, k, float(v), run_timestamp, parameters)
+        for k, v in metrics.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "model_name string, metric_name string, metric_value double, "
+        "run_timestamp string, parameters string",
+    )
+
+
+def cluster_centers_document(spark, model, stats_rows: list | None = None):
+    """FIXTURES.md §4 ``cluster_centers`` sink shape
+    (create_tables.hql:131-138): (cluster_id, center_lat, center_lng,
+    point_count, avg_severity)."""
+    stats = {r["cluster"]: r for r in (stats_rows or [])}
+    rows = []
+    for i, center in enumerate(model.clusterCenters()):
+        s = stats.get(i, {})
+        rows.append(
+            (
+                i,
+                float(center[0]),
+                float(center[1]) if len(center) > 1 else 0.0,
+                int(s["n"]) if "n" in s else 0,
+                float(s["avg_Severity"]) if "avg_Severity" in s else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "cluster_id int, center_lat double, center_lng double, "
+        "point_count long, avg_severity double",
+    )
+
+
+def binary_auc_severe(
+    predictions,
+    label_col: str = "label",
+    probability_col: str = "probability",
+    severe_from: float = 2.0,
+) -> float:
+    """The reference's binarized AUC (E3, random_forest.py:166-188:
+    Severity>=3 vs rest) done soundly: score = summed probability of
+    the severe classes (the reference scored the binarized label
+    against the 4-class rawPrediction — SURVEY §7.4.6). Kept for
+    metric-name parity; one_vs_rest_auc is the canonical form."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    parr = vector_to_array(probability_col)
+    n = predictions.select(F.size(parr).alias("n")).head()["n"]
+    severe_score = sum(
+        (parr[i] for i in range(int(severe_from), n)), F.lit(0.0)
+    )
+    scored = predictions.select(
+        F.when(F.col(label_col) >= severe_from, 1.0).otherwise(0.0).alias("_bl"),
+        severe_score.alias("_score"),
+    )
+    return BinaryClassificationEvaluator(
+        rawPredictionCol="_score", labelCol="_bl", metricName="areaUnderROC"
+    ).evaluate(scored)

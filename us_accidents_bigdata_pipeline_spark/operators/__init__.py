@@ -1,4 +1,4 @@
-from . import clean, dedup, multimodal, profile, sample, similarity, textstats
+from . import clean, dedup, multimodal, profile, sample, similarity, textstats, viz
 
 __all__ = [
     "clean",
@@ -8,4 +8,5 @@ __all__ = [
     "sample",
     "similarity",
     "textstats",
+    "viz",
 ]

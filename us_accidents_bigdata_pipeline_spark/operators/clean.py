@@ -106,7 +106,13 @@ def clean(df: DataFrame, spec: CleanSpec) -> DataFrame:
 
     for c in spec.not_null:
         if c in out.columns:
-            out = out.filter(F.col(c).isNotNull())
+            cond = F.col(c).isNotNull()
+            # NaN-aware for floating columns: pandas/Arrow ingestion
+            # surfaces missing doubles as NaN, which passes isNotNull —
+            # a NaN coordinate is as invalid as a null one
+            if dict(out.dtypes).get(c) in ("double", "float"):
+                cond = cond & ~F.isnan(F.col(c))
+            out = out.filter(cond)
     for c, (lo, hi) in spec.range_filters.items():
         if c in out.columns:
             out = out.filter((F.col(c) >= lo) & (F.col(c) <= hi))

@@ -1,0 +1,85 @@
+"""Visualization-data exports: the Spark side of the reference's
+``BigDataPipeline/spark/generate_visualizations.py:35-265``.
+
+The reference pulls data to the driver and renders 16 PNGs with
+matplotlib/seaborn. Plot rendering is presentation, not engine —
+and the plotting libs aren't in this container — so this module
+provides the part that must scale: each chart's input as a small
+aggregate DataFrame (computed distributed, collected tiny). A caller
+with matplotlib feeds these straight into the reference's chart code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def severity_histogram(df: DataFrame, severity_col: str = "Severity") -> DataFrame:
+    """Severity bar chart input (generate_visualizations.py severity
+    distribution; pandas value_counts in the reference)."""
+    return df.groupBy(severity_col).agg(F.count(F.lit(1)).alias("n")).orderBy(
+        severity_col
+    )
+
+
+def hourly_profile(df: DataFrame, hour_col: str = "hour_of_day") -> DataFrame:
+    """Accidents-by-hour line chart input."""
+    return df.groupBy(hour_col).agg(F.count(F.lit(1)).alias("n")).orderBy(hour_col)
+
+
+def state_top_n(df: DataFrame, state_col: str = "State", n: int = 15) -> DataFrame:
+    """Top-N states bar chart input (TakeOrderedAndProject plan)."""
+    return (
+        df.groupBy(state_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(state_col))
+        .limit(n)
+    )
+
+
+def weather_breakdown(
+    df: DataFrame, weather_col: str = "Weather_Condition", n: int = 10
+) -> DataFrame:
+    """Weather-condition pie/bar input."""
+    return (
+        df.groupBy(weather_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(weather_col))
+        .limit(n)
+    )
+
+
+def geo_scatter_sample(
+    df: DataFrame,
+    lat_col: str = "Start_Lat",
+    lng_col: str = "Start_Lng",
+    color_col: str = "Severity",
+    max_points: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded sample for the geographic scatter (the reference caps its
+    scatter at a sample too — full 7.7M points would be an unreadable
+    plot AND a driver OOM)."""
+    n = df.count()
+    frac = min(max_points / max(n, 1), 1.0)
+    out = df.select(lat_col, lng_col, color_col)
+    return out if frac >= 1.0 else out.sample(False, frac, seed).limit(max_points)
+
+
+def cluster_scatter_input(
+    clustered: DataFrame,
+    cluster_col: str = "cluster",
+    max_points_per_cluster: int = 5_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-cluster capped sample for the K-Means scatter — stratified so
+    small clusters stay visible (plain sampling would drown them)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(cluster_col).orderBy(F.xxhash64(F.struct("*"), F.lit(seed)))
+    return (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_points_per_cluster)
+        .drop("_rn")
+    )

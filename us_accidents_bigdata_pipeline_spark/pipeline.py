@@ -166,14 +166,30 @@ def run_complete_pipeline(
     summary["total_seconds"] = round(time.time() - t_start, 2)
     summary["rows_processed"] = n_clean
 
-    # -- stage 5: sinks (S3/S5/S7) --------------------------------------
+    # -- stage 5: sinks (S3/S5/S7 + FIXTURES §4 result documents) -------
     if output_dir:
+        from .ml.metrics import cluster_centers_document, result_documents
+
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         write_parquet(cleaned, str(out / "cleaned_data"))
         write_parquet(
             clustered.select("ID", "Severity", "Start_Lat", "Start_Lng", "cluster"),
             str(out / "clustered_data"),
+        )
+        model_results = result_documents(
+            spark, "random_forest", rf_metrics, parameters=str(cfg.rf_params)
+        ).union(
+            result_documents(
+                spark, "knn", knn_metrics, parameters=f"k={cfg.knn_k}"
+            )
+        )
+        write_parquet(model_results, str(out / "model_results"))
+        write_parquet(
+            cluster_centers_document(
+                spark, km_model, [r.asDict() for r in stats.collect()]
+            ),
+            str(out / "cluster_centers"),
         )
         with open(out / "pipeline_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
