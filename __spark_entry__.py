@@ -11,7 +11,13 @@ module only adapts the package's query registry to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to
+# whatever working directory the driver runs from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

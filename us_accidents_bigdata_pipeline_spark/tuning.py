@@ -89,3 +89,64 @@ def right_size_partitions(
     if target < current:
         return df.coalesce(int(target))
     return df
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys.
+
+    Stage 1 groups by (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; stage 2 merges the partials by key. Supported
+    aggs: sum/count/min/max (decomposable). For unskewed data Catalyst's
+    partial aggregation already does this implicitly; use salting when a
+    single key dominates (the partial-agg hash map degrades to one
+    entry and the final shuffle sends one giant partition).
+    AQE's skew-join handling (enabled in session.py) covers the JOIN
+    side; this covers groupBy.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    staged = df.withColumn("_salt", salt)
+
+    stage1_aggs, stage2_aggs = [], []
+    for col, how in aggs.items():
+        partial = f"_p_{how}_{col}"
+        if how == "count":
+            stage1_aggs.append(F.count(F.lit(1)).alias(partial))
+            stage2_aggs.append(F.sum(partial).alias(f"{how}_{col}"))
+        elif how == "sum":
+            stage1_aggs.append(F.sum(col).alias(partial))
+            stage2_aggs.append(F.sum(partial).alias(f"{how}_{col}"))
+        elif how == "min":
+            stage1_aggs.append(F.min(col).alias(partial))
+            stage2_aggs.append(F.min(partial).alias(f"{how}_{col}"))
+        elif how == "max":
+            stage1_aggs.append(F.max(col).alias(partial))
+            stage2_aggs.append(F.max(partial).alias(f"{how}_{col}"))
+        else:
+            raise ValueError(f"non-decomposable agg: {how}")
+    stage1 = staged.groupBy(*key_cols, "_salt").agg(*stage1_aggs)
+    return stage1.groupBy(*key_cols).agg(*stage2_aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: joins/aggs on ``bucket_cols`` between
+    co-bucketed tables skip the shuffle entirely (SortMergeJoin reads
+    pre-partitioned buckets). The at-scale answer to repeated joins on
+    the same key (e.g. fact tables bucketed by orderkey)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
