@@ -103,3 +103,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_simhash_near_dups_close(spark):
+    """SimHash semantics: the corpus's planted near-duplicates must land
+    within small Hamming distance; random pairs far."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_buckets,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(200)
+    sh = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    dups = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dup_pairs = [(r.doc_a, r.doc_b) for r in dups if r.doc_a in sh and r.doc_b in sh]
+    assert dup_pairs, "expected planted near-dups in the first 200 docs"
+    dup_dists = [hamming(sh[a], sh[b]) for a, b in dup_pairs]
+    ids = sorted(sh)[:20]
+    rand_dists = [
+        hamming(sh[a], sh[b]) for a in ids for b in ids if a < b
+        if (a, b) not in set(dup_pairs)
+    ]
+    # the corpus's ~40-word shared vocabulary correlates all simhashes
+    # (random-pair mean ≈ 18, not 32), so assert SEPARATION rather than
+    # absolute distances: near-dups must sit clearly below random pairs
+    mean_dup = sum(dup_dists) / len(dup_dists)
+    mean_rand = sum(rand_dists) / len(rand_dists)
+    assert max(dup_dists) < 16, dup_dists
+    assert mean_rand > mean_dup + 5, (mean_dup, mean_rand)

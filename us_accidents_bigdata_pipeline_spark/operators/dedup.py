@@ -186,17 +186,23 @@ def simhash64(text: Column | str, n: int = 1) -> Column:
     sh = shingles(text, n) if n > 1 else word_tokens(text)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
 
+    def bit_mask(bit: int) -> int:
+        # two's-complement: bit 63's mask is Long.MIN_VALUE (1<<63
+        # overflows the signed long literal)
+        v = 1 << bit
+        return v - (1 << 64) if bit == 63 else v
+
     def bit_sum(bit: int) -> Column:
         return F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << bit).cast("long")) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(bit_mask(bit))) != 0, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
     for bit in range(64):
-        out = out + F.when(bit_sum(bit) > 0, F.lit(1 << bit).cast("long")).otherwise(
+        out = out + F.when(bit_sum(bit) > 0, F.lit(bit_mask(bit))).otherwise(
             F.lit(0).cast("long")
         )
     return out
