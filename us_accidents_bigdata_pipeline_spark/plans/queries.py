@@ -1353,3 +1353,93 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+# =====================================================================
+# Multi-way join (TPC-H Q5 shape), correlated subquery via the
+# spark.sql path, HAVING — the remaining classic engine surface.
+# =====================================================================
+
+
+@_register(
+    "local_supplier_volume",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o   ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+       JOIN nation n   ON c.c_nationkey = n.n_nationkey
+       JOIN region r   ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name IN ('ASIA', 'EUROPE')
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       GROUP BY n.n_name""",
+    doc="TPC-H Q5 shape: 6-way join with a non-equi companion predicate "
+    "(local supplier), broadcast dims + fact-fact shuffle joins; "
+    "Catalyst/CBO pick the order",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@_register(
+    "above_nation_avg_balance",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey)""",
+    doc="correlated scalar subquery, expressed through the spark.sql "
+    "API over registered views (SURVEY §3.4 catalog path) — Catalyst "
+    "decorrelates it into an aggregate + join",
+)
+def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q_customer")
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM _q_customer c
+           WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM _q_customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)"""
+    )
+
+
+@_register(
+    "having_filter",
+    """SELECT o_custkey, count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_spent
+       FROM orders GROUP BY o_custkey
+       HAVING count(*) >= 15""",
+    doc="post-aggregation HAVING filter",
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
