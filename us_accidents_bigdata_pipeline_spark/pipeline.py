@@ -55,6 +55,11 @@ class PipelineConfig:
     rf_features: list[str] = field(default_factory=lambda: list(RF_FEATURES))
     knn_k: int = 5
     knn_train_fraction: float = 0.1  # knn_classification.py:132
+    # brute-force kNN scoring is O(|test|*|broadcast train|): cap the
+    # evaluated test rows at scale (the reference's Spark kNN only ever
+    # ran on a 5% dataset sample, knn_classification.py:298; its
+    # full-data kNN was driver-side sklearn KD-trees)
+    knn_max_test_rows: int = 100_000
     kmeans_ks: tuple[int, ...] = (4, 6, 8)  # full_scale_pipeline.py:197-222
     kmeans_max_iter: int = 30
     # sweep on a capped sample with fewer iterations (the reference's
@@ -112,8 +117,14 @@ def run_complete_pipeline(
 
     # -- stage 3: distributed kNN --------------------------------------
     t0 = time.time()
+    knn_test = test
+    n_test = test.count()
+    if n_test > cfg.knn_max_test_rows:
+        knn_test = test.sample(
+            False, cfg.knn_max_test_rows / n_test, cfg.seed
+        )
     knn_preds = knn_predict(
-        test,
+        knn_test,
         train,
         k=cfg.knn_k,
         features_col="features",
