@@ -1443,3 +1443,71 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 15)
     )
+
+
+# =====================================================================
+# Semi-structured (JSON) access and unpivot — engine surface for the
+# events.props payloads and wide→long reshaping.
+# =====================================================================
+
+
+@_register(
+    "json_extract_props",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+       FROM events""",
+    doc="JSON payload access: get_json_object / from_json over the "
+    "events.props column (the Kafka message body shape, FIXTURES §5)",
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@_register(
+    "json_schema_parse",
+    """SELECT CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS INTEGER) AS min_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS INTEGER) AS max_k,
+              count(*) AS n_parsed
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+    doc="typed from_json parse with schema + aggregate over the parsed "
+    "struct (the streaming consumer's parse stage, streaming/windows.py)",
+)
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.select(F.from_json("props", schema).alias("p")).filter(
+        F.col("p.k").isNotNull()
+    )
+    return parsed.agg(
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.count(F.lit(1)).alias("n_parsed"),
+    )
+
+
+@_register(
+    "unpivot_order_measures",
+    """SELECT o_orderkey, measure, round(value, 2) AS value
+       FROM (SELECT o_orderkey, o_totalprice AS total_price,
+                    CAST(o_custkey AS DOUBLE) AS cust_key
+             FROM orders WHERE o_orderkey < 100)
+       UNPIVOT (value FOR measure IN (total_price, cust_key))""",
+    doc="wide→long unpivot via stack() (melt); DuckDB UNPIVOT oracle",
+)
+def q_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'total_price', o_totalprice, "
+            "'cust_key', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
+        ),
+    ).select("o_orderkey", "measure", F.round("value", 2).alias("value"))
