@@ -61,11 +61,16 @@ def test_cluster_scatter_stratified(cleaned):
     assert all(r["count"] <= 100 for r in per_cluster)
     assert len(per_cluster) == 3
 
-    stats = cluster_stats(pred, stat_cols=["Severity"]).collect()
-    doc = cluster_centers_document(pred.sparkSession, model, stats)
+    stats = cluster_stats(
+        pred, stat_cols=["Severity", "Start_Lat", "Start_Lng"]
+    ).collect()
+    doc = cluster_centers_document(pred.sparkSession, [r.asDict() for r in stats])
     rows = doc.collect()
     assert len(rows) == 3
     assert sum(r.point_count for r in rows) == geo.count()
+    # centers must be geographic degrees, not scaler-space z-scores
+    assert all(24.0 <= r.center_lat <= 50.0 for r in rows), rows
+    assert all(-126.0 <= r.center_lng <= -66.0 for r in rows), rows
 
 
 def test_result_documents_shape(spark):

@@ -46,27 +46,25 @@ def _as_array_col(df: DataFrame, features_col: str) -> tuple[DataFrame, str]:
     return df.withColumn("_farr", vector_to_array(features_col)), "_farr"
 
 
-def knn_predict(
-    df: DataFrame,
-    train: DataFrame,
-    k: int = 5,
+def broadcast_train(
+    spark_df: DataFrame,
     features_col: str = "features",
     label_col: str = "label",
     train_fraction: float = 1.0,
     seed: int = 42,
-    batch_size: int = 4096,
-) -> DataFrame:
-    """Vectorized broadcast kNN: adds a ``prediction`` int column.
-
-    ``train_fraction`` mirrors the reference's 10% broadcast sample
-    (knn_classification.py:132). The broadcast payload is two dense
-    NumPy arrays — for a 1000-executor cluster this is one driver→
-    executor transfer per executor, then zero data movement.
-    """
+):
+    """Collect + broadcast the (sampled) train matrix once. Returns the
+    broadcast handle reusable across multiple ``knn_predict`` calls
+    (e.g. a k-sweep); call ``.destroy()`` only after every DataFrame
+    built from it has been materialized (the prediction udf reads the
+    broadcast lazily at execution time)."""
+    train = spark_df
     if train_fraction < 1.0:
         train = train.sample(False, train_fraction, seed)
     tarr_df, tcol = _as_array_col(train, features_col)
     rows = tarr_df.select(tcol, label_col).collect()
+    if len(rows) == 0:
+        raise ValueError("empty train set for kNN broadcast")
     # float32: the distance scan is memory-bandwidth-bound (the d2 block
     # is written+scanned once per chunk) — halving element width is a
     # ~2x wall-clock win; final neighbor selection is unaffected except
@@ -74,15 +72,42 @@ def knn_predict(
     # deterministically
     X = np.array([r[0] for r in rows], dtype=np.float32)
     y = np.array([r[1] for r in rows], dtype=np.int64)
-    if len(rows) == 0:
-        raise ValueError("empty train set for kNN broadcast")
     # map labels to dense indices so voting is a bincount regardless of
     # the label domain (sparse/negative labels included)
     classes, y_idx = np.unique(y, return_inverse=True)
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((X, y_idx, (X * X).sum(axis=1), classes))
+    sc = spark_df.sparkSession.sparkContext
+    return sc.broadcast((X, y_idx, (X * X).sum(axis=1), classes))
 
-    kk = min(k, len(rows))
+
+def knn_predict(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    k: int = 5,
+    features_col: str = "features",
+    label_col: str = "label",
+    train_fraction: float = 1.0,
+    seed: int = 42,
+    train_broadcast=None,
+) -> DataFrame:
+    """Vectorized broadcast kNN: adds a ``prediction`` int column.
+
+    ``train_fraction`` mirrors the reference's 10% broadcast sample
+    (knn_classification.py:132). The broadcast payload is two dense
+    NumPy arrays — for a 1000-executor cluster this is one driver→
+    executor transfer per executor, then zero data movement. Pass
+    ``train_broadcast`` (from ``broadcast_train``) to reuse one
+    collect+broadcast across calls.
+    """
+    if train_broadcast is not None:
+        bc = train_broadcast
+    else:
+        if train is None:
+            raise ValueError("either train or train_broadcast is required")
+        bc = broadcast_train(train, features_col, label_col, train_fraction, seed)
+
+    n_train_rows = len(bc.value[1])
+    classes = bc.value[3]
+    kk = min(k, n_train_rows)
     n_labels = len(classes)
 
     @F.pandas_udf(T.IntegerType())
@@ -185,17 +210,31 @@ def optimal_k_sweep(
     label_col: str = "label",
 ) -> tuple[int, dict[int, float]]:
     """Accuracy sweep over k (knn_classification.py:166-190, v2:cell39).
-    Returns (best_k, {k: accuracy})."""
+    Returns (best_k, {k: accuracy}).
+
+    The train matrix is collected and broadcast ONCE and reused for
+    every k (the per-k re-collect/re-broadcast was a ~|ks|× waste);
+    the broadcast is destroyed after the sweep."""
+    bc = broadcast_train(train, features_col, label_col)
     accs = {}
-    for k in ks:
-        pred = knn_predict(
-            validation, train, k=k, features_col=features_col, label_col=label_col
-        )
-        agg = pred.agg(
-            F.avg(
-                F.when(F.col("prediction") == F.col(label_col), 1.0).otherwise(0.0)
-            ).alias("acc")
-        ).head()
-        accs[k] = float(agg["acc"])
+    try:
+        for k in ks:
+            pred = knn_predict(
+                validation,
+                k=k,
+                features_col=features_col,
+                label_col=label_col,
+                train_broadcast=bc,
+            )
+            agg = pred.agg(
+                F.avg(
+                    F.when(F.col("prediction") == F.col(label_col), 1.0).otherwise(
+                        0.0
+                    )
+                ).alias("acc")
+            ).head()
+            accs[k] = float(agg["acc"])
+    finally:
+        bc.destroy()
     best = max(accs, key=lambda kk: (accs[kk], -kk))
     return best, accs

@@ -50,6 +50,9 @@ def confusion_matrix(
 
 def _per_class_stats(cm: DataFrame):
     rows = cm.collect()
+    # drop null label/prediction cells (e.g. a missed label join):
+    # they cannot be attributed to a class, and None is unorderable
+    rows = [r for r in rows if r.label is not None and r.prediction is not None]
     labels = sorted({r.label for r in rows} | {r.prediction for r in rows})
     tp = {c: 0 for c in labels}
     pred_n = {c: 0 for c in labels}
@@ -150,21 +153,26 @@ def result_documents(
     )
 
 
-def cluster_centers_document(spark, model, stats_rows: list | None = None):
+def cluster_centers_document(spark, stats_rows: list):
     """FIXTURES.md §4 ``cluster_centers`` sink shape
     (create_tables.hql:131-138): (cluster_id, center_lat, center_lng,
-    point_count, avg_severity)."""
-    stats = {r["cluster"]: r for r in (stats_rows or [])}
+    point_count, avg_severity).
+
+    Centers come from the per-cluster RAW lat/lng means
+    (``cluster_stats(..., stat_cols=["Severity", "Start_Lat",
+    "Start_Lng"])``) — NOT from ``model.clusterCenters()``, which live
+    in StandardScaler space (z-scores ≈ [-2, 2]) and would silently
+    corrupt the geographic sink.
+    """
     rows = []
-    for i, center in enumerate(model.clusterCenters()):
-        s = stats.get(i, {})
+    for s in stats_rows:
         rows.append(
             (
-                i,
-                float(center[0]),
-                float(center[1]) if len(center) > 1 else 0.0,
-                int(s["n"]) if "n" in s else 0,
-                float(s["avg_Severity"]) if "avg_Severity" in s else 0.0,
+                int(s["cluster"]),
+                float(s.get("avg_Start_Lat") or 0.0),
+                float(s.get("avg_Start_Lng") or 0.0),
+                int(s.get("n") or 0),
+                float(s.get("avg_Severity") or 0.0),
             )
         )
     return spark.createDataFrame(

@@ -175,34 +175,40 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash64(text: Column | str, n: int = 1) -> Column:
-    """64-bit SimHash of the document's shingle set, fully JVM-side.
+def _bit_mask(bit: int) -> int:
+    """Two's-complement long mask for a bit position (bit 63's mask is
+    Long.MIN_VALUE — ``1 << 63`` overflows the signed long literal)."""
+    v = 1 << bit
+    return v - (1 << 64) if bit == 63 else v
 
-    Each shingle is hashed with xxhash64; for each of the 64 bit
-    positions the signed contributions (+1/−1) are summed across
-    shingles via ``aggregate``; the sign vector re-packs into a long.
-    Near-duplicate docs differ in few bits (Hamming distance).
+
+def simhash64(text: Column | str, n: int = 1) -> Column:
+    """64-bit SimHash of the document's shingle set as ONE column
+    expression.
+
+    PERFORMANCE WARNING: as a single expression, each of the 64 bit
+    folds re-evaluates the tokenize+hash subexpression (no let-binding
+    in Catalyst — the same inlining trap documented in
+    ``_doc_shingles``), i.e. ~64x redundant scans of every document.
+    Use ``simhash_buckets`` (the relational explode+groupBy
+    formulation, hash computed once per token) for anything beyond a
+    handful of rows; this column form exists for expression-level
+    composition on small data.
     """
     sh = shingles(text, n) if n > 1 else word_tokens(text)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def bit_mask(bit: int) -> int:
-        # two's-complement: bit 63's mask is Long.MIN_VALUE (1<<63
-        # overflows the signed long literal)
-        v = 1 << bit
-        return v - (1 << 64) if bit == 63 else v
 
     def bit_sum(bit: int) -> Column:
         return F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(bit_mask(bit))) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(_bit_mask(bit))) != 0, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
     for bit in range(64):
-        out = out + F.when(bit_sum(bit) > 0, F.lit(bit_mask(bit))).otherwise(
+        out = out + F.when(bit_sum(bit) > 0, F.lit(_bit_mask(bit))).otherwise(
             F.lit(0).cast("long")
         )
     return out
@@ -212,12 +218,36 @@ def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Docs with their simhash and a 16-bit band key — candidate pairs
-    share a band (block-and-verify pattern)."""
-    h = simhash64(text_col)
-    return df.select(
+    share a band (block-and-verify pattern).
+
+    Relational formulation: tokens are exploded and hashed ONCE
+    (projection under the aggregate — Catalyst keeps the hash
+    materialized per token row); the 64 bit positions are cheap
+    bit-test sum aggregates; the sign vector re-packs into a long.
+    Scale shape: one shuffle on id, same as any groupBy.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("_tok")
+    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(_bit_mask(b))).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(
         F.col(id_col),
-        h.alias("simhash"),
-        (h.bitwiseAND(F.lit(0xFFFF).cast("long"))).alias("band_lo16"),
+        sim.alias("simhash"),
+    ).withColumn(
+        "band_lo16", F.col("simhash").bitwiseAND(F.lit(0xFFFF).cast("long"))
     )
 
 

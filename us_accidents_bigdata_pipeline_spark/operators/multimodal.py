@@ -64,23 +64,25 @@ def decode_image_features(
     """binary payload → feature vector via mapInPandas.
 
     Output schema: (media_id long, n_bytes int, features array<double>).
-    With ``fake=False`` a real image codec is required (PIL) — absent
-    in this container, so it raises NotImplementedError at first batch;
-    ``fake=True`` runs the full distributed plumbing with the
-    deterministic digest features.
+    ``fake=False`` (the real-codec path) is not implemented and raises
+    NotImplementedError eagerly; ``fake=True`` runs the full
+    distributed plumbing with deterministic digest features.
     """
+
+    if not fake:
+        # the real decoder is not implemented yet — raise eagerly (at
+        # plan construction, not first executor batch) and regardless of
+        # whether PIL happens to be importable, so digest features can
+        # never masquerade as decoded image features
+        raise NotImplementedError(
+            "real image decoding is not implemented (requires a codec "
+            "integration, e.g. PIL); use fake=True for the deterministic "
+            "plumbing path"
+        )
 
     out_schema = f"{id_col} long, n_bytes int, features array<double>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "image decoding requires PIL (not in this container); "
-                    "use fake=True for the deterministic plumbing path"
-                ) from e
         for pdf in it:
             payloads = pdf[payload_col]
             feats = [_fake_features(p, dim) for p in payloads]

@@ -10,17 +10,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import word_tokens
+from ..functions import token_count, word_tokens
 
 # Tiny high-frequency stopword lists for the language-ID heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 # BPE-ish word/punct segmentation: word pieces or single non-space symbols.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-
-def n_tokens(text: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(word_tokens(text))
+# single tokenization definition — functions.token_count is the source
+# of truth so a tokenizer change can't drift between modules
+n_tokens = token_count
 
 
 def n_tokens_bpe_ish(text: Column | str) -> Column:

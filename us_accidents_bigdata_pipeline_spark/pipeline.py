@@ -161,7 +161,13 @@ def run_complete_pipeline(
     km_model = fit_kmeans(geo, best_k, max_iter=cfg.kmeans_max_iter, seed=cfg.seed)
     clustered = km_model.transform(geo)
     sil = silhouette(clustered)
-    stats = cluster_stats(clustered, stat_cols=["Severity"])
+    # per-cluster stats carry the RAW lat/lng means — the model's
+    # clusterCenters() live in StandardScaler space and must never
+    # reach the geographic cluster_centers sink
+    stats = cluster_stats(
+        clustered, stat_cols=["Severity", "Start_Lat", "Start_Lng"]
+    )
+    stats_rows = [r.asDict() for r in stats.orderBy("cluster").collect()]
     summary["stages"]["kmeans"] = {
         "best_k": best_k,
         "silhouette": round(sil, 4),
@@ -171,7 +177,7 @@ def run_complete_pipeline(
             for k, s, w in sweep
         ],
         "sec": round(time.time() - t0, 2),
-        "cluster_stats": [r.asDict() for r in stats.orderBy("cluster").collect()],
+        "cluster_stats": stats_rows,
     }
 
     summary["total_seconds"] = round(time.time() - t_start, 2)
@@ -197,9 +203,7 @@ def run_complete_pipeline(
         )
         write_parquet(model_results, str(out / "model_results"))
         write_parquet(
-            cluster_centers_document(
-                spark, km_model, [r.asDict() for r in stats.collect()]
-            ),
+            cluster_centers_document(spark, stats_rows),
             str(out / "cluster_centers"),
         )
         with open(out / "pipeline_summary.json", "w") as f:
@@ -207,4 +211,5 @@ def run_complete_pipeline(
 
     cleaned.unpersist()
     feat.unpersist()
+    geo.unpersist()
     return summary

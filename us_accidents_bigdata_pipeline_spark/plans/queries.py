@@ -696,7 +696,10 @@ def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 200000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.exceptAll(o.distinct()).distinct()
+    # subtract == EXCEPT DISTINCT: removes every distinct left row that
+    # appears on the right. (exceptAll would only subtract one
+    # occurrence per right row — wrong when the left side has dupes.)
+    return c.subtract(o)
 
 
 # =====================================================================

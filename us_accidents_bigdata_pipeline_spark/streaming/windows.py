@@ -73,25 +73,34 @@ def windowed_counts(
     window_duration: str = "1 hour",
     slide: str | None = None,
     watermark: str = "2 hours",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Watermarked tumbling/sliding window aggregation: count + sum per
-    (window, key). Late rows beyond the watermark are dropped —
-    state is bounded, which is what makes this run forever at scale."""
+    """Watermarked tumbling/sliding window aggregation: count (+ sum of
+    ``value_col`` when present/valid) per (window, key). Late rows
+    beyond the watermark are dropped — state is bounded, which is what
+    makes this run forever at scale.
+
+    ``value_col=None`` (or a column absent from the frame, e.g. the
+    accidents stream shape of FIXTURES §5) yields counts only."""
     w = (
         F.window(ts_col, window_duration, slide)
         if slide
         else F.window(ts_col, window_duration)
     )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    out_cols = ["n"]
+    if value_col and value_col in events.columns:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+        out_cols.append(f"sum_{value_col}")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(w.alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             key_col,
-            "n",
-            "sum_value",
+            *out_cols,
         )
     )
 
