@@ -278,7 +278,11 @@ def minhash_banded_pairs(
     the candidate join shuffles ~b rows per doc; the exact-Jaccard
     verify joins touch only candidate pairs.
     """
-    sh = _doc_shingles(df, id_col, text_col, n).cache()
+    # NOT cached: the builder returns a lazy frame, so a cache here
+    # would outlive the query (no unpersist point) and leak executor
+    # storage on every invocation; the 2-3 re-scans of the shingle
+    # subplan are cheap relative to that
+    sh = _doc_shingles(df, id_col, text_col, n)
 
     n_hashes = bands * rows_per_band
     sigs = sh.groupBy(id_col).agg(
