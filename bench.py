@@ -92,22 +92,27 @@ def main() -> None:
         # the pipeline should be measured reading from storage (like the
         # reference reading its CSV), not re-serializing driver-local
         # rows through every stage
+        import shutil
         import tempfile
 
         fixture_dir = tempfile.mkdtemp(prefix="bench_accidents_")
-        generate_accidents_raw_distributed(spark, n_rows=n_rows, seed=42).write.mode(
-            "overwrite"
-        ).parquet(fixture_dir)
-        raw = spark.read.parquet(fixture_dir)
-        t0 = time.perf_counter()
-        summary = run_complete_pipeline(spark, raw, config=PipelineConfig())
-        pipe_sec = time.perf_counter() - t0
+        try:
+            generate_accidents_raw_distributed(
+                spark, n_rows=n_rows, seed=42
+            ).write.mode("overwrite").parquet(fixture_dir)
+            raw = spark.read.parquet(fixture_dir)
+            t0 = time.perf_counter()
+            summary = run_complete_pipeline(spark, raw, config=PipelineConfig())
+            pipe_sec = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(fixture_dir, ignore_errors=True)
         times["accidents_pipeline"] = round(pipe_sec, 3)
         total += pipe_sec
         rf = summary["stages"]["random_forest"]
         pipeline_stats = {
             "rows": summary["rows_processed"],
             "rf_train_rows_per_sec": rf["rows_per_sec"],
+            "rf_fit_rows_per_sec": rf.get("fit_rows_per_sec", rf["rows_per_sec"]),
             "rf_accuracy": rf["metrics"]["accuracy"],
             "kmeans_silhouette": summary["stages"]["kmeans"]["silhouette"],
             "total_sec": summary["total_seconds"],

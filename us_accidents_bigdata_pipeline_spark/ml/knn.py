@@ -52,17 +52,37 @@ def broadcast_train(
     label_col: str = "label",
     train_fraction: float = 1.0,
     seed: int = 42,
+    max_train_rows: int = 2_000_000,
 ):
     """Collect + broadcast the (sampled) train matrix once. Returns the
     broadcast handle reusable across multiple ``knn_predict`` calls
     (e.g. a k-sweep); call ``.destroy()`` only after every DataFrame
     built from it has been materialized (the prediction udf reads the
-    broadcast lazily at execution time)."""
+    broadcast lazily at execution time).
+
+    The collect crosses the executor→driver boundary, so it goes
+    through ``tuning.safe_collect`` with a ``max_train_rows`` cap
+    (2M rows × ~100 float32 dims ≈ 800 MB broadcast — the practical
+    ceiling): beyond that the guard raises with the remedy (lower
+    ``train_fraction`` / pre-sample) instead of OOMing the driver —
+    the failure mode of the reference's own unguarded
+    ``train_df.sample(0.1).collect()`` (knn_classification.py:132).
+    """
+    from ..tuning import DriverCollectGuard, safe_collect
+
     train = spark_df
     if train_fraction < 1.0:
         train = train.sample(False, train_fraction, seed)
     tarr_df, tcol = _as_array_col(train, features_col)
-    rows = tarr_df.select(tcol, label_col).collect()
+    try:
+        rows = safe_collect(tarr_df.select(tcol, label_col), max_rows=max_train_rows)
+    except DriverCollectGuard as e:
+        raise DriverCollectGuard(
+            f"kNN train broadcast would collect too many rows ({e}); "
+            "pass a smaller train_fraction or pre-sample the train set "
+            "(the reference broadcasts a 10% sample, "
+            "knn_classification.py:132)"
+        ) from None
     if len(rows) == 0:
         raise ValueError("empty train set for kNN broadcast")
     # float32: the distance scan is memory-bandwidth-bound (the d2 block

@@ -93,6 +93,26 @@ def per_class_report(
     )
 
 
+def _validate_dense_labels(classes, vec_size: int, label_col: str) -> None:
+    """The probability vector of MLlib classifiers is indexed by the
+    0-based label index; scoring ``probability[label_value]`` is only
+    correct when labels ARE dense 0..k-1 (the engine's convention,
+    SURVEY §7.4.5: labels shifted to 0-based at the edges). With raw
+    Severity 1-4 the lookup would silently read the wrong class (or
+    null) — fail loudly instead."""
+    bad = [
+        c
+        for c in classes
+        if c is None or float(c) != int(c) or not (0 <= int(c) < vec_size)
+    ]
+    if bad:
+        raise ValueError(
+            f"labels in '{label_col}' must be dense integers 0..{vec_size - 1} "
+            f"to index the probability vector; found {sorted(bad)}. Shift "
+            "labels to 0-based (e.g. Severity - 1) before evaluating."
+        )
+
+
 def one_vs_rest_auc(
     predictions: DataFrame,
     label_col: str = "label",
@@ -103,7 +123,9 @@ def one_vs_rest_auc(
     prediction shortcut, random_forest.py:166-188).
 
     Each class's AUC uses BinaryClassificationEvaluator on the class
-    probability vs the binarized label.
+    probability vs the binarized label. Labels must be dense 0-based
+    class indices (validated — a raw 1-based label would silently score
+    the wrong probability column).
     """
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.functions import vector_to_array
@@ -114,6 +136,12 @@ def one_vs_rest_auc(
         .distinct()
         .collect()
     ]
+    head = predictions.select(
+        F.size(vector_to_array(probability_col)).alias("n")
+    ).head()
+    if head is None:
+        raise ValueError("one_vs_rest_auc: empty predictions frame")
+    _validate_dense_labels(classes, head["n"], label_col)
     probs = predictions.withColumn("_parr", vector_to_array(probability_col))
     aucs = {}
     for c in sorted(classes):
@@ -198,7 +226,17 @@ def binary_auc_severe(
     from pyspark.sql import functions as F
 
     parr = vector_to_array(probability_col)
-    n = predictions.select(F.size(parr).alias("n")).head()["n"]
+    head = predictions.select(F.size(parr).alias("n")).head()
+    if head is None:
+        raise ValueError("binary_auc_severe: empty predictions frame")
+    n = head["n"]
+    classes = [
+        r[0]
+        for r in predictions.select(F.col(label_col).cast("double"))
+        .distinct()
+        .collect()
+    ]
+    _validate_dense_labels(classes, n, label_col)
     severe_score = sum(
         (parr[i] for i in range(int(severe_from), n)), F.lit(0.0)
     )

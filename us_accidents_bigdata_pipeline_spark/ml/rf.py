@@ -26,6 +26,17 @@ class RFParams:
     subsampling_rate: float = 1.0
     feature_subset_strategy: str = "auto"
     seed: int = 42
+    # maxMemoryInMB bounds the per-pass node-group size: tree training
+    # runs one aggregate job per node group, so the 256 MB default
+    # forces more passes over the (cached) data than needed — measured
+    # 1.5-2x slower fits at the bench tier. 1024 MB packs more tree
+    # nodes per pass; stats arrays are per-task transient.
+    max_memory_mb: int = 1024
+    # cacheNodeIds keeps per-row node assignments in an RDD instead of
+    # re-walking every tree's upper levels each pass (v2:cell27 sets it
+    # with checkpointInterval=10; checkpointing engages only when a
+    # checkpoint dir is configured)
+    cache_node_ids: bool = False
 
     @classmethod
     def docker_full(cls) -> "RFParams":
@@ -34,7 +45,8 @@ class RFParams:
 
     @classmethod
     def notebook_tuned(cls) -> "RFParams":
-        # v2:cell27 — memory-tuned for local[*]
+        # v2:cell27 — memory-tuned for local[*] (cacheNodeIds=True is the
+        # reference's own setting there)
         return cls(
             num_trees=50,
             max_depth=8,
@@ -42,6 +54,7 @@ class RFParams:
             max_bins=64,
             subsampling_rate=0.7,
             feature_subset_strategy="sqrt",
+            cache_node_ids=True,
         )
 
 
@@ -62,6 +75,8 @@ def train_rf(
         subsamplingRate=params.subsampling_rate,
         featureSubsetStrategy=params.feature_subset_strategy,
         seed=params.seed,
+        maxMemoryInMB=params.max_memory_mb,
+        cacheNodeIds=params.cache_node_ids,
     )
     return rf.fit(train)
 

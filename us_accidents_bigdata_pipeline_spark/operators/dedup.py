@@ -33,9 +33,50 @@ from ..functions import word_tokens
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one row (minimum ``id_col``) per distinct value of ``cols``,
     with the duplicate count. Deterministic, unlike ``dropDuplicates``
-    (which keeps an arbitrary partition-order-dependent row)."""
-    return df.groupBy(*cols).agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    (which keeps an arbitrary partition-order-dependent row).
+
+    Hash-first at scale: the groupBy key is ``xxhash64(cols)`` — the
+    aggregation exchange carries (8-byte key, id) rows, never the
+    payload (a payload-keyed groupBy would shuffle and compare full
+    documents). Exactness is preserved by a second independent hash:
+    a 64-bit collision between DIFFERENT payloads would make the check
+    hashes disagree within a group (min != max), which raises at
+    execution time instead of silently merging distinct documents
+    (joint false-negative odds ~n²/2^128 — unreachable). Payloads
+    re-enter via one join of the surviving keeper ids against the
+    source — at warehouse scale that side is the table bucketed by
+    ``id_col``, making the keeper join shuffle-free on the big side.
+    """
+    fp = F.xxhash64(*[F.col(c) for c in cols])
+    chk = F.xxhash64(F.lit("dedup-chk"), *[F.col(c) for c in cols])
+    keepers = (
+        df.select(fp.alias("_fp"), chk.alias("_chk"), F.col(id_col))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("_keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("_chk").alias("_chk_lo"),
+            F.max("_chk").alias("_chk_hi"),
+        )
+        # the filter is never pruned (unlike a dropped projection), so
+        # the collision guard always executes; min/max are decomposable
+        # (no count_distinct Expand blow-up in the exchange)
+        .filter(
+            F.when(
+                F.col("_chk_lo") != F.col("_chk_hi"),
+                F.raise_error(
+                    "exact_dedup: xxhash64 collision between distinct "
+                    "payloads detected — rerun with a payload-keyed "
+                    "groupBy for this dataset"
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select("_keep_id", "n_copies")
+    )
+    return (
+        df.select(*cols, F.col(id_col))
+        .join(keepers, F.col(id_col) == F.col("_keep_id"))
+        .select(*cols, F.col(id_col), F.col("n_copies"))
     )
 
 
@@ -89,6 +130,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -96,8 +138,28 @@ def ngram_jaccard_pairs(
     jaccard ≥ threshold. |A∩B| comes from the shingle self-join,
     |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts (broadcast-joined
     back — the sizes table is one row per doc, tiny relative to pairs).
+
+    ``max_shingle_df`` is the hot-shingle skew guard: a shingle present
+    in d documents contributes d² rows to the self-join, so one
+    stopword trigram ("of the and") in every doc degenerates the join
+    to all-pairs on a single skewed key. With the cap set, shingles
+    whose document frequency exceeds it are dropped BEFORE the join
+    (one slim count aggregate + a broadcast anti-join), bounding any
+    key's contribution to cap² rows. Jaccard is then computed on the
+    capped shingle sets (sizes included) — self-consistent, and the
+    standard trade for near-dup detection: ubiquitous shingles carry
+    no discriminating signal. Default None = exact semantics (the
+    oracle-checked configuration).
     """
     sh = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -172,6 +234,112 @@ def minhash_near_dup_pairs(
             F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def resolve_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair graph: every node labeled with
+    the minimum id reachable from it. Returns (id_col, canonical_id,
+    keep) — ``keep`` marks the deterministic survivor (min id) of each
+    duplicate cluster; singletons keep themselves.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round (a) takes the min label over neighbors, (b) shortcuts
+    ``label ← label(label)``. The jump halves chain depth per round, so
+    convergence is O(log n) joins even for path-shaped graphs (near-dup
+    clusters from band-verify pipelines are near-cliques and converge
+    in 2-3 rounds). Each round is one equi-join + groupBy plus one
+    self-join — all key-partitioned shuffles, no driver data.
+
+    Iteration mechanics at scale: every round ``localCheckpoint``s its
+    label frame (eager) to truncate lineage — without it the plan
+    doubles per round and Catalyst analysis blows up around round 15.
+    Superseded checkpoint blocks are released by Spark's
+    ContextCleaner when the superseded frame is garbage collected; the
+    returned frame holds only the final (node, label) map (two ids per
+    doc) plus this function's non-iterative tail.
+    """
+    sym = pairs.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    edges = (
+        sym.union(sym.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("_node"), F.col(id_col).alias("_label")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, F.col("_src") == F.col("_node"))
+            .groupBy(F.col("_dst").alias("_jnode"))
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        stepped = labels.join(
+            nbr_min, F.col("_node") == F.col("_jnode"), "left"
+        ).select(
+            "_node",
+            F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias("_label"),
+        )
+        jump = stepped.select(
+            F.col("_node").alias("_jn"), F.col("_label").alias("_jl")
+        )
+        new_labels = (
+            stepped.join(jump, F.col("_label") == F.col("_jn"), "left")
+            .select("_node", F.coalesce("_jl", "_label").alias("_label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._node") == F.col("o._node"))
+            .filter(F.col("n._label") != F.col("o._label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_node").alias(id_col),
+        F.col("_label").alias("canonical_id"),
+        (F.col("_node") == F.col("_label")).alias("keep"),
+    )
+
+
+def near_dup_resolve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "banded",
+) -> DataFrame:
+    """The keep/drop decision the dedup tier exists for: near-dup pair
+    detection → connected components → one deterministic survivor
+    (min id) per duplicate cluster. Returns (id, canonical_id, keep);
+    filtering ``keep`` yields the deduplicated corpus.
+
+    ``method``: "banded" (default — ``minhash_banded_pairs``, the
+    100 TB path: banded candidates, exact-Jaccard verify) or "exact"
+    (``ngram_jaccard_pairs`` — all pairs sharing a shingle; the
+    correctness reference, quadratic worst case). Components over
+    banded pairs equal components over exact pairs whenever banding
+    recall is 1 on the above-threshold pairs (P[miss] = (1-s^r)^b per
+    pair — and a missed edge only splits a cluster if it was the sole
+    connection)."""
+    if method == "banded":
+        pairs = minhash_banded_pairs(df, id_col, text_col, n, threshold)
+    elif method == "exact":
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
+    return resolve_components(
+        df.select(id_col), pairs, id_col=id_col, src_col="doc_a", dst_col="doc_b"
     )
 
 

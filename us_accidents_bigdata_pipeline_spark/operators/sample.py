@@ -24,12 +24,22 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = DEFAULT_SEED) -
 def count_targeted_sample(
     df: DataFrame, target_rows: int, total: int | None = None, seed: int = DEFAULT_SEED
 ) -> DataFrame:
-    """L2: fraction = min(target/total, 1.0) then hard ``limit``
-    (kmeans_large_scale.py:53-54). ``total`` avoids a count() when known."""
+    """L2: Bernoulli sample then hard ``limit(target)``
+    (kmeans_large_scale.py:53-54). ``total`` avoids a count() when known.
+
+    The naive ``fraction = target/total`` undershoots the target about
+    half the time (the Bernoulli draw is binomial around the mean), so
+    the fraction is padded by 10% plus a 5σ slack term before the
+    ``limit`` trims back to exactly ``target_rows`` — the conventional
+    oversample-then-limit pattern. Slack is ~sqrt(target), so the extra
+    scanned fraction vanishes at scale."""
+    import math
+
     n = total if total is not None else df.count()
-    fraction = min(target_rows / max(n, 1), 1.0)
-    if fraction >= 1.0:
+    base = target_rows / max(n, 1)
+    if base >= 1.0:
         return df
+    fraction = min(1.0, 1.1 * base + 5.0 * math.sqrt(target_rows) / max(n, 1))
     return df.sample(False, fraction, seed).limit(target_rows)
 
 
@@ -42,12 +52,30 @@ def train_test_split(
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, fraction: float, seed: int = DEFAULT_SEED
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    seed: int = DEFAULT_SEED,
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """L4 Spark-native: ``sampleBy`` with a uniform per-stratum fraction
     (replaces the reference's driver-side sklearn stratify, v2:cell37).
-    The strata enumeration is one distinct job over the key column."""
-    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+
+    The strata enumeration is one distinct job over the key column,
+    collected to the driver (that is how ``sampleBy`` works — the
+    fractions map rides the closure). Sound for categorical strata
+    (Severity, State, ...); guarded at ``max_strata`` so a mistaken
+    high-cardinality key (e.g. an id column) fails fast instead of
+    collecting millions of strata."""
+    strata = [
+        r[0] for r in df.select(strata_col).distinct().limit(max_strata + 1).collect()
+    ]
+    if len(strata) > max_strata:
+        raise ValueError(
+            f"stratified_sample: > {max_strata} distinct values in "
+            f"'{strata_col}' — not a categorical stratum; use "
+            "bernoulli_sample or raise max_strata"
+        )
     return df.sampleBy(strata_col, {s: fraction for s in strata}, seed=seed)
 
 

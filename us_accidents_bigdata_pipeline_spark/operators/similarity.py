@@ -134,21 +134,151 @@ def lsh_topk_candidates(
     return res.select(F.col(id_col), F.round("dist", 4).alias("dist"))
 
 
+def lsh_ann_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    max_distance: float = 1e9,
+) -> DataFrame:
+    """Approximate top-k for a whole QUERY SET via
+    ``approxSimilarityJoin`` — the batch form ``lsh_topk_candidates``
+    lacks (that one collects a single key row to the driver; a pipeline
+    linking millions of embeddings needs set-vs-corpus).
+
+    Candidates come from same-bucket joins between the hashed query set
+    and the hashed corpus (cost ~ bucket collisions, never
+    |queries|·|corpus|); a ranking window per query takes the k nearest
+    by Euclidean distance. Mirrors ``cosine_topk_batch``'s output shape
+    (query_id, neighbor_id, dist). ``max_distance`` is the LSH join
+    threshold — candidates farther than it are never produced; on
+    L2-normalized embeddings Euclidean rank equals cosine rank, making
+    ``cosine_topk_batch`` the exact reference for recall tests.
+    Approximate (bucket misses bound recall) → rows-only checks.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    corpus = _to_ml_vector(df, vec_col, "_features")
+    qs = _to_ml_vector(queries, vec_col, "_features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(corpus)
+    joined = model.approxSimilarityJoin(qs, corpus, max_distance, distCol="_dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.round("_dist", 4).alias("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_fit_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+    seed: int = 42,
+):
+    """IVF coarse quantization, returning (assignments, model).
+
+    The KMeans fit runs on a seeded count-capped SAMPLE
+    (``count_targeted_sample``) — centroid quality converges long
+    before 100K points, and a full-corpus fit is an iterative
+    full-scan-per-iteration job that does not survive 100 TB. The
+    assignment pass is a single map-only transform (centroids ride the
+    closure — the broadcast-join of centroids, in MLlib form).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    from .sample import count_targeted_sample
+
+    feat = _to_ml_vector(df, vec_col, "_features")
+    fit_df = count_targeted_sample(feat, fit_sample_rows, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell")
+    model = km.fit(fit_df)
+    return model.transform(feat).select(F.col(id_col), F.col("cell")), model
+
+
 def ivf_assign(
     df: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
-    """IVF coarse quantization: KMeans over embeddings, each vector
-    assigned to its nearest centroid cell. Search then probes only the
-    query's nearest cells. Returns (vec_id, cell)."""
-    from pyspark.ml.clustering import KMeans
+    """IVF cell assignment: sampled-fit KMeans (see ``ivf_fit_assign``),
+    each vector assigned to its nearest centroid cell. Returns
+    (vec_id, cell)."""
+    assigned, _ = ivf_fit_assign(df, n_cells, id_col, vec_col, fit_sample_rows)
+    return assigned
 
-    feat = _to_ml_vector(df, vec_col, "_features")
-    km = KMeans(k=n_cells, seed=42, featuresCol="_features", predictionCol="cell")
-    model = km.fit(feat)
-    return model.transform(feat).select(F.col(id_col), F.col("cell"))
+
+def ivf_search(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+) -> DataFrame:
+    """IVF probe search: score the query ONLY against vectors whose
+    cell is among the ``nprobe`` centroids nearest the query (Euclidean
+    — the metric the quantizer optimizes). Returns (vec_id, dist), the
+    k nearest by exact distance within the probed cells.
+
+    Scale shape: centroid ranking is driver-side over n_cells rows
+    (tiny); the probe filter is a broadcast semi-join on cell id, so
+    the corpus scan reads ~nprobe/n_cells of the data and nothing else
+    shuffles. Recall is bounded by cell spill-over (neighbors living in
+    unprobed cells) — the exact scan is the correctness reference.
+    """
+    import numpy as np
+
+    assigned, model = ivf_fit_assign(
+        df, n_cells, id_col, vec_col, fit_sample_rows
+    )
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        return df.select(F.col(id_col), F.lit(0.0).alias("dist")).limit(0)
+    q = np.asarray(qrow[0], dtype=np.float64)
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(q - c)) for c in centers])
+    probe_cells = [int(c) for c in order[:nprobe]]
+
+    spark = df.sparkSession
+    cells_df = spark.createDataFrame([(c,) for c in probe_cells], "cell int")
+    candidates = (
+        df.join(assigned, id_col)
+        .join(F.broadcast(cells_df), "cell", "semi")
+        .filter(F.col(id_col) != query_id)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.select(F.col(id_col), F.round(F.sqrt(d2), 4).alias("dist"))
+        .orderBy(F.col("dist"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def knn_label_vote(

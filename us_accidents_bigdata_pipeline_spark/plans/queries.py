@@ -876,6 +876,62 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "near_dup_resolve",
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+       SELECT node AS doc_id, min(r) AS canonical_id,
+              node = min(r) AS keep
+       FROM reach GROUP BY node""",
+    doc="near-dup RESOLUTION: connected components over exact-Jaccard "
+    "pairs -> deterministic min-id survivor per cluster "
+    "(operators/dedup.py::near_dup_resolve, resolve_components); the "
+    "oracle walks the same graph with a recursive CTE",
+)
+def q_near_dup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+
+    return near_dup_resolve(
+        _t(spark, sf_dir, "documents"), threshold=0.5, method="exact"
+    )
+
+
+@_register(
+    "near_dup_resolve_banded",
+    None,  # banded candidate generation is approximate → rows-only;
+    # the exact-pairs variant above is the oracle-checked reference
+    doc="near-dup resolution over banded-MinHash pairs — the 100 TB "
+    "path (operators/dedup.py::near_dup_resolve method='banded')",
+)
+def q_near_dup_resolve_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+
+    return near_dup_resolve(
+        _t(spark, sf_dir, "documents"), threshold=0.5, method="banded"
+    )
+
+
+@_register(
     "minhash_near_dup_pairs",
     None,  # approximate (LSH) → rows-only; exact reference above
     doc="MinHash LSH near-dup candidates at scale "
@@ -1023,15 +1079,45 @@ def q_lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lsh_ann_batch",
+    None,  # approximate → rows-only; knn_cosine_batch is the exact
+    # reference (recall@5 asserted in tests/test_similarity_ann.py)
+    doc="batch ANN: approxSimilarityJoin between a query SET and the "
+    "corpus + per-query ranking window "
+    "(operators/similarity.py::lsh_ann_batch)",
+)
+def q_lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_ann_batch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_batch(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
     "ivf_cell_assignment",
     None,  # KMeans-dependent → rows-only
-    doc="IVF coarse quantizer cell assignment "
-    "(operators/similarity.py::ivf_assign)",
+    doc="IVF coarse quantizer cell assignment; fit runs on a seeded "
+    "capped sample (operators/similarity.py::ivf_assign)",
 )
 def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_assign
 
     return ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+
+@_register(
+    "ivf_search",
+    None,  # KMeans-cell-dependent → rows-only; exact in-probe scan,
+    # recall vs the full exact scan asserted in tests
+    doc="IVF probe search: rank centroids driver-side, scan only the "
+    "nprobe nearest cells (operators/similarity.py::ivf_search)",
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_search
+
+    return ivf_search(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, nprobe=2, n_cells=8
+    )
 
 
 # =====================================================================
@@ -1175,6 +1261,59 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+@_register(
+    "streaming_session_windows",
+    """WITH x AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM x)
+       SELECT min(ts) AS session_start,
+              max(ts) + INTERVAL '30 minutes' AS session_end,
+              user_id, count(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+    doc="streaming session windows: readStream → withWatermark → "
+    "F.session_window(gap=30m) → memory sink "
+    "(streaming/windows.py::session_window_counts); oracle is the "
+    "batch lag/running-sum sessionization — on bounded input the two "
+    "formulations must agree exactly",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import (
+        parquet_stream_reader,
+        run_windowed_batch,
+        session_window_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = parquet_stream_reader(
+        spark, sf_dir, schema, glob_filter="events.parquet"
+    )
+    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = session_window_counts(events, gap="30 minutes", watermark="2 hours")
+    return run_windowed_batch(agg, query_name="session_windows_oracle")
 
 
 # =====================================================================

@@ -2,6 +2,7 @@ from .windows import (
     kafka_stream_reader,
     parquet_stream_reader,
     run_windowed_batch,
+    session_window_counts,
     windowed_counts,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "kafka_stream_reader",
     "parquet_stream_reader",
     "run_windowed_batch",
+    "session_window_counts",
     "windowed_counts",
 ]

@@ -76,9 +76,15 @@ def windowed_counts(
     value_col: str | None = "value",
 ) -> DataFrame:
     """Watermarked tumbling/sliding window aggregation: count (+ sum of
-    ``value_col`` when present/valid) per (window, key). Late rows
-    beyond the watermark are dropped — state is bounded, which is what
-    makes this run forever at scale.
+    ``value_col`` when present/valid) per (window, key).
+
+    Late-data semantics are OUTPUT-MODE dependent: in ``update``/
+    ``append`` mode (production sinks) the watermark evicts window
+    state and drops rows later than it — state is bounded, which is
+    what makes this run forever at scale. In ``complete`` mode (the
+    memory-sink smoke path, ``run_windowed_batch``) Spark keeps ALL
+    window state and drops nothing — fine for bounded test input, not a
+    production configuration.
 
     ``value_col=None`` (or a column absent from the frame, e.g. the
     accidents stream shape of FIXTURES §5) yields counts only."""
@@ -105,12 +111,51 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation: events closer than ``gap`` merge into
+    one session per key (``F.session_window`` — the streaming twin of
+    the batch ``sessionize_events`` lag/running-sum query).
+
+    Output: (session_start, session_end, key, n_events) where
+    session_start = first event ts and session_end = last event ts +
+    gap. Same mode caveat as ``windowed_counts``: the watermark bounds
+    state in update/append mode; the complete-mode smoke path keeps all
+    state. Session windows are merge-on-trigger state — at scale the
+    shuffle partitions by key, and numShufflePartitions sizes the state
+    store."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def run_windowed_batch(
     agg: DataFrame, query_name: str = "windowed_out", timeout_sec: int = 120
 ) -> DataFrame:
     """Drive a streaming aggregation synchronously to completion via the
-    memory sink (complete mode) and return the result as a batch
-    DataFrame — the local smoke-path for streaming pipelines."""
+    memory sink and return the result as a batch DataFrame — the local
+    smoke-path for streaming pipelines.
+
+    Runs in COMPLETE output mode: every window ever seen is emitted and
+    none is evicted, so on bounded input the result equals the batch
+    aggregation. This intentionally differs from production semantics —
+    with update/append + a real sink the watermark drops late rows and
+    bounds state (see ``windowed_counts``); tests that need the
+    late-drop behavior should assert through an append-mode file sink
+    instead."""
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
