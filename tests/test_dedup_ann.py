@@ -1,0 +1,245 @@
+"""Tests for the round-2 operators: near-dup resolution (connected
+components), batch ANN recall, IVF probe-search recall with cell
+replication, driver-collect guards, sampling contracts, and the
+scale-critical plan shapes (hash-first dedup shuffle, hot-shingle cap)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_resolve,
+    ngram_jaccard_pairs,
+    resolve_components,
+)
+from us_accidents_bigdata_pipeline_spark.operators.sample import (
+    count_targeted_sample,
+    stratified_sample,
+)
+from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+    cosine_topk_batch,
+    ivf_assign,
+    ivf_search,
+    lsh_ann_batch,
+)
+
+from .conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------- components
+
+
+def test_resolve_components_chain(spark):
+    """A path graph is the worst case for label propagation — pointer
+    jumping must still converge, labeling every node with the chain min."""
+    n = 33
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.keep)
+        for r in resolve_components(nodes, pairs).collect()
+    }
+    assert len(out) == n
+    for i in range(n):
+        assert out[i] == (0, i == 0), (i, out[i])
+
+
+def test_resolve_components_singletons_and_cliques(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # two components {1,2,3} and {7,8}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    rows = resolve_components(nodes, pairs).collect()
+    canon = {r.doc_id: r.canonical_id for r in rows}
+    keep = {r.doc_id for r in rows if r.keep}
+    assert canon == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+    assert keep == {0, 1, 4, 5, 6, 7, 9}
+
+
+def test_near_dup_resolve_planted_clusters(spark):
+    """Planted duplicate clusters collapse to exactly one survivor each
+    (the min doc id), singletons keep themselves."""
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_b = "one two three four five six seven eight nine ten eleven"
+    docs = [
+        (0, base_a),
+        (1, base_a + " lambda"),  # near-dup of 0
+        (2, base_a),  # exact dup of 0
+        (10, base_b),
+        (11, base_b),  # exact dup of 10
+        (20, "completely different text with no shared trigrams at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = near_dup_resolve(df, threshold=0.4, method="exact").collect()
+    canon = {r.doc_id: r.canonical_id for r in rows}
+    survivors = sorted(r.doc_id for r in rows if r.keep)
+    assert canon[0] == canon[1] == canon[2] == 0
+    assert canon[10] == canon[11] == 10
+    assert canon[20] == 20
+    assert survivors == [0, 10, 20]
+
+
+def test_near_dup_resolve_banded_agrees_with_exact(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {
+        (r.doc_id, r.canonical_id)
+        for r in near_dup_resolve(docs, threshold=0.5, method="exact").collect()
+    }
+    banded = {
+        (r.doc_id, r.canonical_id)
+        for r in near_dup_resolve(docs, threshold=0.5, method="banded").collect()
+    }
+    assert exact == banded
+
+
+# ---------------------------------------------------------------- ANN recall
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _exact_topk(ids, X, qid, k=5):
+    qi = int(np.where(ids == qid)[0][0])
+    d = np.linalg.norm(X - X[qi], axis=1)
+    out = [int(ids[j]) for j in np.argsort(d) if ids[j] != qid]
+    return set(out[:k])
+
+
+def test_lsh_ann_batch_recall(spark, emb_np):
+    """Batch ANN recall@5 vs the exact scan (embeddings are unit-norm,
+    so Euclidean rank == cosine rank and cosine_topk_batch is the same
+    reference)."""
+    ids, X = emb_np
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got: dict[int, set] = {}
+    for r in lsh_ann_batch(e, e.filter(F.col("vec_id") < 10), k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & _exact_topk(ids, X, q)) / 5 for q in range(10)
+    ]
+    assert float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_lsh_ann_batch_matches_cosine_reference_shape(spark):
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 3)
+    ann = lsh_ann_batch(e, qs, k=5)
+    exact = cosine_topk_batch(e, qs, k=5)
+    assert ann.columns[:2] == exact.columns[:2] == ["query_id", "neighbor_id"]
+    counts = {r.query_id: r.n for r in ann.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()), counts
+
+
+def test_ivf_search_recall_with_replication(spark, emb_np):
+    """Probing nprobe=2 of 4 cells with m_assign=2 replication recovers
+    >= 0.9 of the exact top-5 (seeded KMeans -> deterministic)."""
+    ids, X = emb_np
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    recalls = []
+    for q in range(8):
+        got = {
+            r.vec_id
+            for r in ivf_search(
+                e, query_id=q, k=5, nprobe=2, n_cells=4, m_assign=2
+            ).collect()
+        }
+        recalls.append(len(got & _exact_topk(ids, X, q)) / 5)
+    assert float(np.mean(recalls)) >= 0.9, recalls
+
+
+def test_ivf_multi_assign_replicates(spark):
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n = e.count()
+    assert ivf_assign(e, n_cells=4, m_assign=1).count() == n
+    assert ivf_assign(e, n_cells=4, m_assign=2).count() == 2 * n
+
+
+# ------------------------------------------------------------------- guards
+
+
+def test_broadcast_train_guard_trips(spark):
+    from us_accidents_bigdata_pipeline_spark.ml.knn import broadcast_train
+    from us_accidents_bigdata_pipeline_spark.tuning import DriverCollectGuard
+
+    df = spark.createDataFrame(
+        [(float(i), [1.0, 2.0]) for i in range(50)], "label double, features array<double>"
+    )
+    with pytest.raises(DriverCollectGuard, match="train_fraction"):
+        broadcast_train(df, max_train_rows=10)
+    # under the cap it works and is destroyable
+    bc = broadcast_train(df, max_train_rows=100)
+    bc.destroy()
+
+
+def test_stratified_sample_cardinality_guard(spark):
+    df = spark.range(1000).withColumn("key", F.col("id"))
+    with pytest.raises(ValueError, match="not a categorical stratum"):
+        stratified_sample(df, "key", 0.5, max_strata=100)
+
+
+def test_count_targeted_sample_hits_target(spark):
+    df = spark.range(60_000)
+    for seed in (1, 7, 42):
+        got = count_targeted_sample(df, 500, total=60_000, seed=seed).count()
+        assert got == 500, (seed, got)
+    # target >= total returns everything
+    assert count_targeted_sample(df, 70_000, total=60_000).count() == 60_000
+
+
+# ---------------------------------------------------------------- plan shape
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_exact_dedup_agg_shuffle_excludes_payload(spark):
+    """The hash-first design's whole point: the aggregation exchange
+    partitions on the 8-byte fingerprint and never carries the text
+    payload."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _formatted_plan(exact_dedup(docs, ["text"], "doc_id"))
+    # find every Exchange section; the ones partitioned by _fp must not
+    # list the payload column among their inputs
+    sections = plan.split("\n\n")
+    fp_exchanges = [
+        s
+        for s in sections
+        if s.lstrip().startswith("(") and "Exchange" in s.splitlines()[0]
+        and "hashpartitioning(_fp" in s
+    ]
+    assert fp_exchanges, plan
+    for s in fp_exchanges:
+        assert "text#" not in s, s
+
+
+def test_ngram_hot_shingle_cap_bounds_join(spark):
+    """A stopword trigram shared by every doc degenerates the self-join
+    to all-pairs; the frequency cap drops it before the join."""
+    shared = "the of and"
+    docs = [
+        (i, f"{shared} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0).count()
+    capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=5).count()
+    assert uncapped == 30 * 29 / 2  # every pair shares the hot shingle
+    assert capped == 0

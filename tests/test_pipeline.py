@@ -34,6 +34,12 @@ def test_complete_pipeline_golden(spark, tmp_path):
     # sinks: parquet + summary JSON round-trip
     back = spark.read.parquet(str(tmp_path / "out" / "cleaned_data"))
     assert back.count() == st["clean"]["rows"]
+    # cleaned output is hive-partitioned by State and a per-state filter
+    # prunes at planning time (PartitionFilters, not a data filter)
+    one_state = back.select("State").head()["State"]
+    pruned = back.filter(back.State == one_state)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "State" in plan.split("PartitionFilters")[1].splitlines()[0], plan
     clustered = spark.read.parquet(str(tmp_path / "out" / "clustered_data"))
     assert set(clustered.columns) == {
         "ID",

@@ -28,14 +28,18 @@ class RFParams:
     seed: int = 42
     # maxMemoryInMB bounds the per-pass node-group size: tree training
     # runs one aggregate job per node group, so the 256 MB default
-    # forces more passes over the (cached) data than needed — measured
-    # 1.5-2x slower fits at the bench tier. 1024 MB packs more tree
-    # nodes per pass; stats arrays are per-task transient.
-    max_memory_mb: int = 1024
+    # forces more passes over the (cached) data than needed. Profiled at
+    # the 2M-row tier (1.57M train rows, local[32]): 256 MB ≈ 25K
+    # rows/s, 1024 MB ≈ 32K, 4096 MB ≈ 43K — each pass is a full scan,
+    # so halving the pass count nearly halves the fit. Stats arrays are
+    # per-task transient; 4 GB here is per NODE-GROUP, not per row.
+    max_memory_mb: int = 4096
     # cacheNodeIds keeps per-row node assignments in an RDD instead of
     # re-walking every tree's upper levels each pass (v2:cell27 sets it
-    # with checkpointInterval=10; checkpointing engages only when a
-    # checkpoint dir is configured)
+    # with checkpointInterval=10). WITHOUT a configured checkpoint dir
+    # the node-id RDD lineage grows every pass and the fit collapses —
+    # profiled 10-25K rows/s WITH vs 32-43K WITHOUT at the 2M tier — so
+    # it stays off unless the caller has set sc.setCheckpointDir.
     cache_node_ids: bool = False
 
     @classmethod
@@ -45,8 +49,10 @@ class RFParams:
 
     @classmethod
     def notebook_tuned(cls) -> "RFParams":
-        # v2:cell27 — memory-tuned for local[*] (cacheNodeIds=True is the
-        # reference's own setting there)
+        # v2:cell27 — memory-tuned for local[*]; the reference also sets
+        # cacheNodeIds=True there, which this preset deliberately does
+        # NOT copy (see cache_node_ids above: without checkpointing it
+        # is a 3-25x slowdown at the 2M tier)
         return cls(
             num_trees=50,
             max_depth=8,
@@ -54,7 +60,6 @@ class RFParams:
             max_bins=64,
             subsampling_rate=0.7,
             feature_subset_strategy="sqrt",
-            cache_node_ids=True,
         )
 
 

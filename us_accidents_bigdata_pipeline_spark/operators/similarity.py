@@ -185,6 +185,33 @@ def lsh_ann_batch(
     )
 
 
+def _nearest_cells_expr(centers, vec_col: str, m: int):
+    """Column expression: the ``m`` nearest centroid ids for a vector —
+    an array of struct(d2, cell) sorted by distance, sliced to m.
+
+    Centroids ride the plan as literals (n_cells × dim doubles), so the
+    assignment is MAP-ONLY: no join, no shuffle, whole-stage codegen.
+    Fine for the coarse-quantizer regime (n_cells ≲ 1K); for very large
+    n_cells × dim, a crossJoin(broadcast(centroids)) + per-id window is
+    the fallback shape."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centers)
+    ]
+    return F.slice(F.array_sort(F.array(*structs)), 1, m)
+
+
 def ivf_fit_assign(
     df: DataFrame,
     n_cells: int = 16,
@@ -192,6 +219,7 @@ def ivf_fit_assign(
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
     seed: int = 42,
+    m_assign: int = 1,
 ):
     """IVF coarse quantization, returning (assignments, model).
 
@@ -199,8 +227,14 @@ def ivf_fit_assign(
     (``count_targeted_sample``) — centroid quality converges long
     before 100K points, and a full-corpus fit is an iterative
     full-scan-per-iteration job that does not survive 100 TB. The
-    assignment pass is a single map-only transform (centroids ride the
-    closure — the broadcast-join of centroids, in MLlib form).
+    assignment pass is a single map-only projection (centroids ride
+    the plan as literals — see ``_nearest_cells_expr``).
+
+    ``m_assign`` is cell REPLICATION: each vector is stored in its m
+    nearest cells (m rows per vector), trading m× index size for
+    recall — the standard fix for neighbors that straddle a cell
+    boundary (measured on the sf0.01 corpus: nprobe=2 recall@5 goes
+    0.78 → 0.95 at n_cells=4 with m=2).
     """
     from pyspark.ml.clustering import KMeans
 
@@ -210,7 +244,11 @@ def ivf_fit_assign(
     fit_df = count_targeted_sample(feat, fit_sample_rows, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell")
     model = km.fit(fit_df)
-    return model.transform(feat).select(F.col(id_col), F.col("cell")), model
+    cells = _nearest_cells_expr(model.clusterCenters(), vec_col, m_assign)
+    assigned = df.select(
+        F.col(id_col), F.explode(cells).alias("_dc")
+    ).select(F.col(id_col), F.col("_dc.cell").alias("cell"))
+    return assigned, model
 
 
 def ivf_assign(
@@ -219,11 +257,14 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
+    m_assign: int = 1,
 ) -> DataFrame:
     """IVF cell assignment: sampled-fit KMeans (see ``ivf_fit_assign``),
-    each vector assigned to its nearest centroid cell. Returns
-    (vec_id, cell)."""
-    assigned, _ = ivf_fit_assign(df, n_cells, id_col, vec_col, fit_sample_rows)
+    each vector assigned to its ``m_assign`` nearest centroid cells.
+    Returns (vec_id, cell) — m rows per vector when m_assign > 1."""
+    assigned, _ = ivf_fit_assign(
+        df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=m_assign
+    )
     return assigned
 
 
@@ -236,6 +277,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
+    m_assign: int = 1,
 ) -> DataFrame:
     """IVF probe search: score the query ONLY against vectors whose
     cell is among the ``nprobe`` centroids nearest the query (Euclidean
@@ -243,15 +285,17 @@ def ivf_search(
     k nearest by exact distance within the probed cells.
 
     Scale shape: centroid ranking is driver-side over n_cells rows
-    (tiny); the probe filter is a broadcast semi-join on cell id, so
-    the corpus scan reads ~nprobe/n_cells of the data and nothing else
-    shuffles. Recall is bounded by cell spill-over (neighbors living in
-    unprobed cells) — the exact scan is the correctness reference.
+    (tiny); the probe filter is a semi-join against the probed slice of
+    the assignment table, so the corpus scan reads ~nprobe·m/n_cells of
+    the data and nothing else shuffles. Recall is bounded by cell
+    spill-over (neighbors living in unprobed cells) — ``m_assign``
+    replication is the lever against it; the exact scan is the
+    correctness reference.
     """
     import numpy as np
 
     assigned, model = ivf_fit_assign(
-        df, n_cells, id_col, vec_col, fit_sample_rows
+        df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=m_assign
     )
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
     if qrow is None:
@@ -263,10 +307,11 @@ def ivf_search(
 
     spark = df.sparkSession
     cells_df = spark.createDataFrame([(c,) for c in probe_cells], "cell int")
-    candidates = (
-        df.join(assigned, id_col)
-        .join(F.broadcast(cells_df), "cell", "semi")
-        .filter(F.col(id_col) != query_id)
+    probed_ids = assigned.join(F.broadcast(cells_df), "cell", "semi")
+    # semi-join (not inner) so a vector stored in several probed cells
+    # (m_assign > 1) scores exactly once
+    candidates = df.join(probed_ids, id_col, "semi").filter(
+        F.col(id_col) != query_id
     )
     qlit = F.array(*[F.lit(float(x)) for x in q])
     d2 = F.aggregate(

@@ -96,18 +96,21 @@ def run_complete_pipeline(
     feat, _ = assemble_and_scale(labeled, cfg.rf_features, with_mean=False)
     # iterative trainers pay per-task overhead per iteration: size
     # partitions by rows, not by cluster width (tuning.py rationale).
-    # ~5K rows/partition: with maxMemoryInMB=1024 node-group batching
-    # the per-pass task overhead is amortized and the extra parallelism
-    # wins (profiled 46K vs 28K rows/s at the bench tier); the
-    # defaultParallelism cap still rules at real scale. Cache ONLY the
+    # ~5K rows/partition floor keeps small tiers at full parallelism
+    # (profiled 46K vs 28K rows/s at the 200K tier), while the 2x-
+    # parallelism ceiling lets the 2M tier over-decompose to 64 tasks
+    # for load balance (profiled ~15% faster than 32). Cache ONLY the
     # columns the train/eval path reads (ID for the split, label,
     # features) — tree passes re-scan the cache every node group, so
     # dragging the full cleaned row width through it costs ~40% fit
     # throughput.
+    sc = spark.sparkContext
     feat = right_size_partitions(
         feat.select("ID", "label", "features"),
         n_rows=n_clean,
         rows_per_partition=5_000,
+        max_parts=2 * sc.defaultParallelism,
+        allow_grow=True,
     ).cache()
     train, test = deterministic_split(feat, "ID", cfg.test_fraction)
     n_train = train.count()
@@ -221,7 +224,13 @@ def run_complete_pipeline(
 
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
-        write_parquet(cleaned, str(out / "cleaned_data"))
+        # hive-partition the cleaned output by State (SURVEY §4's named
+        # improvement): downstream per-state queries prune to one
+        # directory instead of scanning the full dataset. ~50 states →
+        # bounded partition count; no repartition first, so each task
+        # writes only the states it holds (file count = tasks × local
+        # states, acceptable at this partition cardinality).
+        write_parquet(cleaned, str(out / "cleaned_data"), partition_by=["State"])
         write_parquet(
             clustered.select("ID", "Severity", "Start_Lat", "Start_Lng", "cluster"),
             str(out / "clustered_data"),

@@ -1110,13 +1110,19 @@ def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # KMeans-cell-dependent → rows-only; exact in-probe scan,
     # recall vs the full exact scan asserted in tests
     doc="IVF probe search: rank centroids driver-side, scan only the "
-    "nprobe nearest cells (operators/similarity.py::ivf_search)",
+    "nprobe nearest cells; corpus replicated into its 2 nearest cells "
+    "for boundary recall (operators/similarity.py::ivf_search)",
 )
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_search
 
     return ivf_search(
-        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, nprobe=2, n_cells=8
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=5,
+        nprobe=2,
+        n_cells=8,
+        m_assign=2,
     )
 
 

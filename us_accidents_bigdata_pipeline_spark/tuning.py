@@ -69,17 +69,23 @@ def right_size_partitions(
     rows_per_partition: int = 20_000,
     min_parts: int = 2,
     max_parts: int | None = None,
+    allow_grow: bool = False,
 ) -> DataFrame:
     """Size partitions by data volume before an iterative ML stage.
 
     MLlib tree/center aggregations pay a fixed per-task cost every
     iteration (stats arrays built and merged per partition); with tiny
     per-partition row counts that overhead dominates — measured 7.7x
-    slower RF training at 32 partitions vs 8 on 48k rows. AQE fixes
-    this for SQL shuffles but not for MLlib training inputs, so ML
-    stages right-size explicitly: ~rows_per_partition rows per task,
-    capped at the cluster's parallelism (at real scale the cap wins and
-    this is a no-op). Uses coalesce (no shuffle) when shrinking.
+    slower RF training at 32 partitions vs 8 on 48k rows. The flip side
+    at larger tiers: too FEW partitions starves parallelism and load
+    balance (2M-row tier, local[32]: 64 partitions fit RF ~15% faster
+    than 32). AQE fixes this for SQL shuffles but not for MLlib
+    training inputs, so ML stages right-size explicitly:
+    ~rows_per_partition rows per task, capped at ``max_parts`` (default
+    the cluster parallelism; iterative trainers that benefit from
+    over-decomposition pass 2-4x that). Shrinking uses coalesce (no
+    shuffle); growing — only with ``allow_grow`` — pays one repartition
+    shuffle up front, amortized over the trainer's many passes.
     """
     n = n_rows if n_rows is not None else df.count()
     sc = df.sparkSession.sparkContext
@@ -88,6 +94,8 @@ def right_size_partitions(
     current = df.rdd.getNumPartitions()
     if target < current:
         return df.coalesce(int(target))
+    if allow_grow and target > current:
+        return df.repartition(int(target))
     return df
 
 
