@@ -39,8 +39,12 @@ HEADLINE = [
     "exact_dedup_docs",
     "text_quality_scores",
     "minhash_banded_pairs",
+    "near_dup_resolve_banded",
+    "embedding_near_dup_pairs_lsh",
     "knn_cosine_topk",
     "knn_cosine_batch",
+    "lsh_ann_batch",
+    "ivf_search",
 ]
 
 

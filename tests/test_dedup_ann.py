@@ -168,6 +168,26 @@ def test_ivf_multi_assign_replicates(spark):
     assert ivf_assign(e, n_cells=4, m_assign=2).count() == 2 * n
 
 
+def test_embedding_near_dup_lsh_no_false_positives_high_recall(spark):
+    """The LSH path's exact-cosine verify means zero false positives;
+    at the default threshold, candidate recall on this corpus is 1.0
+    (8 hash tables, Euclidean radius = cosine threshold identity)."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b) for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in embedding_near_dup_pairs(e, method="lsh").collect()
+    }
+    assert exact, "expected near-dup pairs at the default threshold"
+    assert lsh - exact == set(), "LSH path produced false positives"
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
 # ------------------------------------------------------------------- guards
 
 

@@ -326,6 +326,90 @@ def ivf_search(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cosine)
+    with cosine ≥ threshold and doc_a < doc_b — the embedding-space
+    member of the dedup tier (exact text / n-gram Jaccard / MinHash /
+    SimHash are the lexical members).
+
+    ``method="exact"``: upper-triangle self-join scoring every pair —
+    O(n²), the correctness reference (and the oracle-checked form).
+    ``method="lsh"``: BucketedRandomProjectionLSH approxSimilarityJoin
+    generates candidates within Euclidean ``sqrt(2 − 2·threshold)``
+    (the cosine↔L2 identity on unit-norm embeddings), then the EXACT
+    cosine filter runs on candidates only — no false positives, recall
+    bounded by bucket misses; the 100 TB path, cost ~ bucket
+    collisions instead of n².
+    """
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    if method == "exact":
+        cand = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    elif method == "lsh":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+        import math
+
+        feat = _to_ml_vector(df, vec_col, "_features")
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="_features",
+            outputCol="_hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=42,
+        )
+        model = lsh.fit(feat)
+        max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
+        joined = model.approxSimilarityJoin(feat, feat, max_dist, distCol="_d")
+        cand = joined.filter(
+            F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
+        ).select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetA.{vec_col}").alias("_va"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.col(f"datasetB.{vec_col}").alias("_vb"),
+        )
+    else:
+        raise ValueError(f"unknown embedding near-dup method: {method!r}")
+    cos = cosine_similarity("_va", "_vb")
+    # threshold on the raw cosine (rounding only for display): the two
+    # engines' float folds agree to ~1e-15, and the corpus has no pair
+    # within 1e-5 of the default threshold — filtering rounded values
+    # would instead make .00005-boundary behavior engine-dependent
+    return (
+        cand.select("doc_a", "doc_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
+def embedding_near_dup_resolve(
+    df: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+) -> DataFrame:
+    """Keep/drop decision over embedding near-dup pairs: connected
+    components → one deterministic survivor (min id) per cluster.
+    Returns (id, canonical_id, keep) like the lexical
+    ``near_dup_resolve``."""
+    from .dedup import resolve_components
+
+    pairs = embedding_near_dup_pairs(df, threshold, id_col, vec_col, method)
+    return resolve_components(
+        df.select(id_col), pairs, id_col=id_col, src_col="doc_a", dst_col="doc_b"
+    )
+
+
 def knn_label_vote(
     df: DataFrame,
     queries: DataFrame,

@@ -1094,6 +1094,68 @@ def q_lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_near_dup_pairs",
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                  AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""",
+    doc="embedding-cosine near-dup pairs, exact upper-triangle form "
+    "(operators/similarity.py::embedding_near_dup_pairs); the LSH "
+    "variant below is the at-scale candidate generator",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="exact"
+    )
+
+
+@_register(
+    "embedding_near_dup_pairs_lsh",
+    None,  # LSH candidate recall is approximate → rows-only; exact
+    # twin above is the oracle-checked reference
+    doc="embedding-cosine near-dup pairs via approxSimilarityJoin "
+    "candidates + exact-cosine verify (no false positives)",
+)
+def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="lsh"
+    )
+
+
+@_register(
+    "embedding_near_dup_resolve",
+    """WITH RECURSIVE
+       pairs AS (
+         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+       SELECT node AS vec_id, min(r) AS canonical_id,
+              node = min(r) AS keep
+       FROM reach GROUP BY node""",
+    doc="embedding near-dup RESOLUTION: connected components over "
+    "cosine pairs -> deterministic min-id survivor "
+    "(operators/similarity.py::embedding_near_dup_resolve)",
+)
+def q_embedding_near_dup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_resolve
+
+    return embedding_near_dup_resolve(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="exact"
+    )
+
+
+@_register(
     "ivf_cell_assignment",
     None,  # KMeans-dependent → rows-only
     doc="IVF coarse quantizer cell assignment; fit runs on a seeded "
