@@ -53,6 +53,20 @@ def test_write_table_catalog(spark):
     spark.sql("DROP TABLE nation_tbl")
 
 
+def test_write_table_orc_passthrough(spark):
+    """S10's format passthrough matches the reference's ORC tables
+    (hive/create_tables.hql:99-100 uses ORC+Snappy); SURVEY §1.1 keeps
+    parquet as the default, ORC stays one argument away."""
+    df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+    write_table(df, "region_orc", format="orc")
+    back = spark.table("region_orc")
+    assert back.count() == 5
+    assert {r.r_name for r in back.collect()} == {r.r_name for r in df.collect()}
+    prov = spark.sql("DESCRIBE FORMATTED region_orc").collect()
+    assert any("orc" in str(r).lower() for r in prov)
+    spark.sql("DROP TABLE region_orc")
+
+
 def test_kafka_payload_shape(spark):
     df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
     payload = kafka_payload(df, "r_regionkey")

@@ -1,0 +1,54 @@
+"""Unit tests for the binned interval join: half-open boundaries,
+overlapping-interval fanout, and left-join null preservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.rangejoin import range_join_binned
+
+
+def _fixtures(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 15.0), (4, 20.0), (5, 99.0)],
+        "pid long, v double",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 20.0), ("b", 10.0, 30.0)], "name string, lo double, hi double"
+    )
+    return points, intervals
+
+
+def test_range_join_half_open_and_overlap(spark):
+    points, intervals = _fixtures(spark)
+    got = {
+        (r.pid, r.name)
+        for r in range_join_binned(points, intervals, "v", "lo", "hi", 8.0).collect()
+    }
+    # v=0 at lo of a (included); v=10 in a and at lo of b; v=15 in both;
+    # v=20 at hi of a (EXCLUDED) but inside b; v=99 unmatched
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "b")}
+
+
+def test_range_join_bin_width_invariance(spark):
+    points, intervals = _fixtures(spark)
+    for bw in (1.0, 7.0, 100.0):
+        got = {
+            (r.pid, r.name)
+            for r in range_join_binned(
+                points, intervals, "v", "lo", "hi", bw
+            ).collect()
+        }
+        assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "b")}, bw
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    points, intervals = _fixtures(spark)
+    rows = range_join_binned(
+        points, intervals, "v", "lo", "hi", 8.0, how="left"
+    ).collect()
+    unmatched = [r for r in rows if r.name is None]
+    assert [r.pid for r in unmatched] == [5]
+    assert len(rows) == 7
+    # matched rows carry interval columns
+    assert all(r.lo is not None for r in rows if r.name is not None)

@@ -1384,6 +1384,122 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_batch(agg, query_name="session_windows_oracle")
 
 
+@_register(
+    "streaming_running_totals",
+    """SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY user_id""",
+    doc="custom stateful streaming operator: applyInPandasWithState "
+    "per-key (count, sum) state across micro-batches "
+    "(streaming/stateful.py::running_totals_stateful); finals "
+    "recovered by max() over the monotone emitted totals, so the "
+    "batch groupBy is an exact oracle on bounded input",
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    from ..streaming import (
+        parquet_stream_reader,
+        run_windowed_batch,
+        running_totals_stateful,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    events = parquet_stream_reader(
+        spark, sf_dir, schema, glob_filter="events.parquet"
+    )
+    totals = running_totals_stateful(events, key_col="user_id", value_col="value")
+    emitted = run_windowed_batch(
+        totals, query_name="running_totals_oracle", output_mode="update"
+    )
+    return emitted.groupBy("key").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 4).alias("total_value"),
+    )
+
+
+@_register(
+    "streaming_dedup_events",
+    """SELECT event_id, event_type, round(value, 4) AS value
+       FROM events""",
+    doc="streaming exact dedup with bounded state: the event stream is "
+    "fed TWICE and dropDuplicatesWithinWatermark collapses it back to "
+    "one row per event_id (streaming/stateful.py::dedup_stream); "
+    "oracle = the original table",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming import dedup_stream, parquet_stream_reader, run_windowed_batch
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dup_dir = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        # two copies of every event in the stream source
+        events.union(events).write.mode("overwrite").parquet(dup_dir)
+        stream = parquet_stream_reader(
+            spark, dup_dir, events.schema, glob_filter="*.parquet"
+        )
+        deduped = dedup_stream(stream, ["event_id"], ts_col="ts", delay="1 hour")
+        out = run_windowed_batch(
+            deduped.select(
+                "event_id", "event_type", F.round("value", 4).alias("value")
+            ),
+            query_name="stream_dedup_oracle",
+            output_mode="append",
+        )
+        # memory sink holds the rows; materialize before dropping files
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+    return out
+
+
+@_register(
+    "range_join_bands",
+    """WITH bands(band, lo, hi) AS (VALUES
+         (0, 0.0, 80.0), (1, 50.0, 130.0), (2, 100.0, 180.0),
+         (3, 150.0, 230.0), (4, 200.0, 280.0), (5, 250.0, 330.0),
+         (6, 300.0, 380.0), (7, 350.0, 430.0), (8, 400.0, 480.0),
+         (9, 450.0, 530.0))
+       SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+              round(avg(e.value), 4) AS avg_value
+       FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       GROUP BY band""",
+    doc="interval (range) join via the binning rewrite: OVERLAPPING "
+    "value bands joined to events as an equi-join on bin + residual "
+    "filter instead of a nested-loop non-equi join "
+    "(operators/rangejoin.py::range_join_binned)",
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_binned
+
+    bands = spark.createDataFrame(
+        [(i, i * 50.0, i * 50.0 + 80.0) for i in range(10)],
+        "band int, lo double, hi double",
+    )
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    joined = range_join_binned(events, bands, "value", "lo", "hi", bin_width=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 # =====================================================================
 # Multimodal plumbing (LLM-pipeline extension): binary payloads +
 # mapInPandas decode/frame-sample. The byte-offset frame sampler is

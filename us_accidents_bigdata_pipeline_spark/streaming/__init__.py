@@ -1,3 +1,4 @@
+from .stateful import dedup_stream, running_totals_stateful
 from .windows import (
     kafka_stream_reader,
     parquet_stream_reader,
@@ -7,9 +8,11 @@ from .windows import (
 )
 
 __all__ = [
+    "dedup_stream",
     "kafka_stream_reader",
     "parquet_stream_reader",
     "run_windowed_batch",
+    "running_totals_stateful",
     "session_window_counts",
     "windowed_counts",
 ]

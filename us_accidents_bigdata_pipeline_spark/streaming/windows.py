@@ -143,21 +143,28 @@ def session_window_counts(
 
 
 def run_windowed_batch(
-    agg: DataFrame, query_name: str = "windowed_out", timeout_sec: int = 120
+    agg: DataFrame,
+    query_name: str = "windowed_out",
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
-    """Drive a streaming aggregation synchronously to completion via the
+    """Drive a streaming query synchronously to completion via the
     memory sink and return the result as a batch DataFrame — the local
     smoke-path for streaming pipelines.
 
-    Runs in COMPLETE output mode: every window ever seen is emitted and
-    none is evicted, so on bounded input the result equals the batch
-    aggregation. This intentionally differs from production semantics —
-    with update/append + a real sink the watermark drops late rows and
-    bounds state (see ``windowed_counts``); tests that need the
-    late-drop behavior should assert through an append-mode file sink
-    instead."""
+    Default COMPLETE output mode (aggregations): every window ever seen
+    is emitted and none is evicted, so on bounded input the result
+    equals the batch aggregation. This intentionally differs from
+    production semantics — with update/append + a real sink the
+    watermark drops late rows and bounds state (see
+    ``windowed_counts``); tests that need the late-drop behavior should
+    assert through an append-mode file sink instead. Stateful
+    ``applyInPandasWithState`` plans require ``output_mode="update"``
+    (rows accumulate per trigger in the memory table — aggregate
+    monotone columns with max() to get finals); non-aggregated streams
+    (e.g. streaming dedup) require ``"append"``."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
