@@ -40,7 +40,7 @@ HEADLINE = [
     "text_quality_scores",
     "minhash_banded_pairs",
     "near_dup_resolve_banded",
-    "embedding_near_dup_pairs_lsh",
+    "embedding_near_dup_pairs_blas",
     "knn_cosine_topk",
     "knn_cosine_batch",
     "lsh_ann_batch",

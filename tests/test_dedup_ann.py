@@ -168,6 +168,26 @@ def test_ivf_multi_assign_replicates(spark):
     assert ivf_assign(e, n_cells=4, m_assign=2).count() == 2 * n
 
 
+def test_embedding_near_dup_blas_matches_exact(spark):
+    """The broadcast-matrix-product form is semantically identical to
+    the per-pair expression form: same pairs, same rounded cosines."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    blas = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dup_pairs(e, method="blas").collect()
+    }
+    assert exact.keys() == blas.keys()
+    assert all(abs(exact[k] - blas[k]) < 1e-6 for k in exact)
+
+
 def test_embedding_near_dup_lsh_no_false_positives_high_recall(spark):
     """The LSH path's exact-cosine verify means zero false positives;
     at the default threshold, candidate recall on this corpus is 1.0

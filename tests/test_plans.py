@@ -88,3 +88,21 @@ def test_groupby_queries_have_single_shuffle(spark, name):
     # the tiny result) - never more
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 2, f"{name}: {n_exchanges} exchanges\n{plan}"
+
+
+def test_range_join_binned_avoids_nested_loop(spark):
+    # the binning rewrite's whole point: the interval join plans as a
+    # broadcast/hash EQUI-join on the bin key, never as the
+    # BroadcastNestedLoopJoin a raw non-equi predicate would get
+    plan = plan_of(spark, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lsh_ann_batch_no_cartesian(spark):
+    # approxSimilarityJoin must candidate via exploded hash-bucket
+    # equi-joins; a cartesian here means the LSH path degenerated to
+    # all-pairs
+    plan = plan_of(spark, "lsh_ann_batch")
+    assert "CartesianProduct" not in plan, plan

@@ -341,14 +341,28 @@ def embedding_near_dup_pairs(
     SimHash are the lexical members).
 
     ``method="exact"``: upper-triangle self-join scoring every pair —
-    O(n²), the correctness reference (and the oracle-checked form).
-    ``method="lsh"``: BucketedRandomProjectionLSH approxSimilarityJoin
-    generates candidates within Euclidean ``sqrt(2 − 2·threshold)``
-    (the cosine↔L2 identity on unit-norm embeddings), then the EXACT
-    cosine filter runs on candidates only — no false positives, recall
-    bounded by bucket misses; the 100 TB path, cost ~ bucket
-    collisions instead of n².
+    O(n²) per-pair expression evaluation, the correctness reference
+    (and the oracle-checked form).
+    ``method="blas"``: identical exact semantics, executed as a
+    broadcast matrix product — the corpus matrix rides a guarded
+    broadcast and every partition computes chunk @ corpusᵀ in one BLAS
+    call inside ``mapInPandas``, emitting only above-threshold pairs.
+    Still O(n²) flops but ~50× fewer per-flop overheads than the
+    expression form; the right shape while the corpus matrix fits a
+    broadcast (~10M × 64 float32 ≈ 2.5 GB). Beyond that, or whenever
+    the threshold leaves a real distance gap, use ``method="lsh"``:
+    BucketedRandomProjectionLSH approxSimilarityJoin generates
+    candidates within Euclidean ``sqrt(2 − 2·threshold)`` (the
+    cosine↔L2 identity on unit-norm embeddings), then the EXACT cosine
+    filter runs on candidates only — no false positives, recall
+    bounded by bucket misses. Note LSH prunes only when near-dups are
+    actually NEAR (threshold ≳ 0.8, the production regime): at low
+    thresholds the candidate radius approaches the typical random-pair
+    distance and every bucket collides — measured at threshold 0.42 on
+    this corpus the LSH path costs the same as exact.
     """
+    if method == "blas":
+        return _embedding_pairs_blas(df, threshold, id_col, vec_col)
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
     if method == "exact":
@@ -389,6 +403,61 @@ def embedding_near_dup_pairs(
         .filter(F.col("_cos") >= threshold)
         .select("doc_a", "doc_b", F.round("_cos", 4).alias("cosine"))
     )
+
+
+def _embedding_pairs_blas(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_broadcast_rows: int = 10_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine via broadcast matrix product.
+
+    The (id, vector) corpus is collected through ``safe_collect`` and
+    broadcast once; each ``mapInPandas`` batch of corpus rows computes
+    ``chunk @ corpusᵀ`` (one dgemm — BLAS does n·d flops at memory
+    bandwidth instead of one Catalyst lambda-chain per pair) and emits
+    the above-threshold upper-triangle pairs. Map-only: no shuffle at
+    all; the only data movement is the one broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..tuning import safe_collect
+
+    rows = safe_collect(
+        df.select(F.col(id_col), F.col(vec_col)), max_rows=max_broadcast_rows
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            chunk_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            chunk = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cnorm = np.linalg.norm(chunk, axis=1)
+            cnorm[cnorm == 0.0] = 1.0
+            cos = (chunk @ b_mat.T) / cnorm[:, None] / b_norms[None, :]
+            # upper triangle (doc_a < doc_b) and threshold, vectorized
+            hit_r, hit_c = np.nonzero(
+                (cos >= threshold) & (chunk_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_a": chunk_ids[hit_r],
+                    "doc_b": b_ids[hit_c],
+                    "cosine": np.round(cos[hit_r, hit_c], 4),
+                }
+            )
+
+    out_schema = "doc_a long, doc_b long, cosine double"
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(score, out_schema)
 
 
 def embedding_near_dup_resolve(

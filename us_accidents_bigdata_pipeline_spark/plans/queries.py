@@ -1128,6 +1128,26 @@ def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "embedding_near_dup_pairs_blas",
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                  AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""",
+    doc="exact all-pairs cosine as a broadcast matrix product: "
+    "mapInPandas chunk @ corpus.T, one BLAS call per batch, map-only "
+    "(operators/similarity.py::_embedding_pairs_blas) — same oracle "
+    "as the expression form, ~50x faster at sf0.1",
+)
+def q_embedding_near_dup_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="blas"
+    )
+
+
+@_register(
     "embedding_near_dup_resolve",
     """WITH RECURSIVE
        pairs AS (
