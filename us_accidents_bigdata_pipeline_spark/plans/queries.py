@@ -1170,8 +1170,10 @@ def q_embedding_near_dup_pairs_blas(spark: SparkSession, sf_dir: str) -> DataFra
 def q_embedding_near_dup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_resolve
 
+    # blas pair generation: exact semantics (parity-tested), so the
+    # recursive-CTE oracle over exact pairs still applies
     return embedding_near_dup_resolve(
-        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="exact"
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, method="blas"
     )
 
 
