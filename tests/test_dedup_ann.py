@@ -168,6 +168,36 @@ def test_ivf_multi_assign_replicates(spark):
     assert ivf_assign(e, n_cells=4, m_assign=2).count() == 2 * n
 
 
+def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
+    """Block-decomposition banding must find EXACTLY the brute-force
+    hamming<=k pair set: recall 1 by pigeonhole (a pair within budget
+    agrees on >=1 of k+1 blocks), precision 1 by the bit_count verify."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        simhash_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sims = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, max_hamming=5).collect()
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(sims)
+    expect = {
+        (a, b): ham(sims[a], sims[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sims[a], sims[b]) <= 5
+    }
+    assert got == expect
+    assert expect, "corpus should contain simhash near-dups"
+
+
 def test_embedding_near_dup_blas_matches_exact(spark):
     """The broadcast-matrix-product form is semantically identical to
     the per-pair expression form: same pairs, same rounded cosines."""

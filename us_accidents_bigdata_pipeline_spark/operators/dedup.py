@@ -325,17 +325,22 @@ def near_dup_resolve(
     filtering ``keep`` yields the deduplicated corpus.
 
     ``method``: "banded" (default — ``minhash_banded_pairs``, the
-    100 TB path: banded candidates, exact-Jaccard verify) or "exact"
+    100 TB path: banded candidates, exact-Jaccard verify), "exact"
     (``ngram_jaccard_pairs`` — all pairs sharing a shingle; the
-    correctness reference, quadratic worst case). Components over
-    banded pairs equal components over exact pairs whenever banding
-    recall is 1 on the above-threshold pairs (P[miss] = (1-s^r)^b per
-    pair — and a missed edge only splits a cluster if it was the sole
+    correctness reference, quadratic worst case), or "simhash"
+    (``simhash_near_dup_pairs`` — Hamming-distance pairs, pigeonhole
+    recall 1; ``threshold`` is ignored, the distance budget is the
+    operator's ``max_hamming`` default). Components over banded pairs
+    equal components over exact pairs whenever banding recall is 1 on
+    the above-threshold pairs (P[miss] = (1-s^r)^b per pair — and a
+    missed edge only splits a cluster if it was the sole
     connection)."""
     if method == "banded":
         pairs = minhash_banded_pairs(df, id_col, text_col, n, threshold)
     elif method == "exact":
         pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    elif method == "simhash":
+        pairs = simhash_near_dup_pairs(df, id_col, text_col)
     else:
         raise ValueError(f"unknown near-dup method: {method!r}")
     return resolve_components(
@@ -417,6 +422,66 @@ def simhash_buckets(
     ).withColumn(
         "band_lo16", F.col("simhash").bitwiseAND(F.lit(0xFFFF).cast("long"))
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+) -> DataFrame:
+    """SimHash near-dup pairs with EXACT recall: (doc_a, doc_b, hamming)
+    for every pair whose simhash Hamming distance ≤ ``max_hamming``.
+
+    Block-and-verify: the 64-bit simhash splits into ``max_hamming+1``
+    blocks — by pigeonhole, any pair within the distance budget agrees
+    EXACTLY on at least one block, so the block-key equi-join has
+    recall 1 (unlike MinHash banding's probabilistic recall); the
+    ``bit_count(xor)`` verify then removes block-collision false
+    positives. Scale shape mirrors ``minhash_banded_pairs``: the
+    banded frame carries (id, simhash, block) only, the join is
+    key-partitioned, verification is a 2-instruction projection.
+    Rows-only check: xxhash64 is engine-specific, so no SQL oracle can
+    recompute the simhashes — the pigeonhole-exactness test
+    (tests/test_dedup_ann.py) is the correctness evidence.
+    """
+    sims = simhash_buckets(df, id_col, text_col).select(id_col, "simhash")
+    nb = max_hamming + 1
+    base, extra = divmod(64, nb)
+    widths = [base + (1 if i < extra else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned("simhash", offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("bv"),
+            )
+            for i in range(nb)
+        ]
+    )
+    banded = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select(
+        id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "bi", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def minhash_banded_pairs(

@@ -932,6 +932,21 @@ def q_near_dup_resolve_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "simhash_near_dup_pairs",
+    None,  # engine-specific xxhash64 simhashes → rows-only; pigeonhole
+    # exactness (recall 1 vs brute-force hamming) tested in
+    # tests/test_dedup_ann.py
+    doc="SimHash near-dup pairs: block-decomposition candidates "
+    "(recall 1 by pigeonhole) + bit_count(xor) verify "
+    "(operators/dedup.py::simhash_near_dup_pairs)",
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=5)
+
+
+@_register(
     "minhash_near_dup_pairs",
     None,  # approximate (LSH) → rows-only; exact reference above
     doc="MinHash LSH near-dup candidates at scale "
