@@ -101,6 +101,32 @@ def test_near_dup_resolve_banded_agrees_with_exact(spark):
     assert exact == banded
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing's contract: identical docs → identical fingerprint
+    sets; docs sharing a run of >= k + window - 1 words share >= 1
+    fingerprint; density well below one-per-gram."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared_run = " ".join(f"common{i}" for i in range(12))  # > k+window-1 = 8
+    docs = [
+        (0, "alpha beta gamma " + shared_run + " delta epsilon"),
+        (1, "one two three four five " + shared_run),
+        (2, "alpha beta gamma " + shared_run + " delta epsilon"),  # == doc 0
+        (3, "totally unrelated words here nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=5, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[0] == fps[2]  # identical text, identical fingerprints
+    assert fps[0] & fps[1]  # shared 12-word run → shared fingerprint
+    assert not (fps[0] & fps[3])  # nothing shared
+    n_grams_doc0 = len(docs[0][1].split()) - 4
+    assert len(fps[0]) < n_grams_doc0  # winnowing selects a subset
+
+
 # ---------------------------------------------------------------- ANN recall
 
 

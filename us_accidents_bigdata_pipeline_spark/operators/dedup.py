@@ -124,6 +124,55 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every word k-gram by position, slide a ``window`` of
+    consecutive k-gram hashes, select each window's MINIMUM hash, and
+    emit the distinct selections as the doc's fingerprint set —
+    (doc_id, fingerprint).
+
+    The winnowing guarantee: every run of ``window`` consecutive
+    k-grams contributes at least one selected fingerprint, so any
+    shared substring of length ≥ k + window − 1 words between two
+    documents yields at least one SHARED fingerprint — the property
+    copy-detection needs and plain min-hashing lacks. Density is
+    ~2/(window+1) of all k-grams.
+
+    Relational shape: posexplode → lead() window for the k-grams (one
+    shuffle on id), a second rolling-min frame over the same
+    partitioning (reused exchange), then distinct. Rows-only check:
+    xxhash64 is engine-specific; the shared-substring guarantee is
+    pinned in tests.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("pos", "tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.concat_ws(" ", *parts)).alias("_gh"),
+        parts[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    rolling = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select(
+            F.col(id_col), F.min("_gh").over(rolling).alias("fingerprint")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

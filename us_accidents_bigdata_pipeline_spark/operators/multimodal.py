@@ -97,6 +97,65 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """binary payload → resized binary payload via mapInPandas.
+
+    Output schema: (media_id long, width int, height int, n_bytes_in
+    int, payload binary) — the blob-in/blob-out shape a real resizer
+    has (decode → interpolate → re-encode), so downstream stages see
+    the same contract either way. ``fake=False`` raises eagerly (no
+    codec in this container); ``fake=True`` emits a deterministic
+    digest-seeded payload of ``width*height*3`` bytes, preserving the
+    size arithmetic and Arrow batch shape.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing is not implemented (requires a codec "
+            "integration, e.g. PIL); use fake=True for the deterministic "
+            "plumbing path"
+        )
+
+    out_schema = (
+        f"{id_col} long, width int, height int, n_bytes_in int, payload binary"
+    )
+    n_out = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            out = [
+                bytes(
+                    np.resize(
+                        np.frombuffer(
+                            hashlib.sha256(p or b"").digest(), dtype=np.uint8
+                        ),
+                        n_out,
+                    )
+                )
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "n_bytes_in": payloads.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "payload": out,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -1581,6 +1581,46 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_resize",
+    """SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes_in,
+              CAST(192 AS INTEGER) AS n_bytes_out
+       FROM documents""",
+    doc="mapInPandas resize plumbing: blob in → size-w*h*3 blob out "
+    "(operators/multimodal.py::resize_images, fake codec); the oracle "
+    "checks the size arithmetic, the payload itself is digest-fake",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    resized = resize_images(d, width=8, height=8, id_col="doc_id", fake=True)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes_in",
+        F.octet_length("payload").alias("n_bytes_out"),
+    )
+
+
+@_register(
+    "winnow_fingerprints",
+    None,  # xxhash64 fingerprints are engine-specific → rows-only; the
+    # shared-substring guarantee is pinned in tests/test_dedup_ann.py
+    doc="winnowing (MOSS rolling-hash) document fingerprints: min hash "
+    "per sliding window of k-gram hashes "
+    "(operators/dedup.py::winnow_fingerprints)",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "minhash_banded_pairs",
     # Same oracle as the exact operator: banded candidates are verified
     # with exact Jaccard (no false positives), and on this corpus every
