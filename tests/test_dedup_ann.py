@@ -101,6 +101,18 @@ def test_near_dup_resolve_banded_agrees_with_exact(spark):
     assert exact == banded
 
 
+def test_exact_dedup_null_patterns_stay_distinct(spark):
+    """Spark's xxhash64 skips NULL inputs, so hashing raw columns would
+    merge ('x', NULL) with (NULL, 'x'); the explicit is-null markers
+    keep groupBy(*cols)'s null semantics exactly."""
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, None, None), (4, None, None), (5, "x", None)],
+        "id long, a string, b string",
+    )
+    rows = sorted((r.id, r.n_copies) for r in exact_dedup(df, ["a", "b"], "id").collect())
+    assert rows == [(1, 2), (2, 1), (3, 2)]
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing's contract: identical docs → identical fingerprint
     sets; docs sharing a run of >= k + window - 1 words share >= 1

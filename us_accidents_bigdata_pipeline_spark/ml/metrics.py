@@ -106,10 +106,12 @@ def _validate_dense_labels(classes, vec_size: int, label_col: str) -> None:
         if c is None or float(c) != int(c) or not (0 <= int(c) < vec_size)
     ]
     if bad:
+        # key=repr: the offender list can mix None with floats, which
+        # plain sorted() cannot order
         raise ValueError(
             f"labels in '{label_col}' must be dense integers 0..{vec_size - 1} "
-            f"to index the probability vector; found {sorted(bad)}. Shift "
-            "labels to 0-based (e.g. Severity - 1) before evaluating."
+            f"to index the probability vector; found {sorted(bad, key=repr)}. "
+            "Shift labels to 0-based (e.g. Severity - 1) before evaluating."
         )
 
 

@@ -46,9 +46,20 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     re-enter via one join of the surviving keeper ids against the
     source — at warehouse scale that side is the table bucketed by
     ``id_col``, making the keeper join shuffle-free on the big side.
+
+    NULL columns: Spark's xxhash64 SKIPS null inputs (the running seed
+    passes through unchanged), so hashing the raw columns would merge
+    e.g. ("x", NULL) with (NULL, "x"). Each column therefore
+    contributes an explicit is-null marker alongside its value, making
+    the null pattern part of the key — groupBy(*cols)'s null semantics
+    (NULLs equal, position significant) are preserved exactly.
     """
-    fp = F.xxhash64(*[F.col(c) for c in cols])
-    chk = F.xxhash64(F.lit("dedup-chk"), *[F.col(c) for c in cols])
+    keyed = []
+    for c in cols:
+        keyed.append(F.isnull(c).cast("int"))
+        keyed.append(F.col(c))
+    fp = F.xxhash64(*keyed)
+    chk = F.xxhash64(F.lit("dedup-chk"), *keyed)
     keepers = (
         df.select(fp.alias("_fp"), chk.alias("_chk"), F.col(id_col))
         .groupBy("_fp")
@@ -94,8 +105,10 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc (set semantics for Jaccard).
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram) — every word n-gram with its start position.
 
     Relational formulation: tokenize ONCE via posexplode, then form
     n-gram windows with ``lead()`` over (doc, position). The array-
@@ -103,7 +116,9 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     per produced shingle — Catalyst has no let-binding, so the split
     subexpression is inlined into every lambda element; measured ~5s
     for 5k docs vs sub-second here. One shuffle on id (the window),
-    which downstream groupBys reuse.
+    which downstream groupBys reuse. Shared by the Jaccard/MinHash
+    shingle path (set semantics via distinct) and winnowing (positional
+    semantics).
     """
     from pyspark.sql import Window as W
 
@@ -115,11 +130,22 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     return (
         toks.select(
-            F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
             parts[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
+        .select(id_col, "pos", "gram")
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc (set semantics for
+    Jaccard) — see ``_positional_grams`` for the formulation."""
+    return (
+        _positional_grams(df, id_col, text_col, n)
+        .select(id_col, F.col("gram").alias("shingle"))
         .distinct()
     )
 
@@ -144,26 +170,17 @@ def winnow_fingerprints(
     copy-detection needs and plain min-hashing lacks. Density is
     ~2/(window+1) of all k-grams.
 
-    Relational shape: posexplode → lead() window for the k-grams (one
-    shuffle on id), a second rolling-min frame over the same
-    partitioning (reused exchange), then distinct. Rows-only check:
-    xxhash64 is engine-specific; the shared-substring guarantee is
-    pinned in tests.
+    Relational shape: the shared ``_positional_grams`` builder (one
+    shuffle on id), a rolling-min frame over the same partitioning
+    (reused exchange), then distinct. Rows-only check: xxhash64 is
+    engine-specific; the shared-substring guarantee is pinned in
+    tests.
     """
     from pyspark.sql import Window as W
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(text_col), r"\s+")).alias("pos", "tok"),
+    grams = _positional_grams(df, id_col, text_col, k).select(
+        F.col(id_col), F.col("pos"), F.xxhash64("gram").alias("_gh")
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = toks.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(F.concat_ws(" ", *parts)).alias("_gh"),
-        parts[-1].alias("_last"),
-    ).filter(F.col("_last").isNotNull())
     rolling = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     return (
         grams.select(

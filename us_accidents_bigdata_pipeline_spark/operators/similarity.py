@@ -278,11 +278,18 @@ def ivf_search(
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
     m_assign: int = 1,
+    index=None,
 ) -> DataFrame:
     """IVF probe search: score the query ONLY against vectors whose
     cell is among the ``nprobe`` centroids nearest the query (Euclidean
     — the metric the quantizer optimizes). Returns (vec_id, dist), the
     k nearest by exact distance within the probed cells.
+
+    ``index``: an ``(assignments, model)`` pair from ``ivf_fit_assign``
+    — pass it when issuing MANY queries so the quantizer fit and the
+    corpus assignment are built once, not per query (persist the
+    assignment frame caller-side for full reuse). Default None builds
+    a fresh index (the one-off-query convenience path).
 
     Scale shape: centroid ranking is driver-side over n_cells rows
     (tiny); the probe filter is a semi-join against the probed slice of
@@ -294,9 +301,12 @@ def ivf_search(
     """
     import numpy as np
 
-    assigned, model = ivf_fit_assign(
-        df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=m_assign
-    )
+    if index is not None:
+        assigned, model = index
+    else:
+        assigned, model = ivf_fit_assign(
+            df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=m_assign
+        )
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
     if qrow is None:
         return df.select(F.col(id_col), F.lit(0.0).alias("dist")).limit(0)
@@ -433,31 +443,40 @@ def _embedding_pairs_blas(
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = 1.0
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
 
+    # the corpus matrix rides the mapInPandas CLOSURE, not an explicit
+    # sc.broadcast: PySpark auto-broadcasts large serialized commands
+    # and — unlike a handle this lazy-returning function could never
+    # safely destroy() — the ContextCleaner releases that broadcast as
+    # soon as the returned frame is garbage collected
     def score(batches):
-        b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             chunk_ids = pdf[id_col].to_numpy(dtype=np.int64)
             chunk = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cnorm = np.linalg.norm(chunk, axis=1)
             cnorm[cnorm == 0.0] = 1.0
-            cos = (chunk @ b_mat.T) / cnorm[:, None] / b_norms[None, :]
+            cos = (chunk @ mat.T) / cnorm[:, None] / norms[None, :]
             # upper triangle (doc_a < doc_b) and threshold, vectorized
             hit_r, hit_c = np.nonzero(
-                (cos >= threshold) & (chunk_ids[:, None] < b_ids[None, :])
+                (cos >= threshold) & (chunk_ids[:, None] < ids[None, :])
             )
             yield pd.DataFrame(
                 {
                     "doc_a": chunk_ids[hit_r],
-                    "doc_b": b_ids[hit_c],
-                    "cosine": np.round(cos[hit_r, hit_c], 4),
+                    "doc_b": ids[hit_c],
+                    "cosine": cos[hit_r, hit_c],
                 }
             )
 
     out_schema = "doc_a long, doc_b long, cosine double"
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(score, out_schema)
+    # rounding happens in a Spark projection so the blas and expression
+    # paths share ONE rounding function (F.round, HALF_UP) — np.round's
+    # half-to-even would diverge at .xxxx5 boundaries
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(score, out_schema)
+        .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+    )
 
 
 def embedding_near_dup_resolve(

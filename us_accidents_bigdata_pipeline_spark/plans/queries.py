@@ -1326,23 +1326,16 @@ def q_ml_knn_embedding_predictions(spark: SparkSession, sf_dir: str) -> DataFram
 # =====================================================================
 
 
-@_register(
-    "streaming_windowed_counts",
-    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
-                  AS window_end,
-              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-       FROM events GROUP BY 1, 2, 3""",
-    doc="real streaming query: readStream → withWatermark → tumbling "
-    "window agg → memory sink (streaming/windows.py)",
-)
-def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import parquet_stream_reader, run_windowed_batch, windowed_counts
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file STREAM with ``ts`` rebuilt to a
+    microsecond timestamp — the one shared schema/conf recipe for every
+    streaming query (mirrors ``_t``'s nanos-as-long handling)."""
+    import pyspark.sql.types as T
+
+    from ..streaming import parquet_stream_reader
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import pyspark.sql.types as T
-
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -1356,7 +1349,23 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = parquet_stream_reader(
         spark, sf_dir, schema, glob_filter="events.parquet"
     )
-    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@_register(
+    "streaming_windowed_counts",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                  AS window_end,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
+    doc="real streaming query: readStream → withWatermark → tumbling "
+    "window agg → memory sink (streaming/windows.py)",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_windowed_batch, windowed_counts
+
+    events = _events_stream(spark, sf_dir)
     agg = windowed_counts(events, window_duration="1 hour", watermark="2 hours")
     out = run_windowed_batch(agg, query_name="windowed_counts_oracle")
     return out.select(
@@ -1393,30 +1402,9 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formulations must agree exactly",
 )
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import (
-        parquet_stream_reader,
-        run_windowed_batch,
-        session_window_counts,
-    )
+    from ..streaming import run_windowed_batch, session_window_counts
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import pyspark.sql.types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = parquet_stream_reader(
-        spark, sf_dir, schema, glob_filter="events.parquet"
-    )
-    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _events_stream(spark, sf_dir)
     agg = session_window_counts(events, gap="30 minutes", watermark="2 hours")
     return run_windowed_batch(agg, query_name="session_windows_oracle")
 
@@ -1429,40 +1417,31 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="custom stateful streaming operator: applyInPandasWithState "
     "per-key (count, sum) state across micro-batches "
     "(streaming/stateful.py::running_totals_stateful); finals "
-    "recovered by max() over the monotone emitted totals, so the "
-    "batch groupBy is an exact oracle on bounded input",
+    "recovered per key from the emission with the highest n_events "
+    "(count is strictly monotone), so the batch groupBy is an exact "
+    "oracle on bounded input",
 )
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.sql.types as T
+    from ..streaming import run_windowed_batch, running_totals_stateful
 
-    from ..streaming import (
-        parquet_stream_reader,
-        run_windowed_batch,
-        running_totals_stateful,
-    )
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    events = parquet_stream_reader(
-        spark, sf_dir, schema, glob_filter="events.parquet"
-    )
+    events = _events_stream(spark, sf_dir)
     totals = running_totals_stateful(events, key_col="user_id", value_col="value")
     emitted = run_windowed_batch(
         totals, query_name="running_totals_oracle", output_mode="update"
     )
-    return emitted.groupBy("key").agg(
-        F.max("n_events").alias("n_events"),
-        F.round(F.max("total_value"), 4).alias("total_value"),
+    # final state per key = the emission with the highest n_events
+    # (strictly monotone — a key only emits when new rows arrived).
+    # max(struct) selects total_value from THAT row; a bare
+    # max(total_value) would be wrong if values could be negative.
+    final = F.max(F.struct("n_events", "total_value")).alias("_f")
+    return (
+        emitted.groupBy("key")
+        .agg(final)
+        .select(
+            "key",
+            F.col("_f.n_events").alias("n_events"),
+            F.round("_f.total_value", 4).alias("total_value"),
+        )
     )
 
 

@@ -53,11 +53,14 @@ def running_totals_stateful(
     micro-batches; emits the updated totals for every key seen in each
     trigger. Output: (key, n_events, total_value).
 
-    Both emitted columns are MONOTONE non-decreasing over triggers (sum
-    is monotone because the fold only adds), so a bounded smoke run can
-    recover finals with max() per key regardless of how the source was
-    split into batches — that is what makes this oracle-comparable to
-    the batch groupBy.
+    ``n_events`` is STRICTLY monotone over a key's emissions (a key
+    only emits when new rows arrived), so a bounded smoke run can
+    recover finals per key by taking the emission with the highest
+    ``n_events`` — e.g. ``max(struct(n_events, total_value))`` — no
+    matter how the source was split into batches. That is what makes
+    this oracle-comparable to the batch groupBy. (``total_value``
+    itself is NOT monotone when values can be negative — recover it
+    via the argmax, never with a bare ``max``.)
     """
     out_schema = T.StructType(
         [
