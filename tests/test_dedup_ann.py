@@ -65,6 +65,55 @@ def test_resolve_components_singletons_and_cliques(spark):
     assert keep == {0, 1, 4, 5, 6, 7, 9}
 
 
+def test_resolve_components_random_graphs_property(spark):
+    """Property check vs a plain union-find reference on random graphs:
+    label-propagation + pointer-jumping must produce identical
+    components for arbitrary edge sets (cycles, chains, self-loops,
+    dense cliques)."""
+    import random
+
+    def uf_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical = min node id in component
+        canon = {}
+        for v in range(n):
+            r = find(v)
+            canon.setdefault(r, v if v < canon.get(r, n) else canon[r])
+        # second pass: true min per root
+        mins: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            mins[r] = min(mins.get(r, v), v)
+        return {v: mins[find(v)] for v in range(n)}
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 40
+        n_edges = rng.choice([10, 40, 100])
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        expect = uf_components(n, edges)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.canonical_id
+            for r in resolve_components(nodes, pairs).collect()
+        }
+        assert got == expect, (trial, n_edges)
+
+
 def test_near_dup_resolve_planted_clusters(spark):
     """Planted duplicate clusters collapse to exactly one survivor each
     (the min doc id), singletons keep themselves."""

