@@ -644,6 +644,71 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_ntile_quartiles",
+    """SELECT o_orderpriority, o_orderkey,
+              CAST(ntile(4) OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+       FROM orders""",
+    doc="equi-depth bucketing per group via ntile (quantile cohorting)",
+)
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "window_first_last",
+    """SELECT o_custkey, o_orderkey,
+              round(first_value(o_totalprice) OVER w, 2) AS first_price,
+              round(last_value(o_totalprice) OVER w, 2) AS last_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    doc="first/last value per partition with an explicit full frame "
+    "(the default frame would make last_value = current row)",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+    )
+
+
+@_register(
+    "grouping_sets_agg",
+    """SELECT l_returnflag, l_linestatus,
+              count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    doc="explicit GROUPING SETS (neither rollup nor cube): per-flag and "
+    "per-status subtotals only, no grand total, no cross terms",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return li.sparkSession.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           FROM _gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
 # =====================================================================
 # Set operations (engine surface; absent in reference).
 # =====================================================================
