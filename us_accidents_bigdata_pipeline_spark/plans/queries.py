@@ -690,6 +690,44 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_agg_sorted",
+    """SELECT r_regionkey,
+              list_sort(list(n_name)) AS nations
+       FROM region JOIN nation ON r_regionkey = n_regionkey
+       GROUP BY r_regionkey""",
+    doc="deterministic array aggregation: collect_list's order is "
+    "partition-dependent, so sort_array wraps it — the only "
+    "oracle-safe (and reproducible-at-scale) form",
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@_register(
+    "string_agg_sorted",
+    """SELECT o_orderpriority,
+              string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS statuses
+       FROM orders GROUP BY o_orderpriority""",
+    doc="deterministic string aggregation: distinct values sorted then "
+    "joined (concat_ws over sort_array(collect_set))",
+)
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderstatus"))
+        ).alias("statuses")
+    )
+
+
+@_register(
     "grouping_sets_agg",
     """SELECT l_returnflag, l_linestatus,
               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
