@@ -400,3 +400,28 @@ def test_ngram_hot_shingle_cap_bounds_join(spark):
     capped = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=5).count()
     assert uncapped == 30 * 29 / 2  # every pair shares the hot shingle
     assert capped == 0
+
+
+def test_simhash_max_hamming_zero_single_block(spark):
+    """max_hamming=0 → one 64-bit block: the mask (1<<64)-1 overflows
+    LongType, so the single-block case must join on the unmasked hash.
+    Result = exact-simhash-equality pairs only."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        simhash_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sims = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=0).collect()
+    }
+    ids = sorted(sims)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sims[a] == sims[b]
+    }
+    assert got == expect

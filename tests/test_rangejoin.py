@@ -52,3 +52,25 @@ def test_range_join_left_keeps_unmatched(spark):
     assert len(rows) == 7
     # matched rows carry interval columns
     assert all(r.lo is not None for r in rows if r.name is not None)
+
+
+def test_range_join_left_null_in_point_column(spark):
+    """A MATCHED point row carrying a NULL must be emitted exactly once:
+    the anti-join uses null-safe equality, so the null row equates with
+    its copy in the matched set (name-list joins compile to null-unsafe
+    equality and would emit it twice — once matched, once null-padded)."""
+    points = spark.createDataFrame(
+        [(1, 5.0, "x"), (2, 15.0, None), (3, 99.0, None)],
+        "pid long, v double, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 20.0)], "name string, lo double, hi double"
+    )
+    rows = range_join_binned(
+        points, intervals, "v", "lo", "hi", 8.0, how="left"
+    ).collect()
+    assert len(rows) == 3
+    by_pid = {r.pid: r for r in rows}
+    assert by_pid[1].name == "a"
+    assert by_pid[2].name == "a"  # matched despite NULL tag, not doubled
+    assert by_pid[3].name is None  # genuinely unmatched, null-padded

@@ -516,13 +516,22 @@ def simhash_near_dup_pairs(
     base, extra = divmod(64, nb)
     widths = [base + (1 if i < extra else 0) for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
+
+    def _block_value(i: int) -> Column:
+        # width 64 (max_hamming=0 → one block = the whole hash) cannot
+        # be masked: (1 << 64) - 1 overflows LongType and F.lit raises
+        # at plan build. The shifted value IS the block value then —
+        # and 63 is fine ((1 << 63) - 1 == Long.MAX_VALUE).
+        shifted = F.shiftrightunsigned("simhash", offsets[i])
+        if widths[i] >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("bi"),
-                F.shiftrightunsigned("simhash", offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("bv"),
+                _block_value(i).alias("bv"),
             )
             for i in range(nb)
         ]

@@ -39,8 +39,10 @@ def range_join_binned(
     ``how="inner"`` drops unmatched points; ``"left"`` keeps them with
     null interval columns (implemented as the inner form plus an
     anti-join union so the residual filter can't silently turn a left
-    join into an inner one — the anti-join keys on the full point row,
-    so left mode requires point rows to be distinct)."""
+    join into an inner one — the anti-join keys on the full point row
+    with NULL-SAFE equality, so a matched point row containing NULLs
+    still equates with its copy in the matched set; left mode requires
+    point rows to be distinct)."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join_binned: unsupported how={how!r}")
     p = points.withColumn("_bin", F.floor(F.col(point_col) / F.lit(bin_width)))
@@ -60,9 +62,16 @@ def range_join_binned(
     )
     if how == "inner":
         return matched
-    unmatched = points.join(
-        matched.select(*points.columns), points.columns, "left_anti"
-    )
+    # anti-join must use eqNullSafe: a name-list join compiles to
+    # null-unsafe equality, so a matched point row carrying a NULL in
+    # any column would never equate with itself and be emitted twice
+    # (once matched, once null-padded)
+    matched_keys = matched.select(*points.columns)
+    cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(matched_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    unmatched = points.join(matched_keys, cond, "left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None))
     return matched.unionByName(unmatched)

@@ -692,12 +692,16 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "array_agg_sorted",
     """SELECT r_regionkey,
-              list_sort(list(n_name)) AS nations
+              array_to_string(list_sort(list(n_name)), ',') AS nations
        FROM region JOIN nation ON r_regionkey = n_regionkey
        GROUP BY r_regionkey""",
     doc="deterministic array aggregation: collect_list's order is "
-    "partition-dependent, so sort_array wraps it — the only "
-    "oracle-safe (and reproducible-at-scale) form",
+    "partition-dependent, so sort_array wraps it. Emitted in canonical "
+    "joined-string form: the sorted ARRAY itself is the operator "
+    "(sort_array(collect_list(..))), but an array-typed result cell "
+    "is unhashable for the driver's canonicalizer (r2: TypeError "
+    "'unhashable type: list'), so the contract surface serializes it "
+    "— semantics identical, hashable everywhere",
 )
 def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
@@ -705,7 +709,11 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("r_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
     )
 
 
@@ -1486,7 +1494,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT user_id, event_id, ts,
                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id)
-                          > INTERVAL '30 minutes'
+                          >= INTERVAL '30 minutes'
                      THEN 1 ELSE 0 END AS brk
          FROM events),
        s AS (
