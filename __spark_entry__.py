@@ -23,18 +23,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 from us_accidents_bigdata_pipeline_spark.plans import queries as _queries
 from us_accidents_bigdata_pipeline_spark.plans import oracle_sql as _oracle_sql
+from us_accidents_bigdata_pipeline_spark.session import ship_package
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ship the engine package to executors before the first query runs —
+    pandas_udf/applyInPandasWithState functions are pickled by reference
+    and must be importable on workers whatever the driver's CWD is."""
+
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return inner
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's signature
     severity-distribution aggregate (data_cleaning.py:144) mapped onto
     orders.o_orderpriority (FIXTURES.md §6)."""
-    return _queries()["priority_distribution"](spark, "/root/testdata/sf0.001")
+    return _shipped(_queries()["priority_distribution"])(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _queries()
+    return {name: _shipped(fn) for name, fn in _queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -7,40 +7,26 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from us_accidents_bigdata_pipeline_spark.streaming import (
-    parquet_stream_reader,
+    adaptive_ts_stream,
     run_windowed_batch,
     windowed_counts,
 )
 
 from .conftest import SF_ORACLE
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def _event_stream(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = parquet_stream_reader(
-        spark, SF_ORACLE, EVENT_SCHEMA, glob_filter="events.parquet"
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # dtype-adaptive: probes whether the fixture stores ts as
+    # nanos-as-long or a native timestamp (streaming/windows.py)
+    return adaptive_ts_stream(spark, SF_ORACLE, glob_filter="events.parquet")
 
 
 def _event_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from us_accidents_bigdata_pipeline_spark.plans.queries import _t
+
+    return _t(spark, SF_ORACLE, "events")
 
 
 def test_sliding_window_stream_matches_batch(spark):

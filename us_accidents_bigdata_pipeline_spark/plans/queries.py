@@ -1438,29 +1438,13 @@ def q_ml_knn_embedding_predictions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file STREAM with ``ts`` rebuilt to a
-    microsecond timestamp — the one shared schema/conf recipe for every
-    streaming query (mirrors ``_t``'s nanos-as-long handling)."""
-    import pyspark.sql.types as T
+    """The events table as a file STREAM — dtype-adaptive exactly like
+    ``_t``: the ``ts`` encoding (nanos-as-long vs native timestamp) is
+    probed from a batch read, never assumed (streaming/windows.py::
+    adaptive_ts_stream)."""
+    from ..streaming import adaptive_ts_stream
 
-    from ..streaming import parquet_stream_reader
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long (see _t)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = parquet_stream_reader(
-        spark, sf_dir, schema, glob_filter="events.parquet"
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return adaptive_ts_stream(spark, sf_dir, glob_filter="events.parquet")
 
 
 @_register(
@@ -1572,7 +1556,12 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import dedup_stream, parquet_stream_reader, run_windowed_batch
 
     events = _t(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+        "event_id",
+        # watermark (EVENT_TIME) accepts only TIMESTAMP, not the
+        # TIMESTAMP_NTZ some fixtures store; UTC session tz → identical
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
     )
     dup_dir = tempfile.mkdtemp(prefix="stream_dedup_")
     try:
@@ -1772,7 +1761,10 @@ def q_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # unix_micros requires TIMESTAMP; the fixture may store TIMESTAMP_NTZ.
+    # Session tz is UTC (set by _t), so the cast is wall-clock-preserving.
+    ts = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
     brk = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return ev.select(

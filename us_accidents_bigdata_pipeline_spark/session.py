@@ -20,8 +20,47 @@ Re-expresses the reference's session/tuning surface (SURVEY §2.12 X5/X6:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+# SparkContext ids that already received the package zip (addPyFile is
+# sticky for the context's lifetime; re-adding is redundant work).
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Module-level functions used inside ``pandas_udf`` /
+    ``applyInPandasWithState`` are cloudpickled BY REFERENCE, so the
+    worker must be able to ``import us_accidents_bigdata_pipeline_spark``
+    — which fails whenever the driver ran from a working directory
+    outside the repo. Shipping a zip via ``SparkContext.addPyFile`` is
+    the cluster-correct mechanism (identical to ``spark-submit
+    --py-files``): the archive is distributed to every executor and
+    prepended to the worker's ``sys.path``. Local mode benefits the
+    same way. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_parent = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="uabp_pyfiles_"),
+        "us_accidents_bigdata_pipeline_spark.zip",
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, pkg_parent))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 def get_spark(

@@ -1,5 +1,6 @@
 from .stateful import dedup_stream, running_totals_stateful
 from .windows import (
+    adaptive_ts_stream,
     kafka_stream_reader,
     parquet_stream_reader,
     run_windowed_batch,
@@ -8,6 +9,7 @@ from .windows import (
 )
 
 __all__ = [
+    "adaptive_ts_stream",
     "dedup_stream",
     "kafka_stream_reader",
     "parquet_stream_reader",

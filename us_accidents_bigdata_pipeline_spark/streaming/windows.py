@@ -66,6 +66,41 @@ def parquet_stream_reader(
     return reader.load(path)
 
 
+def adaptive_ts_stream(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str = "events.parquet",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """File stream whose ``ts_col`` encoding is detected, not assumed.
+
+    Parquet fixtures have shipped ``ts`` three ways: TIMESTAMP(NANOS)
+    (Spark's vectorized reader surfaces it as **long** under
+    ``spark.sql.legacy.parquet.nanosAsLong``), TIMESTAMP_MICROS
+    (``TIMESTAMP_NTZ``), and adjusted-to-UTC ``TIMESTAMP``. A stream
+    source needs an explicit schema, so hardcoding any one encoding
+    silently corrupts the others (a micros value divided by 1000 lands
+    in 1970). Probe a cheap batch read (footer-only schema resolution)
+    and mirror exactly what the batch loader would produce: long nanos
+    → rebuild a microsecond timestamp with integer division; native
+    timestamp types pass through untouched. Session timezone is pinned
+    UTC so NTZ and UTC-adjusted values agree wall-clock."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", glob_filter).parquet(path)
+    stream = parquet_stream_reader(spark, path, probe.schema, glob_filter)
+    dtype = dict(probe.dtypes).get(ts_col)
+    if dtype == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        # withWatermark (EVENT_TIME) accepts only TIMESTAMP; the cast is
+        # wall-clock-preserving because the session tz is pinned UTC.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
