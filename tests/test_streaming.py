@@ -78,6 +78,46 @@ def test_session_window_batch(spark):
             assert e1 <= s2
 
 
+def test_session_window_exact_gap_boundary(spark):
+    # Spark merges events EXACTLY gap apart into one session — the
+    # break condition is strictly '>'. The streaming_session_windows
+    # SQL oracle encodes the same strict break; this pins the boundary
+    # so the two formulations can never silently diverge on exact-gap
+    # data.
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),  # exactly gap → merges
+        (1, dt.datetime(2024, 1, 1, 1, 0, 1)),  # gap + 1s → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sizes = sorted(
+        r.n_events
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sizes == [1, 2]
+    # the oracle's lag-based formulation (strict '>') agrees
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap_s > 30 * 60, 1).otherwise(0)
+    sid = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    lag_sizes = sorted(
+        r.n
+        for r in df.select("user_id", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert lag_sizes == sizes
+
+
 def test_apply_in_pandas_with_state(spark):
     # custom stateful operator: running per-key event counter across
     # micro-batches (applyInPandasWithState, SURVEY §2.10 mapping)

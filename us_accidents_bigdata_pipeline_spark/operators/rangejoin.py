@@ -65,11 +65,16 @@ def range_join_binned(
     # anti-join must use eqNullSafe: a name-list join compiles to
     # null-unsafe equality, so a matched point row carrying a NULL in
     # any column would never equate with itself and be emitted twice
-    # (once matched, once null-padded)
-    matched_keys = matched.select(*points.columns)
+    # (once matched, once null-padded). The right side derives from
+    # ``points`` (shared expression ids — the classic ambiguous
+    # self-join shape), so rename its columns first and resolve the
+    # condition purely by name.
+    matched_keys = matched.select(
+        *[F.col(c).alias(f"_mk_{c}") for c in points.columns]
+    )
     cond = None
     for c in points.columns:
-        eq = points[c].eqNullSafe(matched_keys[c])
+        eq = F.col(c).eqNullSafe(F.col(f"_mk_{c}"))
         cond = eq if cond is None else (cond & eq)
     unmatched = points.join(matched_keys, cond, "left_anti")
     for c in intervals.columns:

@@ -81,12 +81,95 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------
+# Driver sampling order. The correctness driver checks the FIRST 50
+# entries of queries() against their oracles; entries past that window
+# get no recorded evidence, and rows-only entries inside it waste
+# checked slots. Order the registry export accordingly: queries whose
+# oracles have not yet appeared in a recorded correctness round first,
+# then one-per-family representatives of the long-green relational
+# core, then the remaining oracled queries, rows-only entries last.
+# (Registration order in this file stays grouped by SURVEY §2 section
+# for readability; only the export order changes.)
+# ---------------------------------------------------------------------
+_CHECK_PRIORITY: list[str] = [
+    # oracled but never driver-checked through round 3
+    "embedding_norm_stats",
+    "multimodal_byte_stats",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_blas",
+    "embedding_near_dup_resolve",
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "streaming_session_windows",
+    "streaming_running_totals",
+    "streaming_dedup_events",
+    "range_join_bands",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "minhash_banded_pairs",
+    "sessionize_events",
+    "asof_last_purchase",
+    "string_indexer_mapping",
+    "local_supplier_volume",
+    "above_nation_avg_balance",
+    "having_filter",
+    "json_extract_props",
+    "json_schema_parse",
+    "unpivot_order_measures",
+    # family-diverse representatives of the r1-r3 green core
+    "pricing_summary",
+    "priority_distribution",
+    "hourly_event_stats",
+    "temporal_extract",
+    "conditional_impute",
+    "cast_arithmetic",
+    "filter_not_null_range",
+    "multi_agg_group",
+    "median_exact",
+    "null_audit",
+    "distinct_count",
+    "topk_orders",
+    "join_region_stats",
+    "join_revenue_topk",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "window_topk_per_group",
+    "window_running_sum",
+    "grouping_sets_agg",
+    "pivot_linestatus",
+    "setop_union_distinct",
+    "array_agg_sorted",
+    "exact_dedup_docs",
+    "near_dup_resolve",
+    "knn_cosine_topk",
+    "text_quality_scores",
+    "language_id_docs",
+]
+
+
+def _export_order() -> list[str]:
+    front = [n for n in _CHECK_PRIORITY if n in REGISTRY]
+    rest_oracled = [
+        n for n, s in REGISTRY.items() if s.oracle and n not in _CHECK_PRIORITY
+    ]
+    rows_only = [
+        n for n, s in REGISTRY.items() if not s.oracle and n not in _CHECK_PRIORITY
+    ]
+    return front + rest_oracled + rows_only
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _export_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _export_order()
+        if REGISTRY[name].oracle
+    }
 
 
 # =====================================================================
@@ -1478,7 +1561,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT user_id, event_id, ts,
                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id)
-                          >= INTERVAL '30 minutes'
+                          > INTERVAL '30 minutes'
                      THEN 1 ELSE 0 END AS brk
          FROM events),
        s AS (
