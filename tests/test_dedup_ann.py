@@ -305,6 +305,32 @@ def test_embedding_near_dup_blas_matches_exact(spark):
     assert all(abs(exact[k] - blas[k]) < 1e-6 for k in exact)
 
 
+def test_embedding_blas_tiling_bounds_memory(spark):
+    """The dense cosine block is tiled over corpus column blocks: with a
+    budget far below what the untiled B×n product needs, the path must
+    run inside the cap (many tiles) and stay bitwise-parity with the
+    exact expression form. Untiled, this corpus (n=1000, batches up to
+    1000 rows) would allocate 8·B·n ≈ 8 MB blocks — the 64 KB budget
+    forces ≥100 column tiles."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _embedding_pairs_blas,
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    tiled = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in _embedding_pairs_blas(
+            e, 0.42, "vec_id", "embedding", tile_mem_bytes=64 << 10
+        ).collect()
+    }
+    assert tiled == exact
+
+
 def test_embedding_near_dup_lsh_no_false_positives_high_recall(spark):
     """The LSH path's exact-cosine verify means zero false positives;
     at the default threshold, candidate recall on this corpus is 1.0

@@ -95,3 +95,40 @@ def test_collect_guards(spark):
     assert len(pdf) == 1000
     with pytest.raises(DriverCollectGuard):
         safe_to_pandas(df, max_rows=10)
+
+
+def test_kafka_batch_sink_executes_via_noop(spark):
+    # the full sink path (payload build -> format -> options -> save)
+    # runs end-to-end against Spark's built-in noop sink; only the
+    # format string differs from a real broker write
+    from us_accidents_bigdata_pipeline_spark.sources.io import (
+        kafka_batch_sink,
+        kafka_sink_options,
+    )
+
+    df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+    kafka_batch_sink(
+        df, "broker:9092", "events_topic", "r_regionkey", sink_format="noop"
+    )
+    assert kafka_sink_options("broker:9092", "events_topic") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "events_topic",
+    }
+
+
+def test_mongodb_sink_executes_via_noop(spark):
+    from us_accidents_bigdata_pipeline_spark.sources.io import (
+        mongodb_sink,
+        mongodb_sink_options,
+    )
+
+    df = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    mongodb_sink(
+        df, "mongodb://host:27017", "bigdata", "results", sink_format="noop"
+    )
+    opts = mongodb_sink_options("mongodb://host:27017", "bigdata", "results")
+    assert opts == {
+        "spark.mongodb.write.connection.uri": "mongodb://host:27017",
+        "spark.mongodb.write.database": "bigdata",
+        "spark.mongodb.write.collection": "results",
+    }

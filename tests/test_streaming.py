@@ -78,6 +78,67 @@ def test_session_window_batch(spark):
             assert e1 <= s2
 
 
+def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
+    # EventTimeTimeout lifecycle: batch 1 carries keys {1, 2} at t0,
+    # batch 2 (forced via maxFilesPerTrigger=1) carries only key 1 an
+    # hour later — the advancing watermark passes key 2's idle timer
+    # (t0 + 5 min), so it fires hasTimedOut, emits its final row, and
+    # its state is evicted.
+    import datetime as dt
+    import time
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        counts_with_timeout,
+        parquet_stream_reader,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    # the file-stream source lists FLAT files only, so append two
+    # single-part write jobs into one directory (distinct mtimes order
+    # them into separate micro-batches under maxFilesPerTrigger=1)
+    src = str(tmp_path / "timeout_src")
+    batch1 = spark.createDataFrame(
+        [(1, t0), (1, t0), (2, t0)], "user_id long, ts timestamp"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    batch2 = spark.createDataFrame([(1, t1)], "user_id long, ts timestamp")
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = parquet_stream_reader(
+        spark,
+        src,
+        batch1.schema,
+        glob_filter="*.parquet",
+        max_files_per_trigger=1,
+    )
+    out = counts_with_timeout(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        watermark="10 minutes",
+        idle_gap_ms=5 * 60 * 1000,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("timeout_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("timeout_out").collect()
+    finals = {r.key: r.n_events for r in rows if r.final}
+    updates = [(r.key, r.n_events) for r in rows if not r.final]
+    # key 2 timed out with its batch-1 count; key 1 never timed out
+    assert finals == {2: 1}
+    # key 1's count carried state across micro-batches: 2 then 3
+    assert (1, 2) in updates and (1, 3) in updates
+
+
 def test_session_window_exact_gap_boundary(spark):
     # Spark merges events EXACTLY gap apart into one session — the
     # break condition is strictly '>'. The streaming_session_windows

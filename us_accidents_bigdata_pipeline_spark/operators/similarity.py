@@ -355,11 +355,12 @@ def embedding_near_dup_pairs(
     (and the oracle-checked form).
     ``method="blas"``: identical exact semantics, executed as a
     broadcast matrix product — the corpus matrix rides a guarded
-    broadcast and every partition computes chunk @ corpusᵀ in one BLAS
-    call inside ``mapInPandas``, emitting only above-threshold pairs.
-    Still O(n²) flops but ~50× fewer per-flop overheads than the
-    expression form; the right shape while the corpus matrix fits a
-    broadcast (~10M × 64 float32 ≈ 2.5 GB). Beyond that, or whenever
+    broadcast and every partition computes column-tiled chunk @ corpusᵀ
+    BLAS calls inside ``mapInPandas`` (dense intermediates capped per
+    tile), emitting only above-threshold pairs. Still O(n²) flops but
+    ~50× fewer per-flop overheads than the expression form; the right
+    shape while the corpus matrix fits a broadcast (2M × 64 float64 =
+    1 GB, the enforced default ceiling). Beyond that, or whenever
     the threshold leaves a real distance gap, use ``method="lsh"``:
     BucketedRandomProjectionLSH approxSimilarityJoin generates
     candidates within Euclidean ``sqrt(2 − 2·threshold)`` (the
@@ -420,16 +421,28 @@ def _embedding_pairs_blas(
     threshold: float,
     id_col: str,
     vec_col: str,
-    max_broadcast_rows: int = 10_000_000,
+    max_broadcast_rows: int = 2_000_000,
+    tile_mem_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact all-pairs cosine via broadcast matrix product.
 
     The (id, vector) corpus is collected through ``safe_collect`` and
     broadcast once; each ``mapInPandas`` batch of corpus rows computes
-    ``chunk @ corpusᵀ`` (one dgemm — BLAS does n·d flops at memory
+    ``chunk @ corpusᵀ`` (dgemm — BLAS does n·d flops at memory
     bandwidth instead of one Catalyst lambda-chain per pair) and emits
     the above-threshold upper-triangle pairs. Map-only: no shuffle at
     all; the only data movement is the one broadcast.
+
+    Memory bounds, explicitly: the DENSE cosine block for a batch of B
+    rows against the full corpus is 8·B·n bytes — at B≈10K Arrow rows
+    and n=10M that is ~800 GB, a scale-killer no broadcast guard
+    catches. The product is therefore TILED over corpus column blocks:
+    each tile's intermediate is capped at ``tile_mem_bytes`` (default
+    256 MB) and hits are emitted per tile, so peak executor memory is
+    broadcast + one tile regardless of corpus size. The remaining
+    ceiling is the broadcast itself — ``max_broadcast_rows`` defaults
+    to 2M rows (2M × 64 dims × 8 B = 1 GB), the honest bound for this
+    path; beyond it use the LSH/banded candidates instead.
     """
     import numpy as np
     import pandas as pd
@@ -455,18 +468,26 @@ def _embedding_pairs_blas(
             chunk = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cnorm = np.linalg.norm(chunk, axis=1)
             cnorm[cnorm == 0.0] = 1.0
-            cos = (chunk @ mat.T) / cnorm[:, None] / norms[None, :]
-            # upper triangle (doc_a < doc_b) and threshold, vectorized
-            hit_r, hit_c = np.nonzero(
-                (cos >= threshold) & (chunk_ids[:, None] < ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_a": chunk_ids[hit_r],
-                    "doc_b": ids[hit_c],
-                    "cosine": cos[hit_r, hit_c],
-                }
-            )
+            # tile over corpus columns so the dense intermediate never
+            # exceeds tile_mem_bytes (8 bytes per cell); column tiling
+            # leaves every dot product (and the division order) bitwise
+            # identical to the untiled form
+            tile = max(1, tile_mem_bytes // (8 * max(len(chunk), 1)))
+            for j0 in range(0, len(ids), tile):
+                j1 = min(j0 + tile, len(ids))
+                cos = (chunk @ mat[j0:j1].T) / cnorm[:, None] / norms[None, j0:j1]
+                # upper triangle (doc_a < doc_b) and threshold
+                hit_r, hit_c = np.nonzero(
+                    (cos >= threshold)
+                    & (chunk_ids[:, None] < ids[None, j0:j1])
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_a": chunk_ids[hit_r],
+                        "doc_b": ids[j0 + hit_c],
+                        "cosine": cos[hit_r, hit_c],
+                    }
+                )
 
     out_schema = "doc_a long, doc_b long, cosine double"
     # rounding happens in a Spark projection so the blas and expression

@@ -1556,6 +1556,42 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_sliding_counts",
+    """SELECT time_bucket(INTERVAL '30 minutes', ts)
+                  - i.i * INTERVAL '30 minutes' AS window_start,
+              time_bucket(INTERVAL '30 minutes', ts)
+                  - i.i * INTERVAL '30 minutes' + INTERVAL '1 hour'
+                  AS window_end,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+       GROUP BY 1, 2, 3""",
+    doc="real SLIDING-window streaming query (window=1h, slide=30m): "
+    "every event lands in exactly window/slide = 2 overlapping "
+    "windows, so the batch oracle replicates each row into its two "
+    "slide-aligned window starts (time_bucket minus 0/1 slide) and "
+    "aggregates (streaming/windows.py::windowed_counts slide path)",
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_windowed_batch, windowed_counts
+
+    events = _events_stream(spark, sf_dir)
+    agg = windowed_counts(
+        events,
+        window_duration="1 hour",
+        slide="30 minutes",
+        watermark="2 hours",
+    )
+    out = run_windowed_batch(agg, query_name="sliding_counts_oracle")
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@_register(
     "streaming_session_windows",
     """WITH x AS (
          SELECT user_id, event_id, ts,

@@ -103,22 +103,34 @@ def write_table(
     df.write.mode(mode).format(format).saveAsTable(name)
 
 
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """The exact writer options ``kafka_batch_sink`` sets — factored out
+    so tests can assert the plumbing without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+
+
 def kafka_batch_sink(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     key_col: str,
+    sink_format: str = "kafka",
 ) -> None:
     """Kafka batch sink (S11): replaces the reference's driver-side
     kafka-python producer loop (scripts/kafka_producer.py:40-88 — one
     process, row-at-a-time) with the distributed
     ``to_json(struct(*))`` writer: every executor publishes its
     partitions in parallel. Requires the spark-sql-kafka package on the
-    classpath (not in this container; covered by tests via payload-
-    shape checks on ``kafka_payload``)."""
-    kafka_payload(df, key_col).write.format("kafka").option(
-        "kafka.bootstrap.servers", bootstrap_servers
-    ).option("topic", topic).save()
+    classpath. ``sink_format`` is a test seam: brokerless environments
+    pass ``"noop"`` (Spark's built-in discard sink) to execute the
+    identical payload + writer path end-to-end."""
+    writer = kafka_payload(df, key_col).write.format(sink_format).mode("append")
+    for k, v in kafka_sink_options(bootstrap_servers, topic).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
@@ -133,22 +145,32 @@ def kafka_payload(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def mongodb_sink_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """The exact writer options ``mongodb_sink`` sets (mongo-spark-
+    connector v10 naming) — factored out so tests can assert the
+    plumbing without a running MongoDB."""
+    return {
+        "spark.mongodb.write.connection.uri": uri,
+        "spark.mongodb.write.database": database,
+        "spark.mongodb.write.collection": collection,
+    }
+
+
 def mongodb_sink(
     df: DataFrame,
     uri: str,
     database: str,
     collection: str,
     mode: str = "append",
+    sink_format: str = "mongodb",
 ) -> None:
     """MongoDB sink (S6, knn_classification.py:267-271). Requires the
     mongo-spark-connector on the classpath; callers without it should
     catch the AnalysisException and fall back to ``write_json`` (the
-    reference keeps the same dual-sink pattern)."""
-    (
-        df.write.format("mongodb")
-        .mode(mode)
-        .option("spark.mongodb.write.connection.uri", uri)
-        .option("spark.mongodb.write.database", database)
-        .option("spark.mongodb.write.collection", collection)
-        .save()
-    )
+    reference keeps the same dual-sink pattern). ``sink_format`` is a
+    test seam: brokerless environments pass ``"noop"`` to execute the
+    identical writer path end-to-end."""
+    writer = df.write.format(sink_format).mode(mode)
+    for k, v in mongodb_sink_options(uri, database, collection).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,4 +1,4 @@
-from .stateful import dedup_stream, running_totals_stateful
+from .stateful import counts_with_timeout, dedup_stream, running_totals_stateful
 from .windows import (
     adaptive_ts_stream,
     kafka_stream_reader,
@@ -10,6 +10,7 @@ from .windows import (
 
 __all__ = [
     "adaptive_ts_stream",
+    "counts_with_timeout",
     "dedup_stream",
     "kafka_stream_reader",
     "parquet_stream_reader",

@@ -85,6 +85,72 @@ def running_totals_stateful(
     )
 
 
+def counts_with_timeout(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    idle_gap_ms: int = 5 * 60 * 1000,
+) -> DataFrame:
+    """Stateful per-key count whose state EXPIRES after ``idle_gap_ms``
+    of EVENT-TIME inactivity (``GroupStateTimeout.EventTimeTimeout``):
+    when the watermark passes a key's last-event time + gap, the key is
+    invoked once with ``hasTimedOut``, emits a ``final=true`` row, and
+    its state is evicted. Output: (key, n_events, final).
+
+    This is the state-lifecycle twin of ``running_totals_stateful``
+    (which holds state forever): at 100 TB/day with an unbounded key
+    universe, timeout-based eviction is what keeps the state store from
+    growing without bound. Event-time (not processing-time) timers are
+    the scale-correct choice — deterministic under reprocessing and
+    backfill, driven by the same watermark that bounds the windowed
+    operators, and they cannot re-arm into an endless cleanup loop on
+    an idle stream. Timers fire on the first trigger whose watermark
+    passed them, so bounded smoke tests must force multi-batch
+    execution (``max_files_per_trigger=1``) to advance the watermark
+    between batches."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("final", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def func(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "final": [True]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        last_ms = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = pdf["_ts"].max()
+                last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+        state.update((n,))
+        # arm the event-time timer at last-seen + gap; the watermark
+        # crossing it is what declares the key idle
+        state.setTimeoutTimestamp(last_ms + idle_gap_ms)
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "final": [False]})
+
+    slim = events.selectExpr(
+        f"{key_col} as _k", f"CAST({ts_col} AS TIMESTAMP) as _ts"
+    ).withWatermark("_ts", watermark)
+    return slim.groupBy("_k").applyInPandasWithState(
+        func,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: list[str],

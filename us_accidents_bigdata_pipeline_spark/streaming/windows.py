@@ -54,15 +54,21 @@ def parquet_stream_reader(
     path: str,
     schema: T.StructType,
     glob_filter: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based stream source with identical downstream semantics.
 
     ``path`` must be a DIRECTORY (file-stream source requirement);
     ``glob_filter`` narrows to specific files within it. Schema must be
-    explicit for streams."""
+    explicit for streams. ``max_files_per_trigger`` splits available
+    files across micro-batches — the lever tests use to force REAL
+    multi-batch execution (state carry-over, timeouts) on bounded
+    input."""
     reader = spark.readStream.format("parquet").schema(schema)
     if glob_filter:
         reader = reader.option("pathGlobFilter", glob_filter)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
 
 
