@@ -132,3 +132,33 @@ def test_mongodb_sink_executes_via_noop(spark):
         "spark.mongodb.write.database": "bigdata",
         "spark.mongodb.write.collection": "results",
     }
+
+
+def test_catalog_registration_and_pure_sql(spark):
+    # S9/S10: CREATE TABLE ... USING parquet LOCATION over existing
+    # testdata, then query by pure spark.sql — the Hive DDL analog
+    from us_accidents_bigdata_pipeline_spark.sources.catalog import (
+        register_external_tables,
+        sql_on_catalog,
+    )
+
+    register_external_tables(
+        spark, SF_ORACLE, names=("region", "nation"), database="uabp_test"
+    )
+    tables = {t.name for t in spark.catalog.listTables("uabp_test")}
+    assert {"region", "nation"} <= tables
+    n = spark.sql("SELECT count(*) AS n FROM uabp_test.nation").head()[0]
+    assert n == 25
+    # EXTERNAL semantics: dropping the table must not delete the data
+    spark.sql("DROP TABLE uabp_test.nation")
+    assert spark.read.parquet(f"{SF_ORACLE}/nation.parquet").count() == 25
+    # re-registration is idempotent and the helper restores the db
+    out = sql_on_catalog(
+        spark,
+        SF_ORACLE,
+        """SELECT r.r_name, count(*) AS n FROM nation n
+           JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name""",
+        database="uabp_test",
+    )
+    assert out.agg(F.sum("n")).head()[0] == 25
+    assert spark.catalog.currentDatabase() == "default"

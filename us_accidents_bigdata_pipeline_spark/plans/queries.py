@@ -117,6 +117,7 @@ _CHECK_PRIORITY: list[str] = [
     "json_extract_props",
     "json_schema_parse",
     "unpivot_order_measures",
+    "catalog_sql_region_orders",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
@@ -1940,6 +1941,34 @@ def q_string_indexer_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(ev)
     labels = [(v, float(i)) for i, v in enumerate(model.labels)]
     return spark.createDataFrame(labels, "event_type string, idx double")
+
+
+@_register(
+    "catalog_sql_region_orders",
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r_name""",
+    doc="S9/S10 catalog path: tables registered via CREATE TABLE ... "
+    "USING parquet LOCATION (the Hive create_tables.hql analog, "
+    "sources/catalog.py) and the query issued as PURE spark.sql "
+    "against the catalog — identical text to the DuckDB oracle",
+)
+def q_catalog_sql_region_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import sql_on_catalog
+
+    return sql_on_catalog(
+        spark,
+        sf_dir,
+        """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+                  round(sum(o_totalprice), 2) AS total_price
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r_name""",
+    )
 
 
 @_register(
