@@ -102,3 +102,67 @@ def test_binary_auc_severe(cleaned):
     preds = train_rf(train, RFParams(num_trees=10, max_depth=5)).transform(test)
     auc = binary_auc_severe(preds)
     assert 0.5 < auc <= 1.0  # planted signal → better than chance
+
+
+def test_render_svg_units():
+    import xml.etree.ElementTree as ET
+
+    from us_accidents_bigdata_pipeline_spark.operators.render_svg import (
+        render_bar_svg,
+        render_line_svg,
+        render_scatter_svg,
+    )
+
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    bar = ET.fromstring(render_bar_svg(["a", "b", "c"], [1, 3, 2], "t"))
+    bars = bar.findall(".//s:rect[@class='bar']", ns)
+    assert len(bars) == 3
+    heights = [float(b.get("height")) for b in bars]
+    # tallest bar belongs to value 3; zero-safe proportional scaling
+    assert heights[1] == max(heights) and heights[1] > heights[0]
+    assert abs(heights[0] / heights[1] - 1 / 3) < 1e-6
+
+    line = ET.fromstring(render_line_svg([2, 0, 1], [5, 1, 3], "t"))
+    path = line.find(".//s:path[@class='line']", ns)
+    # 3 points joined in x order: one M + two L commands
+    assert path is not None and path.get("d").count("L") == 2
+
+    sc = ET.fromstring(
+        render_scatter_svg([0, 1, 2], [0, 1, 4], ["x", "y", "x"], "t")
+    )
+    pts = sc.findall(".//s:circle[@class='pt']", ns)
+    assert len(pts) == 3
+    fills = {p.get("fill") for p in pts}
+    assert len(fills) == 2  # two groups → two colors
+
+
+def test_export_chart_suite_end_to_end(cleaned, tmp_path):
+    import os
+    import xml.etree.ElementTree as ET
+
+    from us_accidents_bigdata_pipeline_spark.ml.kmeans import fit_kmeans
+    from us_accidents_bigdata_pipeline_spark.operators.viz import (
+        export_chart_suite,
+    )
+
+    geo, _ = assemble_and_scale(
+        cleaned.select("ID", "Severity", "Start_Lat", "Start_Lng"),
+        ["Start_Lat", "Start_Lng"],
+    )
+    clustered = fit_kmeans(geo, 3, max_iter=5).transform(geo)
+    written = export_chart_suite(
+        cleaned, str(tmp_path / "charts"), clustered=clustered,
+        max_scatter_points=400,
+    )
+    names = {os.path.basename(p) for p in written}
+    assert names == {
+        "severity_distribution.svg",
+        "hourly_profile.svg",
+        "state_top15.svg",
+        "weather_breakdown.svg",
+        "geo_scatter.svg",
+        "cluster_scatter.svg",
+    }
+    for p in written:
+        root = ET.parse(p).getroot()  # well-formed XML
+        assert root.tag.endswith("svg")

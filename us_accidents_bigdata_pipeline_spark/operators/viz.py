@@ -67,6 +67,103 @@ def geo_scatter_sample(
     return out if frac >= 1.0 else out.sample(False, frac, seed).limit(max_points)
 
 
+def export_chart_suite(
+    cleaned: DataFrame,
+    out_dir: str,
+    clustered: DataFrame | None = None,
+    max_scatter_points: int = 20_000,
+) -> list[str]:
+    """End-to-end chart rendering: the reference's visualization job
+    (generate_visualizations.py — aggregate, collect, render) with the
+    aggregation DISTRIBUTED (this module's input builders) and the
+    rendering dependency-free SVG (``render_svg``). Returns the list of
+    files written.
+
+    Collect safety: every collected frame is an aggregate or a capped
+    sample — bar/line inputs are ≤ dozens of rows, scatters are bounded
+    by ``max_scatter_points`` — so the driver pull is O(chart), never
+    O(data)."""
+    import os
+
+    from .render_svg import render_bar_svg, render_line_svg, render_scatter_svg
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+
+    def _write(name: str, svg: str) -> None:
+        path = os.path.join(out_dir, name)
+        with open(path, "w") as f:
+            f.write(svg)
+        written.append(path)
+
+    cols = set(cleaned.columns)
+    if "Severity" in cols:
+        rows = severity_histogram(cleaned).collect()
+        _write(
+            "severity_distribution.svg",
+            render_bar_svg(
+                [str(r[0]) for r in rows],
+                [r["n"] for r in rows],
+                "Severity distribution",
+            ),
+        )
+    if "hour_of_day" in cols:
+        rows = hourly_profile(cleaned).collect()
+        _write(
+            "hourly_profile.svg",
+            render_line_svg(
+                [r[0] for r in rows], [r["n"] for r in rows], "Accidents by hour"
+            ),
+        )
+    if "State" in cols:
+        rows = state_top_n(cleaned).collect()
+        _write(
+            "state_top15.svg",
+            render_bar_svg(
+                [r[0] for r in rows], [r["n"] for r in rows], "Top states"
+            ),
+        )
+    if "Weather_Condition" in cols:
+        rows = weather_breakdown(cleaned).collect()
+        _write(
+            "weather_breakdown.svg",
+            render_bar_svg(
+                [str(r[0]) for r in rows],
+                [r["n"] for r in rows],
+                "Weather conditions",
+            ),
+        )
+    if {"Start_Lat", "Start_Lng", "Severity"} <= cols:
+        rows = geo_scatter_sample(cleaned, max_points=max_scatter_points).collect()
+        _write(
+            "geo_scatter.svg",
+            render_scatter_svg(
+                [r["Start_Lng"] for r in rows],
+                [r["Start_Lat"] for r in rows],
+                [r["Severity"] for r in rows],
+                "Accident locations by severity",
+            ),
+        )
+    if clustered is not None and {"Start_Lat", "Start_Lng", "cluster"} <= set(
+        clustered.columns
+    ):
+        per_cluster = max_scatter_points // 4
+        rows = cluster_scatter_input(
+            clustered.select("Start_Lat", "Start_Lng", "cluster"),
+            max_points_per_cluster=per_cluster,
+        ).collect()
+        _write(
+            "cluster_scatter.svg",
+            render_scatter_svg(
+                [r["Start_Lng"] for r in rows],
+                [r["Start_Lat"] for r in rows],
+                [r["cluster"] for r in rows],
+                "K-Means geographic clusters",
+            ),
+        )
+    return written
+
+
 def cluster_scatter_input(
     clustered: DataFrame,
     cluster_col: str = "cluster",

@@ -251,6 +251,15 @@ def run_complete_pipeline(
             cluster_centers_document(spark, stats_rows),
             str(out / "cluster_centers"),
         )
+        # chart rendering (generate_visualizations.py parity):
+        # distributed aggregation -> tiny collect -> dependency-free SVG
+        from .operators.viz import export_chart_suite
+
+        summary["charts"] = export_chart_suite(
+            cleaned,
+            str(out / "charts"),
+            clustered=clustered.select("Start_Lat", "Start_Lng", "cluster"),
+        )
         with open(out / "pipeline_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
 
