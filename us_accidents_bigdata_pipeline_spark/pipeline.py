@@ -176,6 +176,10 @@ def run_complete_pipeline(
         "sec": round(time.time() - t0, 2),
         "metrics": {k: round(v, 4) for k, v in knn_metrics.items()},
     }
+    # the ML feature cache is dead after kNN — release it BEFORE the
+    # K-Means stage builds its own cache, so the two never compete for
+    # storage memory (eviction/spill during the sweep threads)
+    feat.unpersist()
 
     # -- stage 4: K-Means geographic clustering -------------------------
     t0 = time.time()
@@ -264,6 +268,5 @@ def run_complete_pipeline(
             json.dump(summary, f, indent=2)
 
     cleaned.unpersist()
-    feat.unpersist()
     geo.unpersist()
     return summary
