@@ -139,6 +139,67 @@ def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
     assert (1, 2) in updates and (1, 3) in updates
 
 
+def test_append_mode_file_sink_drops_late_data(spark, tmp_path):
+    # Production semantics (append mode + file sink + watermark):
+    # windows emit exactly once when the watermark passes their end,
+    # and rows older than the watermark are DROPPED — the behavior
+    # that bounds state on an unbounded stream. The complete-mode
+    # memory smoke path intentionally keeps everything; this pins the
+    # other half of the contract.
+    import datetime as dt
+    import time
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        parquet_stream_reader,
+        run_to_files,
+        windowed_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "late_src")
+    schema = "event_type string, ts timestamp, value double"
+    batches = [
+        # batch 0: two rows in the [00:00, 01:00) window
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(minutes=10), 2.0)],
+        # batch 1: an event 6h later — advances the watermark to 05:30
+        # effective from the NEXT batch
+        [("a", t0 + dt.timedelta(hours=6), 4.0)],
+        # batch 2: late row while the window is being finalized in this
+        # very batch — still ADMITTED (verified Spark 4.1 behavior: the
+        # state is live until this batch's finalization pass)
+        [("a", t0 + dt.timedelta(minutes=20), 8.0)],
+        # batch 3: late row AFTER finalization — dropped by the
+        # watermark, and the emitted window must NOT re-emit
+        [("a", t0 + dt.timedelta(minutes=25), 16.0)],
+    ]
+    schema_df = None
+    for b in batches:
+        df = spark.createDataFrame(b, schema)
+        schema_df = schema_df or df
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = parquet_stream_reader(
+        spark, src, schema_df.schema, glob_filter="*.parquet",
+        max_files_per_trigger=1,
+    )
+    agg = windowed_counts(
+        stream, window_duration="1 hour", watermark="30 minutes",
+        key_col="event_type",
+    )
+    out_dir = str(tmp_path / "late_out")
+    run_to_files(agg, out_dir, str(tmp_path / "late_ckpt"))
+    rows = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # exactly one emission of the finalized window: batch-2's late row
+    # made it in (3 rows, 11.0), batch-3's did not, and the still-open
+    # 06:00 window was not emitted — append-mode finality + bounded
+    # state, the semantics that run forever at scale
+    assert rows == {(t0, "a"): (3, 11.0)}
+
+
 def test_session_window_exact_gap_boundary(spark):
     # Spark merges events EXACTLY gap apart into one session — the
     # break condition is strictly '>'. The streaming_session_windows

@@ -3,6 +3,7 @@ from .windows import (
     adaptive_ts_stream,
     kafka_stream_reader,
     parquet_stream_reader,
+    run_to_files,
     run_windowed_batch,
     session_window_counts,
     windowed_counts,
@@ -14,6 +15,7 @@ __all__ = [
     "dedup_stream",
     "kafka_stream_reader",
     "parquet_stream_reader",
+    "run_to_files",
     "run_windowed_batch",
     "running_totals_stateful",
     "session_window_counts",

@@ -183,6 +183,39 @@ def session_window_counts(
     )
 
 
+def run_to_files(
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+    timeout_sec: int = 120,
+) -> None:
+    """Drive a streaming query to completion through a FILE sink — the
+    production shape (exactly-once via checkpointed offsets + file
+    manifest), complementing ``run_windowed_batch``'s complete-mode
+    memory smoke path.
+
+    Append mode + file sink is where watermark semantics become real:
+    a windowed aggregate emits a window only once its watermark passes
+    the window end (finality), rows later than the watermark are
+    DROPPED, and state for closed windows is evicted — the behavior
+    that bounds state forever on an unbounded stream. Restarting with
+    the same ``checkpoint`` resumes exactly-once from the recorded
+    offsets."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_windowed_batch(
     agg: DataFrame,
     query_name: str = "windowed_out",
