@@ -200,6 +200,83 @@ def test_append_mode_file_sink_drops_late_data(spark, tmp_path):
     assert rows == {(t0, "a"): (3, 11.0)}
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    # Exactly-once across restarts: run a windowed aggregation to
+    # completion, STOP the query, append new source data, restart the
+    # SAME query from the SAME checkpoint — the recovered offsets must
+    # resume without re-emitting finalized windows or double-counting
+    # rows already processed.
+    import datetime as dt
+    import time
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        parquet_stream_reader,
+        run_to_files,
+        windowed_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "ck_src")
+    out_dir = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+    schema = "event_type string, ts timestamp, value double"
+
+    def launch():
+        stream = parquet_stream_reader(
+            spark,
+            src,
+            spark.createDataFrame([], schema).schema,
+            glob_filter="*.parquet",
+            max_files_per_trigger=1,
+        )
+        agg = windowed_counts(
+            stream, window_duration="1 hour", watermark="30 minutes",
+            key_col="event_type",
+        )
+        run_to_files(agg, out_dir, ckpt)
+
+    # run 1: window [00:00) data + a 3h event that finalizes it
+    spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(minutes=5), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=3), 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=3, minutes=5), 8.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    launch()
+    first = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert first == {(t0, "a"): (2, 3.0)}
+
+    # run 2 (restart from checkpoint): a 6h event finalizes the 03:00
+    # window; the 00:00 window must NOT re-emit
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=6), 16.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=9), 32.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    launch()
+    final = {}
+    for r in spark.read.parquet(out_dir).collect():
+        key = (r.window_start, r.event_type)
+        assert key not in final, f"window {key} emitted more than once"
+        final[key] = (r.n, r.sum_value)
+    assert final == {
+        (t0, "a"): (2, 3.0),
+        (t0 + dt.timedelta(hours=3), "a"): (2, 12.0),
+        (t0 + dt.timedelta(hours=6), "a"): (1, 16.0),
+    }
+
+
 def test_session_window_exact_gap_boundary(spark):
     # Spark merges events EXACTLY gap apart into one session — the
     # break condition is strictly '>'. The streaming_session_windows
