@@ -106,3 +106,29 @@ def test_lsh_ann_batch_no_cartesian(spark):
     # all-pairs
     plan = plan_of(spark, "lsh_ann_batch")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_catalog_sql_uses_broadcast_joins(spark):
+    # the catalog (CREATE TABLE USING parquet) path must plan exactly
+    # like the DataFrame path: dim tables broadcast, no cartesian
+    plan = plan_of(spark, "catalog_sql_region_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_shape_broadcasts_dims(spark):
+    # 6-way join: every dimension side rides a broadcast; the fact
+    # tables never nested-loop
+    plan = plan_of(spark, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_banded_no_allpairs_join(spark):
+    # the banded candidate join must be an EQUI join on band keys —
+    # a nested-loop/cartesian here is the O(n^2) all-pairs collapse
+    plan = plan_of(spark, "minhash_banded_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
