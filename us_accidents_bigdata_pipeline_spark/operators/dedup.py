@@ -254,6 +254,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with an evaluation/benchmark set — the standard
+    guard against test-set leakage into training data. Returns one row
+    per corpus document: (id, n_hits, contaminated), where ``n_hits``
+    counts the document's DISTINCT n-grams that appear anywhere in the
+    benchmark.
+
+    Scale shape: eval sets are tiny relative to a 100 TB corpus, so the
+    benchmark's distinct grams are the BROADCAST side; the corpus gram
+    stream is filtered map-side by the broadcast hash join and only
+    (id, gram) hits reach the per-doc count — corpus text itself never
+    shuffles. The final left join against the id spine is the only
+    corpus-wide shuffle, on an 8-byte key.
+    """
+    bench_grams = (
+        _doc_shingles(
+            benchmark,
+            bench_id_col or id_col,
+            bench_text_col or text_col,
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        _doc_shingles(corpus, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

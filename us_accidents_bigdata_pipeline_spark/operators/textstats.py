@@ -78,3 +78,27 @@ def fingerprint64(text: Column | str) -> Column:
     that exact string equality misses."""
     c = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def vocab_top_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens as
+    (token, n), ties broken alphabetically so the cut at rank k is
+    deterministic — the building block for tokenizer vocab induction
+    and frequency-based filtering over a training corpus.
+
+    Plan shape: explode → partial hash agg (map-side combine reduces
+    the shuffle to |vocab| rows per task, and natural-language vocab is
+    Zipf-bounded, so the shuffle stays tiny at any corpus size) →
+    final agg → TakeOrderedAndProject for the top-k. No driver-side
+    work beyond k rows."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )

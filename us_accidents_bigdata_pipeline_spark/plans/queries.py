@@ -118,6 +118,8 @@ _CHECK_PRIORITY: list[str] = [
     "json_schema_parse",
     "unpivot_order_measures",
     "catalog_sql_region_orders",
+    "decontaminate_docs",
+    "vocab_top_tokens",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
@@ -137,9 +139,7 @@ _CHECK_PRIORITY: list[str] = [
     "join_semi",
     "join_anti",
     "window_topk_per_group",
-    "window_running_sum",
     "grouping_sets_agg",
-    "pivot_linestatus",
     "setop_union_distinct",
     "array_agg_sorted",
     "exact_dedup_docs",
@@ -1941,6 +1941,51 @@ def q_string_indexer_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(ev)
     labels = [(v, float(i)) for i, v in enumerate(model.labels)]
     return spark.createDataFrame(labels, "event_type string, idx double")
+
+
+@_register(
+    "decontaminate_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4] AS g
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+       bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+       hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                FROM sh JOIN bench USING (g) GROUP BY sh.doc_id)
+       SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+    doc="benchmark decontamination: corpus docs sharing any word 5-gram "
+    "with the eval set (docs 0-9 as a stand-in benchmark) are flagged; "
+    "benchmark grams broadcast, corpus text never shuffles "
+    "(operators/dedup.py::benchmark_decontaminate)",
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import benchmark_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return benchmark_decontaminate(docs, bench, n=5)
+
+
+@_register(
+    "vocab_top_tokens",
+    r"""SELECT token, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             FROM documents)
+       WHERE token <> ''
+       GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+    doc="corpus vocabulary induction: top-k tokens by frequency with "
+    "deterministic alphabetical tie-break "
+    "(operators/textstats.py::vocab_top_tokens)",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import vocab_top_tokens
+
+    return vocab_top_tokens(_t(spark, sf_dir, "documents"), k=50)
 
 
 @_register(
