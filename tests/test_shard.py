@@ -1,0 +1,64 @@
+"""Deterministic training-export shuffle/shard tests (operators/shard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.shard import (
+    shard_assignment,
+    write_training_shards,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_shard_assignment_partition_layout_independent(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shard_assignment(docs, n_shards=16, seed=42).collect()
+    }
+    # identical corpus in a different physical layout -> identical shards
+    b = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shard_assignment(
+            docs.repartition(7), n_shards=16, seed=42
+        ).collect()
+    }
+    assert a == b
+    assert {s for s, _ in a.values()} <= set(range(16))
+    # every row assigned exactly once; positions are 1..n per shard
+    n_docs = docs.count()
+    assert len(a) == n_docs
+    by_shard: dict = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a different permutation
+    c = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shard_assignment(docs, n_shards=16, seed=7).collect()
+    }
+    assert c != a
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8, seed=42)
+    back = spark.read.parquet(out)
+    # lossless: every doc exactly once, payload columns intact
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert set(back.columns) == set(docs.columns) | {"shard"}
+    # shard dirs match the assignment operator
+    expect = {
+        r.doc_id: r.shard
+        for r in shard_assignment(docs, n_shards=8, seed=42).collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+    # partition pruning works on the shard column
+    one = back.filter(F.col("shard") == 3).select("doc_id").collect()
+    assert {r.doc_id for r in one} == {d for d, s in expect.items() if s == 3}

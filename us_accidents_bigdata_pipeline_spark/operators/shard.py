@@ -1,0 +1,76 @@
+"""Deterministic shuffle + sharding for training-data export.
+
+Trainers want data (a) globally shuffled so batches are i.i.d.-ish,
+(b) split into fixed shards for parallel loading, and (c) REPRODUCIBLE
+— the same corpus + seed must yield byte-identical shards on any
+cluster layout. Random shuffles fail (c); this module derives both the
+shard and the intra-shard order from ``md5(seed || '-' || id)``, so
+the permutation is a pure function of (id, seed): partition-layout
+independent, re-runnable, and resumable.
+
+Scale shape: one shuffle keyed by the shard expression (every row
+moves once), sort within partitions only (no global sort barrier), and
+the writer emits one directory per shard via ``partitionBy`` so
+loaders address shards by path. md5 (not xxhash64) is deliberate:
+every engine agrees on it, which is what makes the DuckDB oracle (and
+any cross-system re-validation) exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shuffle_key(id_col: str, seed: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    # first 8 hex chars -> 32-bit int -> modulo. Stays in [0, n_shards).
+    return (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shard, pos): the deterministic shard and 1-based position
+    within the shard for every row. ``pos`` orders by the shuffle key
+    (ties broken by id — unreachable for md5 but makes determinism
+    unconditional)."""
+    from pyspark.sql import Window as W
+
+    key = _shuffle_key(id_col, seed)
+    w = W.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("_key"))
+        .withColumn("shard", _shard_of(F.col("_key"), n_shards))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 42,
+) -> None:
+    """Write ``df`` as ``path/shard=K/`` parquet directories, rows
+    deterministically shuffled within each shard. One hash shuffle
+    (repartition on shard) + in-partition sort — no global sort."""
+    key = _shuffle_key(id_col, seed)
+    out = (
+        df.withColumn("_key", key)
+        .withColumn("shard", _shard_of(F.col("_key"), n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_key", id_col)
+        .drop("_key")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -120,6 +120,7 @@ _CHECK_PRIORITY: list[str] = [
     "catalog_sql_region_orders",
     "decontaminate_docs",
     "vocab_top_tokens",
+    "training_shard_assignment",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
@@ -1986,6 +1987,32 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import vocab_top_tokens
 
     return vocab_top_tokens(_t(spark, sf_dir, "documents"), k=50)
+
+
+@_register(
+    "training_shard_assignment",
+    """WITH k AS (SELECT doc_id,
+                         md5('42-' || CAST(doc_id AS VARCHAR)) AS key
+                  FROM documents)
+       SELECT doc_id,
+              CAST(strpos('0123456789abcdef', substr(key, 8, 1)) - 1
+                   AS INT) AS shard,
+              CAST(row_number() OVER (PARTITION BY substr(key, 8, 1)
+                                      ORDER BY key, doc_id)
+                   AS BIGINT) AS pos
+       FROM k""",
+    doc="deterministic training-export shuffle: shard + intra-shard "
+    "position derived from md5(seed-id), reproducible on any cluster "
+    "layout; at n_shards=16 the shard equals the 8th hex digit, which "
+    "is what makes the oracle engine-exact "
+    "(operators/shard.py::shard_assignment)",
+)
+def q_training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shard import shard_assignment
+
+    return shard_assignment(
+        _t(spark, sf_dir, "documents"), n_shards=16, seed=42
+    )
 
 
 @_register(
