@@ -62,3 +62,25 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     # partition pruning works on the shard column
     one = back.filter(F.col("shard") == 3).select("doc_id").collect()
     assert {r.doc_id for r in one} == {d for d, s in expect.items() if s == 3}
+
+
+def test_pack_assignment_properties(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        pack_assignment,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    budget = 128
+    rows = pack_assignment(docs, budget=budget, n_shards=4, seed=42).collect()
+    assert len(rows) == docs.count()
+    # offsets live inside the window; packs are dense from 0 per shard
+    assert all(0 <= r.tok_offset < budget for r in rows)
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.pack, r.tok_offset))
+    for packs in by_shard.values():
+        packs.sort()
+        assert packs[0][0] == 0
+        # document starts are strictly increasing in the token stream:
+        # no two docs share a (pack, offset) start slot
+        assert len(set(packs)) == len(packs)

@@ -55,6 +55,51 @@ def shard_assignment(
     )
 
 
+def pack_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    the deterministic shuffle order within each shard and the token
+    stream is cut into fixed ``budget``-token context windows. Returns
+    (id, shard, pack, tok_offset): the window a document STARTS in and
+    its token offset inside that window — what a loader needs to
+    assemble packed training sequences without padding waste.
+
+    Expressible entirely as prefix sums (no stateful fold): a
+    document's start offset is the exclusive running sum of token
+    counts in shuffle order, ``pack = start div budget``,
+    ``tok_offset = start mod budget``. One shuffle (the per-shard
+    window), JVM-side token counting, and — unlike greedy next-fit
+    bin packing — a pure window expression any SQL engine reproduces
+    exactly, which is what makes the oracle possible."""
+    from pyspark.sql import Window as W
+
+    from ..functions import token_count
+
+    key = _shuffle_key(id_col, seed)
+    w = W.partitionBy("shard").orderBy("_key", id_col)
+    start = (
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        - F.col("n_tokens")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("_key"),
+            token_count(text_col).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("shard", _shard_of(F.col("_key"), n_shards))
+        .withColumn("pack", F.floor(start / budget).cast("bigint"))
+        .withColumn("tok_offset", (start % budget).cast("bigint"))
+        .select(id_col, "shard", "pack", "tok_offset")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

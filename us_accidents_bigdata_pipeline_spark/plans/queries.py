@@ -121,6 +121,7 @@ _CHECK_PRIORITY: list[str] = [
     "decontaminate_docs",
     "vocab_top_tokens",
     "training_shard_assignment",
+    "sequence_pack_assignment",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
@@ -2012,6 +2013,38 @@ def q_training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shard_assignment(
         _t(spark, sf_dir, "documents"), n_shards=16, seed=42
+    )
+
+
+@_register(
+    "sequence_pack_assignment",
+    r"""WITH k AS (SELECT doc_id,
+                         CAST(len(string_split_regex(trim(text), '\s+'))
+                              AS BIGINT) AS n_tokens,
+                         md5('42-' || CAST(doc_id AS VARCHAR)) AS key,
+                         strpos('0123456789abcdef',
+                                substr(md5('42-' || CAST(doc_id AS VARCHAR)),
+                                       8, 1)) - 1 AS shard
+                  FROM documents),
+       c AS (SELECT doc_id, shard, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY shard
+                                        ORDER BY key, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS start
+             FROM k)
+       SELECT doc_id, CAST(shard AS INT) AS shard,
+              CAST(floor(start / 512.0) AS BIGINT) AS pack,
+              CAST(start % 512 AS BIGINT) AS tok_offset
+       FROM c""",
+    doc="concat-then-chunk sequence packing over the deterministic "
+    "shuffle order: exclusive prefix-sum of token counts -> 512-token "
+    "window index + offset (operators/shard.py::pack_assignment)",
+)
+def q_sequence_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shard import pack_assignment
+
+    return pack_assignment(
+        _t(spark, sf_dir, "documents"), budget=512, n_shards=16, seed=42
     )
 
 
