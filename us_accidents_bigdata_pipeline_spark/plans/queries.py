@@ -132,8 +132,6 @@ _CHECK_PRIORITY: list[str] = [
     "filter_not_null_range",
     "multi_agg_group",
     "median_exact",
-    "null_audit",
-    "distinct_count",
     "topk_orders",
     "join_region_stats",
     "join_revenue_topk",
