@@ -84,3 +84,36 @@ def test_pack_assignment_properties(spark):
         # document starts are strictly increasing in the token stream:
         # no two docs share a (pack, offset) start slot
         assert len(set(packs)) == len(packs)
+
+
+def test_mixture_sample_deterministic_and_proportional(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5}
+    a = {
+        r.doc_id
+        for r in mixture_sample(
+            docs, rates, default_rate=0.0, seed=42
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in mixture_sample(
+            docs.repartition(13), rates, default_rate=0.0, seed=42
+        ).collect()
+    }
+    assert a == b  # membership is layout-independent
+    kept = mixture_sample(docs, rates, default_rate=0.0, seed=42)
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # rate-1.0 stratum keeps everything; rate-0 strata keep nothing
+    assert by_src.get("src0", 0) == tot["src0"]
+    assert set(by_src) <= {"src0", "src1"}
+    # rate-0.5 stratum within binomial tolerance
+    frac = by_src.get("src1", 0) / tot["src1"]
+    assert 0.3 < frac < 0.7, frac

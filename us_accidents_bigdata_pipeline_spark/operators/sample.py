@@ -90,3 +90,37 @@ def deterministic_split(
     bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
     cut = int(buckets * (1.0 - test_fraction))
     return df.filter(bucket < cut), df.filter(bucket >= cut)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = DEFAULT_SEED,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic dataset-mixing sampler: keep each stratum (domain,
+    source, language, ...) at its configured rate by thresholding a
+    16-bit uniform derived from ``md5(seed-id)`` — the operator behind
+    "mix 100% wiki + 50% web + 10% crawl" training recipes.
+
+    Unlike ``sampleBy`` (RNG-based: membership depends on partition
+    layout and Spark version), the keep decision is a pure function of
+    (id, seed): re-runs, repartitions, and other engines reproduce the
+    exact row set — the same property ``deterministic_split`` provides
+    for splits, extended to per-stratum rates. md5 (not xxhash64) so
+    cross-engine oracles are exact; hex digits 9-12 give u16 ∈
+    [0, 65536) disjoint from digits 1-8 used by shard routing, so
+    sampling and sharding stay independent. Map-only: the rates map
+    rides the plan as a literal; no shuffle, fully pushdown-
+    compatible."""
+    from .shard import _shuffle_key
+
+    key = _shuffle_key(id_col, seed)
+    u16 = F.conv(F.substring(key, 9, 4), 16, 10).cast("long")
+    mapping = F.create_map(
+        *[lit for k, v in rates.items() for lit in (F.lit(k), F.lit(float(v)))]
+    )
+    rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(float(default_rate)))
+    return df.filter(u16 < rate * 65536)

@@ -122,13 +122,13 @@ _CHECK_PRIORITY: list[str] = [
     "vocab_top_tokens",
     "training_shard_assignment",
     "sequence_pack_assignment",
+    "mixture_sample_docs",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
     "temporal_extract",
     "conditional_impute",
-    "cast_arithmetic",
     "filter_not_null_range",
     "multi_agg_group",
     "median_exact",
@@ -2044,6 +2044,42 @@ def q_sequence_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignment(
         _t(spark, sf_dir, "documents"), budget=512, n_shards=16, seed=42
     )
+
+
+@_register(
+    "mixture_sample_docs",
+    """WITH k AS (SELECT doc_id, source,
+                         md5('42-' || CAST(doc_id AS VARCHAR)) AS key
+                  FROM documents),
+       u AS (SELECT doc_id, source,
+                    (strpos('0123456789abcdef', substr(key, 9, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(key, 10, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(key, 11, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(key, 12, 1)) - 1)
+                      AS u16
+             FROM k)
+       SELECT doc_id, source FROM u
+       WHERE u16 < (CASE source WHEN 'src0' THEN 1.0
+                                WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25
+                                ELSE 0.1 END) * 65536""",
+    doc="deterministic dataset-mixing sampler: per-source keep rates "
+    "realized by thresholding a 16-bit uniform from md5(seed-id) — "
+    "reproducible row membership, unlike RNG sampleBy "
+    "(operators/sample.py::mixture_sample)",
+)
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        stratum_col="source",
+        id_col="doc_id",
+        seed=42,
+        default_rate=0.1,
+    ).select("doc_id", "source")
 
 
 @_register(
