@@ -66,3 +66,61 @@ def approx_distinct_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(
         *[F.approx_count_distinct(c).alias(f"n_distinct_{c}") for c in cols]
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` (bucket 0 = below lo,
+    n_buckets+1 = at/above hi, SQL-standard semantics). One partial+
+    final aggregation; the bucket expression stays in codegen — the
+    distributed form of the reference's pandas value_counts plots."""
+    return (
+        df.select(
+            F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    col: str,
+    id_cols: list[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier detection: rows whose robust z-score
+    ``(x − median) / (1.4826 · MAD)`` exceeds the threshold. Unlike
+    mean/stddev z-scores, the median and MAD are themselves immune to
+    the outliers being hunted (50% breakdown point).
+
+    Two exact-median passes (median, then median of absolute
+    deviations) — each a single aggregation; the candidate filter is a
+    map-only comparison against two broadcast scalars folded into the
+    plan as a literal-free cross join of 1-row frames (Catalyst turns
+    it into a broadcast nested loop over ONE row, effectively free)."""
+    med_df = df.select(F.median(F.col(col)).alias("_med"))
+    dev = df.join(F.broadcast(med_df)).withColumn(
+        "_dev", F.abs(F.col(col) - F.col("_med"))
+    )
+    mad_df = dev.select(F.median("_dev").alias("_mad")).select(
+        (F.lit(1.4826) * F.col("_mad")).alias("_smad")
+    )
+    return (
+        dev.join(F.broadcast(mad_df))
+        .filter(F.col("_dev") > z_threshold * F.col("_smad"))
+        .select(
+            *id_cols,
+            F.round((F.col(col) - F.col("_med")) / F.col("_smad"), 4).alias(
+                "robust_z"
+            ),
+        )
+    )

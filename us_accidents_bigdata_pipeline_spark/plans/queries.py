@@ -123,13 +123,13 @@ _CHECK_PRIORITY: list[str] = [
     "training_shard_assignment",
     "sequence_pack_assignment",
     "mixture_sample_docs",
+    "histogram_quantity",
+    "robust_outliers_price",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
-    "temporal_extract",
     "conditional_impute",
-    "filter_not_null_range",
     "multi_agg_group",
     "median_exact",
     "topk_orders",
@@ -2080,6 +2080,52 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         default_rate=0.1,
     ).select("doc_id", "source")
+
+
+@_register(
+    "histogram_quantity",
+    """SELECT CAST(CASE WHEN l_quantity < 1.0 THEN 0
+                        WHEN l_quantity >= 51.0 THEN 11
+                        ELSE floor((l_quantity - 1.0) / 5.0) + 1 END
+                   AS INT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY bucket""",
+    doc="equi-width histogram via SQL-standard width_bucket (DuckDB "
+    "lacks the function, so the oracle spells out its definition) "
+    "(operators/profile.py::histogram)",
+)
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", 1.0, 51.0, 10
+    )
+
+
+@_register(
+    "robust_outliers_price",
+    """WITH m AS (SELECT median(l_extendedprice) AS med FROM lineitem),
+       d AS (SELECT l_orderkey, l_linenumber,
+                    l_extendedprice, med,
+                    abs(l_extendedprice - med) AS dev
+             FROM lineitem, m),
+       s AS (SELECT 1.4826 * median(dev) AS smad FROM d)
+       SELECT l_orderkey, l_linenumber,
+              round((l_extendedprice - med) / smad, 4) AS robust_z
+       FROM d, s WHERE dev > 3.0 * smad""",
+    doc="median/MAD robust z-score outliers (50% breakdown point, "
+    "immune to the outliers being hunted) "
+    "(operators/profile.py::robust_outliers)",
+)
+def q_robust_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        z_threshold=3.0,
+    )
 
 
 @_register(
