@@ -162,3 +162,21 @@ def test_catalog_registration_and_pure_sql(spark):
     )
     assert out.agg(F.sum("n")).head()[0] == 25
     assert spark.catalog.currentDatabase() == "default"
+
+
+def test_kafka_payload_parse_roundtrip(spark):
+    # producer payload builder -> consumer parse logic: lossless
+    # round-trip of the wire shape without a broker
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        parse_kafka_frame,
+    )
+
+    df = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    wire = kafka_payload(df, "n_nationkey")
+    back = parse_kafka_frame(wire, df.schema)
+    rows = {r.n_nationkey: (r._key, r.n_name) for r in back.collect()}
+    orig = {r.n_nationkey: r.n_name for r in df.collect()}
+    assert len(rows) == len(orig)
+    for k, (key_str, name) in rows.items():
+        assert key_str == str(k)
+        assert name == orig[k]

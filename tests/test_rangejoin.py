@@ -74,3 +74,51 @@ def test_range_join_left_null_in_point_column(spark):
     assert by_pid[1].name == "a"
     assert by_pid[2].name == "a"  # matched despite NULL tag, not doubled
     assert by_pid[3].name is None  # genuinely unmatched, null-padded
+
+
+def test_range_join_equivalence_property(spark):
+    """Property check vs the naive non-equi join on generated inputs:
+    the binning rewrite must be result-identical for any point set,
+    interval set (including empty, touching, nested, negative-valued,
+    zero-width) and any bin width."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    values = st.integers(min_value=-50, max_value=50).map(float)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pts=st.lists(values, min_size=0, max_size=12),
+        ivs=st.lists(st.tuples(values, values), min_size=0, max_size=6),
+        bw=st.sampled_from([1.0, 3.0, 17.0]),
+    )
+    def run(pts, ivs, bw):
+        points = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(pts)] or [(None, None)],
+            "pid long, v double",
+        ).filter(F.col("pid").isNotNull())
+        intervals = spark.createDataFrame(
+            [(i, min(a, b), max(a, b)) for i, (a, b) in enumerate(ivs)]
+            or [(None, None, None)],
+            "iid long, lo double, hi double",
+        ).filter(F.col("iid").isNotNull())
+        got = {
+            (r.pid, r.iid)
+            for r in range_join_binned(
+                points, intervals, "v", "lo", "hi", bw
+            ).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in points.join(
+                intervals,
+                (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+            ).collect()
+        }
+        assert got == naive
+
+    run()

@@ -3,6 +3,7 @@ from .windows import (
     adaptive_ts_stream,
     kafka_stream_reader,
     parquet_stream_reader,
+    parse_kafka_frame,
     run_to_files,
     run_windowed_batch,
     session_window_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "dedup_stream",
     "kafka_stream_reader",
     "parquet_stream_reader",
+    "parse_kafka_frame",
     "run_to_files",
     "run_windowed_batch",
     "running_totals_stateful",

@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def parse_kafka_frame(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """(key, value) Kafka wire frame → typed event frame: the consumer
+    half of the producer's message shape (``sources/io.kafka_payload``
+    builds the other half). Factored out of the Kafka reader so the
+    parse logic is executable — and round-trip-testable against the
+    payload builder — without a broker."""
+    return raw.select(
+        F.col("key").cast("string").alias("_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("_data"),
+    ).select("_key", "_data.*")
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -33,8 +45,8 @@ def kafka_stream_reader(
     Consumes the message shape the reference's producer writes (one
     JSON object per row, key = ID, kafka_producer.py:49-78). Requires
     the spark-sql-kafka package on the classpath (not in this
-    container — covered by config parity, exercised via the file
-    stream below).
+    container — the parse half is exercised broker-free via
+    ``parse_kafka_frame``).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -43,10 +55,7 @@ def kafka_stream_reader(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("_key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("_data"),
-    ).select("_key", "_data.*")
+    return parse_kafka_frame(raw, schema)
 
 
 def parquet_stream_reader(
