@@ -44,6 +44,11 @@ HEADLINE = [
     "knn_cosine_topk",
     "knn_cosine_batch",
     "lsh_ann_batch",
+    "decontaminate_docs",
+    "vocab_top_tokens",
+    "training_shard_assignment",
+    "sequence_pack_assignment",
+    "mixture_sample_docs",
 ]
 
 
