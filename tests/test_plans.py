@@ -132,3 +132,27 @@ def test_minhash_banded_no_allpairs_join(spark):
     plan = plan_of(spark, "minhash_banded_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_is_map_only(spark):
+    # hash-threshold sampling must not shuffle: no Exchange anywhere
+    plan = plan_of(spark, "mixture_sample_docs")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # eval-set grams are the broadcast side; corpus text never rides a
+    # shuffle — only slim (id, gram) hits and the id spine do
+    plan = plan_of(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_and_pack_single_shuffle(spark):
+    # one Exchange for the per-shard window; no global sort barrier
+    for name in ("training_shard_assignment", "sequence_pack_assignment"):
+        plan = plan_of(spark, name)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} hash exchanges"
+        assert "Exchange rangepartitioning" not in plan, name
