@@ -170,6 +170,13 @@ def main() -> None:
             "rf_accuracy": rf["metrics"]["accuracy"],
             "kmeans_silhouette": summary["stages"]["kmeans"]["silhouette"],
             "total_sec": summary["total_seconds"],
+            "stage_sec": {
+                "clean": summary["stages"]["clean"]["sec"],
+                "rf": rf["stage_seconds"],
+                "rf_fit": rf["training_time_seconds"],
+                "knn": summary["stages"]["knn"]["sec"],
+                "kmeans": summary["stages"]["kmeans"]["sec"],
+            },
         }
     except Exception as e:  # bench must always emit its JSON line
         pipeline_stats = {"error": str(e)[:200]}
