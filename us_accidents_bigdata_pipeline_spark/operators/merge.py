@@ -1,0 +1,80 @@
+"""Incremental-snapshot operators: upsert merge and change capture.
+
+The reference pipeline is overwrite-only (every run rewrites its
+parquet outputs). Production tables are incremental: a base snapshot
+plus a (much smaller) batch of updates, merged by key — the batch
+``MERGE INTO`` shape — and pipelines downstream want to know WHAT
+changed between two snapshots. Without a table format (Delta/Iceberg)
+the primitive is snapshot-functional: both operators are pure
+DataFrame expressions producing the next snapshot / the change set,
+writable with ``write_parquet`` partition-overwrite.
+
+Scale shape: ``merge_upsert`` is an anti-join on the key (the updates
+side is typically small → broadcast; the base never shuffles when the
+anti-join broadcasts) plus a union. ``snapshot_diff`` is one full-outer
+join on the key with null-safe column comparison — a single co-shuffle
+of the two snapshots, no row-at-a-time logic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Next snapshot after applying ``updates`` to ``base``: rows whose
+    key appears in updates are REPLACED, unmatched update rows are
+    INSERTED, everything else is carried over. Columns must align
+    (``unionByName``). Updates must be key-unique — enforce upstream
+    (e.g. a window dedup) so a double-update cannot fan out."""
+    survivors = base.join(
+        F.broadcast(updates.select(*key_cols).distinct()),
+        key_cols,
+        "left_anti",
+    )
+    return survivors.unionByName(updates)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change capture between snapshots: (key..., change_type) for
+    every key that was added, removed, or changed (null-safe compare
+    over ``compare_cols``); unchanged keys are not emitted. One
+    full-outer join on the key."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_o"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_n"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            for c in compare_cols
+        ],
+    )
+    change = (
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type") != "unchanged")
+    )

@@ -125,6 +125,8 @@ _CHECK_PRIORITY: list[str] = [
     "mixture_sample_docs",
     "histogram_quantity",
     "robust_outliers_price",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
@@ -139,8 +141,6 @@ _CHECK_PRIORITY: list[str] = [
     "join_semi",
     "join_anti",
     "window_topk_per_group",
-    "grouping_sets_agg",
-    "setop_union_distinct",
     "array_agg_sorted",
     "exact_dedup_docs",
     "near_dup_resolve",
@@ -2126,6 +2126,76 @@ def q_robust_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_linenumber"],
         z_threshold=3.0,
     )
+
+
+@_register(
+    "merge_upsert_orders",
+    """WITH updates AS (SELECT o_orderkey, o_custkey,
+                               round(o_totalprice + 1000.0, 2) AS o_totalprice
+                        FROM orders WHERE o_orderkey % 100 = 0)
+       SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+       FROM orders WHERE o_orderkey % 100 <> 0
+       UNION ALL SELECT * FROM updates""",
+    doc="batch MERGE INTO shape without a table format: updates replace "
+    "base rows by key (broadcast anti-join), inserts append "
+    "(operators/merge.py::merge_upsert)",
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+        )
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+@_register(
+    "snapshot_diff_orders",
+    """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+       new AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0
+                           THEN o_totalprice + 1.0
+                           ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 7 <> 0)
+       SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        THEN 'changed'
+                   ELSE 'unchanged' END AS change_type
+       FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+       WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                  AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)""",
+    doc="snapshot change capture: added/removed/changed keys between "
+    "two table versions via one full-outer join with null-safe compare "
+    "(operators/merge.py::snapshot_diff)",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
 
 
 @_register(
