@@ -156,6 +156,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS rolling-hash scheme):
     hash every word k-gram by position, slide a ``window`` of
@@ -172,14 +173,25 @@ def winnow_fingerprints(
 
     Relational shape: the shared ``_positional_grams`` builder (one
     shuffle on id), a rolling-min frame over the same partitioning
-    (reused exchange), then distinct. Rows-only check: xxhash64 is
-    engine-specific; the shared-substring guarantee is pinned in
-    tests.
+    (reused exchange), then distinct.
+
+    ``hash_fn``: ``"xxhash64"`` (default — compact 8-byte fingerprints,
+    engine-specific so rows-only checkable) or ``"md5"`` (hex-string
+    order as the pseudo-random total order — 4x wider fingerprints but
+    every engine agrees on it, enabling an exact cross-engine oracle).
+    Winnowing only needs SOME deterministic pseudo-random order on
+    grams; both satisfy it.
     """
     from pyspark.sql import Window as W
 
+    if hash_fn == "md5":
+        gh = F.md5("gram")
+    elif hash_fn == "xxhash64":
+        gh = F.xxhash64("gram")
+    else:
+        raise ValueError(f"winnow_fingerprints: unknown hash_fn {hash_fn!r}")
     grams = _positional_grams(df, id_col, text_col, k).select(
-        F.col(id_col), F.col("pos"), F.xxhash64("gram").alias("_gh")
+        F.col(id_col), F.col("pos"), gh.alias("_gh")
     )
     rolling = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     return (

@@ -127,13 +127,13 @@ _CHECK_PRIORITY: list[str] = [
     "robust_outliers_price",
     "merge_upsert_orders",
     "snapshot_diff_orders",
+    "winnow_fingerprints_md5",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
     "conditional_impute",
     "multi_agg_group",
-    "median_exact",
     "topk_orders",
     "join_region_stats",
     "join_revenue_topk",
@@ -2125,6 +2125,33 @@ def q_robust_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         ["l_orderkey", "l_linenumber"],
         z_threshold=3.0,
+    )
+
+
+@_register(
+    "winnow_fingerprints_md5",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, i AS pos,
+                    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gh
+             FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                  AS u(i)),
+       w AS (SELECT doc_id,
+                    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS fingerprint
+             FROM g)
+       SELECT DISTINCT doc_id, fingerprint FROM w""",
+    doc="winnowing (MOSS) with md5 as the pseudo-random gram order — "
+    "engine-agnostic, so the rolling-min selection is exactly "
+    "reproducible in SQL (operators/dedup.py::winnow_fingerprints; "
+    "the xxhash64 default stays the compact production form)",
+)
+def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, window=4, hash_fn="md5"
     )
 
 
