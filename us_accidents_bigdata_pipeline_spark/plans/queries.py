@@ -128,13 +128,13 @@ _CHECK_PRIORITY: list[str] = [
     "merge_upsert_orders",
     "snapshot_diff_orders",
     "winnow_fingerprints_md5",
+    "fingerprint_dedup_md5",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
     "conditional_impute",
     "multi_agg_group",
-    "topk_orders",
     "join_region_stats",
     "join_revenue_topk",
     "join_left_outer",
@@ -2125,6 +2125,26 @@ def q_robust_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         ["l_orderkey", "l_linenumber"],
         z_threshold=3.0,
+    )
+
+
+@_register(
+    "fingerprint_dedup_md5",
+    r"""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+              CAST(min(doc_id) AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY fp""",
+    doc="normalized-content fingerprint dedup with an engine-agnostic "
+    "md5 fingerprint (whitespace-collapsed, lowercased) — the oracled "
+    "twin of fingerprint_dedup's compact xxhash64 form",
+)
+def q_fingerprint_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 
 
