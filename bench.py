@@ -150,14 +150,18 @@ def main() -> None:
             raw = spark.read.parquet(fixture_dir)
             # best-of-2: this host's sustained-load throughput swings up
             # to 2x run-to-run (measured 72.6s vs 175.4s on identical
-            # code); a single contended sample misreports the engine
+            # code); a single contended sample misreports the engine.
+            # Guard: skip the second run when the first was very slow so
+            # a contended host can't push bench past an outer timeout.
             pipe_sec, summary = float("inf"), None
-            for _ in range(2):
+            for attempt in range(2):
                 t0 = time.perf_counter()
                 s = run_complete_pipeline(spark, raw, config=PipelineConfig())
                 sec = time.perf_counter() - t0
                 if sec < pipe_sec:
                     pipe_sec, summary = sec, s
+                if attempt == 0 and sec > 200.0:
+                    break
         finally:
             shutil.rmtree(fixture_dir, ignore_errors=True)
         times["accidents_pipeline"] = round(pipe_sec, 3)
