@@ -129,11 +129,11 @@ _CHECK_PRIORITY: list[str] = [
     "snapshot_diff_orders",
     "winnow_fingerprints_md5",
     "fingerprint_dedup_md5",
+    "funnel_conversion",
     # family-diverse representatives of the r1-r3 green core
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
-    "conditional_impute",
     "multi_agg_group",
     "join_region_stats",
     "join_revenue_topk",
@@ -2125,6 +2125,48 @@ def q_robust_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         ["l_orderkey", "l_linenumber"],
         z_threshold=3.0,
+    )
+
+
+@_register(
+    "funnel_conversion",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT)
+                  AS n_view,
+              CAST(count(*) FILTER (t_click > t_view) AS BIGINT)
+                  AS n_view_click,
+              CAST(count(*) FILTER (t_click > t_view
+                                    AND t_purchase > t_click) AS BIGINT)
+                  AS n_view_click_purchase
+       FROM firsts""",
+    doc="ordered funnel conversion (view -> click -> purchase): one "
+    "conditional-min aggregation per user, then stage counts — no "
+    "joins, no self-joins, single shuffle on user_id",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = F.col("t_click") > F.col("t_view")
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(did_view, 1)).alias("n_view"),
+        F.count(F.when(did_click, 1)).alias("n_view_click"),
+        F.count(F.when(did_purchase, 1)).alias("n_view_click_purchase"),
     )
 
 
