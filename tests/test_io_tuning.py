@@ -180,3 +180,51 @@ def test_kafka_payload_parse_roundtrip(spark):
     for k, (key_str, name) in rows.items():
         assert key_str == str(k)
         assert name == orig[k]
+
+
+def test_ship_package_zip_contents(spark):
+    # the addPyFile archive must contain the full package importable at
+    # its canonical name, and re-shipping the same context is a no-op
+    import zipfile
+
+    from us_accidents_bigdata_pipeline_spark import session as sess
+
+    sess.ship_package(spark)
+    sess.ship_package(spark)  # idempotent per SparkContext
+    assert id(spark.sparkContext) in sess._SHIPPED
+    # rebuild the archive the same way to inspect expected contents
+    sess._SHIPPED.discard(id(spark.sparkContext))
+    sess.ship_package(spark)
+    # the most recent zip registered with the context lives in its
+    # addedFiles; instead verify by rebuilding: walk the package and
+    # confirm every module would be archived under the package root
+    import us_accidents_bigdata_pipeline_spark as pkg
+    import os
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    mods = {
+        os.path.relpath(os.path.join(root, f), os.path.dirname(pkg_dir))
+        for root, _d, files in os.walk(pkg_dir)
+        if "__pycache__" not in root
+        for f in files
+        if f.endswith(".py")
+    }
+    assert "us_accidents_bigdata_pipeline_spark/__init__.py" in mods
+    assert "us_accidents_bigdata_pipeline_spark/plans/queries.py" in mods
+    # and the archive itself (latest tmp zip) holds the same names
+    import glob
+    import tempfile
+
+    zips = sorted(
+        glob.glob(
+            os.path.join(
+                tempfile.gettempdir(), "uabp_pyfiles_*",
+                "us_accidents_bigdata_pipeline_spark.zip",
+            )
+        ),
+        key=os.path.getmtime,
+    )
+    assert zips
+    with zipfile.ZipFile(zips[-1]) as zf:
+        names = set(zf.namelist())
+    assert mods <= names
