@@ -228,3 +228,23 @@ def test_ship_package_zip_contents(spark):
     with zipfile.ZipFile(zips[-1]) as zf:
         names = set(zf.namelist())
     assert mods <= names
+
+
+def test_write_table_orc_roundtrip(spark):
+    # S10: the reference's Hive ORC tables -> saveAsTable(format="orc");
+    # catalog read-back must be lossless
+    from us_accidents_bigdata_pipeline_spark.sources.io import write_table
+
+    df = spark.read.parquet(f"{SF_ORACLE}/region.parquet")
+    spark.sql("DROP TABLE IF EXISTS uabp_orc_region")
+    write_table(df, "uabp_orc_region", format="orc")
+    try:
+        back = spark.table("uabp_orc_region")
+        assert back.count() == df.count()
+        assert {r.r_name for r in back.collect()} == {
+            r.r_name for r in df.collect()
+        }
+        fmt = spark.sql("DESCRIBE FORMATTED uabp_orc_region").collect()
+        assert any("orc" in str(r).lower() for r in fmt)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS uabp_orc_region")
