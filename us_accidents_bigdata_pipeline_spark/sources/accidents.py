@@ -51,7 +51,10 @@ def generate_accidents_raw(
     start = pd.Timestamp("2016-02-01").value + rng.integers(
         0, int(7 * 365.25 * 24 * 3600 * 1e9), n
     )
-    start_ts = pd.to_datetime(start)
+    # floor to microseconds: Spark timestamps are µs, and leftover
+    # sub-µs precision makes Arrow's safe ns→µs cast fail, silently
+    # dropping createDataFrame to the slow non-Arrow row path
+    start_ts = pd.to_datetime(start).floor("us")
 
     def with_nulls(arr: np.ndarray, rate: float) -> pd.Series:
         s = pd.Series(arr, dtype="float64")
