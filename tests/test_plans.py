@@ -156,3 +156,14 @@ def test_shard_and_pack_single_shuffle(spark):
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, f"{name}: {n_exchanges} hash exchanges"
         assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_repetition_stats_partial_aggs_no_python(spark):
+    # both aggs must combine map-side before their exchange (partial_
+    # count/sum keep the shuffle at per-doc distinct tokens, not raw
+    # tokens), and the whole operator stays JVM-side
+    plan = plan_of(spark, "repetition_quality_docs")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -80,6 +80,50 @@ def fingerprint64(text: Column | str) -> Column:
     return F.xxhash64(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_max: float = 0.2,
+    distinct_ratio_min: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style repetition
+    filter (Rae et al. 2021 §A1.1): distinct-token ratio and the mass
+    fraction of the single most frequent token, plus the boolean
+    repetitive-document flag used to drop boilerplate/spam from a
+    training corpus.
+
+    Plan shape (scales to any corpus): explode → hash agg on
+    (doc, token) with map-side combine — tokens of one document land
+    in one task's partial map, so the shuffle carries per-doc distinct
+    tokens, not raw tokens — then a second key-partitioned agg on doc.
+    Two shuffles, both on the document key; no UDF, no driver work.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = F.col("top_c") / F.col("n_tokens")
+    d_ratio = F.col("n_distinct") / F.col("n_tokens")
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(d_ratio, 4).alias("distinct_ratio"),
+            F.round(n_tok, 4).alias("top_token_frac"),
+            ((n_tok > top_frac_max) | (d_ratio < distinct_ratio_min)).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
 def vocab_top_tokens(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

@@ -1040,6 +1040,32 @@ def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "repetition_quality_docs",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '')) AS token
+         FROM documents),
+       tc AS (SELECT doc_id, token, count(*) AS c
+              FROM toks GROUP BY doc_id, token)
+       SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_ratio,
+              round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_frac,
+              (max(c) / CAST(sum(c) AS DOUBLE) > 0.2
+               OR count(*) / CAST(sum(c) AS DOUBLE) < 0.3) AS is_repetitive
+       FROM tc GROUP BY doc_id""",
+    doc="Gopher-style repetition filter: distinct-token ratio + "
+    "top-token mass fraction + repetitive flag "
+    "(operators/textstats.py::repetition_stats)",
+)
+def q_repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "ngram_jaccard_pairs",
     r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                   FROM documents),
