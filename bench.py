@@ -38,6 +38,7 @@ HEADLINE = [
     "median_exact",
     "exact_dedup_docs",
     "text_quality_scores",
+    "repetition_quality_docs",
     "minhash_banded_pairs",
     "near_dup_resolve_banded",
     "embedding_near_dup_pairs_blas",
