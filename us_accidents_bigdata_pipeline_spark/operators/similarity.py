@@ -336,6 +336,59 @@ def ivf_search(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column with
+    per-vector reconstruction-error audit — the storage/serving
+    compression step (8 bytes/dim → 1) an embedding corpus goes
+    through before ANN serving.
+
+    Per vector: ``scale = max(|v|)/127``, ``q_i = round(v_i/scale)``
+    (so every ``q_i`` ∈ [-127, 127] by construction — no clipping
+    branch needed), plus audit columns: the L1 mass of the quantized
+    code (integer-exact across engines) and the max absolute
+    reconstruction error (order-independent max over exact double ops,
+    so engine-exact after rounding, unlike a sum-of-squares MSE whose
+    accumulation order differs per engine).
+
+    Map-only JVM higher-order functions (``transform``/``zip_with``/
+    ``array_max``) — no shuffle, no UDF; quantizing 100 TB of vectors
+    is a pure scan.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.select(
+        F.col(id_col),
+        vd.alias("_v"),
+        (F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "_scale"
+        ),
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("_scale") == 0.0, F.lit(0.0)).otherwise(
+            F.round(x / F.col("_scale"), 0)
+        ),
+    )
+    out = out.select(F.col(id_col), F.col("_v"), F.col("_scale"), q.alias("_q"))
+    err = F.zip_with(
+        F.col("_v"), F.col("_q"), lambda v, qq: F.abs(v - qq * F.col("_scale"))
+    )
+    q_l1 = F.aggregate(
+        F.col("_q"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.abs(x).cast("bigint"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        q_l1.alias("q_l1"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.42,

@@ -124,6 +124,178 @@ def repetition_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the classic keyword /
+    salient-term extractor over a training corpus (reference analog:
+    the severity-keyword profiling in
+    BigDataPipeline/spark/data_cleaning.py's categorical summaries).
+
+    Ranking is integer-lexicographic — (tf DESC, df ASC, token ASC) —
+    which is tf·idf-monotone for a fixed document and, unlike ordering
+    by the float score itself, engine-exact: the rank-k cut can never
+    flip on a last-ulp difference between two engines' ``ln``. The
+    smoothed score ln((N+1)/(df+1))·tf is still emitted (rounded) as a
+    value column.
+
+    Plan shape: explode → (doc, token) hash agg with map-side combine →
+    token-keyed doc-frequency agg (Zipf-bounded, tiny) joined back on
+    token → per-doc window rank. Shuffles: one on (doc, token), one on
+    token, one on doc for the window — all key-partitioned, no driver
+    work, no UDF.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("token").asc()
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df_docs") + F.lit(1.0)))
+    return scored.select(
+        F.col(id_col),
+        F.col("rank"),
+        F.col("token"),
+        F.col("tf"),
+        F.col("df_docs"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training-data chunking step that turns long documents into
+    fixed-budget model inputs (stride < chunk_tokens → overlap).
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
+    the tail is kept as a short final chunk rather than dropped.
+
+    Plan shape: map-only — tokenize, build the start sequence with
+    ``F.sequence``, ``posexplode`` it, and slice the token array
+    JVM-side. No shuffle at all: chunking 100 TB is embarrassingly
+    parallel and this plan keeps it that way.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.col("_n"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.least(
+                F.col("_n") - F.col("start"), F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# RE2- and Java-regex compatible (no lookaround, no backrefs) so the
+# Spark plan and any SQL oracle redact identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = EMAIL_PATTERN,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Redact PII-shaped substrings (default: emails) and count the
+    redactions per document — the compliance-scrubbing pass every
+    training-data pipeline needs before export.
+
+    Map-only JVM regex (``regexp_replace`` / ``regexp_count``); no
+    shuffle, no UDF — a full-corpus scrub stays embarrassingly
+    parallel at any scale.
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(c, F.lit(pattern), F.lit(replacement)).alias(
+            "redacted_text"
+        ),
+        F.regexp_count(c, F.lit(pattern)).alias("n_redacted"),
+    )
+
+
+def token_kl_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution divergence KL(P_group ‖ P_corpus) —
+    the dataset-mixture diagnostic that flags a source whose token
+    distribution drifts from the blend (domain skew, contamination,
+    template spam) before it poisons a training run.
+
+    Plan shape: explode → (group, token) hash agg with map-side
+    combine; the corpus distribution is the token-level re-aggregate of
+    the same frame (Zipf-bounded, broadcast back); final agg on group.
+    Every p > 0 implies q > 0 (the group is part of the corpus), so
+    the sum is always finite.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col), F.explode(word_tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    per_group = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_group = per_group.withColumn(
+        "g_total", F.sum("c").over(Window.partitionBy(group_col))
+    )
+    corpus = per_group.groupBy("token").agg(F.sum("c").alias("cc"))
+    corpus_total = toks.count()
+    p = F.col("c") / F.col("g_total")
+    q = F.col("cc") / F.lit(float(corpus_total))
+    return (
+        per_group.join(F.broadcast(corpus), "token")
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
 def vocab_top_tokens(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

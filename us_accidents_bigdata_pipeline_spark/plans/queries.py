@@ -130,23 +130,23 @@ _CHECK_PRIORITY: list[str] = [
     "winnow_fingerprints_md5",
     "fingerprint_dedup_md5",
     "funnel_conversion",
-    # family-diverse representatives of the r1-r3 green core
+    # round-4 additions, never driver-checked
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pii_redact_docs",
+    "token_kl_by_source",
+    "embedding_quantize_error",
+    # family-diverse representatives of the r1-r3 green core (the
+    # dropped join/window variants stay oracled in pytest past slot 50)
     "pricing_summary",
     "priority_distribution",
     "hourly_event_stats",
     "multi_agg_group",
     "join_region_stats",
     "join_revenue_topk",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "window_topk_per_group",
-    "array_agg_sorted",
     "exact_dedup_docs",
     "near_dup_resolve",
     "knn_cosine_topk",
-    "text_quality_scores",
-    "language_id_docs",
 ]
 
 
@@ -2514,3 +2514,165 @@ def q_unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'cust_key', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
         ),
     ).select("o_orderkey", "measure", F.round("value", 2).alias("value"))
+
+
+# =====================================================================
+# Round-4 LLM-pipeline additions: keyword extraction, chunking, PII
+# scrubbing, mixture diagnostics, embedding quantization.
+# =====================================================================
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+         FROM documents),
+       tf AS (
+         SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         FROM toks WHERE token <> '' GROUP BY doc_id, token),
+       dfq AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+         FROM tf GROUP BY token),
+       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       ranked AS (
+         SELECT tf.doc_id, tf.token, tf.tf, dfq.df_docs,
+                row_number() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, dfq.df_docs ASC, tf.token ASC
+                ) AS rank
+         FROM tf JOIN dfq USING (token))
+       SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df_docs,
+              round(tf * ln((n.n_docs + 1.0) / (df_docs + 1.0)), 6) AS tfidf
+       FROM ranked, n WHERE rank <= 3""",
+    doc="per-document top-3 salient terms by TF-IDF with an "
+    "engine-exact integer-lexicographic rank cut "
+    "(operators/textstats.py::tfidf_top_terms)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@_register(
+    "chunk_documents",
+    r"""WITH base AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, toks, len(toks) AS n,
+                unnest(generate_series(0, greatest(len(toks) - 1, 0), 16))
+                    AS start
+         FROM base)
+       SELECT doc_id,
+              CAST(start // 16 AS INT) AS chunk_id,
+              CAST(least(n - start, 32) AS INT) AS n_tokens,
+              array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                  AS chunk_text
+       FROM s""",
+    doc="overlapping token-window chunking (chunk=32, stride=16) — "
+    "map-only, shuffle-free training-input splitter "
+    "(operators/textstats.py::chunk_documents)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=16
+    )
+
+
+@_register(
+    "pii_redact_docs",
+    r"""WITH t AS (
+         SELECT doc_id,
+                text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com' AS t2
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                  t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[REDACTED]', 'g') AS redacted_text,
+              CAST(len(regexp_extract_all(
+                  t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  AS INT) AS n_redacted
+       FROM t""",
+    doc="PII (email) scrub with per-doc redaction count over text "
+    "seeded with one synthetic address per doc so the redaction path "
+    "is provably exercised; RE2/Java-compatible pattern "
+    "(operators/textstats.py::pii_redact)",
+)
+def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    return pii_redact(docs)
+
+
+@_register(
+    "token_kl_by_source",
+    r"""WITH raw AS (
+         SELECT source,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+         FROM documents),
+       t AS (SELECT source, token FROM raw WHERE token <> ''),
+       pg AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+              FROM t GROUP BY source, token),
+       gt AS (SELECT source, token, c,
+                     sum(c) OVER (PARTITION BY source) AS g_total
+              FROM pg),
+       corpus AS (SELECT token, sum(c) AS cc FROM pg GROUP BY token),
+       tot AS (SELECT count(*) AS ct FROM t)
+       SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(sum((CAST(c AS DOUBLE) / CAST(g_total AS DOUBLE))
+                        * ln((CAST(c AS DOUBLE) / CAST(g_total AS DOUBLE))
+                             / (CAST(cc AS DOUBLE) / CAST(tot.ct AS DOUBLE)))),
+                    6) AS kl_vs_corpus
+       FROM gt JOIN corpus USING (token), tot
+       GROUP BY source""",
+    doc="per-source token-distribution KL divergence vs the corpus "
+    "blend — dataset-mixture drift diagnostic "
+    "(operators/textstats.py::token_kl_by_source)",
+)
+def q_token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_kl_by_source
+
+    return token_kl_by_source(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "embedding_quantize_error",
+    r"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             FROM e),
+       u AS (SELECT vec_id, scale, unnest(v) AS x FROM s),
+       q AS (SELECT vec_id, scale, x,
+                    CASE WHEN scale = 0 THEN 0.0
+                         ELSE round(x / scale, 0) END AS qx
+             FROM u)
+       SELECT vec_id, round(scale, 6) AS scale,
+              CAST(sum(CAST(abs(qx) AS BIGINT)) AS BIGINT) AS q_l1,
+              round(max(abs(x - qx * scale)), 6) AS max_abs_err
+       FROM q GROUP BY vec_id, scale""",
+    doc="symmetric int8 embedding quantization with per-vector "
+    "reconstruction audit (integer-exact L1 code mass + "
+    "order-independent max-abs error) "
+    "(operators/similarity.py::quantize_embeddings)",
+)
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
