@@ -136,12 +136,13 @@ _CHECK_PRIORITY: list[str] = [
     "pii_redact_docs",
     "token_kl_by_source",
     "embedding_quantize_error",
+    "rolling_30d_revenue",
+    "cohort_retention",
     # family-diverse representatives of the r1-r3 green core (the
-    # dropped join/window variants stay oracled in pytest past slot 50)
+    # dropped agg/join/window variants stay oracled in pytest past
+    # slot 50)
     "pricing_summary",
     "priority_distribution",
-    "hourly_event_stats",
-    "multi_agg_group",
     "join_region_stats",
     "join_revenue_topk",
     "exact_dedup_docs",
@@ -2676,3 +2677,86 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings
 
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "rolling_30d_revenue",
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+              round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+                  AS rolling_30d_revenue,
+              CAST(count(*) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_orders_30d
+       FROM orders""",
+    doc="time-RANGE window frame (30-day rolling revenue per customer): "
+    "rangeBetween over a day-number orderBy — the range-frame window "
+    "family (rows-frame windows are covered by window_running_sum); "
+    "day numbers derive from the DATE part of the NTZ timestamp, so "
+    "the frame is timezone-independent in both engines; same-day rows "
+    "are frame peers in both, keeping the sum deterministic",
+)
+def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d_revenue"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+@_register(
+    "cohort_retention",
+    """WITH act AS (
+         SELECT DISTINCT o_custkey,
+                         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                             AS m
+         FROM orders),
+       coh AS (SELECT o_custkey, min(m) AS cohort_month
+               FROM act GROUP BY o_custkey)
+       SELECT cohort_month,
+              CAST(date_diff('month', cohort_month, m) AS INT)
+                  AS months_since,
+              CAST(count(DISTINCT act.o_custkey) AS BIGINT) AS n_active
+       FROM act JOIN coh USING (o_custkey)
+       GROUP BY cohort_month, months_since""",
+    doc="cohort retention matrix: customers bucketed by first-order "
+    "month, distinct-active counts at each month offset — two "
+    "key-partitioned aggregations plus one equi-join on the customer "
+    "key (no broadcast forced: the cohort side is |customers|-sized "
+    "and AQE picks the join strategy per tier)",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    act = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    coh = act.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    return (
+        act.join(coh, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.months_between(F.col("m"), F.col("cohort_month"))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
