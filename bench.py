@@ -50,6 +50,13 @@ HEADLINE = [
     "training_shard_assignment",
     "sequence_pack_assignment",
     "mixture_sample_docs",
+    "tfidf_top_terms",
+    "chunk_documents",
+    "pii_redact_docs",
+    "token_kl_by_source",
+    "embedding_quantize_error",
+    "rolling_30d_revenue",
+    "cohort_retention",
 ]
 
 

@@ -167,3 +167,28 @@ def test_repetition_stats_partial_aggs_no_python(spark):
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_round4_text_ops_plan_shapes(spark):
+    # chunking / quantization / redaction are pure scans: any Exchange
+    # here would turn an embarrassingly-parallel 100 TB pass into a
+    # shuffle of the full corpus
+    for name in ("chunk_documents", "embedding_quantize_error",
+                 "pii_redact_docs"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+    # tfidf / KL join a Zipf-bounded side frame: must broadcast, never
+    # sort-merge the exploded token stream against it
+    for name in ("tfidf_top_terms", "token_kl_by_source"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_rolling_window_single_shuffle(spark):
+    # one hash-partitioning exchange on the customer key feeds the
+    # range-frame window; no join, no second shuffle
+    plan = plan_of(spark, "rolling_30d_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "RANGE BETWEEN" in plan or "specifiedwindowframe" in plan.lower()
