@@ -150,9 +150,13 @@ def test_export_chart_suite_end_to_end(cleaned, tmp_path):
         ["Start_Lat", "Start_Lng"],
     )
     clustered = fit_kmeans(geo, 3, max_iter=5).transform(geo)
+    preds = cleaned.select(
+        F.col("Severity").cast("double").alias("label"),
+        F.col("Severity").cast("double").alias("prediction"),
+    )
     written = export_chart_suite(
         cleaned, str(tmp_path / "charts"), clustered=clustered,
-        max_scatter_points=400,
+        predictions=preds, max_scatter_points=400,
     )
     names = {os.path.basename(p) for p in written}
     assert names == {
@@ -162,7 +166,49 @@ def test_export_chart_suite_end_to_end(cleaned, tmp_path):
         "weather_breakdown.svg",
         "geo_scatter.svg",
         "cluster_scatter.svg",
+        "confusion_matrix.svg",
     }
     for p in written:
         root = ET.parse(p).getroot()  # well-formed XML
         assert root.tag.endswith("svg")
+
+
+def test_render_heatmap_svg_units():
+    import xml.etree.ElementTree as ET
+
+    from us_accidents_bigdata_pipeline_spark.operators.render_svg import (
+        render_heatmap_svg,
+    )
+
+    svg = render_heatmap_svg(
+        ["1", "2"], ["1", "2"], [[10.0, 0.0], [3.0, 7.0]], "cm"
+    )
+    root = ET.fromstring(svg)
+    cells = [
+        el for el in root.iter() if el.get("class") == "cell"
+    ]
+    assert len(cells) == 4
+    # vmax cell is full blue, zero cell is white
+    fills = {c.get("fill") for c in cells}
+    assert "rgb(8,81,156)" in fills and "rgb(255,255,255)" in fills
+    # annotations present for every cell
+    texts = [el.text for el in root.iter() if el.tag.endswith("text")]
+    assert "10.0" in texts and "0.0" in texts
+
+
+def test_confusion_heatmap_from_dataframe(spark):
+    import xml.etree.ElementTree as ET
+
+    from us_accidents_bigdata_pipeline_spark.ml.metrics import confusion_matrix
+    from us_accidents_bigdata_pipeline_spark.operators.viz import (
+        confusion_heatmap_svg,
+    )
+
+    preds = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 2.0)],
+        "label double, prediction double",
+    )
+    svg = confusion_heatmap_svg(confusion_matrix(preds))
+    root = ET.fromstring(svg)
+    cells = [el for el in root.iter() if el.get("class") == "cell"]
+    assert len(cells) == 4  # 2x2 including the zero (2,1) cell

@@ -154,3 +154,61 @@ def render_scatter_svg(
             )
     parts.append("</svg>")
     return "\n".join(parts)
+
+
+def render_heatmap_svg(
+    row_labels: Sequence[object],
+    col_labels: Sequence[object],
+    values: Sequence[Sequence[float]],
+    title: str = "",
+    annotate: bool = True,
+) -> str:
+    """Annotated matrix heatmap (the reference's confusion-matrix chart,
+    BigDataPipeline/spark/generate_visualizations.py:35-49 sns.heatmap
+    cmap='Blues') — linear white→blue ramp, one <rect> per cell,
+    optional centered value annotations with luminance-aware text
+    color."""
+    if len(values) != len(row_labels) or any(
+        len(r) != len(col_labels) for r in values
+    ):
+        raise ValueError("values must be |rows| x |cols|")
+    parts = _header(title)
+    plot_w, plot_h = _W - _ML - _MR, _H - _MT - _MB
+    n_r, n_c = len(row_labels), len(col_labels)
+    cw, ch = plot_w / max(n_c, 1), plot_h / max(n_r, 1)
+    vmax = max((float(v) for row in values for v in row), default=0.0) or 1.0
+    for i, row in enumerate(values):
+        for j, v in enumerate(row):
+            frac = max(0.0, min(float(v) / vmax, 1.0))
+            # white (255,255,255) -> steel blue (8,81,156)
+            r = round(255 - frac * (255 - 8))
+            g = round(255 - frac * (255 - 81))
+            b = round(255 - frac * (255 - 156))
+            x, y = _ML + j * cw, _MT + i * ch
+            parts.append(
+                f'<rect class="cell" x="{x:.2f}" y="{y:.2f}" '
+                f'width="{cw:.2f}" height="{ch:.2f}" '
+                f'fill="rgb({r},{g},{b})" stroke="#ccc" stroke-width="0.5"/>'
+            )
+            if annotate:
+                tcol = "#fff" if frac > 0.6 else "#222"
+                parts.append(
+                    f'<text x="{x + cw / 2:.2f}" y="{y + ch / 2 + 4:.2f}" '
+                    f'text-anchor="middle" font-size="12" '
+                    f'font-family="sans-serif" fill="{tcol}">'
+                    f"{escape(str(round(float(v), 2)))}</text>"
+                )
+    for i, lab in enumerate(row_labels):
+        parts.append(
+            f'<text x="{_ML - 6}" y="{_MT + i * ch + ch / 2 + 4:.2f}" '
+            f'text-anchor="end" font-size="11" font-family="sans-serif">'
+            f"{escape(str(lab))}</text>"
+        )
+    for j, lab in enumerate(col_labels):
+        parts.append(
+            f'<text x="{_ML + j * cw + cw / 2:.2f}" y="{_H - _MB + 16}" '
+            f'text-anchor="middle" font-size="11" font-family="sans-serif">'
+            f"{escape(str(lab))}</text>"
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)

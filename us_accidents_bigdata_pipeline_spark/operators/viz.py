@@ -67,10 +67,37 @@ def geo_scatter_sample(
     return out if frac >= 1.0 else out.sample(False, frac, seed).limit(max_points)
 
 
+def confusion_heatmap_svg(
+    cm: DataFrame, title: str = "Random Forest - Confusion Matrix"
+) -> str:
+    """Render an ``ml.metrics.confusion_matrix`` frame
+    ((label, prediction, n) — k×k, driver-tiny) as the annotated
+    heatmap the reference plots with sns.heatmap
+    (generate_visualizations.py:35-49). Distributed part is the
+    confusion aggregation itself; only k² cells are collected."""
+    from .render_svg import render_heatmap_svg
+
+    rows = [
+        r
+        for r in cm.collect()
+        if r.label is not None and r.prediction is not None
+    ]
+    classes = sorted({r.label for r in rows} | {r.prediction for r in rows})
+    cell = {(r.label, r.prediction): r.n for r in rows}
+    values = [
+        [float(cell.get((t, p), 0)) for p in classes] for t in classes
+    ]
+    labels = [
+        str(int(c)) if float(c).is_integer() else str(c) for c in classes
+    ]
+    return render_heatmap_svg(labels, labels, values, title)
+
+
 def export_chart_suite(
     cleaned: DataFrame,
     out_dir: str,
     clustered: DataFrame | None = None,
+    predictions: DataFrame | None = None,
     max_scatter_points: int = 20_000,
 ) -> list[str]:
     """End-to-end chart rendering: the reference's visualization job
@@ -160,6 +187,15 @@ def export_chart_suite(
                 [r["cluster"] for r in rows],
                 "K-Means geographic clusters",
             ),
+        )
+    if predictions is not None and {"label", "prediction"} <= set(
+        predictions.columns
+    ):
+        from ..ml.metrics import confusion_matrix
+
+        _write(
+            "confusion_matrix.svg",
+            confusion_heatmap_svg(confusion_matrix(predictions)),
         )
     return written
 

@@ -263,6 +263,7 @@ def run_complete_pipeline(
             cleaned,
             str(out / "charts"),
             clustered=clustered.select("Start_Lat", "Start_Lng", "cluster"),
+            predictions=rf_preds.select("label", "prediction"),
         )
         with open(out / "pipeline_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
