@@ -574,8 +574,18 @@ def simhash_near_dup_pairs(
     (tests/test_dedup_ann.py) is the correctness evidence.
     """
     sims = simhash_buckets(df, id_col, text_col).select(id_col, "simhash")
+    return _blocked_hamming_pairs(sims, id_col, max_hamming, n_bits=64)
+
+
+def _blocked_hamming_pairs(
+    sims: DataFrame, id_col: str, max_hamming: int, n_bits: int
+) -> DataFrame:
+    """Shared block-and-verify pair join over a (id, simhash) frame:
+    split the ``n_bits``-bit signature into ``max_hamming + 1`` blocks
+    (pigeonhole → recall 1), equi-join on (block index, block value),
+    verify with ``bit_count(xor)``."""
     nb = max_hamming + 1
-    base, extra = divmod(64, nb)
+    base, extra = divmod(n_bits, nb)
     widths = [base + (1 if i < extra else 0) for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
 
@@ -617,8 +627,48 @@ def simhash_near_dup_pairs(
     return cand.select(
         "doc_a",
         "doc_b",
-        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        .cast("int")
+        .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 5,
+) -> DataFrame:
+    """``simhash_near_dup_pairs`` twin whose token hash is the first 15
+    hex digits of ``md5(token)`` parsed to a 60-bit integer — an
+    engine-agnostic hash any ANSI-SQL engine can recompute, which is
+    what makes the SimHash family SQL-oracle-checkable (the xxhash64
+    variant stays the fast engine-specific path; this twin pins its
+    semantics the same way ``winnow_fingerprints_md5`` anchors the
+    winnowing family). Same relational plan shape: hash once per
+    exploded token, 60 bit-test sum aggregates, block-and-verify join.
+    """
+    hv = F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long")
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    hashed = toks.select(id_col, hv.alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    sums = hashed.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(
+            F.col(f"_b{b}") > 0, F.lit(_bit_mask(b))
+        ).otherwise(F.lit(0).cast("long"))
+    sims = sums.select(F.col(id_col), sim.alias("simhash"))
+    return _blocked_hamming_pairs(sims, id_col, max_hamming, n_bits=60)
 
 
 def minhash_banded_pairs(

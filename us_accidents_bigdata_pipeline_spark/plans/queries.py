@@ -138,13 +138,13 @@ _CHECK_PRIORITY: list[str] = [
     "embedding_quantize_error",
     "rolling_30d_revenue",
     "cohort_retention",
+    "simhash_near_dup_pairs_md5",
     # family-diverse representatives of the r1-r3 green core (the
     # dropped agg/join/window variants stay oracled in pytest past
     # slot 50)
     "pricing_summary",
     "priority_distribution",
     "join_region_stats",
-    "join_revenue_topk",
     "exact_dedup_docs",
     "near_dup_resolve",
     "knn_cosine_topk",
@@ -2759,4 +2759,45 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_month", "months_since")
         .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+@_register(
+    "simhash_near_dup_pairs_md5",
+    r"""WITH raw AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS tok
+         FROM documents),
+       t AS (SELECT doc_id, md5(tok) AS h FROM raw WHERE tok <> ''),
+       hv AS (SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(1, 15),
+                    i -> (CAST(strpos('0123456789abcdef', substr(h, i, 1))
+                               AS BIGINT) - 1)
+                         << (4 * (15 - i)))) AS BIGINT) AS hval
+              FROM t),
+       bits AS (SELECT doc_id, b,
+                       sum(CASE WHEN (hval >> b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS s
+                FROM hv CROSS JOIN
+                     (SELECT unnest(generate_series(0, 59)) AS b) bb
+                GROUP BY doc_id, b),
+       sig AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b
+                                    ELSE 0 END) AS BIGINT) AS simhash
+               FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""",
+    doc="SQL-oracled SimHash near-dup pairs: 60-bit signatures from an "
+    "engine-agnostic md5 token hash, block-and-verify join with "
+    "pigeonhole recall 1; the oracle brute-forces all pairs while the "
+    "engine's blocked join must return the identical set "
+    "(operators/dedup.py::simhash_near_dup_pairs_md5)",
+)
+def q_simhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup_pairs_md5
+
+    return simhash_near_dup_pairs_md5(
+        _t(spark, sf_dir, "documents"), max_hamming=5
     )
