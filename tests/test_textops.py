@@ -129,3 +129,96 @@ def test_quantize_codes_within_int8_range(spark):
     out = quantize_embeddings(df)
     assert out.filter(F.col("q_l1") > 127 * 16).count() == 0
     assert out.filter(F.col("max_abs_err") < 0).count() == 0
+
+
+def test_chunk_documents_property(spark):
+    """Property vs a Python reference chunker: for any token list and
+    (chunk, stride), the operator's output is exactly
+    tokens[s : s+chunk] for s in range(0, n, stride)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        toks=st.lists(token, min_size=1, max_size=20),
+        chunk=st.integers(min_value=1, max_value=8),
+        stride=st.integers(min_value=1, max_value=8),
+    )
+    def run(toks, chunk, stride):
+        df = _docs(spark, [(1, " ".join(toks))])
+        got = {
+            (r.chunk_id, r.n_tokens, r.chunk_text)
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, stride=stride
+            ).collect()
+        }
+        want = {
+            (i, min(len(toks) - s, chunk), " ".join(toks[s : s + chunk]))
+            for i, s in enumerate(range(0, len(toks), stride))
+        }
+        assert got == want
+
+    run()
+
+
+def test_quantize_property_error_bound(spark):
+    """For any non-degenerate vector, every reconstruction error is
+    bounded by scale/2 and codes carry at most 127 units of mass per
+    coordinate (symmetric int8 invariants)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(
+        min_value=-100.0,
+        max_value=100.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(vecs=st.lists(st.lists(coord, min_size=1, max_size=8),
+                         min_size=1, max_size=4))
+    def run(vecs):
+        df = spark.createDataFrame(
+            list(enumerate(vecs)), "vec_id long, embedding array<float>"
+        )
+        for r in quantize_embeddings(df).collect():
+            dim = len(vecs[r.vec_id])
+            assert r.scale >= 0.0
+            # rounding the audit columns at 6dp adds <= 5e-7 slack
+            assert r.max_abs_err <= r.scale / 2.0 + 1e-6
+            assert 0 <= r.q_l1 <= 127 * dim
+
+    run()
+
+
+def test_pii_redact_idempotent(spark):
+    """Redaction is idempotent: the replacement token contains no
+    email-shaped substring, so a second pass changes nothing."""
+    df = _docs(
+        spark,
+        [(i, t) for i, t in enumerate([
+            "a@b.co x c@d.org", "no pii", "x a.b@c.de y", "@ not@an @x",
+        ])],
+    )
+    once = pii_redact(df)
+    twice = pii_redact(
+        once.select(F.col("doc_id"), F.col("redacted_text").alias("text"))
+    )
+    a = {r.doc_id: r.redacted_text for r in once.collect()}
+    b = {r.doc_id: r.redacted_text for r in twice.collect()}
+    assert a == b
+    assert all(
+        r.n_redacted == 0 for r in twice.collect()
+    )
