@@ -296,6 +296,36 @@ def token_kl_by_source(
     )
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    cheap compression-ratio proxy quality signal (low entropy ⇒
+    repetitive/template/spam text; the CCNet/RefinedWeb-style filter
+    family): H = Σ p·ln(1/p) over the doc's character frequencies.
+
+    The ``p·ln(1/p)`` form (not ``-Σ p·ln p``) keeps an all-same-char
+    document at exactly +0.0 — a negated zero would stringify as
+    "-0.0" and break engine-exact comparison.
+
+    Plan shape: explode chars → (doc, char) hash agg with map-side
+    combine (the shuffle carries per-doc distinct chars — alphabet-
+    bounded, ~100 rows/doc — never raw characters) → per-doc window
+    total → final agg on doc. All JVM-side."""
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn("n", F.sum("c").over(Window.partitionBy(id_col)))
+    p = F.col("c") / F.col("n")
+    return per.groupBy(id_col).agg(
+        F.max("n").alias("n_chars"),
+        F.round(F.sum(p * F.log(F.lit(1.0) / p)), 6).alias("char_entropy"),
+    )
+
+
 def vocab_top_tokens(
     df: DataFrame, text_col: str = "text", k: int = 50
 ) -> DataFrame:

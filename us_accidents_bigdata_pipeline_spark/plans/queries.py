@@ -139,13 +139,13 @@ _CHECK_PRIORITY: list[str] = [
     "rolling_30d_revenue",
     "cohort_retention",
     "simhash_near_dup_pairs_md5",
+    "correlation_stats",
+    "char_entropy_docs",
     # family-diverse representatives of the r1-r3 green core (the
     # dropped agg/join/window variants stay oracled in pytest past
     # slot 50)
-    "pricing_summary",
     "priority_distribution",
     "join_region_stats",
-    "exact_dedup_docs",
     "near_dup_resolve",
     "knn_cosine_topk",
 ]
@@ -2801,3 +2801,55 @@ def q_simhash_near_dup_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs_md5(
         _t(spark, sf_dir, "documents"), max_hamming=5
     )
+
+
+@_register(
+    "correlation_stats",
+    """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              round(covar_samp(l_quantity, l_extendedprice), 4)
+                  AS covar_qty_price,
+              round(stddev_samp(l_quantity), 6) AS sd_qty,
+              round(stddev_samp(l_extendedprice), 4) AS sd_price,
+              round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+       FROM lineitem""",
+    doc="single-pass correlation / sample-covariance / stddev profile "
+    "(DataFrame.stat surface as declarative aggregates — partial "
+    "co-moment combine keeps the shuffle at one row per partition)",
+)
+def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+@_register(
+    "char_entropy_docs",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                 FROM documents),
+       f AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+             FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+       g AS (SELECT doc_id, ch, c,
+                    sum(c) OVER (PARTITION BY doc_id) AS n
+             FROM f)
+       SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+              round(sum((CAST(c AS DOUBLE) / n)
+                        * ln(1.0 / (CAST(c AS DOUBLE) / n))), 6)
+                  AS char_entropy
+       FROM g GROUP BY doc_id""",
+    doc="character-entropy quality proxy per document (compression-"
+    "ratio-style repetitiveness signal) "
+    "(operators/textstats.py::char_entropy)",
+)
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
