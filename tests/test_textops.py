@@ -222,3 +222,87 @@ def test_pii_redact_idempotent(spark):
     assert all(
         r.n_redacted == 0 for r in twice.collect()
     )
+
+
+# --- BPE merge learning (operators/bpe.py) ---------------------------
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Textbook BPE (Sennrich et al. 2016 Algorithm 1) on a word-freq
+    dict; ties break lexicographically like the operator."""
+    vocab = {
+        tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not pairs:
+            break
+        top_n = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == top_n)
+        a, b = best
+        merges.append((a, b, a + b, top_n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    from collections import Counter
+
+    from us_accidents_bigdata_pipeline_spark.operators.bpe import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    wf = Counter(w for t in texts for w in t.split())
+    want = _bpe_reference(wf, 8)
+    got = [
+        (r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_learn_merges(df, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_segment_applies_merges_greedily(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    df = _docs(spark, [(1, "aaab aaab ab")])
+    merges = [
+        (r.left, r.right)
+        for r in bpe_learn_merges(df, n_merges=3).orderBy("rank").collect()
+    ]
+    out = bpe_segment(df, merges).collect()[0].bpe_tokens
+    # every token is a learned symbol or a seed char/EOW; rejoining
+    # (minus EOW) reconstructs the original text's words
+    rebuilt = (
+        "".join(out).replace("</w>", " ").strip()
+    )
+    assert rebuilt == "aaab aaab ab"
+    # greedy left-to-right: 'a a a b' with merge (a,a) -> 'aa a b',
+    # never 'a aa b'
+    assert len(out) < len("aaabaaabab") + 3  # merges actually applied

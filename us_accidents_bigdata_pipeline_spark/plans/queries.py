@@ -2853,3 +2853,18 @@ def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import char_entropy
 
     return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bpe_merges_learned",
+    None,
+    doc="BPE tokenizer merge learning (Sennrich 2016) on the "
+    "Zipf-bounded word-frequency table — iterative algorithm, not "
+    "SQL-expressible (per-round state feeds the next round's count); "
+    "correctness is pinned against a textbook pure-Python reference "
+    "in tests/test_textops.py (operators/bpe.py::bpe_learn_merges)",
+)
+def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=10)
