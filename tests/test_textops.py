@@ -306,3 +306,28 @@ def test_bpe_segment_applies_merges_greedily(spark):
     # greedy left-to-right: 'a a a b' with merge (a,a) -> 'aa a b',
     # never 'a aa b'
     assert len(out) < len("aaabaaabab") + 3  # merges actually applied
+
+
+def test_drop_common_lines_edges(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        drop_common_lines,
+    )
+
+    # 'common' appears in 3 docs (> max 2) -> dropped everywhere;
+    # 'rare' in 2 docs -> kept; doc 4 is all boilerplate -> empty;
+    # within-doc repetition of a rare line is NOT cross-doc spam
+    df = _docs(
+        spark,
+        [
+            (1, "common\nalpha\nrare"),
+            (2, "common\nbeta\nrare\nbeta"),
+            (3, "common\ngamma"),
+            (4, "common"),
+        ],
+    )
+    out = {r.doc_id: r for r in drop_common_lines(df, max_line_docs=2).collect()}
+    assert out[1].text_deduped == "alpha\nrare"
+    assert out[2].text_deduped == "beta\nrare\nbeta"  # order preserved
+    assert out[3].text_deduped == "gamma"
+    assert out[4].text_deduped == "" and out[4].n_dropped == 1
+    assert out[1].n_lines == 3 and out[1].n_dropped == 1

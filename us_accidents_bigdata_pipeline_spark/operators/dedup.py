@@ -30,6 +30,70 @@ from pyspark.sql import functions as F
 from ..functions import word_tokens
 
 
+def drop_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_docs: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Cross-document LINE dedup (the C4/RefinedWeb boilerplate filter):
+    drop every line that appears in more than ``max_line_docs``
+    distinct documents (nav bars, cookie banners, license footers),
+    reassembling each document's surviving lines in original order.
+
+    Output: (id, out_col, n_lines, n_dropped). Documents whose lines
+    are all dropped keep an empty string.
+
+    Plan shape (scales to any corpus): posexplode lines → distinct-doc
+    count per line via two partial-agg shuffles keyed on the 8-byte
+    ``xxhash64(line)`` — the payload line never rides the count
+    shuffle — broadcast-or-shuffle join of the (hash, doc-count) frame
+    back onto the line rows (Zipf: common lines are FEW distinct
+    values, so the count frame is small even on huge corpora), then
+    one groupBy on the document key re-assembling with an
+    order-preserving sorted ``array_agg``. No UDF, no driver work.
+
+    A 64-bit hash collision would merge two distinct lines' doc-counts
+    (over-drop); at ~10^12-line corpora expect a handful — acceptable
+    for a boilerplate filter (drops are lossy by design). A
+    collision-free variant would key the count on the line itself at
+    ~linewidth/8 × the shuffle cost.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_lh", F.xxhash64("line"))
+    line_docs = lines.groupBy("_lh").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    kept = (
+        lines.join(line_docs, "_lh")
+        .withColumn("_drop", F.col("_ndocs") > max_line_docs)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("int")).alias("n_dropped"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one row (minimum ``id_col``) per distinct value of ``cols``,
     with the duplicate count. Deterministic, unlike ``dropDuplicates``

@@ -141,10 +141,11 @@ _CHECK_PRIORITY: list[str] = [
     "simhash_near_dup_pairs_md5",
     "correlation_stats",
     "char_entropy_docs",
+    "line_dedup_docs",
     # family-diverse representatives of the r1-r3 green core (the
     # dropped agg/join/window variants stay oracled in pytest past
-    # slot 50)
-    "priority_distribution",
+    # slot 50; priority_distribution is entry()'s flagship and is
+    # smoke-checked by the driver every round regardless)
     "join_region_stats",
     "near_dup_resolve",
     "knn_cosine_topk",
@@ -2868,3 +2869,46 @@ def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_learn_merges
 
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+@_register(
+    "line_dedup_docs",
+    """WITH t AS (
+         SELECT doc_id,
+                'SUBSCRIBE NOW' || chr(10) || text || chr(10)
+                    || 'Copyright 2026' AS t2
+         FROM documents),
+       a AS (SELECT doc_id, string_split(t2, chr(10)) AS arr FROM t),
+       l AS (SELECT doc_id, CAST(g.i AS INT) - 1 AS pos, arr[g.i] AS line
+             FROM a CROSS JOIN
+                  unnest(generate_series(1, len(arr))) AS g(i)),
+       c AS (SELECT line, count(DISTINCT doc_id) AS nd
+             FROM l GROUP BY line),
+       k AS (SELECT l.doc_id, l.pos, l.line, c.nd > 2 AS dropped
+             FROM l JOIN c USING (line))
+       SELECT doc_id,
+              COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                  chr(10) ORDER BY pos), '')
+                  AS text_deduped,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped
+       FROM k GROUP BY doc_id""",
+    doc="cross-document line dedup (C4/RefinedWeb boilerplate filter): "
+    "lines appearing in >2 documents are dropped, survivors reassemble "
+    "in original order; the query seeds two corpus-wide boilerplate "
+    "lines around every document so the filter provably fires "
+    "(operators/dedup.py::drop_common_lines)",
+)
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import drop_common_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("SUBSCRIBE NOW\n"),
+            F.col("text"),
+            F.lit("\nCopyright 2026"),
+        ),
+    )
+    return drop_common_lines(docs, max_line_docs=2)
