@@ -142,11 +142,11 @@ _CHECK_PRIORITY: list[str] = [
     "correlation_stats",
     "char_entropy_docs",
     "line_dedup_docs",
+    "corpus_curation_funnel",
     # family-diverse representatives of the r1-r3 green core (the
     # dropped agg/join/window variants stay oracled in pytest past
     # slot 50; priority_distribution is entry()'s flagship and is
     # smoke-checked by the driver every round regardless)
-    "join_region_stats",
     "near_dup_resolve",
     "knn_cosine_topk",
 ]
@@ -2912,3 +2912,93 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return drop_common_lines(docs, max_line_docs=2)
+
+
+@_register(
+    "corpus_curation_funnel",
+    r"""WITH d AS (SELECT doc_id, text FROM documents),
+       sq AS (
+         SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+                  round(0.4 * least(CAST(len(string_split_regex(trim(text),
+                            '\s+')) AS DOUBLE) / 50.0, 1.0)
+                      + 0.3 * least((CAST(len(list_filter(
+                            string_split_regex(trim(text), '\s+'),
+                            t -> t IN ('the','a','of','and','to','in',
+                                       'is','it'))) AS DOUBLE)
+                          / CAST(len(string_split_regex(trim(text), '\s+'))
+                                AS DOUBLE)) / 0.05, 1.0)
+                      + 0.3 * (CASE WHEN
+                            CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                                 AS DOUBLE)
+                            / CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS DOUBLE)
+                            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END),
+                        4) AS quality
+           FROM d) WHERE quality >= 0.8),
+       tc AS (SELECT doc_id, token, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_filter(string_split_regex(trim(text),
+                               '\s+'), t -> t <> '')) AS token
+                    FROM sq)
+              GROUP BY doc_id, token),
+       nr AS (SELECT doc_id FROM tc GROUP BY doc_id
+              HAVING NOT (max(c) / CAST(sum(c) AS DOUBLE) > 0.2
+                          OR count(*) / CAST(sum(c) AS DOUBLE) < 0.3)),
+       s2 AS (SELECT sq.doc_id, sq.text FROM sq JOIN nr USING (doc_id)),
+       s3 AS (SELECT doc_id, text FROM s2
+              WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY text)),
+       t3 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM s3),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+              FROM t3, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+       pairs AS (SELECT da, db FROM inter
+                 JOIN sz x ON x.doc_id = da
+                 JOIN sz y ON y.doc_id = db
+                 WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.5),
+       s4 AS (SELECT doc_id, text FROM s3
+              WHERE doc_id NOT IN (SELECT db FROM pairs)),
+       t4 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM s4),
+       g4 AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4] AS g
+              FROM t4, UNNEST(generate_series(1, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+       tb AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM d WHERE doc_id < 10),
+       bg AS (SELECT DISTINCT
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4] AS g
+              FROM tb, UNNEST(generate_series(1, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+       cont AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bg USING (g)),
+       s5 AS (SELECT doc_id FROM s4
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+              CAST(n_docs AS BIGINT) AS n_docs
+       FROM (
+         SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs FROM d
+         UNION ALL SELECT 1, 'quality', count(*) FROM sq
+         UNION ALL SELECT 2, 'repetition', count(*) FROM s2
+         UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+         UNION ALL SELECT 4, 'near_dup', count(*) FROM s4
+         UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5)""",
+    doc="END-TO-END corpus curation funnel (quality -> repetition -> "
+    "exact dedup -> near-dup prune -> decontamination) with per-stage "
+    "survivor counts; the whole composition is oracle-checked, not "
+    "just the stages (operators/curation.py::curate_corpus)",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    _, funnel = curate_corpus(docs, bench)
+    return funnel
