@@ -58,6 +58,8 @@ HEADLINE = [
     "rolling_30d_revenue",
     "cohort_retention",
     "simhash_near_dup_pairs_md5",
+    "line_dedup_docs",
+    "corpus_curation_funnel",
 ]
 
 

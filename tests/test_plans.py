@@ -192,3 +192,18 @@ def test_rolling_window_single_shuffle(spark):
     plan = plan_of(spark, "rolling_30d_revenue")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "RANGE BETWEEN" in plan or "specifiedwindowframe" in plan.lower()
+
+
+def test_line_dedup_and_funnel_plan_shapes(spark):
+    # line dedup: no cartesian/nested-loop anywhere; the count-frame
+    # join and the reassembly groupBy are all hash-partitioned
+    plan = plan_of(spark, "line_dedup_docs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # the curation funnel composes five stages; none may degrade to a
+    # nested-loop join (the near-dup stage's pair join is keyed on the
+    # shingle, decontamination on the n-gram)
+    plan = plan_of(spark, "corpus_curation_funnel")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

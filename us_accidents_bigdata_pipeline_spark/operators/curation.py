@@ -40,9 +40,11 @@ def curate_corpus(
     """Run the funnel; returns (curated_docs, funnel_counts) where
     funnel_counts is (stage_idx, stage, n_docs) with one row per stage.
 
-    Each stage's frame derives lazily from the previous one — at real
-    scale persist the survivor frames between stages (the counts frame
-    evaluates every stage chain once per count otherwise).
+    Each survivor frame is persisted while its count materializes, so
+    every stage chain executes exactly ONCE (a lazy union-of-counts
+    would re-derive the whole prefix chain per branch — at corpus
+    scale that multiplies the expensive near-dup join by the number of
+    downstream stages). The funnel frame itself is six driver rows.
     """
     from .dedup import (
         benchmark_decontaminate,
@@ -51,40 +53,47 @@ def curate_corpus(
     )
     from .textstats import quality_score, repetition_stats
 
-    s1 = docs.filter(quality_score(text_col) >= quality_min)
-    non_rep = (
-        repetition_stats(s1, id_col, text_col)
-        .filter(~F.col("is_repetitive"))
-        .select(id_col)
-    )
-    s2 = s1.join(non_rep, id_col)
-    keepers = exact_dedup(s2, [text_col], id_col).select(id_col)
-    s3 = s2.join(keepers, id_col)
-    pairs = ngram_jaccard_pairs(
-        s3, id_col, text_col, n=jaccard_n, threshold=jaccard_threshold
-    )
-    drop_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    s4 = s3.join(drop_b, id_col, "left_anti")
-    dec = benchmark_decontaminate(
-        s4, bench, id_col=id_col, text_col=text_col, n=decontam_n
-    )
-    s5 = s4.join(
-        dec.filter(~F.col("contaminated")).select(id_col), id_col
-    )
+    spark = docs.sparkSession
+    persisted: list[DataFrame] = []
 
-    def _cnt(frame: DataFrame, idx: int, name: str) -> DataFrame:
-        return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs"),
+    def _p(frame: DataFrame) -> DataFrame:
+        frame = frame.persist()
+        persisted.append(frame)
+        return frame
+
+    try:
+        s1 = _p(docs.filter(quality_score(text_col) >= quality_min))
+        non_rep = (
+            repetition_stats(s1, id_col, text_col)
+            .filter(~F.col("is_repetitive"))
+            .select(id_col)
         )
-
-    funnel = (
-        _cnt(docs, 0, "raw")
-        .unionByName(_cnt(s1, 1, "quality"))
-        .unionByName(_cnt(s2, 2, "repetition"))
-        .unionByName(_cnt(s3, 3, "exact_dedup"))
-        .unionByName(_cnt(s4, 4, "near_dup"))
-        .unionByName(_cnt(s5, 5, "decontaminated"))
+        s2 = _p(s1.join(non_rep, id_col))
+        keepers = exact_dedup(s2, [text_col], id_col).select(id_col)
+        s3 = _p(s2.join(keepers, id_col))
+        pairs = ngram_jaccard_pairs(
+            s3, id_col, text_col, n=jaccard_n, threshold=jaccard_threshold
+        )
+        drop_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        s4 = _p(s3.join(drop_b, id_col, "left_anti"))
+        dec = benchmark_decontaminate(
+            s4, bench, id_col=id_col, text_col=text_col, n=decontam_n
+        )
+        s5 = s4.join(
+            dec.filter(~F.col("contaminated")).select(id_col), id_col
+        )
+        counts = [
+            (0, "raw", docs.count()),
+            (1, "quality", s1.count()),
+            (2, "repetition", s2.count()),
+            (3, "exact_dedup", s3.count()),
+            (4, "near_dup", s4.count()),
+            (5, "decontaminated", s5.count()),
+        ]
+    finally:
+        for f in persisted:
+            f.unpersist()
+    funnel = spark.createDataFrame(
+        counts, "stage_idx int, stage string, n_docs bigint"
     )
     return s5, funnel
