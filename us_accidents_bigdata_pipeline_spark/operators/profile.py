@@ -124,3 +124,65 @@ def robust_outliers(
             ),
         )
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b·x via
+    ``groupBy().applyInPandas`` — the grouped-map Arrow surface
+    (SURVEY §2.11: the U-family policy is "vectorized kernels only";
+    this is the batch grouped-map member, streaming's
+    ``applyInPandasWithState`` being the stateful one).
+
+    Closed-form fit (b = cov/var, a = ȳ − b·x̄, r² = corr²) keeps the
+    kernel one NumPy pass per group AND makes the operator
+    SQL-oracle-checkable against ``covar_pop/var_pop/corr`` — a
+    grouped-map UDF whose numerics an independent engine can verify,
+    not just a rows-only shape check.
+
+    Scale: one shuffle on the group key; each group fits in one Arrow
+    batch stream (groups here are low-cardinality categories — for
+    billion-row groups the closed-form aggregates themselves are the
+    scalable formulation and this operator IS that fallback, one
+    ``groupBy().agg`` away).
+    """
+    import numpy as np
+    import pandas as pd
+
+    gtype = dict(df.dtypes)[group_col]
+    schema = (
+        f"{group_col} {gtype}, n bigint, slope double, "
+        "intercept double, r2 double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(x)
+        xm, ym = x.mean(), y.mean()
+        cov = float(((x - xm) * (y - ym)).sum()) / n
+        var = float(((x - xm) ** 2) .sum()) / n
+        vary = float(((y - ym) ** 2).sum()) / n
+        slope = cov / var if var > 0 else 0.0
+        intercept = ym - slope * xm
+        r2 = (cov * cov) / (var * vary) if var > 0 and vary > 0 else 0.0
+        return pd.DataFrame(
+            [
+                [
+                    pdf[group_col].iloc[0],
+                    n,
+                    round(slope, 6),
+                    round(intercept, 6),
+                    round(r2, 6),
+                ]
+            ],
+            columns=[group_col, "n", "slope", "intercept", "r2"],
+        )
+
+    return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
+        fit, schema
+    )

@@ -143,12 +143,12 @@ _CHECK_PRIORITY: list[str] = [
     "char_entropy_docs",
     "line_dedup_docs",
     "corpus_curation_funnel",
-    # family-diverse representatives of the r1-r3 green core (the
-    # dropped agg/join/window variants stay oracled in pytest past
-    # slot 50; priority_distribution is entry()'s flagship and is
-    # smoke-checked by the driver every round regardless)
+    "grouped_ols_value_on_hour",
+    # family-diverse representative of the r1-r3 green core (every
+    # dropped variant stays oracled in pytest past slot 50;
+    # priority_distribution is entry()'s flagship and is smoke-checked
+    # by the driver every round regardless)
     "near_dup_resolve",
-    "knn_cosine_topk",
 ]
 
 
@@ -3002,3 +3002,35 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") < 10)
     _, funnel = curate_corpus(docs, bench)
     return funnel
+
+
+@_register(
+    "grouped_ols_value_on_hour",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(covar_pop(value, CAST(extract(hour FROM ts) AS DOUBLE))
+                    / var_pop(CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+                  AS slope,
+              round(avg(value)
+                    - covar_pop(value, CAST(extract(hour FROM ts) AS DOUBLE))
+                      / var_pop(CAST(extract(hour FROM ts) AS DOUBLE))
+                      * avg(CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+                  AS intercept,
+              round(pow(corr(value, CAST(extract(hour FROM ts) AS DOUBLE)), 2),
+                    6) AS r2
+       FROM events GROUP BY event_type""",
+    doc="per-group OLS (value ~ hour-of-day) fit by a grouped-map "
+    "applyInPandas kernel whose closed-form numerics the SQL oracle "
+    "recomputes from covar_pop/var_pop/corr — an Arrow grouped-map "
+    "UDF with full value-level verification "
+    "(operators/profile.py::grouped_ols)",
+)
+def q_grouped_ols_value_on_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import grouped_ols
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("hour"),
+        F.col("value"),
+    )
+    return grouped_ols(ev, "event_type", "hour", "value")
