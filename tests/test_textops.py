@@ -331,3 +331,29 @@ def test_drop_common_lines_edges(spark):
     assert out[3].text_deduped == "gamma"
     assert out[4].text_deduped == "" and out[4].n_dropped == 1
     assert out[1].n_lines == 3 and out[1].n_dropped == 1
+
+
+def test_shared_substring_runs_planted(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12 shared tokens
+    df = _docs(
+        spark,
+        [
+            (1, "x1 x2 " + run + " x3"),
+            (2, "y1 " + run + " y2 y3 y4"),
+            (3, "z " * 20),  # repetitive but shares nothing
+        ],
+    )
+    out = shared_substring_runs(df, k=8, min_run=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the full 12-token run is recovered exactly, not just one window
+    assert (r.doc_a, r.doc_b, r.max_run, r.n_runs) == (1, 2, 12, 1)
+
+    # below min_run -> no pair: shorten the overlap to 9 tokens
+    short = " ".join(f"w{i}" for i in range(9))
+    df2 = _docs(spark, [(1, "a b " + short), (2, short + " c d")])
+    assert shared_substring_runs(df2, k=8, min_run=10).count() == 0

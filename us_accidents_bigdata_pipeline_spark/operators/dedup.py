@@ -25,6 +25,7 @@ absent"); these are the driver-mandated LLM-pipeline extensions.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import word_tokens
@@ -91,6 +92,79 @@ def drop_common_lines(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("_drop").cast("int")).alias("n_dropped"),
         )
+    )
+
+
+def shared_substring_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 10,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """EXACT cross-document duplicated-substring detection (the
+    token-level analog of Lee et al. 2021's suffix-array substring
+    dedup, which winnowing approximates): for every document pair,
+    the longest run of consecutive identical tokens, reported when it
+    reaches ``min_run`` tokens. Output: (doc_a, doc_b, max_run,
+    n_runs) with doc_a < doc_b.
+
+    Relational formulation — no suffix array needed at the token
+    granularity: positional ``k``-grams joined on gram value put every
+    shared window on a (pair, diagonal = pos_a − pos_b) line; maximal
+    runs are the consecutive-position islands on each diagonal
+    (pos_a − row_number() island key — the standard gaps-and-islands
+    rewrite), and a run of j consecutive shared windows covers
+    j + k − 1 tokens.
+
+    Scale shape: the gram join is an equi-join keyed by the gram (hot
+    grams capped via ``max_gram_df`` exactly like the Jaccard
+    operator's shingle guard); islands need one window over
+    (pair, diagonal) — key-partitioned; the final agg is on the pair
+    key. No UDF, no driver work.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    grams = base.filter(F.col("_n") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                lambda i: F.array_join(F.slice(F.col("_t"), i, k), " "),
+            )
+        ).alias("pos", "g"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = grams.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = grams.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_len").cast("int").alias("max_run"),
+            F.sum(
+                (F.col("run_len") >= min_run).cast("int")
+            ).cast("bigint").alias("n_runs"),
+        )
+        .filter(F.col("max_run") >= min_run)
     )
 
 

@@ -144,11 +144,12 @@ _CHECK_PRIORITY: list[str] = [
     "line_dedup_docs",
     "corpus_curation_funnel",
     "grouped_ols_value_on_hour",
-    # family-diverse representative of the r1-r3 green core (every
-    # dropped variant stays oracled in pytest past slot 50;
-    # priority_distribution is entry()'s flagship and is smoke-checked
-    # by the driver every round regardless)
-    "near_dup_resolve",
+    "substring_dup_runs",
+    # Every front slot now carries a query with no recorded driver
+    # correctness row yet; the long-green r1-r3 core (joins, windows,
+    # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
+    # priority_distribution is entry()'s flagship, smoke-checked by
+    # the driver every round regardless.
 ]
 
 
@@ -3034,3 +3035,41 @@ def q_grouped_ols_value_on_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     )
     return grouped_ols(ev, "event_type", "hour", "value")
+
+
+@_register(
+    "substring_dup_runs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, CAST(u.i AS INT) - 1 AS pos,
+                    array_to_string(list_slice(toks, u.i, u.i + 7), ' ') AS g
+             FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+             WHERE len(toks) >= 8),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                    a.pos - b.pos AS diag
+             FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+       isl AS (SELECT doc_a, doc_b, diag, pa,
+                      pa - row_number() OVER (
+                          PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+                          AS island
+               FROM m),
+       runs AS (SELECT doc_a, doc_b, diag, island,
+                       count(*) + 7 AS run_len
+                FROM isl GROUP BY doc_a, doc_b, diag, island)
+       SELECT doc_a, doc_b,
+              CAST(max(run_len) AS INT) AS max_run,
+              CAST(sum(CASE WHEN run_len >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_runs
+       FROM runs GROUP BY doc_a, doc_b
+       HAVING max(run_len) >= 10""",
+    doc="exact duplicated-substring runs across document pairs "
+    "(token-level Lee et al. 2021 substring dedup): positional 8-gram "
+    "equi-join -> diagonal gaps-and-islands -> longest shared token "
+    "run >= 10 (operators/dedup.py::shared_substring_runs)",
+)
+def q_substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shared_substring_runs
+
+    return shared_substring_runs(
+        _t(spark, sf_dir, "documents"), k=8, min_run=10
+    )
