@@ -60,6 +60,9 @@ HEADLINE = [
     "simhash_near_dup_pairs_md5",
     "line_dedup_docs",
     "corpus_curation_funnel",
+    "substring_dup_runs",
+    "char_entropy_docs",
+    "grouped_ols_value_on_hour",
 ]
 
 

@@ -283,7 +283,9 @@ def token_kl_by_source(
         "g_total", F.sum("c").over(Window.partitionBy(group_col))
     )
     corpus = per_group.groupBy("token").agg(F.sum("c").alias("cc"))
-    corpus_total = toks.count()
+    # corpus total derives from the already-aggregated (Zipf-tiny)
+    # frame — never a second tokenize pass over the raw corpus
+    corpus_total = corpus.agg(F.sum("cc")).first()[0]
     p = F.col("c") / F.col("g_total")
     q = F.col("cc") / F.lit(float(corpus_total))
     return (
