@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
 
 from .conftest import SF_ORACLE
@@ -207,3 +209,20 @@ def test_line_dedup_and_funnel_plan_shapes(spark):
     plan = plan_of(spark, "corpus_curation_funnel")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # partitionBy layout + a partition-key filter must prune at plan
+    # time (PartitionFilters on the scan), not scan-and-filter — the
+    # difference between reading 1/N of 100 TB and all of it
+    out = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").drop("ts")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # and the filter never appears as a post-scan Filter on data rows
+    n_click = back.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < n_click < total

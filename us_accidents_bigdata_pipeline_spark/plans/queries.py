@@ -145,6 +145,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_curation_funnel",
     "grouped_ols_value_on_hour",
     "substring_dup_runs",
+    "streaming_static_join_counts",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3072,4 +3073,57 @@ def q_substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return shared_substring_runs(
         _t(spark, sf_dir, "documents"), k=8, min_run=10
+    )
+
+
+@_register(
+    "streaming_static_join_counts",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+              time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                  AS window_end,
+              n_name, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events e
+       JOIN customer c ON e.user_id = c.c_custkey
+       JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+       GROUP BY 1, 2, 3""",
+    doc="STREAM-STATIC join: the streaming events source enriched "
+    "against broadcast static dimensions (customer -> nation) before "
+    "a watermarked daily tumbling-window aggregation — the standard "
+    "streaming-enrichment topology; day windows are epoch-midnight-"
+    "aligned in both engines so the batch oracle agrees exactly "
+    "(streaming/windows.py::windowed_counts)",
+)
+def q_streaming_static_join_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming import run_windowed_batch, windowed_counts
+
+    ev = _events_stream(spark, sf_dir)
+    dims = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .select("user_id", "n_name")
+    )
+    enriched = ev.join(F.broadcast(dims), "user_id")
+    agg = windowed_counts(
+        enriched,
+        key_col="n_name",
+        window_duration="1 day",
+        watermark="2 hours",
+    )
+    out = run_windowed_batch(agg, query_name="static_join_counts")
+    return out.select(
+        "window_start",
+        "window_end",
+        "n_name",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
     )
