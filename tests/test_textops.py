@@ -357,3 +357,28 @@ def test_shared_substring_runs_planted(spark):
     short = " ".join(f"w{i}" for i in range(9))
     df2 = _docs(spark, [(1, "a b " + short), (2, short + " c d")])
     assert shared_substring_runs(df2, k=8, min_run=10).count() == 0
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]  # 3 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=8).collect()}
+
+    n, d = 4, 0.85
+    M = np.zeros((n, n))
+    outd = {}
+    for s, t in edges:
+        outd[s] = outd.get(s, 0) + 1
+    for s, t in edges:
+        M[t, s] = 1.0 / outd[s]
+    r = np.full(n, 1 / n)
+    for _ in range(8):
+        dang = sum(r[i] for i in range(n) if i not in outd)
+        r = (1 - d) / n + d * (M @ r) + d * dang / n
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -3127,3 +3127,23 @@ def q_streaming_static_join_counts(
         "n",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+@_register(
+    "pagerank_copurchase",
+    None,
+    doc="PageRank over the part co-purchase graph (lineitem self-join "
+    "on the order key -> symmetric edges), top-20 parts by rank — "
+    "iterative numeric fixed point, not SQL-expressible; pinned "
+    "against a NumPy power-iteration reference incl. dangling-mass "
+    "handling in tests/test_textops.py "
+    "(operators/graph.py::pagerank)",
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, pagerank
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    ranks = pagerank(copurchase_edges(li), n_iter=8)
+    return ranks.select(
+        "node", F.round("rank", 8).alias("rank")
+    ).orderBy(F.col("rank").desc(), F.col("node")).limit(20)
