@@ -362,3 +362,27 @@ def test_apply_in_pandas_with_state(spark):
         .collect()
     }
     assert result == expected
+
+
+def test_timestamp_outputs_are_ntz(spark):
+    """Instant (TIMESTAMP) outputs collect() through the PROCESS-local
+    timezone, so a driver on a non-UTC host would hash different wall
+    clocks than the UTC-naive DuckDB oracle. Every query emitting
+    window/session/cohort bounds must emit TIMESTAMP_NTZ (wall-clock
+    pinned at compute time under the UTC session)."""
+    from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
+
+    from .conftest import SF_ORACLE
+
+    expect = {
+        "streaming_windowed_counts": ["window_start", "window_end"],
+        "streaming_sliding_counts": ["window_start", "window_end"],
+        "streaming_static_join_counts": ["window_start", "window_end"],
+        "streaming_session_windows": ["session_start", "session_end"],
+        "cohort_retention": ["cohort_month"],
+    }
+    for name, cols in expect.items():
+        df = REGISTRY[name].builder(spark, SF_ORACLE)
+        dtypes = dict(df.dtypes)
+        for c in cols:
+            assert dtypes[c] == "timestamp_ntz", (name, c, dtypes[c])

@@ -1577,9 +1577,12 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events_stream(spark, sf_dir)
     agg = windowed_counts(events, window_duration="1 hour", watermark="2 hours")
     out = run_windowed_batch(agg, query_name="windowed_counts_oracle")
+    # window bounds are INSTANT timestamps; cast to NTZ under the
+    # UTC-pinned session so collect() renders UTC wall-clock on any
+    # driver host timezone (instant collect uses the PROCESS-local tz)
     return out.select(
-        "window_start",
-        "window_end",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "event_type",
         "n",
         F.round("sum_value", 2).alias("sum_value"),
@@ -1614,8 +1617,8 @@ def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_windowed_batch(agg, query_name="sliding_counts_oracle")
     return out.select(
-        "window_start",
-        "window_end",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "event_type",
         "n",
         F.round("sum_value", 2).alias("sum_value"),
@@ -1651,7 +1654,14 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _events_stream(spark, sf_dir)
     agg = session_window_counts(events, gap="30 minutes", watermark="2 hours")
-    return run_windowed_batch(agg, query_name="session_windows_oracle")
+    out = run_windowed_batch(agg, query_name="session_windows_oracle")
+    ntz = [
+        F.col(c).cast("timestamp_ntz").alias(c)
+        if c in ("session_start", "session_end")
+        else F.col(c)
+        for c in out.columns
+    ]
+    return out.select(*ntz)
 
 
 @_register(
@@ -2747,6 +2757,10 @@ def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # date_trunc promotes NTZ input to an instant TIMESTAMP via the
+    # session tz; the round trip back to NTZ below is tz-consistent,
+    # and collect() of an instant renders in the PROCESS-local tz —
+    # so the output month must be NTZ to hash identically everywhere
     act = o.select(
         "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
     ).distinct()
@@ -2760,7 +2774,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("months_since"),
         )
-        .groupBy("cohort_month", "months_since")
+        .groupBy(F.col("cohort_month").cast("timestamp_ntz").alias("cohort_month"), "months_since")
         .agg(F.countDistinct("o_custkey").alias("n_active"))
     )
 
@@ -3121,8 +3135,8 @@ def q_streaming_static_join_counts(
     )
     out = run_windowed_batch(agg, query_name="static_join_counts")
     return out.select(
-        "window_start",
-        "window_end",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "n_name",
         "n",
         F.round("sum_value", 2).alias("sum_value"),
