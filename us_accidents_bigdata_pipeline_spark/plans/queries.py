@@ -146,6 +146,7 @@ _CHECK_PRIORITY: list[str] = [
     "grouped_ols_value_on_hour",
     "substring_dup_runs",
     "streaming_static_join_counts",
+    "corpus_report",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3161,3 +3162,66 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round("rank", 8).alias("rank")
     ).orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+@_register(
+    "corpus_report",
+    r"""WITH s AS (
+         SELECT doc_id, source, lang,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS toks,
+                length(text) AS chars,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it')))
+                    AS DOUBLE) AS sw
+         FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(toks) AS BIGINT) AS total_tokens,
+              CAST(sum(chars) AS BIGINT) AS total_chars,
+              round(avg(toks), 4) AS avg_tokens,
+              CAST(min(toks) AS BIGINT) AS min_tokens,
+              CAST(max(toks) AS BIGINT) AS max_tokens,
+              round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY toks)
+                    AS DOUBLE), 4) AS median_tokens,
+              round(avg(sw / toks), 6) AS avg_stopword_ratio,
+              round(sum(CASE WHEN sw / toks >= 0.02 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4) AS en_fraction
+       FROM s""",
+    doc="one-pass corpus datasheet: doc/source/token/char totals, "
+    "token-length distribution (exact median), stopword ratio, "
+    "language-ID fraction — the dataset-card summary every training "
+    "corpus ships with; single aggregate, map-side partials "
+    "(operators/textstats.py expressions)",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import token_count
+    from ..operators.textstats import stopword_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = token_count("text")
+    swr = stopword_count("text") / toks
+    base = d.select(
+        F.col("source"),
+        toks.cast("bigint").alias("toks"),
+        F.length("text").alias("chars"),
+        swr.alias("swr"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.round(F.avg("toks"), 4).alias("avg_tokens"),
+        F.min("toks").alias("min_tokens"),
+        F.max("toks").alias("max_tokens"),
+        F.round(
+            F.expr("percentile(toks, 0.5)"), 4
+        ).alias("median_tokens"),
+        F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+        F.round(
+            F.sum((F.col("swr") >= 0.02).cast("int"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("en_fraction"),
+    )
