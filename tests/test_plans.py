@@ -226,3 +226,14 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_click = back.count()
     total = spark.read.parquet(out).count()
     assert 0 < n_click < total
+
+
+def test_bogus_sf_dir_raises_clean_analysis_error(spark):
+    # a wrong data path must surface as Spark's PATH_NOT_FOUND
+    # AnalysisException at plan time, not a worker-side stack bomb
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        REGISTRY["priority_distribution"].builder(
+            spark, "/root/testdata/sf_does_not_exist"
+        ).collect()

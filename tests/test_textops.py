@@ -382,3 +382,30 @@ def test_pagerank_matches_numpy_reference(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_extract_patches_matches_numpy(spark):
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.multimodal import (
+        extract_patches,
+    )
+
+    rng = np.random.default_rng(3)
+    w = h = 8
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytes(img.tobytes())), (2, b"short")],  # wrong-length dropped
+        "media_id long, payload binary",
+    )
+    out = {
+        (r.media_id, r.patch_id): (r.mean, r.std)
+        for r in extract_patches(df, width=w, height=h, patch=4).collect()
+    }
+    assert {m for m, _ in out} == {1}  # doc 2 dropped
+    assert len(out) == 4
+    f = img.astype(np.float64)
+    for pid, (r0, c0) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
+        blk = f[r0 : r0 + 4, c0 : c0 + 4, :]
+        assert abs(out[(1, pid)][0] - round(float(blk.mean()), 6)) < 1e-9
+        assert abs(out[(1, pid)][1] - round(float(blk.std()), 6)) < 1e-9

@@ -183,3 +183,60 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def extract_patches(
+    df: DataFrame,
+    width: int,
+    height: int,
+    patch: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Raw RGB payload (``width*height*3`` bytes, e.g. ``resize_images``
+    output) → ViT-style non-overlapping ``patch×patch`` grid with
+    per-patch mean/std — the patch-embedding prep step of an image
+    training pipeline. Unlike decode/resize this needs NO codec: the
+    input is already a raw pixel buffer, so the numpy math here is the
+    real computation on real or fake payloads alike.
+
+    Payloads of the wrong byte length are dropped (count them upstream
+    with a length filter if they matter). Output: (id, patch_id, mean,
+    std), patch_id in row-major grid order. Map-only ``mapInPandas``;
+    the patch reshape is one strided view + two vectorized reductions
+    per image — no Python-level pixel loops.
+    """
+    out_schema = f"{id_col} long, patch_id int, mean double, std double"
+    n_px = width * height * 3
+    rows_p, cols_p = height // patch, width // patch
+    n_patches = rows_p * cols_p
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            pids: list = []
+            means: list = []
+            stds: list = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) != n_px:
+                    continue
+                img = (
+                    np.frombuffer(p, dtype=np.uint8)
+                    .reshape(height, width, 3)
+                    .astype(np.float64)
+                )
+                blocks = (
+                    img[: rows_p * patch, : cols_p * patch]
+                    .reshape(rows_p, patch, cols_p, patch, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(n_patches, -1)
+                )
+                ids.extend([mid] * n_patches)
+                pids.extend(range(n_patches))
+                means.extend(np.round(blocks.mean(axis=1), 6))
+                stds.extend(np.round(blocks.std(axis=1), 6))
+            yield pd.DataFrame(
+                {id_col: ids, "patch_id": pids, "mean": means, "std": stds}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -3225,3 +3225,24 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("en_fraction"),
     )
+
+
+@_register(
+    "multimodal_patch_features",
+    None,
+    doc="ViT-style patch-grid features: fake-resize documents' binary "
+    "payloads to 32x32 RGB, then 16x16 non-overlapping patches with "
+    "per-patch mean/std — real numpy math over raw pixel buffers "
+    "(no codec), map-only mapInPandas; rows-only check, numerics "
+    "pinned against plain numpy in tests "
+    "(operators/multimodal.py::extract_patches)",
+)
+def q_multimodal_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_patches, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    resized = resize_images(docs, width=32, height=32, fake=True)
+    return extract_patches(resized, width=32, height=32, patch=16)
