@@ -147,6 +147,8 @@ _CHECK_PRIORITY: list[str] = [
     "substring_dup_runs",
     "streaming_static_join_counts",
     "corpus_report",
+    "python_datasource_squares",
+    "variant_extract_props",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3246,3 +3248,53 @@ def q_multimodal_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_images(docs, width=32, height=32, fake=True)
     return extract_patches(resized, width=32, height=32, patch=16)
+
+
+@_register(
+    "python_datasource_squares",
+    """SELECT CAST(g.i AS BIGINT) AS i,
+              CAST(g.i * g.i AS BIGINT) AS i_squared
+       FROM generate_series(0, 1999) AS g(i)""",
+    doc="Spark 4 Python Data Source API: custom partitioned batch "
+    "source (sources/pyds.py::SquaresDataSource) read via "
+    "spark.read.format('squares') — deterministic rows, so even a "
+    "from-thin-air source is value-oracled",
+)
+def q_python_datasource_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register
+
+    register(spark)
+    return (
+        spark.read.format("squares")
+        .option("start", 0)
+        .option("n", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+@_register(
+    "variant_extract_props",
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+              AS INTEGER) AS k_mod,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS BIGINT) AS sum_k
+       FROM events WHERE props IS NOT NULL
+       GROUP BY 1""",
+    doc="Spark 4 VariantType semi-structured path: parse_json -> "
+    "VARIANT column -> typed variant_get extraction -> aggregate "
+    "(the open-schema alternative to from_json's fixed schema)",
+)
+def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        v.select((k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
