@@ -386,3 +386,33 @@ def test_timestamp_outputs_are_ntz(spark):
         dtypes = dict(df.dtypes)
         for c in cols:
             assert dtypes[c] == "timestamp_ntz", (name, c, dtypes[c])
+
+
+def test_python_streaming_datasource_multibatch(spark):
+    """Spark 4 SimpleDataSourceStreamReader: the custom streaming
+    source emits 250 rows across 100-row micro-batches; the memory
+    sink must hold exactly the deterministic (i, i*i) set once the
+    stream drains (offset stops advancing)."""
+    from us_accidents_bigdata_pipeline_spark.sources.pyds import (
+        register_stream,
+    )
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("squares_stream")
+        .option("n", "250")
+        .option("batch_rows", "100")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sq_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r.i, r.i_squared) for r in spark.table("sq_stream").collect()}
+    assert rows == {(i, i * i) for i in range(250)}

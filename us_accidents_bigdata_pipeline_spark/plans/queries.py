@@ -149,6 +149,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_report",
     "python_datasource_squares",
     "variant_extract_props",
+    "streaming_python_source_squares",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3297,4 +3298,37 @@ def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("k").cast("bigint").alias("sum_k"),
         )
+    )
+
+
+@_register(
+    "streaming_python_source_squares",
+    """SELECT CAST(g.i AS BIGINT) AS i,
+              CAST(g.i * g.i AS BIGINT) AS i_squared
+       FROM generate_series(0, 499) AS g(i)""",
+    doc="Spark 4 STREAMING Python data source "
+    "(SimpleDataSourceStreamReader): custom offset-tracked source "
+    "drained across 100-row micro-batches into a memory sink; "
+    "deterministic rows -> full value oracle "
+    "(sources/pyds.py::SquaresStreamDataSource)",
+)
+def q_streaming_python_source_squares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.pyds import register_stream
+    from ..streaming import run_windowed_batch
+
+    # register_stream pins BY-VALUE pickling: the streaming-source
+    # runner is a fresh driver-side process that cannot import this
+    # package when the driver's cwd isn't the repo root (addPyFile
+    # reaches executors, not that runner).
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("squares_stream")
+        .option("n", "500")
+        .option("batch_rows", "100")
+        .load()
+    )
+    return run_windowed_batch(
+        stream, query_name="py_stream_squares", output_mode="append"
     )
