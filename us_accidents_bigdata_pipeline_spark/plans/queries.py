@@ -150,6 +150,7 @@ _CHECK_PRIORITY: list[str] = [
     "python_datasource_squares",
     "variant_extract_props",
     "streaming_python_source_squares",
+    "udtf_trigrams_docs",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3331,4 +3332,29 @@ def q_streaming_python_source_squares(
     )
     return run_windowed_batch(
         stream, query_name="py_stream_squares", output_mode="append"
+    )
+
+
+@_register(
+    "udtf_trigrams_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents WHERE doc_id < 20)
+       SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+              toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS gram
+       FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)""",
+    doc="Spark 4 Python UDTF surface: LATERAL word_trigrams(text) over "
+    "documents (functions/udtfs.py::WordNgrams) — the table-valued "
+    "member of the U-family; the JVM explode/slice formulation stays "
+    "the at-scale path, this checks the lateral-join surface itself",
+)
+def q_udtf_trigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, g.pos, g.gram "
+        "FROM _udtf_docs, LATERAL word_trigrams(text) g"
     )
