@@ -151,6 +151,8 @@ _CHECK_PRIORITY: list[str] = [
     "variant_extract_props",
     "streaming_python_source_squares",
     "udtf_trigrams_docs",
+    "salted_agg_returnflag",
+    "returned_revenue_topk",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3357,4 +3359,70 @@ def q_udtf_trigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, g.pos, g.gram "
         "FROM _udtf_docs, LATERAL word_trigrams(text) g"
+    )
+
+
+@_register(
+    "salted_agg_returnflag",
+    """SELECT l_returnflag,
+              CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity,
+              CAST(count(*) AS BIGINT) AS count_l_orderkey,
+              CAST(max(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="skew-safe two-stage salted aggregation (tuning.py::"
+    "salted_aggregate): (key, salt) partial agg -> key merge; "
+    "result-identical to the plain groupBy oracle, which is the whole "
+    "point — salting changes the shuffle distribution, never the "
+    "answer",
+)
+def q_salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tuning import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count", "l_extendedprice": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+        F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
+        F.col("max_l_extendedprice")
+        .cast("double")
+        .alias("max_l_extendedprice"),
+    )
+
+
+@_register(
+    "returned_revenue_topk",
+    """SELECT c_custkey, c_name, n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer across a "
+    "4-way join (fact-fact on the order key, broadcast dims), "
+    "deterministic top-20 (rounded-revenue DESC, custkey tie-break)",
+)
+def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", rev)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("_r"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
     )
