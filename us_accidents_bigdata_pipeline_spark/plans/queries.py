@@ -153,6 +153,7 @@ _CHECK_PRIORITY: list[str] = [
     "udtf_trigrams_docs",
     "salted_agg_returnflag",
     "returned_revenue_topk",
+    "recursive_date_spine",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3425,4 +3426,43 @@ def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("_r"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+@_register(
+    "recursive_date_spine",
+    """WITH RECURSIVE days(d) AS (
+         SELECT DATE '1995-01-01'
+         UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1995-01-31'),
+       per AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                     AND DATE '1995-01-31'
+               GROUP BY 1)
+       SELECT days.d AS day, CAST(coalesce(per.n, 0) AS BIGINT) AS n_orders
+       FROM days LEFT JOIN per ON days.d = per.d""",
+    doc="recursive CTE (Spark 4 WITH RECURSIVE) date spine + gap-fill: "
+    "every day of Jan-1995 with its order count, zero-days included — "
+    "the calendar-densification pattern reporting layers need; "
+    "executed as real recursive SQL in BOTH engines",
+)
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_spine")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT date_add(d, 1) FROM days
+          WHERE d < DATE '1995-01-31')
+        SELECT days.d AS day,
+               CAST(coalesce(per.n, 0) AS BIGINT) AS n_orders
+        FROM days LEFT JOIN (
+          SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+          FROM _orders_spine
+          WHERE CAST(o_orderdate AS DATE)
+                BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+          GROUP BY 1) per
+        ON days.d = per.d
+        """
     )
