@@ -154,6 +154,7 @@ _CHECK_PRIORITY: list[str] = [
     "salted_agg_returnflag",
     "returned_revenue_topk",
     "recursive_date_spine",
+    "daily_revenue_change",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3465,4 +3466,45 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1) per
         ON days.d = per.d
         """
+    )
+
+
+@_register(
+    "daily_revenue_change",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                        round(sum(o_totalprice), 2) AS revenue
+               FROM orders
+               WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                     AND DATE '1995-03-31'
+               GROUP BY 1)
+       SELECT day, revenue,
+              round(revenue - lag(revenue) OVER (ORDER BY day), 2)
+                  AS change,
+              round((revenue - lag(revenue) OVER (ORDER BY day))
+                    / lag(revenue) OVER (ORDER BY day) * 100, 4)
+                  AS pct_change
+       FROM d""",
+    doc="day-over-day revenue deltas via lag over an ordered daily "
+    "aggregate (the time-series diff window family; first day yields "
+    "NULL change in both engines)",
+)
+def q_daily_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    d = (
+        o.filter(day.between(F.lit("1995-01-01"), F.lit("1995-03-31")))
+        .groupBy(day.alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return d.select(
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("change"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
     )
