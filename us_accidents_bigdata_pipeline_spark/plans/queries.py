@@ -155,6 +155,7 @@ _CHECK_PRIORITY: list[str] = [
     "returned_revenue_topk",
     "recursive_date_spine",
     "daily_revenue_change",
+    "window_percentile_ranks",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -3507,4 +3508,31 @@ def q_daily_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
             "pct_change"
         ),
+    )
+
+
+@_register(
+    "window_percentile_ranks",
+    """SELECT c_custkey, c_nationkey,
+              round(percent_rank() OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal, c_custkey), 6)
+                  AS pct_rank,
+              round(cume_dist() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 6)
+                  AS cume
+       FROM customer""",
+    doc="percent_rank + cume_dist per nation over account balance "
+    "(the relative-standing window family; ties broken by custkey so "
+    "both engines rank identically)",
+)
+def q_window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
