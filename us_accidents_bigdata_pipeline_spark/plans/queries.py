@@ -3536,3 +3536,317 @@ def q_window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# =====================================================================
+# TPC-H query shapes (round 4 widening). The reference has no joins at
+# all (SURVEY §2.6), but an engine a reference user switches to must
+# run the canonical warehouse shapes; each is written for its 100 TB
+# plan: filters on the scan (parquet pushdown), broadcast dims, partial
+# aggregation, deterministic tie-breaks for top-k.
+# =====================================================================
+
+
+@_register(
+    "revenue_forecast_filter",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    doc="TPC-H Q6 shape: pure scan->filter->global agg, zero shuffle "
+    "beyond the single-row final combine; every predicate reaches the "
+    "parquet scan (PushedFilters on shipdate/discount/quantity), so at "
+    "100 TB this is I/O-bound with row-group skipping — the query "
+    "plan-shape tests pin pushdown for",
+)
+def q_revenue_forecast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "shipping_priority_topk",
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customer "
+    "semi-reduces orders, then the fact-fact join on the order key; "
+    "top-10 via TakeOrderedAndProject (no global sort materialization); "
+    "rounded-revenue DESC with orderkey tie-break keeps the selected "
+    "set engine-identical",
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4)
+           AS promo_share_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    doc="TPC-H Q14 shape (promotion effect): month-filtered fact "
+    "broadcast-joined to the part dim, conditional-aggregate ratio in "
+    "one pass — numerator and denominator share the scan; the date "
+    "range prunes the fact before the join at any scale",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@_register(
+    "disjunctive_bracket_revenue",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 21)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 40)""",
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate mixing both join sides. "
+    "Catalyst cannot push a cross-table disjunction through the join, "
+    "so the builder adds the per-side IMPLIED predicates explicitly "
+    "(brand/size disjunction on part, quantity hull on lineitem) — "
+    "semantically redundant, but they reach the scans and shrink both "
+    "inputs before the join; the residual OR stays as the post-join "
+    "filter. At 100 TB the implied lineitem hull (qty 1..40) is the "
+    "difference between scanning the fact once and joining it whole",
+)
+def q_disjunctive_bracket_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # implied single-side predicates (manual disjunct factoring)
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 40)
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 21))
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "idle_customer_balance",
+    """WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer)
+       SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+              round(sum(c_acctbal), 2) AS total_bal
+       FROM customer c
+       WHERE c_acctbal > (SELECT a FROM ab)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c_nationkey""",
+    doc="TPC-H Q22 shape (global-avg scalar subquery + NOT EXISTS "
+    "anti-join + group agg): well-funded but lapsed customers — "
+    "above-average balance, no order since 2000 — per nation. The "
+    "scalar avg is a 1-row broadcast cross join (no driver collect); "
+    "the anti-join pushes the date filter into the orders scan and "
+    "shuffles only its custkey projection",
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "embedding_hof_stats",
+    """SELECT vec_id,
+              round(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+              round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+              round(CAST(list_min(embedding) AS DOUBLE), 6) AS vec_min,
+              CAST(len(list_filter(embedding, x -> x < 0)) AS INT)
+                  AS n_negative,
+              round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+                  AS l2_norm
+       FROM embeddings""",
+    doc="higher-order array functions entirely JVM-side (no UDF): "
+    "aggregate/array_max/array_min/filter/transform over the "
+    "array<float> embedding column — map-only, zero shuffle, "
+    "whole-stage-codegen'd; the idiom every embedding-column pipeline "
+    "op builds on (float32 cast to double BEFORE accumulating on both "
+    "engines so the sequential fold is bit-identical, then rounded)",
+)
+def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    acc = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(acc, 4).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
+        F.size(F.filter("embedding", lambda x: x < 0)).alias("n_negative"),
+        F.round(F.sqrt(sq), 4).alias("l2_norm"),
+    )
+
+
+@_register(
+    "streaming_stream_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       FROM events v JOIN events p
+         ON v.user_id = p.user_id
+        AND v.event_type = 'view' AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'""",
+    doc="STREAM-STREAM inner join with event-time range condition: "
+    "views joined to purchases by the same user within 30 minutes, "
+    "both sides watermarked so Spark bounds join state (a row is "
+    "dropped from state once the other side's watermark passes its "
+    "admissible range — the only thing that makes an unbounded "
+    "stream-stream join runnable forever). Batch self-join SQL is the "
+    "oracle; on bounded input append mode emits exactly the batch "
+    "result (streaming/windows.py::adaptive_ts_stream ×2)",
+)
+def q_streaming_stream_stream_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming import run_windowed_batch
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    out = run_windowed_batch(
+        joined, query_name="stream_stream_join", output_mode="append"
+    )
+    return out.select("user_id", "view_id", "purchase_id")
