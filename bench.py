@@ -63,6 +63,12 @@ HEADLINE = [
     "substring_dup_runs",
     "char_entropy_docs",
     "grouped_ols_value_on_hour",
+    "revenue_forecast_filter",
+    "shipping_priority_topk",
+    "promo_revenue_share",
+    "disjunctive_bracket_revenue",
+    "idle_customer_balance",
+    "embedding_hof_stats",
 ]
 
 

@@ -237,3 +237,66 @@ def test_bogus_sf_dir_raises_clean_analysis_error(spark):
         REGISTRY["priority_distribution"].builder(
             spark, "/root/testdata/sf_does_not_exist"
         ).collect()
+
+
+def test_q6_full_predicate_pushdown(spark):
+    # TPC-H Q6: every predicate must reach the parquet scan (row-group
+    # skipping is the whole query at 100 TB) and the scan must read
+    # only the four referenced columns.
+    plan = plan_of(spark, "revenue_forecast_filter")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "Exchange" in plan  # single-row final combine only
+    assert plan.count("Exchange") == 1
+
+
+def test_q3_broadcasts_customer_and_take_ordered(spark):
+    plan = plan_of(spark, "shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_q14_broadcast_dim_single_pass(spark):
+    plan = plan_of(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # numerator + denominator in ONE aggregate over one scan of lineitem
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_q19_implied_predicates_reach_both_scans(spark):
+    # the manual disjunct factoring must land brand/size filters on the
+    # part scan and the quantity hull on the lineitem scan
+    plan = plan_of(spark, "disjunctive_bracket_revenue")
+    pushed_sections = plan.split("PushedFilters:")
+    assert len(pushed_sections) >= 3  # both scans carry pushed filters
+    assert "l_quantity" in plan.split("ReadSchema:")[1]
+    assert any(
+        "p_brand" in s.splitlines()[0] or "p_size" in s.splitlines()[0]
+        for s in pushed_sections[1:]
+    ), plan
+    assert any(
+        "l_quantity" in s.splitlines()[0] for s in pushed_sections[1:]
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    plan = plan_of(spark, "idle_customer_balance")
+    # the scalar avg joins via broadcast nested loop over ONE row (fine);
+    # the orders anti-join must be hash-based with its date filter pushed
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[-1].splitlines()[0] or (
+        "GreaterThanOrEqual(o_orderdate" in plan
+    ), plan
+
+
+def test_hof_stats_map_only_no_python(spark):
+    # higher-order functions stay JVM-side: zero shuffles, zero Python
+    plan = plan_of(spark, "embedding_hof_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
