@@ -55,3 +55,34 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_join_matches_plain_inner_and_left(spark):
+    from us_accidents_bigdata_pipeline_spark.tuning import salted_join
+
+    # skewed left: 90% of rows carry key 7; right misses some keys so
+    # left-join null padding is exercised
+    left = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+
+    for how in ("inner", "left"):
+        out = salted_join(left, right, on=["k"], how=how, n_salts=8)
+        plain = left.join(right, ["k"], how)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
+        assert out.columns == plain.columns
+
+    # unsupported modes refuse loudly rather than silently mis-joining
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, on=["k"], how="full")

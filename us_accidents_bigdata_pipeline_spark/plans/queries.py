@@ -3850,3 +3850,35 @@ def q_streaming_stream_stream_join(
         joined, query_name="stream_stream_join", output_mode="append"
     )
     return out.select("user_id", "view_id", "purchase_id")
+
+
+@_register(
+    "salted_join_brand_revenue",
+    """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand""",
+    doc="skew-safe salted JOIN twin (tuning.py::salted_join): lineitem "
+    "salted into 16 sub-keys, part replicated 16x, equi-join on "
+    "(partkey, salt) — result-identical to the plain join oracle by "
+    "construction; the technique for the pathological hot key that "
+    "even AQE's skew split can't break up (one map-side partition). "
+    "Broadcast would win here at this dim size — the query pins the "
+    "fallback's correctness, not its preference",
+)
+def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tuning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, on=["l_partkey"], n_salts=16)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -158,3 +158,41 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join via key salting (X-family extension).
+
+    When one join key dominates the ``skewed`` side, a plain shuffle
+    join sends every row of that key to ONE reducer — the straggler
+    that defines the stage's wall-clock at 100 TB. Salting spreads it:
+    the skewed side gets a random salt in [0, n_salts); the ``other``
+    side is replicated n_salts× (explode over the full salt range) so
+    every (key, salt) pair still finds its match; the join keys become
+    (key, salt) and the hot key fans out over n_salts reducers.
+
+    Trade-off: ``other`` is shuffled n_salts× — use when ``other`` is
+    the smaller side yet too big to broadcast (broadcast beats salting
+    whenever it fits; AQE's skew-join split handles moderate skew
+    without replication — this helper is for the pathological key that
+    AQE still can't split because it's ONE map-side partition).
+    Supported: inner / left (semantics preserved because every skewed
+    row carries exactly one salt and every other-row copy exists for
+    every salt). Result is column-identical to the unsalted join.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    left = skewed.withColumn("_salt", salt.cast("int"))
+    right = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, on + ["_salt"], how).drop("_salt")
