@@ -416,3 +416,73 @@ def test_python_streaming_datasource_multibatch(spark):
         q.stop()
     rows = {(r.i, r.i_squared) for r in spark.table("sq_stream").collect()}
     assert rows == {(i, i * i) for i in range(250)}
+
+
+def test_foreach_batch_upsert_multibatch_and_replay(spark, tmp_path):
+    """Streaming upsert via foreachBatch: three micro-batches of keyed
+    updates (forced with maxFilesPerTrigger=1) must converge to the
+    batch latest-wins snapshot, and replaying the last batch with the
+    same batch_id (Structured Streaming's failure semantics) must leave
+    the table unchanged."""
+    import pyspark.sql.types as T
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        read_current,
+        streaming_upsert,
+        upsert_batch_fn,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    batches = [
+        [(1, "a0", 0), (2, "b0", 1), (3, "c0", 2)],
+        [(2, "b1", 3), (4, "d0", 4), (2, "b2", 5)],  # in-batch dup: k=2
+        [(1, "a1", 6), (5, "e0", 7)],
+    ]
+    # file-stream source lists FLAT files: append single-part jobs into
+    # one dir; distinct mtimes order them into separate micro-batches
+    import time as _time
+
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "table")
+    streaming_upsert(
+        stream,
+        root,
+        key_cols=["k"],
+        order_col="seq",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+
+    expected = {1: "a1", 2: "b2", 3: "c0", 4: "d0", 5: "e0"}
+    got = {r.k: r.v for r in read_current(spark, root).collect()}
+    assert got == expected
+
+    # replay the LAST batch with its original batch_id → identical state
+    last_df = spark.createDataFrame(batches[2], schema)
+    upsert_batch_fn(root, ["k"], "seq")(last_df, 2)
+    got2 = {r.k: r.v for r in read_current(spark, root).collect()}
+    assert got2 == expected
+    # and a genuinely NEW batch still applies on top
+    upsert_batch_fn(root, ["k"], "seq")(
+        spark.createDataFrame([(3, "c9", 99)], schema), 3
+    )
+    got3 = {r.k: r.v for r in read_current(spark, root).collect()}
+    assert got3 == {**expected, 3: "c9"}

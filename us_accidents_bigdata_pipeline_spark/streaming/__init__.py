@@ -1,3 +1,4 @@
+from .foreach_batch import read_current, streaming_upsert, upsert_batch_fn
 from .stateful import counts_with_timeout, dedup_stream, running_totals_stateful
 from .windows import (
     adaptive_ts_stream,
@@ -17,9 +18,12 @@ __all__ = [
     "kafka_stream_reader",
     "parquet_stream_reader",
     "parse_kafka_frame",
+    "read_current",
     "run_to_files",
     "run_windowed_batch",
     "running_totals_stateful",
     "session_window_counts",
+    "streaming_upsert",
+    "upsert_batch_fn",
     "windowed_counts",
 ]
