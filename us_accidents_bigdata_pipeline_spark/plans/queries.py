@@ -3882,3 +3882,186 @@ def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rev), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@_register(
+    "join_full_outer_buckets",
+    """WITH cb AS (SELECT CAST(floor(c_acctbal / 1000) AS INT) AS bucket,
+                          CAST(count(*) AS BIGINT) AS n_customers
+                   FROM customer GROUP BY 1),
+            ob AS (SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bucket,
+                          CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1)
+       SELECT coalesce(cb.bucket, ob.bucket) AS bucket,
+              cb.n_customers, ob.n_orders
+       FROM cb FULL OUTER JOIN ob ON cb.bucket = ob.bucket""",
+    doc="FULL OUTER equi-join (the one outer-join variant the catalog "
+    "lacked): customer-balance vs order-value histogram buckets, with "
+    "unmatched buckets on BOTH sides (negative balances left-only, "
+    "high order values right-only) null-padded. Aggregate-then-join: "
+    "both inputs reduce to |buckets| rows before the join, so the "
+    "full-outer shuffle is trivial at any scale",
+)
+def q_join_full_outer_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    ob = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 20000).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = cb.alias("cb").join(
+        ob.alias("ob"), F.col("cb.bucket") == F.col("ob.bucket"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("cb.bucket"), F.col("ob.bucket")).alias("bucket"),
+        "n_customers",
+        "n_orders",
+    )
+
+
+@_register(
+    "join_null_safe_props",
+    """WITH v AS (SELECT nullif(CAST(json_extract_string(props, '$.k')
+                                     AS INT) % 5, 0) AS grp,
+                         CAST(count(*) AS BIGINT) AS n_views
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT nullif(CAST(json_extract_string(props, '$.k')
+                                     AS INT) % 5, 0) AS grp,
+                         CAST(count(*) AS BIGINT) AS n_purchases
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       SELECT v.grp, v.n_views, p.n_purchases
+       FROM v JOIN p ON v.grp IS NOT DISTINCT FROM p.grp""",
+    doc="NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): event "
+    "cohorts keyed by a nullable derived group (nullif bucket of the "
+    "JSON props key), where the NULL cohort must match the NULL "
+    "cohort — plain equality would silently drop it. eqNullSafe "
+    "compiles to a hashable condition, so this stays a hash join, "
+    "not a nested loop",
+)
+def q_join_null_safe_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
+    ).alias("grp")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(grp)
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(grp)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        v.alias("v")
+        .join(p.alias("p"), F.col("v.grp").eqNullSafe(F.col("p.grp")))
+        .select(F.col("v.grp").alias("grp"), "n_views", "n_purchases")
+    )
+
+
+@_register(
+    "locf_hourly_values",
+    """WITH spine AS (SELECT unnest(generate_series(
+                        TIMESTAMP '2024-01-01 00:00:00',
+                        TIMESTAMP '2024-01-03 23:00:00',
+                        INTERVAL '1 hour')) AS hour),
+            hourly AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+                              round(avg(value), 4) AS avg_value
+                       FROM events
+                       WHERE event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-01'
+                         AND ts < TIMESTAMP '2024-01-04'
+                       GROUP BY 1)
+       SELECT spine.hour,
+              last_value(hourly.avg_value IGNORE NULLS) OVER (
+                  ORDER BY spine.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_value
+       FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour""",
+    doc="LOCF gap-fill (last-observation-carried-forward): dense "
+    "hourly spine (explode over sequence — map-only generation) left-"
+    "joined to sparse hourly aggregates, forward-filled with "
+    "last(ignorenulls) over an ordered window — the time-series "
+    "interpolation idiom. Single global window is fine for a 72-row "
+    "spine; per-series spines partition the window by series key. "
+    "Hour bounds emitted as TIMESTAMP_NTZ so results are host-"
+    "timezone-independent",
+)
+def q_locf_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    w = (
+        W.orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            F.last("avg_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )
+
+
+@_register(
+    "fuzzy_part_pairs",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+       FROM part a JOIN part b
+         ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+        AND a.p_partkey < b.p_partkey
+       WHERE levenshtein(a.p_name, b.p_name) = 1""",
+    doc="blocked fuzzy matching: edit-distance-1 part-name pairs, "
+    "blocked on the second name token so the comparison is an "
+    "equi-join within blocks (|block|² comparisons per block), never "
+    "the all-pairs cross product — the standard entity-resolution "
+    "blocking shape; levenshtein runs JVM-side (F.levenshtein), "
+    "key_a < key_b canonicalizes pair order",
+)
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") == 1)
+        .select("key_a", "key_b", "dist")
+    )
