@@ -451,3 +451,42 @@ def test_simhash_max_hamming_zero_single_block(spark):
         if sims[a] == sims[b]
     }
     assert got == expect
+
+
+def test_prefix_filtered_jaccard_matches_plain(spark):
+    """AllPairs prefix filtering is an optimization, not an
+    approximation: pair sets and jaccard values must match the plain
+    inverted-index join exactly — including on a stopword-skewed corpus
+    where every doc shares one hot shingle (the regime prefix filtering
+    exists for)."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    base = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, threshold=0.5).collect())
+    )
+    pf = sorted(
+        map(
+            tuple,
+            prefix_filtered_jaccard_pairs(docs, threshold=0.5).collect(),
+        )
+    )
+    assert base == pf and len(base) > 0
+
+    # stopword-skewed corpus: common prefix phrase in every doc
+    rows = [
+        (i, "the quick brown fox " + ("jumps over dog %d " % (i % 7)) * 3)
+        for i in range(60)
+    ]
+    skew = spark.createDataFrame(rows, "doc_id long, text string")
+    b2 = sorted(map(tuple, ngram_jaccard_pairs(skew, threshold=0.6).collect()))
+    p2 = sorted(
+        map(
+            tuple,
+            prefix_filtered_jaccard_pairs(skew, threshold=0.6).collect(),
+        )
+    )
+    assert b2 == p2 and len(b2) > 0

@@ -4065,3 +4065,24 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") == 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+@_register(
+    "jaccard_pairs_prefix_filtered",
+    REGISTRY["ngram_jaccard_pairs"].oracle,
+    doc="AllPairs/PPJoin prefix-filtered EXACT Jaccard join "
+    "(operators/dedup.py::prefix_filtered_jaccard_pairs) — same "
+    "oracle as ngram_jaccard_pairs because prefix filtering is a "
+    "candidate-pruning optimization with a correctness theorem, not "
+    "an approximation; the exact-join survivor on stopword-skewed "
+    "corpora where the plain inverted-index self-join degenerates "
+    "quadratically",
+)
+def q_jaccard_pairs_prefix_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_jaccard_pairs
+
+    return prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
