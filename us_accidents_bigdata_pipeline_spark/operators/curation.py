@@ -51,7 +51,7 @@ def curate_corpus(
         exact_dedup,
         ngram_jaccard_pairs,
     )
-    from .textstats import quality_score, repetition_stats
+    from .textstats import quality_score, repetition_flag
 
     spark = docs.sparkSession
     persisted: list[DataFrame] = []
@@ -62,13 +62,30 @@ def curate_corpus(
         return frame
 
     try:
-        s1 = _p(docs.filter(quality_score(text_col) >= quality_min))
-        non_rep = (
-            repetition_stats(s1, id_col, text_col)
-            .filter(~F.col("is_repetitive"))
-            .select(id_col)
+        # Stages 1-2 are ROW-LOCAL predicates (the quality score and
+        # the repetition flag are both pure column expressions —
+        # textstats.repetition_flag), so annotate both in ONE pass
+        # over the corpus: the text is tokenized once, no filter-stage
+        # chain, no token-stream join, and the first three funnel
+        # counts come from a single conditional aggregate. Empty-token
+        # docs count as repetitive (inner-join parity with the
+        # repetition_stats formulation, which omits them).
+        ann = _p(
+            docs.withColumn("_q_ok", quality_score(text_col) >= quality_min)
+            .withColumn("_rep_ok", ~repetition_flag(text_col))
         )
-        s2 = _p(s1.join(non_rep, id_col))
+        stage_counts = ann.agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.sum(F.when(F.col("_q_ok"), 1).otherwise(0)).alias("q"),
+            F.sum(
+                F.when(F.col("_q_ok") & F.col("_rep_ok"), 1).otherwise(0)
+            ).alias("qr"),
+        ).first()
+        s2 = _p(
+            ann.filter(F.col("_q_ok") & F.col("_rep_ok")).drop(
+                "_q_ok", "_rep_ok"
+            )
+        )
         keepers = exact_dedup(s2, [text_col], id_col).select(id_col)
         s3 = _p(s2.join(keepers, id_col))
         pairs = ngram_jaccard_pairs(
@@ -83,9 +100,9 @@ def curate_corpus(
             dec.filter(~F.col("contaminated")).select(id_col), id_col
         )
         counts = [
-            (0, "raw", docs.count()),
-            (1, "quality", s1.count()),
-            (2, "repetition", s2.count()),
+            (0, "raw", stage_counts["raw"]),
+            (1, "quality", int(stage_counts["q"])),
+            (2, "repetition", int(stage_counts["qr"])),
             (3, "exact_dedup", s3.count()),
             (4, "near_dup", s4.count()),
             (5, "decontaminated", s5.count()),

@@ -80,6 +80,49 @@ def fingerprint64(text: Column | str) -> Column:
     return F.xxhash64(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
 
 
+def repetition_flag(
+    text_col: Column | str,
+    top_frac_max: float = 0.2,
+    distinct_ratio_min: float = 0.3,
+) -> Column:
+    """The Gopher repetition predicate as a single COLUMN expression
+    (true = repetitive OR token-less), composable into any projection
+    without a join — ``curate_corpus`` fuses it with the quality score
+    into one pass. Same math as ``repetition_stats``; see there for
+    the plan-shape rationale. NULL-safe: empty/whitespace-only docs
+    yield true (they carry no signal and the grouped formulation
+    excluded them from its output entirely)."""
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    n_tokens = F.size(toks)
+    sorted_toks = F.array_sort(toks)
+    top_c = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # UNROUNDED ratios, exactly like repetition_stats' flag (its
+    # rounded columns are display-only)
+    n_tok_frac = top_c / n_tokens
+    d_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    return F.when(n_tokens <= 0, F.lit(True)).otherwise(
+        (n_tok_frac > top_frac_max) | (d_ratio < distinct_ratio_min)
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,25 +136,50 @@ def repetition_stats(
     repetitive-document flag used to drop boilerplate/spam from a
     training corpus.
 
-    Plan shape (scales to any corpus): explode → hash agg on
-    (doc, token) with map-side combine — tokens of one document land
-    in one task's partial map, so the shuffle carries per-doc distinct
-    tokens, not raw tokens — then a second key-partitioned agg on doc.
-    Two shuffles, both on the document key; no UDF, no driver work.
+    Plan shape: the metric is ROW-LOCAL, so the formulation is a pure
+    projection — zero Exchange, whole-stage codegen, the row-parallel
+    ideal at any corpus size. The per-doc top-token count comes from a
+    higher-order fold over the SORTED token array (longest equal-run =
+    max occurrence count), n_distinct from array_distinct — no explode,
+    so the token stream is never shuffled. (The earlier formulation
+    exploded tokens through two hash aggregations: same answer, two
+    full shuffles of the corpus token stream that a row-local metric
+    never needed. Docs whose token list is empty produce no output
+    row, matching the explode formulation's semantics.) Per-doc cost is
+    O(tokens·log tokens) inside codegen; for million-token documents
+    cap upstream via chunking.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(word_tokens(text_col)).alias("token")
-    ).filter(F.col("token") != "")
-    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    sorted_toks = F.array_sort(toks)
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     n_tok = F.col("top_c") / F.col("n_tokens")
     d_ratio = F.col("n_distinct") / F.col("n_tokens")
     return (
-        per_tok.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_c"),
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            run.cast("long").alias("top_c"),
         )
+        .filter(F.col("n_tokens") > 0)
         .select(
             F.col(id_col),
             F.col("n_tokens"),
