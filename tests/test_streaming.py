@@ -486,3 +486,48 @@ def test_foreach_batch_upsert_multibatch_and_replay(spark, tmp_path):
     )
     got3 = {r.k: r.v for r in read_current(spark, root).collect()}
     assert got3 == {**expected, 3: "c9"}
+
+
+def test_upsert_table_time_travel_and_vacuum(spark, tmp_path):
+    """Each commit leaves a readable historical snapshot (VERSION AS OF
+    semantics); vacuum drops old versions but never the current one or
+    fewer than 2 (the replay guard's rebuild source)."""
+    import pytest as _pytest
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        list_versions,
+        read_current,
+        read_version,
+        upsert_batch_fn,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tt")
+    fn = upsert_batch_fn(root, ["k"], "seq")
+    schema = "k long, v string, seq long"
+    fn(spark.createDataFrame([(1, "a0", 0)], schema), 0)
+    fn(spark.createDataFrame([(1, "a1", 1), (2, "b0", 2)], schema), 1)
+    fn(spark.createDataFrame([(3, "c0", 3)], schema), 2)
+
+    assert list_versions(root) == [0, 1, 2]
+    assert {r.k: r.v for r in read_version(spark, root, 0).collect()} == {
+        1: "a0"
+    }
+    assert {r.k: r.v for r in read_version(spark, root, 1).collect()} == {
+        1: "a1",
+        2: "b0",
+    }
+    assert {r.k: r.v for r in read_current(spark, root).collect()} == {
+        1: "a1",
+        2: "b0",
+        3: "c0",
+    }
+
+    with _pytest.raises(ValueError):
+        vacuum_versions(root, keep=1)
+    assert vacuum_versions(root, keep=2) == [0]
+    assert list_versions(root) == [1, 2]
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, root, 0)
+    # current still intact after vacuum
+    assert {r.k for r in read_current(spark, root).collect()} == {1, 2, 3}

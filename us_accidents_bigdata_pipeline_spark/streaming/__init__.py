@@ -1,4 +1,11 @@
-from .foreach_batch import read_current, streaming_upsert, upsert_batch_fn
+from .foreach_batch import (
+    list_versions,
+    read_current,
+    read_version,
+    streaming_upsert,
+    upsert_batch_fn,
+    vacuum_versions,
+)
 from .stateful import counts_with_timeout, dedup_stream, running_totals_stateful
 from .windows import (
     adaptive_ts_stream,
@@ -16,14 +23,17 @@ __all__ = [
     "counts_with_timeout",
     "dedup_stream",
     "kafka_stream_reader",
+    "list_versions",
     "parquet_stream_reader",
     "parse_kafka_frame",
     "read_current",
+    "read_version",
     "run_to_files",
     "run_windowed_batch",
     "running_totals_stateful",
     "session_window_counts",
     "streaming_upsert",
     "upsert_batch_fn",
+    "vacuum_versions",
     "windowed_counts",
 ]

@@ -143,3 +143,51 @@ def streaming_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def read_version(spark: SparkSession, root: str, batch_id: int) -> DataFrame:
+    """Time travel: load the snapshot a given batch committed
+    (``v{batch_id}``). Every commit leaves its full snapshot directory
+    in place, so any historical table state remains readable until
+    ``vacuum_versions`` removes it — the same contract table formats
+    expose as VERSION AS OF."""
+    path = os.path.join(root, f"v{batch_id}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no committed version v{batch_id} in {root}")
+    return spark.read.parquet(path)
+
+
+def list_versions(root: str) -> list[int]:
+    """Committed batch ids, ascending (the snapshot log)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def vacuum_versions(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` snapshot versions (never the
+    one the pointer names). Returns the removed batch ids. The replay
+    guard needs the CURRENT version's predecessor to rebuild after a
+    failure mid-commit, so ``keep`` must be >= 2 — enforced."""
+    import shutil
+
+    if keep < 2:
+        raise ValueError("vacuum_versions: keep must be >= 2 (replay guard)")
+    versions = list_versions(root)
+    current = None
+    p = _pointer_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            current = json.load(f)["version"]
+    doomed = versions[:-keep] if len(versions) > keep else []
+    removed = []
+    for b in doomed:
+        if f"v{b}" == current:
+            continue
+        shutil.rmtree(os.path.join(root, f"v{b}"), ignore_errors=True)
+        removed.append(b)
+    return removed
