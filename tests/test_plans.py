@@ -300,3 +300,11 @@ def test_hof_stats_map_only_no_python(spark):
     plan = plan_of(spark, "embedding_hof_stats")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spatial_grid_join_no_cartesian(spark):
+    plan = plan_of(spark, "spatial_near_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is a hash join on the composite cell key
+    assert "Join" in plan

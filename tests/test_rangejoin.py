@@ -122,3 +122,35 @@ def test_range_join_equivalence_property(spark):
         assert got == naive
 
     run()
+
+
+def test_grid_join_2d_matches_brute_force(spark):
+    """Grid binning is exact: pairs and distances must equal the brute
+    force O(n^2) join, including points exactly radius apart (boundary)
+    and pairs crossing cell borders."""
+    import itertools
+    import math
+    import random
+
+    from us_accidents_bigdata_pipeline_spark.operators.rangejoin import (
+        grid_join_2d,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 1), rng.uniform(0, 1)) for i in range(150)]
+    # boundary pair exactly radius apart, straddling a cell border
+    pts.append((900, 0.0999, 0.5))
+    pts.append((901, 0.1999, 0.5))  # dx = 0.1 == radius exactly
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in grid_join_2d(df, "id", "x", "y", radius=0.1).collect()
+    }
+    brute = {}
+    for (i1, x1, y1), (i2, x2, y2) in itertools.combinations(pts, 2):
+        a, b = min(i1, i2), max(i1, i2)
+        d = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        if d <= 0.1:
+            brute[(a, b)] = round(d, 6)
+    assert out == brute
+    assert (900, 901) in out  # the exact-radius boundary pair survived

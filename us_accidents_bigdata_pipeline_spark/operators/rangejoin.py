@@ -80,3 +80,71 @@ def range_join_binned(
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None))
     return matched.unionByName(unmatched)
+
+
+def grid_join_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All point pairs within euclidean ``radius`` via 2-D grid
+    binning — the spatial generalization of ``range_join_binned`` (and
+    the scale-correct form of the reference's geographic neighborhood
+    analyses over lat/lng).
+
+    Cell side = radius, so any qualifying pair lies in the same or an
+    adjacent cell. Side A is replicated to its 3×3 cell neighborhood
+    (explode over dx, dy ∈ {-1,0,1}); side B keys by its exact cell;
+    the equi-join on the composite cell key yields each candidate pair
+    exactly once (B's cell is unique, A's neighborhood visits it once).
+    Exact distance then filters candidates. Shuffle volume: 9·|points|
+    + |points| rows keyed by cell — never the all-pairs product; cell
+    occupancy bounds per-key fanout (pick radius ≪ data extent; for
+    heavily clustered data sub-split hot cells like the salted join).
+    Output: (id_a, id_b, dist) with id_a < id_b, dist rounded to 6.
+    """
+    cx = F.floor(F.col(x_col) / F.lit(radius))
+    cy = F.floor(F.col(y_col) / F.lit(radius))
+    a = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_dx"),
+        cx.alias("_cxa"),
+        cy.alias("_cya"),
+    ).select(
+        "id_a",
+        "_xa",
+        "_ya",
+        (F.col("_cxa") + F.col("_dx")).alias("_cx"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dy"),
+        "_cya",
+    ).select(
+        "id_a",
+        "_xa",
+        "_ya",
+        "_cx",
+        (F.col("_cya") + F.col("_dy")).alias("_cy"),
+    )
+    b = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    dist = F.sqrt(
+        F.pow(F.col("_xa") - F.col("_xb"), 2)
+        + F.pow(F.col("_ya") - F.col("_yb"), 2)
+    )
+    return (
+        a.join(b, ["_cx", "_cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dist", dist)
+        .filter(F.col("_dist") <= radius)
+        .select("id_a", "id_b", F.round("_dist", 6).alias("dist"))
+    )

@@ -4086,3 +4086,91 @@ def q_jaccard_pairs_prefix_filtered(
     return prefix_filtered_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
+
+
+@_register(
+    "spatial_near_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(sqrt(power(CAST(a.embedding[1] AS DOUBLE)
+                               - CAST(b.embedding[1] AS DOUBLE), 2)
+                       + power(CAST(a.embedding[2] AS DOUBLE)
+                               - CAST(b.embedding[2] AS DOUBLE), 2)), 6)
+                  AS dist
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE sqrt(power(CAST(a.embedding[1] AS DOUBLE)
+                        - CAST(b.embedding[1] AS DOUBLE), 2)
+                + power(CAST(a.embedding[2] AS DOUBLE)
+                        - CAST(b.embedding[2] AS DOUBLE), 2)) <= 0.02""",
+    doc="2-D spatial radius self-join via grid binning "
+    "(operators/rangejoin.py::grid_join_2d): all point pairs within "
+    "euclidean 0.02 over the first two embedding dims — 3x3 "
+    "neighborhood replication + cell equi-join, never the all-pairs "
+    "product the brute-force ORACLE computes; the scale form of the "
+    "reference's geographic neighborhood analytics. IEEE double "
+    "arithmetic matches the oracle bit-exactly, so the threshold "
+    "comparison agrees at the boundary",
+)
+def q_spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import grid_join_2d
+
+    pts = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    return grid_join_2d(pts, "vec_id", "x", "y", radius=0.02)
+
+
+@_register(
+    "chi2_event_type_bucket",
+    """WITH obs AS (SELECT event_type,
+                           CAST(user_id % 4 AS INT) AS bucket,
+                           CAST(count(*) AS DOUBLE) AS n
+                    FROM events GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS total FROM obs),
+            rowt AS (SELECT event_type, sum(n) AS rn FROM obs GROUP BY 1),
+            colt AS (SELECT bucket, sum(n) AS cn FROM obs GROUP BY 1)
+       SELECT round(sum(power(n - rn * cn / total, 2)
+                        / (rn * cn / total)), 4) AS chi2,
+              CAST((count(DISTINCT obs.event_type) - 1)
+                   * (count(DISTINCT obs.bucket) - 1) AS INT) AS dof
+       FROM obs
+       JOIN rowt USING (event_type)
+       JOIN colt USING (bucket)
+       CROSS JOIN tot""",
+    doc="chi-square independence statistic (event_type x user-id "
+    "bucket contingency): observed cell counts vs rank-1 expected "
+    "(row_total*col_total/N), statistic + degrees of freedom in one "
+    "declarative pass — the contingency table is tiny after the first "
+    "groupBy, so the marginal joins broadcast; cells with zero "
+    "observations are absent from BOTH engines' sums identically "
+    "(all 20 cells are populated on this data)",
+)
+def q_chi2_event_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "event_type", (F.col("user_id") % 4).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    rowt = obs.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    colt = obs.groupBy("bucket").agg(F.sum("n").alias("cn"))
+    exp = F.col("rn") * F.col("cn") / F.col("total")
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "bucket")
+        .join(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias(
+                "chi2"
+            ),
+            (
+                (F.count_distinct(F.col("event_type")) - 1)
+                * (F.count_distinct(F.col("bucket")) - 1)
+            )
+            .cast("int")
+            .alias("dof"),
+        )
+    )
