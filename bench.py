@@ -69,6 +69,11 @@ HEADLINE = [
     "disjunctive_bracket_revenue",
     "idle_customer_balance",
     "embedding_hof_stats",
+    "salted_join_brand_revenue",
+    "locf_hourly_values",
+    "chi2_event_type_bucket",
+    "spatial_near_pairs",
+    "join_full_outer_buckets",
 ]
 
 

@@ -248,3 +248,38 @@ def test_write_table_orc_roundtrip(spark):
         assert any("orc" in str(r).lower() for r in fmt)
     finally:
         spark.sql("DROP TABLE IF EXISTS uabp_orc_region")
+
+
+def test_haversine_km_known_distances(spark):
+    """Pin haversine against independently-known great-circle facts:
+    one degree of latitude ~111.19 km anywhere; antipodal points =
+    half the earth circumference; zero distance; NULL propagation."""
+    from us_accidents_bigdata_pipeline_spark.functions import haversine_km
+
+    rows = [
+        # (lat1, lng1, lat2, lng2, expected_km, tol)
+        (0.0, 0.0, 1.0, 0.0, 111.195, 0.01),     # 1 deg lat at equator
+        (51.5, -0.1, 51.5, -0.1, 0.0, 1e-9),      # same point
+        (0.0, 0.0, 0.0, 180.0, 20015.1, 1.0),     # antipodal on equator
+        (40.7128, -74.0060, 34.0522, -118.2437, 3935.7, 5.0),  # NYC-LA
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a, b, c, d, _, _ in rows],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    got = df.select(
+        haversine_km("lat1", "lng1", "lat2", "lng2").alias("km")
+    ).collect()
+    for (_, _, _, _, exp, tol), r in zip(rows, got):
+        assert abs(r.km - exp) <= tol, (exp, r.km)
+
+    nulls = spark.createDataFrame(
+        [(None, 0.0, 1.0, 1.0)],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    assert (
+        nulls.select(haversine_km("lat1", "lng1", "lat2", "lng2").alias("km"))
+        .first()
+        .km
+        is None
+    )

@@ -8,6 +8,7 @@ from .columns import (
     dot_product,
     l2_norm,
     cosine_similarity,
+    haversine_km,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "cosine_similarity",
+    "haversine_km",
 ]

@@ -90,3 +90,28 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array<numeric> columns (double)."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- geospatial (reference domain: Start_Lat/Start_Lng clustering,
+#     BigDataPipeline/spark/kmeans_clustering.py geo features) ----------
+
+
+def haversine_km(
+    lat1: Column | str,
+    lng1: Column | str,
+    lat2: Column | str,
+    lng2: Column | str,
+) -> Column:
+    """Great-circle distance in kilometers (haversine, R=6371.0088 —
+    IUGG mean earth radius), entirely JVM-side trig inside codegen.
+    The distance the reference's geographic cluster analyses imply but
+    compute nowhere; pairs with any NULL coordinate yield NULL."""
+    la1, lo1, la2, lo2 = (
+        F.radians(F.col(c) if isinstance(c, str) else c)
+        for c in (lat1, lng1, lat2, lng2)
+    )
+    a = (
+        F.pow(F.sin((la2 - la1) / 2), 2)
+        + F.cos(la1) * F.cos(la2) * F.pow(F.sin((lo2 - lo1) / 2), 2)
+    )
+    return 2 * F.lit(6371.0088) * F.asin(F.sqrt(a))
