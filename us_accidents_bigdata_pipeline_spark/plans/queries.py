@@ -4174,3 +4174,112 @@ def q_chi2_event_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dof"),
         )
     )
+
+
+@_register(
+    "last_touch_attribution",
+    """WITH seq AS (SELECT user_id, event_id, event_type, ts FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+       ann AS (SELECT *,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS click_id,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS click_ts
+               FROM seq)
+       SELECT event_id AS purchase_id, user_id, click_id,
+              round((epoch_us(ts) - epoch_us(click_ts)) / 60000000.0, 2)
+                  AS mins_since_click
+       FROM ann
+       WHERE event_type = 'purchase' AND click_id IS NOT NULL
+         AND ts - click_ts <= INTERVAL 1 DAY""",
+    doc="last-touch attribution: each purchase attributed to the same "
+    "user's most recent click within 1 day, via last(ignorenulls) over "
+    "an ordered per-user window (the event-stream as-of idiom — one "
+    "shuffle on user_id, no self-join). Prefiltering to the two event "
+    "types reaches the scan; (ts, event_id) ordering makes the window "
+    "deterministic under ties",
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            click_id.alias("click_id"),
+            click_ts.alias("click_ts"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click_id").isNotNull()
+            & (
+                us(F.col("ts")) - us(F.col("click_ts"))
+                <= 24 * 3600 * 1_000_000
+            )
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            F.round(
+                (us(F.col("ts")) - us(F.col("click_ts"))) / 60_000_000.0, 2
+            ).alias("mins_since_click"),
+        )
+    )
+
+
+_DQ_SQL = """SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM {orders}) AS n_orders,
+  (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+   FROM {orders}) AS dup_orderkeys,
+  (SELECT CAST(count(*) AS BIGINT) FROM {lineitem} l
+   WHERE NOT EXISTS (SELECT 1 FROM {orders} o
+                     WHERE o.o_orderkey = l.l_orderkey))
+      AS orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM {orders}
+   WHERE o_custkey IS NULL) AS null_custkeys,
+  (SELECT CAST(count(*) AS BIGINT) FROM {lineitem}
+   WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+      AS bad_lineitem_rows"""
+
+
+@_register(
+    "dq_expectations_report",
+    _DQ_SQL.format(orders="orders", lineitem="lineitem"),
+    doc="data-quality expectations report (dbt-test shape) in ONE "
+    "statement: row count, key uniqueness, referential integrity "
+    "(orphan fact rows via NOT EXISTS anti-join), null keys, domain "
+    "violations — identical SQL text runs on the Spark catalog and "
+    "the DuckDB oracle; each scalar subquery is an independent "
+    "aggregate the optimizer runs as its own tiny job, fact scans "
+    "pruned to the checked columns",
+)
+def q_dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_dq_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_dq_lineitem")
+    return spark.sql(
+        _DQ_SQL.format(orders="_dq_orders", lineitem="_dq_lineitem")
+    )
