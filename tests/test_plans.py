@@ -160,13 +160,12 @@ def test_shard_and_pack_single_shuffle(spark):
         assert "Exchange rangepartitioning" not in plan, name
 
 
-def test_repetition_stats_partial_aggs_no_python(spark):
-    # both aggs must combine map-side before their exchange (partial_
-    # count/sum keep the shuffle at per-doc distinct tokens, not raw
-    # tokens), and the whole operator stays JVM-side
+def test_repetition_stats_map_only_no_python(spark):
+    # the metric is row-local and the HOF-fold formulation must keep it
+    # that way: a pure projection — zero exchanges of the token stream
+    # (the earlier explode+agg shape paid two), and fully JVM-side
     plan = plan_of(spark, "repetition_quality_docs")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert "partial_count" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
