@@ -307,3 +307,37 @@ def test_spatial_grid_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # candidate generation is a hash join on the composite cell key
     assert "Join" in plan
+
+
+def test_audit_plan_flags_and_clean(spark):
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    a = spark.range(100).selectExpr("id AS a")
+    b = spark.range(100).selectExpr("id AS b")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    # a small-side cross join broadcasts (nested loop); only a big-big
+    # cross join degenerates to CartesianProduct — force it by
+    # disabling broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "cartesian" in audit_plan(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "nested_loop" in audit_plan(a.crossJoin(b))
+    assert audit_plan(a.join(b, a.a == b.b)) == []
+    # nested loop: non-equi condition
+    assert "nested_loop" in audit_plan(
+        a.join(F.broadcast(b), a.a < b.b)
+    )
+    # row-at-a-time Python UDF flagged; Arrow pandas_udf NOT flagged
+    from pyspark.sql.functions import pandas_udf, udf
+
+    slow = udf(lambda x: x + 1, "long")
+    assert "python_row_udf" in audit_plan(a.select(slow("a")))
+
+    @pandas_udf("long")
+    def fast(s):
+        return s + 1
+
+    assert audit_plan(a.select(fast("a"))) == []

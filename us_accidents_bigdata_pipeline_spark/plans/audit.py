@@ -1,0 +1,45 @@
+"""Physical-plan auditor: automated red-flag linting.
+
+The 100 TB failure modes are visible in the executed plan long before
+they are visible in a wall-clock regression: a cartesian product, a
+nested-loop join of two large inputs, or a row-at-a-time Python eval
+each turn a query that "passes" at sf0.01 into one that never finishes
+at scale. ``audit_plan`` walks a DataFrame's executed plan string and
+returns the red flags found; ``tests/test_plans.py`` sweeps it across
+every registered catalog query so a new query (or a Catalyst upgrade
+changing join selection) cannot silently introduce a scale-killer.
+
+Flags:
+
+- ``cartesian``: CartesianProduct — the all-pairs shuffle, never
+  acceptable.
+- ``nested_loop``: BroadcastNestedLoopJoin — acceptable ONLY for
+  1-row scalar-subquery broadcasts (callers whitelist those queries
+  explicitly; the auditor cannot see cardinalities in the plan text).
+- ``python_row_udf``: BatchEvalPython — pickled row-at-a-time Python,
+  the reference's kNN-UDF anti-pattern. Arrow-batched evals
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+  sanctioned Python path and are NOT flagged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+FLAG_MARKERS: dict[str, tuple[str, ...]] = {
+    "cartesian": ("CartesianProduct",),
+    "nested_loop": ("BroadcastNestedLoopJoin",),
+    "python_row_udf": ("BatchEvalPython",),
+}
+
+
+def audit_plan(df: DataFrame) -> list[str]:
+    """Red-flag names present in the frame's executed plan (initial
+    AQE plan — join strategy and eval operators are already decided
+    there). Empty list = clean."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        flag
+        for flag, markers in FLAG_MARKERS.items()
+        if any(m in plan for m in markers)
+    ]
