@@ -283,3 +283,52 @@ def test_haversine_km_known_distances(spark):
         .km
         is None
     )
+
+
+def test_read_csv_audited_quarantines_malformed(spark, tmp_path):
+    from us_accidents_bigdata_pipeline_spark.sources.io import read_csv_audited
+
+    import pyspark.sql.types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,9.99\n"
+        "2,notanumber,3.50\n"       # qty fails the int cast
+        "3,7,1.25\n"
+        '4,"unterminated,2.00\n'    # broken quoting
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_csv_audited(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 3}
+    # quarantined rows keep their raw text for repair
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert any("notanumber" in r._corrupt_record for r in bad_rows)
+    df.unpersist()
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from us_accidents_bigdata_pipeline_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(d)
+    df = read_parquet_evolving(spark, d)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}

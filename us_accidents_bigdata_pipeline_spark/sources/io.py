@@ -174,3 +174,49 @@ def mongodb_sink(
     for k, v in mongodb_sink_options(uri, database, collection).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> DataFrame:
+    """CSV scan with malformed-row CAPTURE instead of silent nulls
+    (S1 hardened). PERMISSIVE mode + an explicit corrupt-record column:
+    rows that fail to parse land whole in ``corrupt_col`` (typed
+    columns null), so ingest can quarantine them —
+    ``df.filter(col(corrupt_col).isNotNull())`` — rather than losing
+    them (DROPMALFORMED) or failing the 100 TB job on one bad line
+    (FAILFAST). The schema passed in must NOT contain the corrupt
+    column; it is appended here. Spark caveat handled: referencing only
+    the corrupt column of a raw-parse frame is disallowed, so always
+    select it alongside at least one data column (or cache first)."""
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(full).csv(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
+    """Parquet scan across files with EVOLVED schemas (``mergeSchema``):
+    the union schema is reconciled from all footers; files missing a
+    column yield nulls for it. The pattern for long-lived datasets
+    whose writers add columns over time. mergeSchema costs a
+    footer-read per file at planning — at 100 TB pin the merged schema
+    in a catalog table once it stabilizes instead of re-merging every
+    read."""
+    return spark.read.option("mergeSchema", "true").options(**options).parquet(
+        path
+    )
