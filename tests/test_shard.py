@@ -117,3 +117,31 @@ def test_mixture_sample_deterministic_and_proportional(spark):
     # rate-0.5 stratum within binomial tolerance
     frac = by_src.get("src1", 0) / tot["src1"]
     assert 0.3 < frac < 0.7, frac
+
+
+def test_byte_stats_arrow_matches_jvm(spark):
+    """mapInArrow path must agree exactly with the JVM octet_length
+    expression it accelerates, including empty and non-ASCII payloads."""
+    from us_accidents_bigdata_pipeline_spark.operators.multimodal import (
+        byte_stats_arrow,
+    )
+
+    rows = [
+        (1, b"hello"),
+        (2, b""),
+        (3, "héllo wörld".encode("utf-8")),
+        (4, bytes(range(256))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.n_bytes, r.is_empty)
+        for r in byte_stats_arrow(df).collect()
+    }
+    jvm = {
+        r.doc_id: (r.n, r.n == 0)
+        for r in df.select(
+            "doc_id", F.octet_length("payload").alias("n")
+        ).collect()
+    }
+    assert got == {k: (int(v[0]), v[1]) for k, v in jvm.items()}
+    assert got[4][0] == 256 and got[2] == (0, True)

@@ -240,3 +240,38 @@ def extract_patches(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def byte_stats_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-payload byte stats via ``mapInArrow`` — the zero-copy member
+    of the Python-eval family. Unlike ``mapInPandas``, batches arrive
+    as Arrow RecordBatches and never convert to pandas, so large
+    ``binary`` payloads skip the pandas object-array materialization
+    entirely; all compute is vectorized ``pyarrow.compute`` kernels
+    (C++), no per-row Python. Output: (id, n_bytes, is_empty).
+
+    Use this shape for media-payload passes where the per-batch work is
+    expressible in Arrow kernels; drop to mapInPandas only when numpy/
+    pandas semantics are genuinely needed (e.g. the pixel-buffer
+    reshape in ``extract_patches``). Parity with the JVM
+    ``octet_length`` expression is pytest-pinned — the Arrow path must
+    never disagree with the codegen path it accelerates."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            n = pc.cast(pc.binary_length(batch.column(1)), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [ids, n, pc.equal(n, pa.scalar(0, pa.int64()))],
+                [id_col, "n_bytes", "is_empty"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(
+        batches, f"{id_col} long, n_bytes long, is_empty boolean"
+    )
