@@ -82,6 +82,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # the documented QUADRATIC reference tier (exact all-pairs cosine);
     # the banded/blas/lsh variants are the scale paths and stay clean
     "embedding_near_dup_pairs": {"nested_loop"},
+    "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
+    "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
