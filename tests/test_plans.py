@@ -341,3 +341,53 @@ def test_audit_plan_flags_and_clean(spark):
         return s + 1
 
     assert audit_plan(a.select(fast("a"))) == []
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB the lineitem side of a selective part join is shuffle-
+    joined (too big to broadcast); Spark's InjectRuntimeFilter then
+    builds a bloom filter from the filtered part keys and applies it to
+    lineitem BEFORE its shuffle — the row-level semi-join pushdown that
+    cuts shuffle volume by the part filter's selectivity. Broadcast is
+    disabled here to force the at-scale join strategy so the injection
+    is observable in the optimized plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # the injection rule only fires when the application side scan
+        # is big enough to be worth filtering (10GB default — the
+        # at-scale regime this test simulates at sf0.01)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        p = spark.read.parquet(f"{SF_ORACLE}/part.parquet").filter(
+            F.col("p_brand") == "Brand#12"
+        )
+        joined = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, opt
+        # and the result is unaffected by the filter (no false negatives)
+        [row] = joined.collect()
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        [plain] = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("q"))
+            .collect()
+        )
+        assert row == plain
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,86 @@
+"""Sketch contracts: HLL accuracy + exact mergeability, CMS one-sided
+error. Estimates are engine-specific so the catalog entries are
+rows-only; THESE tests are the correctness evidence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+    count_min_totals,
+    hll_distinct_by,
+    hll_group_sketches,
+    hll_rollup,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_hll_estimates_within_tolerance(spark):
+    """Per-nation distinct customers: HLL estimate within 5% of exact
+    (lg_k=14 → ~1.6% RSE; 5% is > 3 sigma)."""
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    est = {
+        r.c_nationkey: r.est_distinct
+        for r in hll_distinct_by(c, ["c_nationkey"], "c_custkey").collect()
+    }
+    exact = {
+        r.c_nationkey: r.n
+        for r in c.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_hll_union_equals_direct_sketch(spark):
+    """The rollup contract: merging nation-level sketches up to the
+    region level gives the IDENTICAL estimate as building region-level
+    sketches from scratch — HLL union is register-wise max, exact over
+    sketches. This is what makes sketch summary tables composable
+    without rescans."""
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    n = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    cn = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_regionkey")
+
+    fine = hll_group_sketches(cn, ["n_regionkey", "c_nationkey"], "c_custkey")
+    rolled = {
+        r.n_regionkey: r.est_distinct
+        for r in hll_rollup(fine, ["n_regionkey"]).collect()
+    }
+    direct = {
+        r.n_regionkey: r.est_distinct
+        for r in hll_distinct_by(cn, ["n_regionkey"], "c_custkey").collect()
+    }
+    assert rolled == direct
+
+
+def test_hll_estimate_is_layout_independent(spark):
+    """Same value set, different partitioning → same estimate (HLL
+    registers depend only on the hashed value SET)."""
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    a = hll_distinct_by(c, ["c_nationkey"], "c_custkey").collect()
+    b = hll_distinct_by(c.repartition(13), ["c_nationkey"], "c_custkey").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_count_min_one_sided_error(spark):
+    """CMS estimates never undercount, and overshoot is bounded by
+    eps·N (deterministically checked against the probabilistic bound
+    with a wide margin at this scale)."""
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    est = count_min_totals(
+        e, "event_type", list(exact), eps=0.001, confidence=0.99
+    )
+    for k, true_n in exact.items():
+        assert est[k] >= true_n, (k, est[k], true_n)
+        assert est[k] <= true_n + 0.01 * n_total, (k, est[k], true_n)

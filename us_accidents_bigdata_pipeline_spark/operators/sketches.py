@@ -1,0 +1,124 @@
+"""Mergeable-sketch aggregation operators (100 TB reaggregation path).
+
+At warehouse scale the expensive aggregate is COUNT(DISTINCT …): exact
+distinct needs a shuffle of every distinct value per group. Sketches
+replace that with fixed-size mergeable state (Apache DataSketches HLL,
+bundled in Spark's ``hll_sketch_agg`` family — public API since 3.5):
+
+- build per-group sketches in ONE scan (map-side partial aggregation,
+  a few KB per group, never a distinct-value shuffle);
+- roll sketches UP without rescanning the data (``hll_union_agg`` —
+  the register-wise max merge is exact over sketches, so a
+  region-level estimate derived from nation-level sketches is
+  IDENTICAL to a region-level sketch built from scratch — pinned in
+  tests/test_sketches.py);
+- persist sketch bytes in summary tables so daily partials compose
+  into monthly/yearly rollups — reaggregation becomes metadata-sized.
+
+``count_min_totals`` covers the frequency side: a Count-Min sketch
+built distributed (JVM, one pass, merged tree-wise across partitions)
+but small enough (w·d longs) to hold on the driver and probe at will —
+the canonical heavy-hitter estimator with one-sided error
+(estimate ≥ true count, ≤ true + eps·N with prob ≥ confidence).
+
+Estimates are engine-specific (DuckDB's approx_count_distinct is a
+different HLL variant), so catalog entries over these are rows-only;
+the accuracy and mergeability contracts are pinned in pytest against
+exact counts instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_group_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """One HLL sketch of ``value_col``'s distinct set per group.
+
+    Output: group_cols + ``hll_sketch`` (binary). lgConfigK=14 → 16384
+    registers ≈ 1.6 % relative standard error at ~12 KB per group —
+    the size/accuracy trade is per-GROUP, independent of row count,
+    which is the whole point at 100 TB. The aggregation is partial-agg
+    friendly: each task folds its rows into a local sketch and the
+    shuffle carries one sketch per (task, group), never raw values.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Attach the cardinality estimate to a sketch frame (map-only)."""
+    return sketches.withColumn(
+        "est_distinct", F.hll_sketch_estimate("hll_sketch")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+) -> DataFrame:
+    """Merge fine-grained sketches up to ``rollup_cols`` WITHOUT
+    rescanning the base data — the union is register-wise max, exact
+    over sketches. Output: rollup_cols + hll_sketch + est_distinct."""
+    merged = sketches.groupBy(*rollup_cols).agg(
+        F.hll_union_agg("hll_sketch").alias("hll_sketch")
+    )
+    return hll_estimate(merged)
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Per-group approximate distinct counts via HLL, one pass.
+
+    Output: group_cols + ``est_distinct`` (double). The estimate is
+    deterministic for a given input set (HLL registers depend only on
+    the hashed value set, not on row order or partitioning), so
+    repeated runs agree exactly even though the value is approximate.
+    """
+    return hll_estimate(
+        hll_group_sketches(df, group_cols, value_col, lg_k)
+    ).select(*group_cols, "est_distinct")
+
+
+def count_min_totals(
+    df: DataFrame,
+    col: str,
+    candidates: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+):
+    """Count-Min frequency estimates for ``candidates`` of ``col``.
+
+    The sketch builds distributed (one JVM pass, partition sketches
+    merged tree-wise) and lands on the driver at w×d longs
+    (w=ceil(2/eps), d=ceil(-ln(1-confidence)/ln2)) — ~2 KB per row of
+    depth at eps=1e-3, constant in input size. Guarantees (pinned in
+    tests): estimate ≥ true count always (collisions only ADD), and
+    estimate ≤ true + eps·N with probability ≥ confidence.
+
+    Returns ``{candidate: estimated_count}``.
+    """
+    blob = df.agg(
+        F.count_min_sketch(
+            col, F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("_cms")
+    ).collect()[0]._cms
+    # org.apache.spark.util.sketch is public Spark API; PySpark has no
+    # wrapper for the probe side, so deserialize the aggregated blob in
+    # the JVM and query it driver-side (the sketch is w×d longs —
+    # constant-size no matter the input).
+    jvm = df.sparkSession._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
+    return {c: cms.estimateCount(c) for c in candidates}

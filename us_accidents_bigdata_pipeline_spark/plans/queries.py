@@ -4829,3 +4829,53 @@ def q_min_cost_supplier_per_part(
             F.round("unit_cost", 4).alias("min_unit_cost"),
         )
     )
+
+
+@_register(
+    "hll_distinct_users_by_type",
+    None,  # DataSketches HLL estimates are engine-specific; accuracy,
+    # mergeability (union == direct), and layout-independence are
+    # pinned in tests/test_sketches.py against exact counts
+    doc="mergeable-sketch distinct counting (operators/sketches.py): "
+    "per-event-type approximate distinct users via hll_sketch_agg "
+    "(DataSketches HLL, lgK=14 ≈ 1.6% RSE). The 100 TB path for "
+    "COUNT(DISTINCT): map-side partial sketches, a ~12 KB shuffle row "
+    "per (task, group) instead of a distinct-value shuffle, and the "
+    "resulting sketch column composes upward via hll_union_agg "
+    "without rescanning (union is register-wise max — exact over "
+    "sketches). Deterministic for a given value set, so rows-only "
+    "re-runs are stable.",
+)
+def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_distinct_by
+
+    e = _t(spark, sf_dir, "events")
+    return hll_distinct_by(e, ["event_type"], "user_id").select(
+        "event_type", F.col("est_distinct").cast("long").alias("est_users")
+    )
+
+
+@_register(
+    "hll_nation_region_rollup",
+    None,  # estimate values engine-specific; union-exactness pinned in
+    # tests/test_sketches.py::test_hll_union_equals_direct_sketch
+    doc="sketch REAGGREGATION: nation-level customer sketches merged "
+    "up to region level with hll_union_agg — the summary-table "
+    "pattern where daily/fine partials roll up to coarse grains "
+    "without touching base data. The union estimate is IDENTICAL to "
+    "a from-scratch region sketch (register-wise max), which the "
+    "tests pin; at 100 TB this turns reaggregation into a "
+    "metadata-sized job.",
+)
+def q_hll_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_group_sketches, hll_rollup
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_regionkey"
+    )
+    fine = hll_group_sketches(cn, ["n_regionkey", "c_nationkey"], "c_custkey")
+    return hll_rollup(fine, ["n_regionkey"]).select(
+        "n_regionkey", F.col("est_distinct").cast("long").alias("est_customers")
+    )
