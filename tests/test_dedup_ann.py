@@ -490,3 +490,31 @@ def test_prefix_filtered_jaccard_matches_plain(spark):
         )
     )
     assert b2 == p2 and len(b2) > 0
+
+
+def test_semantic_dedup_no_false_positives_high_recall(spark):
+    """SemDeDup tier: cluster-scoped comparison can only MISS pairs
+    (cell-boundary straddlers), never invent them — every emitted pair
+    passed the exact-cosine filter. With m_assign=2 replication on
+    this corpus recall vs the exact tier stays high."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    sem = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in semantic_dedup_pairs(e, n_cells=8, m_assign=2).collect()
+    }
+    assert exact, "expected near-dup pairs at the default threshold"
+    extras = set(sem) - set(exact)
+    assert extras == set(), f"semantic tier produced false positives {extras}"
+    assert len(set(sem) & set(exact)) / len(exact) >= 0.8
+    # and where a pair is found, the cosine is the exact one
+    for k, v in sem.items():
+        assert abs(v - exact[k]) < 1e-9

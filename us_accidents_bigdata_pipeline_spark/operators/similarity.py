@@ -605,3 +605,70 @@ def knn_label_vote(
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("neighbor_label").alias("predicted_label"), "n_votes")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.42,
+    n_cells: int = 8,
+    m_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with a sampled-fit
+    coarse quantizer, then compare pairs ONLY within a cluster —
+    exact cosine on candidates, never an all-pairs join.
+
+    Relationship to the other embedding-dedup tiers: `exact`/`blas`
+    score all O(n²) pairs (correctness reference), `lsh` buckets by
+    random projections (data-independent), and this one buckets by
+    LEARNED cluster structure — the published-at-scale recipe (SemDeDup
+    ran on LAION/CommonCrawl embeddings with k-means shards exactly
+    like this). With ``m_assign`` > 1 each vector joins its m nearest
+    cells, so pairs straddling one cell boundary are still compared;
+    recall vs the exact tier is pinned in tests/test_dedup_ann.py.
+
+    Plan shape: sampled KMeans fit (bounded), map-only cell
+    assignment (centroids ride the plan as literals), cell-keyed
+    equi-self-join with id< residual, exact-cosine filter. Per-cell
+    work is |cell|², so total flops scale with Σ|cell|² ≈ n²/k — the
+    quadratic shrinks linearly in cluster count while stragglers are
+    bounded by the largest cell (AQE skew-split applies: the join key
+    IS the cell id).
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, distinct
+    (a pair found in two shared cells emits once).
+    """
+    from ..functions import cosine_similarity
+
+    assigned, _ = ivf_fit_assign(
+        df,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        m_assign=m_assign,
+    )
+    side = assigned.join(df.select(id_col, vec_col), id_col)
+    a = side.select(
+        F.col("cell"),
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = side.select(
+        F.col("cell"),
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+        .distinct()
+    )

@@ -418,3 +418,78 @@ def vocab_top_tokens(
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its unigram distribution looks like a TARGET
+    slice of the corpus versus the corpus overall, as the log-ratio
+
+        logweight(doc) = Σ_{t ∈ doc ∩ V} log p_target(t) / p_source(t)
+
+    with add-one-smoothed probabilities over a fixed top-``vocab_size``
+    vocabulary V (count-desc, token-asc tie-break — engine-exact cut).
+    High-weight docs are up-sampled when composing a training mixture
+    toward the target domain (`operators/sample.mixture_sample` is the
+    companion sampler).
+
+    Plan shape: one token-keyed aggregation builds BOTH distributions
+    in a single pass (conditional sums per token), the ~|V|-row ratio
+    table broadcasts, and the per-doc score is an explode → broadcast
+    equi-join → per-doc sum — the corpus text itself never shuffles.
+    Scales: vocab is Zipf-bounded; everything heavy is map-side.
+
+    ``target_filter``: a boolean Column selecting the target slice
+    (e.g. ``F.col("lang") == "en"``).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(word_tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    w = Window.orderBy(F.col("cs").desc(), F.col("token").asc())
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= vocab_size)
+        .drop("_r")
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("Tt"), F.sum("cs").alias("Ts")
+    )
+    v = float(vocab_size)
+    ratio = (
+        vocab.join(F.broadcast(totals))
+        .select(
+            "token",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("Tt") + v))
+                - F.log((F.col("cs") + 1.0) / (F.col("Ts") + v))
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "token")
+        .groupBy(id_col)
+        .agg(F.sum("logratio").alias("_lw"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left_outer")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("_lw"), F.lit(0.0)), 4).alias("logweight"),
+        )
+    )

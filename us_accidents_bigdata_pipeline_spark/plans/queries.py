@@ -169,6 +169,7 @@ _CHECK_PRIORITY: list[str] = [
     "large_quantity_orders",
     "sole_late_supplier_ranking",
     "min_cost_supplier_per_part",
+    "dsir_importance_weights",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -4878,4 +4879,74 @@ def q_hll_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = hll_group_sketches(cn, ["n_regionkey", "c_nationkey"], "c_custkey")
     return hll_rollup(fine, ["n_regionkey"]).select(
         "n_regionkey", F.col("est_distinct").cast("long").alias("est_customers")
+    )
+
+
+@_register(
+    "dsir_importance_weights",
+    r"""WITH toks AS (
+         SELECT doc_id, lang = 'en' AS is_target,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+         FROM documents),
+       toks2 AS (SELECT * FROM toks WHERE token <> ''),
+       counts AS (
+         SELECT token,
+                sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                count(*) AS cs
+         FROM toks2 GROUP BY token),
+       vocab AS (
+         SELECT token, ct, cs FROM counts
+         ORDER BY cs DESC, token ASC LIMIT 200),
+       totals AS (SELECT sum(ct) AS Tt, sum(cs) AS Ts FROM vocab),
+       ratio AS (
+         SELECT token,
+                ln((ct + 1.0) / (Tt + 200.0))
+                - ln((cs + 1.0) / (Ts + 200.0)) AS logratio
+         FROM vocab, totals),
+       scored AS (
+         SELECT t.doc_id, sum(r.logratio) AS lw
+         FROM toks2 t JOIN ratio r ON t.token = r.token
+         GROUP BY t.doc_id)
+       SELECT d.doc_id,
+              round(coalesce(s.lw, 0.0), 4) AS logweight
+       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
+    doc="DSIR importance resampling weights (Xie et al. 2023): "
+    "per-document log-ratio of add-one-smoothed unigram likelihood "
+    "under the TARGET slice (lang='en') vs the full corpus, over a "
+    "fixed top-200 vocabulary with an engine-exact (count DESC, token "
+    "ASC) cut (operators/textstats.py::dsir_logweights). One "
+    "token-keyed agg builds both distributions in a single pass; the "
+    "~|V|-row log-ratio table broadcasts; corpus text never shuffles. "
+    "The score feeds mixture_sample to up-weight target-like docs "
+    "when composing training data.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import dsir_logweights
+
+    return dsir_logweights(
+        _t(spark, sf_dir, "documents"),
+        target_filter=F.col("lang") == "en",
+        vocab_size=200,
+    )
+
+
+@_register(
+    "semantic_dedup_pairs",
+    None,  # cluster assignment is KMeans-model-dependent → rows-only;
+    # zero-false-positive + recall + exact-cosine-parity contracts are
+    # pinned in tests/test_dedup_ann.py::test_semantic_dedup_*
+    doc="SemDeDup-style semantic near-dup pairs (similarity.py::"
+    "semantic_dedup_pairs): sampled-fit KMeans clusters the embedding "
+    "space, pairs are exact-cosine-compared only WITHIN a cell "
+    "(m_assign=2 boundary replication). The learned-bucket member of "
+    "the embedding-dedup tier: total flops ≈ n²/k vs the exact "
+    "tier's n², join key is the cell id (AQE skew-split applies), "
+    "every emitted pair passes the exact filter so false positives "
+    "are impossible.",
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_cells=8, m_assign=2
     )
