@@ -391,3 +391,47 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """At 100 TB a hot join key melts one reducer; AQE's
+    OptimizeSkewedJoin splits the oversized partition at runtime
+    (SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed'
+    in the final plan) — the zero-code-change complement to
+    tuning.salted_join. Thresholds are scaled down so the sf-sized
+    fixture crosses the same relative skew the defaults target."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # and the split join is still exact
+        assert row.n == 180_100 and row.s == 18_000_148_500
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

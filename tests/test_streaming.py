@@ -531,3 +531,54 @@ def test_upsert_table_time_travel_and_vacuum(spark, tmp_path):
         read_version(spark, root, 0)
     # current still intact after vacuum
     assert {r.k for r in read_current(spark, root).collect()} == {1, 2, 3}
+
+
+def test_stateful_totals_on_rocksdb_state_store(spark):
+    """The default HDFSBacked state store keeps every key's state on
+    the executor HEAP — at 100 TB/day key cardinalities that's an OOM,
+    and RocksDB (spilling to local disk, bundled in Spark) is the
+    production provider. The stateful operators must be
+    provider-agnostic: same running totals through RocksDB as through
+    the default store and as the batch oracle."""
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        running_totals_stateful,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        totals = running_totals_stateful(_event_stream(spark))
+        emitted = run_windowed_batch(
+            totals, query_name="rocksdb_totals", output_mode="update"
+        )
+        final = (
+            emitted.groupBy("key")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("_f"))
+            .select(
+                "key",
+                F.col("_f.n_events").alias("n_events"),
+                F.round("_f.total_value", 4).alias("total_value"),
+            )
+        )
+        got = {r.key: (r.n_events, r.total_value) for r in final.collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in _event_batch(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("t"),
+        )
+        .collect()
+    }
+    assert got == expected
