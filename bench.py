@@ -74,6 +74,18 @@ HEADLINE = [
     "chi2_event_type_bucket",
     "spatial_near_pairs",
     "join_full_outer_buckets",
+    # TPC-H completion batch (round 4, second half)
+    "order_priority_check",
+    "nation_pair_trade_volume",
+    "nation_market_share",
+    "cust_order_count_distribution",
+    "large_quantity_orders",
+    "sole_late_supplier_ranking",
+    "min_cost_supplier_per_part",
+    # sketch / curation additions
+    "hll_distinct_users_by_type",
+    "dsir_importance_weights",
+    "semantic_dedup_pairs",
 ]
 
 

@@ -138,9 +138,9 @@ _CHECK_PRIORITY: list[str] = [
     "embedding_quantize_error",
     "rolling_30d_revenue",
     "cohort_retention",
-    "simhash_near_dup_pairs_md5",
-    "correlation_stats",
-    "char_entropy_docs",
+    "order_priority_check",
+    "sole_late_supplier_ranking",
+    "dsir_importance_weights",
     "line_dedup_docs",
     "corpus_curation_funnel",
     "grouped_ols_value_on_hour",
@@ -156,9 +156,13 @@ _CHECK_PRIORITY: list[str] = [
     "recursive_date_spine",
     "daily_revenue_change",
     "window_percentile_ranks",
-    # TPC-H completion batch (second half of round 4) — queued for the
-    # next checked-window rotation
-    "order_priority_check",
+    "simhash_near_dup_pairs_md5",
+    "correlation_stats",
+    "char_entropy_docs",
+    # TPC-H completion batch (second half of round 4) — the three
+    # highest-signal shapes (EXISTS decorrelation, double-anti-join,
+    # DSIR) are pulled into the checked window above; the rest queue
+    # for the next rotation
     "nation_pair_trade_volume",
     "nation_market_share",
     "part_revenue_concentration",
@@ -167,9 +171,7 @@ _CHECK_PRIORITY: list[str] = [
     "top_revenue_suppliers",
     "small_quantity_order_revenue",
     "large_quantity_orders",
-    "sole_late_supplier_ranking",
     "min_cost_supplier_per_part",
-    "dsir_importance_weights",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
