@@ -172,6 +172,7 @@ _CHECK_PRIORITY: list[str] = [
     "small_quantity_order_revenue",
     "large_quantity_orders",
     "min_cost_supplier_per_part",
+    "streaming_chained_window_rollup",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -4951,4 +4952,56 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return semantic_dedup_pairs(
         _t(spark, sf_dir, "embeddings"), n_cells=8, m_assign=2
+    )
+
+
+@_register(
+    "streaming_chained_window_rollup",
+    """WITH fine AS (
+         SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       coarse AS (
+         SELECT time_bucket(INTERVAL '2 hours', ws) AS window_start,
+                event_type, CAST(sum(n) AS BIGINT) AS n_events
+         FROM fine GROUP BY 1, 2),
+       m AS (SELECT max(ts) AS mt FROM events)
+       SELECT window_start, event_type, n_events
+       FROM coarse, m
+       WHERE window_start + INTERVAL '2 hours' <= mt - INTERVAL '1 hour'
+    """,
+    doc="CHAINED stateful streaming (Spark 4 multiple-stateful-operator "
+    "support): 30-minute tumbling pre-aggregation rolled up into "
+    "2-hour windows downstream IN ONE streaming query — the "
+    "pre-aggregation pattern that cuts second-stage state by the "
+    "fan-in (4 slim rows per key instead of every event). Append "
+    "mode is mandatory for chained stateful ops, so only windows the "
+    "watermark (1 hour) has closed emit; the batch oracle applies "
+    "the same cutoff (window_end <= max(ts) - delay). Watermark "
+    "propagates through the first agg via window_time().",
+)
+def q_streaming_chained_window_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming import run_windowed_batch
+
+    events = _events_stream(spark, sf_dir)
+    fine = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    coarse = (
+        fine.groupBy(
+            F.window(F.window_time("window"), "2 hours"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"))
+    )
+    out = run_windowed_batch(
+        coarse, query_name="chained_rollup_oracle", output_mode="append"
+    )
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
     )
