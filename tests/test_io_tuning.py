@@ -332,3 +332,23 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from us_accidents_bigdata_pipeline_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    # simulate a streaming sink's fragmentation: 64 tiny files
+    e.repartition(64).write.parquet(src)
+
+    stats = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert stats["in_files"] == 64
+    assert stats["out_files"] == 1  # well under 256MB at sf0.01
+    back = spark.read.parquet(dst)
+    assert back.count() == e.count()
+    assert (
+        back.agg(F.sum("event_id")).first()[0]
+        == e.agg(F.sum("event_id")).first()[0]
+    )

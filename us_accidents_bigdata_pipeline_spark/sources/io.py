@@ -220,3 +220,55 @@ def read_parquet_evolving(
     return spark.read.option("mergeSchema", "true").options(**options).parquet(
         path
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for scan efficiency.
+
+    The 100 TB failure mode this fixes: streaming sinks and
+    fine-grained partition writes leave thousands of KB-sized files;
+    every query then pays per-file open/footer/scheduling overhead
+    that dwarfs the data read (a 10,000-file listing can cost more
+    than the scan). Compaction is the standard maintenance pass
+    (Delta/Iceberg OPTIMIZE; `spark.sql.files.maxPartitionBytes`
+    only groups at READ time, it cannot fix the files on disk).
+
+    Target file count derives from the SOURCE'S ON-DISK BYTES (file
+    metadata, no data scan), then one job re-reads and rewrites via
+    ``repartition(n)`` — round-robin, so output files are uniformly
+    sized regardless of input skew. Returns counts for audit.
+
+    Writes to ``dst`` rather than in place: an in-place rewrite that
+    dies mid-job loses data; swap-after-success is the caller's
+    atomic-rename step (same discipline as ``streaming_upsert``'s
+    versioned snapshot pointer).
+    """
+    import glob as _glob
+    import os as _os
+
+    files = [
+        f
+        for f in _glob.glob(f"{src}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb << 20)))  # ceil
+    df = spark.read.parquet(src)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst)
+    out_files = [
+        f
+        for f in _glob.glob(f"{dst}/**/*.parquet", recursive=True)
+        if _os.path.isfile(f)
+    ]
+    return {
+        "in_files": len(files),
+        "out_files": len(out_files),
+        "in_bytes": total_bytes,
+        "out_bytes": sum(_os.path.getsize(f) for f in out_files),
+    }
