@@ -84,6 +84,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "embedding_near_dup_pairs": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
+    "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
