@@ -84,3 +84,33 @@ def test_count_min_one_sided_error(spark):
     for k, true_n in exact.items():
         assert est[k] >= true_n, (k, est[k], true_n)
         assert est[k] <= true_n + 0.01 * n_total, (k, est[k], true_n)
+
+
+def test_bitmap_distinct_exact_and_rollup(spark):
+    """Bitmap tier is EXACT (≡ countDistinct) and its OR-merge rollup
+    neither loses nor double-counts keys that appear under several
+    fine groups — the failure mode summing per-group counts would hit."""
+    from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+        bitmap_distinct_by,
+        bitmap_rollup_distinct,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    got = {
+        r.event_type: r.n_distinct
+        for r in bitmap_distinct_by(e, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+    # rollup: (event_type → global) distinct users; users appear under
+    # many event_types, so a count-sum would massively overcount
+    [rolled] = bitmap_rollup_distinct(
+        e, ["event_type"], [], "user_id"
+    ).collect()
+    assert rolled.n_distinct == e.select("user_id").distinct().count()

@@ -122,3 +122,55 @@ def count_min_totals(
     jvm = df.sparkSession._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
     return {c: cms.estimateCount(c) for c in candidates}
+
+
+# --- exact mergeable distinct counts (bitmap index aggregation) --------
+# The EXACT sibling of the HLL tier: Spark's bitmap functions shard a
+# long key space into 32K-bit buckets (bitmap_bucket_number /
+# bitmap_bit_position), build one bitmap per (group, bucket) with
+# bitmap_construct_agg, and count/merge with bitmap_count /
+# bitmap_or_agg. Distinct counting becomes a SUM of per-bucket popcounts
+# — and, like sketches, the bitmaps are MERGEABLE state: persisted
+# per-partition bitmaps roll up to any coarser grain with bitmap_or_agg
+# and stay exact (bitwise OR loses nothing), at ~4 KB per occupied
+# bucket. Dense key spaces → bitmap exact tier; sparse/huge key spaces
+# (or string keys) → HLL tier above. Both are one-scan, shuffle-slim.
+
+
+def bitmap_distinct_by(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """EXACT per-group distinct count of a long key via bucketed
+    bitmaps: group_cols + ``n_distinct``. Shuffle rows are (group,
+    bucket, 4KB bitmap) — bounded by occupied buckets, not by rows."""
+    per_bucket = df.groupBy(
+        *group_cols, F.bitmap_bucket_number(key_col).alias("_bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(key_col)).alias("_bm")
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("_bm")).alias("n_distinct")
+    )
+
+
+def bitmap_rollup_distinct(
+    df: DataFrame,
+    fine_cols: list[str],
+    rollup_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Build (fine grain, bucket) bitmaps once, then OR-merge to the
+    coarse grain WITHOUT rescanning base data — exact at every level
+    (bitwise OR is lossless, unlike re-summing per-group counts, which
+    would double-count keys spanning fine groups)."""
+    fine = df.groupBy(
+        *fine_cols, F.bitmap_bucket_number(key_col).alias("_bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(key_col)).alias("_bm")
+    )
+    merged = fine.groupBy(*rollup_cols, "_bucket").agg(
+        F.bitmap_or_agg("_bm").alias("_bm")
+    )
+    return merged.groupBy(*rollup_cols).agg(
+        F.sum(F.bitmap_count("_bm")).alias("n_distinct")
+    )

@@ -173,6 +173,7 @@ _CHECK_PRIORITY: list[str] = [
     "large_quantity_orders",
     "min_cost_supplier_per_part",
     "streaming_chained_window_rollup",
+    "bitmap_distinct_users",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5005,3 +5006,25 @@ def q_streaming_chained_window_rollup(
         "event_type",
         "n_events",
     )
+
+
+@_register(
+    "bitmap_distinct_users",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+       FROM events GROUP BY event_type""",
+    doc="EXACT mergeable distinct counting via bitmap aggregation "
+    "(operators/sketches.py::bitmap_distinct_by): the long key space "
+    "shards into 32K-bit buckets (bitmap_bucket_number/_bit_position), "
+    "one bitmap per (group, bucket) via bitmap_construct_agg, distinct "
+    "= sum of popcounts. Unlike COUNT(DISTINCT), the shuffle carries "
+    "(group, bucket, ≤4KB bitmap) rows — bounded by occupied buckets, "
+    "not by distinct values — and the bitmaps are lossless mergeable "
+    "state (bitmap_or_agg) for rollups without rescans. The HLL tier "
+    "is the approximate sibling for sparse/string keys.",
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bitmap_distinct_by
+
+    e = _t(spark, sf_dir, "events")
+    return bitmap_distinct_by(e, ["event_type"], "user_id")
