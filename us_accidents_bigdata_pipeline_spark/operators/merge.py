@@ -78,3 +78,43 @@ def snapshot_diff(
         j.select(*key_cols, change.alias("change_type"))
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+def incremental_agg_merge(
+    summary: DataFrame,
+    delta_summary: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a DELTA
+    batch's partial aggregate into an existing summary table without
+    recomputing from base data — the refresh step of every
+    summary-table pipeline at 100 TB (recompute cost scales with
+    HISTORY; this scales with the delta).
+
+    Requires the aggregate to be a commutative monoid per column
+    (sum/count — avg must be carried as sum+count and derived at read
+    time). merged = FULL OUTER join on keys, each measure
+    coalesce(old,0) + coalesce(delta,0): keys only in the delta appear,
+    keys untouched by the delta pass through, shared keys add. Oracled
+    end-to-end in the catalog: summary(old half) ⊕ delta(new half)
+    must equal the from-scratch aggregate over everything.
+
+    Plan shape: one key shuffle of two ALREADY-AGGREGATED frames
+    (summary-sized, not fact-sized); with both sides bucketed by key
+    the exchange disappears entirely (tuning.write_bucketed).
+    """
+    d = delta_summary.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in add_cols],
+    )
+    merged = summary.join(d, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in add_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return merged.select(*out_cols)

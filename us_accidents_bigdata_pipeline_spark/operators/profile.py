@@ -186,3 +186,38 @@ def grouped_ols(
     return df.select(group_col, x_col, y_col).groupBy(group_col).applyInPandas(
         fit, schema
     )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Order-insensitive whole-table checksum for replica/migration
+    verification: two tables are (almost surely) row-identical iff
+    fingerprints match, compared with ONE number per side instead of a
+    row-by-row diff — the anti-entropy check for cross-cluster copies.
+
+    Per row: md5 over a null-tagged concatenation of the columns
+    (the tag keeps (NULL,'x') distinct from ('x',NULL)); the leading
+    60 bits parse as a long. Rows combine with bit_xor — commutative,
+    associative, overflow-free — so the result is independent of row
+    order, partitioning, and engine (md5 + xor agree everywhere;
+    DuckDB-oracled in the catalog). XOR cancels DUPLICATE PAIRS, so
+    the row count rides along to catch even-multiplicity edits.
+
+    Plan shape: map-only projection + single scalar aggregate; no
+    shuffle of data, just partial-agg combining.
+    """
+    if cols is None:
+        cols = df.columns
+    tagged = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ],
+    )
+    row_hash = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.bit_xor(row_hash).alias("xor_fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -174,6 +174,8 @@ _CHECK_PRIORITY: list[str] = [
     "min_cost_supplier_per_part",
     "streaming_chained_window_rollup",
     "bitmap_distinct_users",
+    "incremental_agg_orders",
+    "table_fingerprint_orders",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5028,3 +5030,80 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return bitmap_distinct_by(e, ["event_type"], "user_id")
+
+
+@_register(
+    "incremental_agg_orders",
+    """WITH agg AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                           sum(o_totalprice) AS total_spent
+                    FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, n_orders,
+              round(total_spent, 2) AS total_spent
+       FROM agg""",
+    doc="incremental materialized-aggregate maintenance (operators/"
+    "merge.py::incremental_agg_merge): the summary over pre-1998 "
+    "orders is refreshed with the 1998+ delta's partial aggregate via "
+    "a full-outer coalesce-add merge — and must EQUAL the from-scratch "
+    "aggregate (the oracle). Refresh cost scales with the delta, not "
+    "history; both inputs are summary-sized, one key shuffle (zero "
+    "with bucketed summaries). Rounding happens ONLY at the final "
+    "projection — rounding the halves before adding would not "
+    "commute.",
+)
+def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import incremental_agg_merge
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def _half(pred):
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("total_spent"),
+            )
+        )
+
+    summary = _half(F.col("o_orderdate") < cut)
+    delta = _half(F.col("o_orderdate") >= cut)
+    merged = incremental_agg_merge(
+        summary, delta, ["o_custkey"], ["n_orders", "total_spent"]
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.round("total_spent", 2).alias("total_spent"),
+    )
+
+
+@_register(
+    "table_fingerprint_orders",
+    """SELECT bit_xor(CAST('0x' || substr(md5(
+                concat_ws(chr(31),
+                  coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                  coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                  coalesce(o_orderstatus, chr(0) || 'NULL'),
+                  coalesce(o_orderpriority, chr(0) || 'NULL'))), 1, 15)
+              AS BIGINT)) AS xor_fingerprint,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM orders""",
+    doc="order-insensitive whole-table checksum (operators/profile.py::"
+    "table_fingerprint): md5 over a null-tagged column concat, leading "
+    "60 bits as a long, rows combined with bit_xor — commutative/"
+    "overflow-free, so the fingerprint is identical across row order, "
+    "partitioning, and engines (this oracle IS the cross-engine "
+    "replica check). One map-only pass + scalar agg; n_rows rides "
+    "along to catch even-multiplicity duplicates XOR would cancel. "
+    "String columns only here: float-formatting differs across "
+    "engines, so numeric columns should be fingerprinted via their "
+    "bit patterns at the caller.",
+)
+def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import table_fingerprint
+
+    o = _t(spark, sf_dir, "orders")
+    return table_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
