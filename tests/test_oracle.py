@@ -85,6 +85,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals
+    "skew_report_lineitem_suppkey": {"nested_loop"},  # 1-row key totals
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path

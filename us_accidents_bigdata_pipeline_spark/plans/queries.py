@@ -176,6 +176,8 @@ _CHECK_PRIORITY: list[str] = [
     "bitmap_distinct_users",
     "incremental_agg_orders",
     "table_fingerprint_orders",
+    "scd2_order_status_intervals",
+    "skew_report_lineitem_suppkey",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5106,4 +5108,79 @@ def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return table_fingerprint(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@_register(
+    "scd2_order_status_intervals",
+    """SELECT o_custkey, o_orderstatus,
+              o_orderdate AS valid_from,
+              lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                  AS valid_to,
+              CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   IS NULL AS BOOLEAN) AS is_current
+       FROM orders""",
+    doc="SCD Type-2 interval construction: a change log (key, ts, "
+    "attribute) becomes validity intervals [valid_from, valid_to) via "
+    "a single lead() window — each row closes when the key's next "
+    "change opens, the last row stays open (is_current). The "
+    "warehouse-dimension pattern that pairs with asof_last_purchase "
+    "for point-in-time joins. One key-partitioned shuffle; ties "
+    "broken by the unique orderkey so intervals are deterministic. "
+    "Scales: window state is one row of lookahead per key.",
+)
+def q_scd2_order_status_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@_register(
+    "skew_report_lineitem_suppkey",
+    """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY l_suppkey),
+       t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM k)
+       SELECT l_suppkey, n,
+              round(n / total, 4) AS share,
+              round(n * n_keys / total, 2) AS skew_factor
+       FROM k, t
+       ORDER BY n DESC, l_suppkey LIMIT 10""",
+    doc="join/agg skew DIAGNOSIS: per-key row counts with each key's "
+    "share of the table and its skew factor (count / perfectly-even "
+    "count). skew_factor >> 1 on a join key predicts a straggler "
+    "reducer at scale — the signal for tuning.salted_join / AQE "
+    "skew-split (both pinned elsewhere). One slim key agg + a 1-row "
+    "totals broadcast; top-k via TakeOrderedAndProject.",
+)
+def q_skew_report_lineitem_suppkey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    t = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.join(F.broadcast(t))
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total"), 2
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), F.col("l_suppkey"))
+        .limit(10)
     )
