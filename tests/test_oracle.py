@@ -90,6 +90,9 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
     "udtf_trigrams_docs": {"python_row_udf"},
+    # same rationale: the analyze()-hook surface is the point; the JVM
+    # unpivot twin is the at-scale path
+    "udtf_dynamic_unpivot_orders": {"python_row_udf"},
 }
 
 

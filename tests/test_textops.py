@@ -409,3 +409,29 @@ def test_extract_patches_matches_numpy(spark):
         blk = f[r0 : r0 + 4, c0 : c0 + 4, :]
         assert abs(out[(1, pid)][0] - round(float(blk.mean()), 6)) < 1e-9
         assert abs(out[(1, pid)][1] - round(float(blk.std()), 6)) < 1e-9
+
+
+def test_dynamic_schema_udtf_analyze(spark):
+    """Spark-4 analyze() UDTF: schema computed at plan time from
+    literal args; bad column names fail ANALYSIS, not execution."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from us_accidents_bigdata_pipeline_spark.functions.udtfs import (
+        UnpivotColumns,
+    )
+
+    spark.udtf.register("unpivot_columns_t", UnpivotColumns)
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, a double, b double")
+    df.createOrReplaceTempView("_udtf_t")
+    rows = spark.sql(
+        """SELECT t.id, u.measure, u.value
+           FROM _udtf_t t, LATERAL unpivot_columns_t(struct(t.a, t.b),
+                                                     'a', 'b') u"""
+    ).collect()
+    assert {(r.measure, r.value) for r in rows} == {("a", 2.0), ("b", 3.0)}
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT * FROM _udtf_t t, "
+            "LATERAL unpivot_columns_t(struct(t.a), 'zz') u"
+        ).collect()

@@ -5184,3 +5184,38 @@ def q_skew_report_lineitem_suppkey(
         .orderBy(F.col("n").desc(), F.col("l_suppkey"))
         .limit(10)
     )
+
+
+@_register(
+    "udtf_dynamic_unpivot_orders",
+    """SELECT o_orderkey, 'o_totalprice' AS measure,
+              o_totalprice AS value
+       FROM orders WHERE o_orderkey <= 200
+       UNION ALL
+       SELECT o_orderkey, 'o_custkey' AS measure,
+              CAST(o_custkey AS DOUBLE) AS value
+       FROM orders WHERE o_orderkey <= 200""",
+    doc="dynamic-schema Python UDTF (Spark 4 analyze() hook, functions/"
+    "udtfs.py::UnpivotColumns): output schema is computed at PLAN time "
+    "from the call's literal column names, and unknown names fail "
+    "analysis, not execution (pinned in tests/test_textops.py). "
+    "Row-evaluated Python by design — the JVM unpivot twin "
+    "(unpivot_order_measures) is the at-scale path; this entry checks "
+    "the LATERAL dynamic-schema surface on a keyed slice.",
+)
+def q_udtf_dynamic_unpivot_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.udtfs import UnpivotColumns
+
+    spark.udtf.register("unpivot_columns", UnpivotColumns)
+    _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 200
+    ).createOrReplaceTempView("_udtf_orders")
+    return spark.sql(
+        """SELECT t.o_orderkey, u.measure, u.value
+           FROM _udtf_orders t,
+                LATERAL unpivot_columns(
+                    struct(t.o_totalprice, t.o_custkey),
+                    'o_totalprice', 'o_custkey') u"""
+    )
