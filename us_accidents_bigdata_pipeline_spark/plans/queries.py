@@ -5219,3 +5219,34 @@ def q_udtf_dynamic_unpivot_orders(
                     struct(t.o_totalprice, t.o_custkey),
                     'o_totalprice', 'o_custkey') u"""
     )
+
+
+@_register(
+    "triangle_count_copurchase",
+    """WITH pairs AS (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                         greatest(a.l_partkey, b.l_partkey) AS v
+         FROM lineitem a
+         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM pairs e1
+       JOIN pairs e2 ON e1.v = e2.u
+       JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    doc="triangle counting on the co-purchase graph via DEGREE "
+    "ORIENTATION (operators/graph.py::triangle_count): edges point "
+    "low-degree → high-degree, bounding every vertex's out-degree by "
+    "O(sqrt(E)) [Chiba–Nishizeki] so the wedge join never fans out "
+    "d² rows through a hub — the difference between feasible and "
+    "not on scale-free graphs. Each triangle counted exactly once. "
+    "The oracle is the canonical u<v three-way join, which is "
+    "correct but hub-quadratic — the 100 TB reason the oriented "
+    "form exists.",
+)
+def q_triangle_count_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import copurchase_edges, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return triangle_count(copurchase_edges(li))
