@@ -352,3 +352,34 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         back.agg(F.sum("event_id")).first()[0]
         == e.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    from us_accidents_bigdata_pipeline_spark.sources.io import (
+        read_published,
+        write_audit_publish,
+    )
+
+    d = str(tmp_path / "wap")
+    good = spark.range(100).selectExpr("id", "id * 2 AS v")
+    checks = [
+        ("nonempty", lambda df: df.count() > 0),
+        ("no_null_ids", lambda df: df.filter("id IS NULL").count() == 0),
+        ("v_even", lambda df: df.filter("v % 2 != 0").count() == 0),
+    ]
+    r1 = write_audit_publish(good, d, checks)
+    assert r1["published"] and all(r1["audit"].values())
+    assert read_published(spark, d).count() == 100
+
+    # a bad batch fails its audit; the LIVE pointer must not move
+    bad = spark.range(10).selectExpr("id", "id * 2 + 1 AS v")
+    r2 = write_audit_publish(bad, d, checks)
+    assert not r2["published"]
+    assert r2["audit"]["v_even"] is False
+    live = read_published(spark, d)
+    assert live.count() == 100  # still version 1
+
+    # next good batch publishes at a later version
+    r3 = write_audit_publish(good.limit(7), d, checks)
+    assert r3["published"] and r3["version"] > r2["version"]
+    assert read_published(spark, d).count() == 7

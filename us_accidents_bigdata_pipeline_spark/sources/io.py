@@ -272,3 +272,63 @@ def compact_parquet(
         "in_bytes": total_bytes,
         "out_bytes": sum(_os.path.getsize(f) for f in out_files),
     }
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_dir: str,
+    checks,
+) -> dict:
+    """Write-Audit-Publish: stage the data, run quality checks against
+    the STAGED copy, and only then atomically flip the live pointer —
+    readers never observe data that failed its checks, and a failed
+    audit leaves the previous version live and the bad data inspectable.
+
+    The Iceberg/Delta WAP branch pattern on plain parquet:
+      1. WRITE  → ``<dir>/staging-<n>`` (never the live path),
+      2. AUDIT  → each check is ``(name, fn: DataFrame -> bool)`` run
+         on a re-READ of the staged files (what readers would see —
+         catches writer-side truncation/corruption, not just logical
+         errors in the in-memory frame),
+      3. PUBLISH → write ``_LIVE`` pointer via atomic rename, same
+         commit discipline as ``streaming_upsert``'s snapshot log.
+
+    Returns {"published": bool, "version": n, "audit": {name: ok}}.
+    Read the live table with ``read_published``.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        d
+        for d in _os.listdir(table_dir)
+        if d.startswith("staging-") or d.startswith("v-")
+    ]
+    n = 1 + max(
+        [int(d.split("-")[1]) for d in existing] or [0]
+    )
+    spark = df.sparkSession
+    staged = f"{table_dir}/staging-{n}"
+    df.write.mode("errorifexists").parquet(staged)
+
+    staged_df = spark.read.parquet(staged)
+    audit = {name: bool(fn(staged_df)) for name, fn in checks}
+    if not all(audit.values()):
+        return {"published": False, "version": n, "audit": audit}
+
+    final = f"{table_dir}/v-{n}"
+    _os.rename(staged, final)
+    tmp = f"{table_dir}/_LIVE.tmp.{n}"
+    with open(tmp, "w") as f:
+        _json.dump({"version": n, "path": final}, f)
+    _os.replace(tmp, f"{table_dir}/_LIVE")  # atomic on POSIX
+    return {"published": True, "version": n, "audit": audit}
+
+
+def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the live version of a write-audit-publish table."""
+    import json as _json
+
+    with open(f"{table_dir}/_LIVE") as f:
+        return spark.read.parquet(_json.load(f)["path"])
