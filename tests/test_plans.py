@@ -435,3 +435,47 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
+    """Cost-based join ordering at scale needs table/column statistics;
+    ANALYZE TABLE ... COMPUTE STATISTICS populates rowCount + per-column
+    NDV/min/max in the catalog, and the optimized plan's statistics
+    reflect them (instead of raw file-size guesses). This pins the
+    §3.4 catalog path end-to-end: CREATE → ANALYZE → stats visible to
+    the optimizer."""
+    spark.sql("DROP TABLE IF EXISTS _cbo_nation")
+    loc = str(tmp_path / "cbo_nation")
+    spark.read.parquet(f"{SF_ORACLE}/nation.parquet").write.parquet(loc)
+    spark.sql(
+        f"CREATE TABLE _cbo_nation (n_nationkey INT, n_name STRING, "
+        f"n_regionkey INT) USING parquet LOCATION '{loc}'"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE _cbo_nation COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_regionkey"
+        )
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED _cbo_nation n_nationkey"
+            ).collect()
+        }
+        assert desc.get("distinct_count") == "25", desc
+        assert desc.get("min") == "0" and desc.get("max") == "24"
+        # the optimizer consumes the rowCount only under CBO
+        old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table("_cbo_nation")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert int(stats.rowCount().get()) == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _cbo_nation")

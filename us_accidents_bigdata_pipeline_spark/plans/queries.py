@@ -5250,3 +5250,32 @@ def q_triangle_count_copurchase(
 
     li = _t(spark, sf_dir, "lineitem")
     return triangle_count(copurchase_edges(li))
+
+
+@_register(
+    "not_in_inactive_customers",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2001-01-01')""",
+    doc="NOT IN subquery with its exact three-valued-logic semantics: "
+    "if the subquery produced ANY null the whole predicate would be "
+    "UNKNOWN for every row (no matches) — which is why Catalyst plans "
+    "NOT IN as a NULL-AWARE anti join, distinct from the plain "
+    "left-anti NOT EXISTS (join_anti / idle_customer_balance). "
+    "o_custkey is non-null in the fixture so results coincide with "
+    "anti-join semantics, but the PLAN is the null-aware form — the "
+    "semantics trap every SQL surface must get right. Expressed via "
+    "spark.sql on temp views (the decorrelator owns the rewrite).",
+)
+def q_not_in_inactive_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_ni_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ni_orders")
+    return spark.sql(
+        """SELECT c_custkey, c_mktsegment FROM _ni_customer
+           WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM _ni_orders
+                  WHERE o_orderdate >= TIMESTAMP '2001-01-01')"""
+    )
