@@ -178,6 +178,9 @@ _CHECK_PRIORITY: list[str] = [
     "table_fingerprint_orders",
     "scd2_order_status_intervals",
     "skew_report_lineitem_suppkey",
+    "triangle_count_copurchase",
+    "not_in_inactive_customers",
+    "udtf_dynamic_unpivot_orders",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
