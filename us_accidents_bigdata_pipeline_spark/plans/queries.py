@@ -181,6 +181,8 @@ _CHECK_PRIORITY: list[str] = [
     "triangle_count_copurchase",
     "not_in_inactive_customers",
     "udtf_dynamic_unpivot_orders",
+    "try_arithmetic_safety",
+    "calendar_functions_orders",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5281,4 +5283,78 @@ def q_not_in_inactive_customers(
            WHERE c_custkey NOT IN
                  (SELECT o_custkey FROM _ni_orders
                   WHERE o_orderdate >= TIMESTAMP '2001-01-01')"""
+    )
+
+
+@_register(
+    "try_arithmetic_safety",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                   ELSE round(o_totalprice / (o_orderkey % 3), 4)
+              END AS safe_ratio,
+              TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast,
+              TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+       FROM orders WHERE o_orderkey <= 1000""",
+    doc="ANSI-mode safety surface (Spark 4 defaults ANSI ON, where "
+    "div-by-zero and bad casts THROW): try_divide / try_cast give "
+    "per-row NULL-on-error semantics so one poisoned row cannot kill "
+    "a 100 TB job — the right default for ingest pipelines. "
+    "try_divide(x, 0) → NULL (oracle spells it as the equivalent "
+    "CASE; DuckDB's TRY_CAST matches Spark's try_cast exactly).",
+)
+def q_try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 3), 4
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("double").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "prio_digit"
+        ),
+    )
+
+
+@_register(
+    "calendar_functions_orders",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                  AS month_start,
+              CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+              CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+              CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week,
+              CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
+              round(date_diff('day', o_orderdate,
+                              TIMESTAMP '2002-01-01') / 30.4375, 2)
+                  AS months_until_2002
+       FROM orders WHERE o_orderkey <= 2000""",
+    doc="calendar-function family over the order dates: date_trunc / "
+    "last_day / quarter / ISO week + ISO day-of-week (Spark weekofyear "
+    "and dayofweek differ from ISO — weekofyear IS ISO, dayofweek is "
+    "1=Sunday, so the ISO form needs (dayofweek+5)%7+1). All map-only "
+    "JVM expressions; month arithmetic spelled as day-diff/30.4375 on "
+    "both engines because Spark months_between counts calendar months "
+    "while DuckDB date_diff('month') counts boundary crossings — "
+    "engine-specific semantics the oracle refuses to paper over.",
+)
+def q_calendar_functions_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    iso_dow = (F.dayofweek("o_orderdate") + 5) % 7 + 1
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        F.round(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.col("o_orderdate")
+            )
+            / 30.4375,
+            2,
+        ).alias("months_until_2002"),
     )
