@@ -57,3 +57,22 @@ def test_complete_pipeline_golden(spark, tmp_path):
         summary2["stages"]["random_forest"]["metrics"]["accuracy"]
         == st["random_forest"]["metrics"]["accuracy"]
     )
+
+
+def test_cli_main_runs_end_to_end(spark, tmp_path):
+    """The spark-submit entry point (pipeline.main) — run_pipeline.sh
+    parity — must run the whole pipeline from argv and write the
+    summary + sinks under --output."""
+    import json
+    import os
+
+    from us_accidents_bigdata_pipeline_spark.pipeline import main
+
+    out = str(tmp_path / "cli_out")
+    summary = main(["--rows", "4000", "--output", out, "--seed", "7"])
+    assert summary["rows_processed"] > 0
+    assert summary["stages"]["clean"]["rows"] == summary["rows_processed"]
+    assert os.path.exists(f"{out}/pipeline_summary.json")
+    with open(f"{out}/pipeline_summary.json") as f:
+        disk = json.load(f)
+    assert disk["rows_processed"] == summary["rows_processed"]

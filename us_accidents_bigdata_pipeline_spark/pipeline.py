@@ -271,3 +271,48 @@ def run_complete_pipeline(
     cleaned.unpersist()
     geo.unpersist()
     return summary
+
+
+def main(argv: list[str] | None = None) -> dict:
+    """spark-submit / python -m entry point — the analog of the
+    reference's run_pipeline.sh → spark-submit complete_pipeline.py
+    (BigDataPipeline/run_pipeline.sh, spark/complete_pipeline.py:1-40):
+    generate-or-read the accidents table, run the full clean → RF →
+    kNN → K-Means pipeline, and write every sink under --output.
+
+    `spark-submit us_accidents_bigdata_pipeline_spark/pipeline.py
+    --rows 1000000 --output out/` works unchanged on a real cluster —
+    the session factory only sets master when none is configured.
+    """
+    import argparse
+
+    from .session import get_spark
+    from .sources.accidents import generate_accidents_raw_distributed
+    from .sources.io import read_csv
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--rows", type=int, default=100_000,
+                   help="synthetic accident rows (ignored with --csv)")
+    p.add_argument("--csv", default=None,
+                   help="read a real accidents CSV instead of generating")
+    p.add_argument("--output", default="pipeline_out")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="accidents-pipeline")
+    if args.csv:
+        # explicit schema (S1 discipline): reuse the generator's schema
+        # rather than paying inferSchema's extra full scan
+        schema = generate_accidents_raw_distributed(spark, 1).schema
+        raw = read_csv(spark, args.csv, schema)
+    else:
+        raw = generate_accidents_raw_distributed(
+            spark, args.rows, seed=args.seed
+        )
+    summary = run_complete_pipeline(spark, raw, output_dir=args.output)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via tests/main()
+    main()
