@@ -479,3 +479,41 @@ def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", old_cbo)
     finally:
         spark.sql("DROP TABLE IF EXISTS _cbo_nation")
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The decorrelation shapes must plan as keyed semi/anti hash
+    joins, never nested loops — at 100 TB a nested-loop EXISTS is the
+    difference between minutes and never."""
+    # Q4: EXISTS → left-semi with the lateness residual on the hash join
+    plan = plan_of(spark, "order_priority_check")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # Q21: semi (other supplier exists) + anti (no other late supplier)
+    plan = plan_of(spark, "sole_late_supplier_ranking")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # Q18: HAVING-IN → semi join; top-k never global-sorts
+    plan = plan_of(spark, "large_quantity_orders")
+    assert "LeftSemi" in plan and "TakeOrderedAndProject" in plan, plan
+    # Q13: the priority filter must stay in the JOIN (outer join intact)
+    plan = plan_of(spark, "cust_order_count_distribution")
+    assert "LeftOuter" in plan, plan
+
+
+def test_reused_exchange_dedupes_shared_subplan(spark):
+    """Self-joining an aggregate reuses ONE shuffle (ReusedExchange) —
+    Spark's subplan deduplication; without it every branch of a
+    diamond-shaped plan would rescan and reshuffle the fact table."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    agg = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    big = agg.filter(F.col("q") > 500).select(
+        F.col("l_suppkey").alias("k1"), F.col("q").alias("qa")
+    )
+    small = agg.filter(F.col("q") <= 500).select(
+        F.col("l_suppkey").alias("k2"), F.col("q").alias("qb")
+    )
+    j = big.join(small, F.col("k1") == F.col("k2"), "full_outer")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
