@@ -124,11 +124,18 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
+        # Adaptive repeats: every query gets 2 samples (one absorbs
+        # plan-compile/cache cold-start); only queries slow enough for
+        # host-contention noise to matter (>2 s) pay a third. Keeps the
+        # grown headline set inside the per-round wall budget without
+        # giving up best-of-N minima where they matter.
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+            if i == 1 and best <= 2.0:
+                break
         times[name] = round(best, 3)
         total += best
 
