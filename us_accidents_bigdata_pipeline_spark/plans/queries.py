@@ -183,6 +183,7 @@ _CHECK_PRIORITY: list[str] = [
     "udtf_dynamic_unpivot_orders",
     "try_arithmetic_safety",
     "calendar_functions_orders",
+    "string_functions_parts",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5357,4 +5358,45 @@ def q_calendar_functions_orders(
             / 30.4375,
             2,
         ).alias("months_until_2002"),
+    )
+
+
+@_register(
+    "string_functions_parts",
+    """SELECT p_partkey,
+              split_part(p_name, ' ', 1) AS first_word,
+              upper(left(p_brand, 5)) AS brand_prefix,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+              replace(p_type, 'PROMO', 'PRM') AS type_short,
+              CAST(length(p_name) - length(replace(p_name, ' ', ''))
+                   + 1 AS INT) AS n_words,
+              reverse(p_brand) AS brand_rev,
+              substr(p_name, 2, 5) AS name_mid
+       FROM part WHERE p_partkey <= 500""",
+    doc="string-function family breadth in one map-only pass: "
+    "split_part / left+upper / lpad / replace / the length-delta "
+    "word-count idiom / reverse / substr — each spelled with the "
+    "portable form both engines implement identically (e.g. Spark "
+    "substring and DuckDB substr are both 1-based; initcap is "
+    "deliberately absent — Spark title-cases every token while DuckDB "
+    "has no initcap at all). Pure projection, pushdown-friendly.",
+)
+def q_string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    n_words = (
+        F.length("p_name")
+        - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("int")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.upper(F.left(F.col("p_brand"), F.lit(5))).alias("brand_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PRM")).alias(
+            "type_short"
+        ),
+        n_words.alias("n_words"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 2, 5).alias("name_mid"),
     )
