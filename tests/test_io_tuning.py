@@ -383,3 +383,32 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     r3 = write_audit_publish(good.limit(7), d, checks)
     assert r3["published"] and r3["version"] > r2["version"]
     assert read_published(spark, d).count() == 7
+
+
+def test_observe_metrics_piggyback_on_query(spark):
+    """The Observation API collects accumulator-style metrics DURING a
+    query (no second scan) — production pipelines use it to emit row
+    counts / null rates / value sums alongside the real output instead
+    of paying a separate audit pass over 100 TB."""
+    from pyspark.sql import Observation
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    obs = Observation("audit")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias(
+                "n_discounted"
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    n_groups = out.count()  # one pass drives BOTH the query and the metrics
+    m = obs.get
+    assert n_groups == 3
+    assert m["n_rows"] == li.count()
+    assert abs(m["total_qty"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
+    assert m["n_discounted"] == li.filter(F.col("l_discount") > 0.05).count()

@@ -184,6 +184,7 @@ _CHECK_PRIORITY: list[str] = [
     "try_arithmetic_safety",
     "calendar_functions_orders",
     "string_functions_parts",
+    "balanced_source_sample",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5400,4 +5401,35 @@ def q_string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.alias("n_words"),
         F.reverse("p_brand").alias("brand_rev"),
         F.substring("p_name", 2, 5).alias("name_mid"),
+    )
+
+
+@_register(
+    "balanced_source_sample",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5('7-' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rn
+         FROM documents) t
+       WHERE rn <= 5""",
+    doc="deterministic balanced per-group sampling: EXACTLY k docs per "
+    "source, chosen by ranking on md5(seed-id) — a seeded permutation "
+    "every engine and every cluster layout agrees on (same trick as "
+    "training_shard_assignment), unlike rand() which is "
+    "partition-order dependent, and unlike sampleBy which is "
+    "Bernoulli (k only in expectation — real curation mixes need "
+    "exact per-source budgets). One source-keyed shuffle for the "
+    "window; rank cut, no sort of the full corpus.",
+)
+def q_balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("7-"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
     )
