@@ -5348,8 +5348,13 @@ def q_calendar_functions_orders(
     iso_dow = (F.dayofweek("o_orderdate") + 5) % 7 + 1
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        # date_trunc/last_day return INSTANT types even over NTZ input;
+        # cast back to NTZ so collect() is host-timezone-independent
+        # (the convention every derived-timestamp output follows)
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.quarter("o_orderdate").alias("qtr"),
         F.weekofyear("o_orderdate").alias("iso_week"),
         iso_dow.alias("iso_dow"),
