@@ -434,3 +434,27 @@ def test_file_metadata_column_lineage(spark, tmp_path):
     # lineage is per-file: distinct files ≥ partitions
     n_files = back.select("fp").distinct().count()
     assert n_files >= 4
+
+
+def test_pandas_api_on_spark_surface(spark):
+    """pyspark.pandas over the same tables: users migrating notebook
+    pandas code get the distributed engine underneath — a groupby in
+    the pandas dialect must agree with the SQL aggregation."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.ops_on_diff_frames", True)
+    pdf = ps.read_parquet(f"{SF_ORACLE}/orders.parquet")
+    got = (
+        pdf.groupby("o_orderpriority")["o_totalprice"]
+        .sum()
+        .round(2)
+        .sort_index()
+    )
+    expected = {
+        r.o_orderpriority: r.t
+        for r in spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+        .collect()
+    }
+    assert got.to_dict() == expected

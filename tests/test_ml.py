@@ -218,3 +218,29 @@ def test_array_to_features_roundtrip(embeddings):
     out = array_to_features(embeddings, "embedding")
     row = out.select("features").head()
     assert len(row.features) == 64
+
+
+def test_model_save_load_roundtrip(accidents_cleaned, tmp_path):
+    """Model persistence: a trained model must survive save/load with
+    IDENTICAL predictions — retraining on a 100 TB corpus because the
+    model object died with its driver is not a recovery plan."""
+    from pyspark.ml.classification import RandomForestClassificationModel
+
+    df = accidents_cleaned.withColumn(
+        "label", (F.col("Severity") - 1).cast("double")
+    )
+    feat, _ = assemble_and_scale(df, FEATURES, with_mean=False)
+    train, test = deterministic_split(feat, "ID", 0.25)
+    model = train_rf(train, RFParams(num_trees=10, max_depth=4))
+
+    sample = test.limit(200)
+    before = {
+        r.ID: r.prediction for r in model.transform(sample).collect()
+    }
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    loaded = RandomForestClassificationModel.load(path)
+    after = {
+        r.ID: r.prediction for r in loaded.transform(sample).collect()
+    }
+    assert before == after

@@ -185,6 +185,7 @@ _CHECK_PRIORITY: list[str] = [
     "calendar_functions_orders",
     "string_functions_parts",
     "balanced_source_sample",
+    "sql_udf_net_revenue",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5437,4 +5438,32 @@ def q_balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source")
+    )
+
+
+@_register(
+    "sql_udf_net_revenue",
+    """SELECT l_returnflag,
+              round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS net_revenue
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="SQL-defined scalar function (Spark 4 CREATE FUNCTION ... "
+    "RETURN expr): the UDF body is a plain SQL expression, so unlike "
+    "Python UDFs it INLINES into the plan at analysis time — full "
+    "codegen, pushdown, and partial aggregation apply; zero "
+    "serialization boundary. The right tool for shared business "
+    "formulas at 100 TB (Python UDFs are for logic SQL cannot "
+    "express). Oracle inlines the same expression.",
+)
+def q_sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  round(sum(net_price(l_extendedprice, l_discount)), 2)
+                      AS net_revenue
+           FROM _udf_lineitem GROUP BY l_returnflag"""
     )
