@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Scaling probes for the heavyweight operators.
+
+Two questions a 100 TB deployment asks that a single-SF benchmark
+cannot answer:
+
+1. DATA scaling — multiply the input N× (union of re-keyed copies so
+   key cardinality grows with data, not just row multiplicity) and
+   check wall time grows ~linearly. Superlinear growth exposes a
+   hidden quadratic (all-pairs joins) or a spill cliff.
+2. CORE scaling — same input on local[4] vs local[16] vs local[32];
+   the speedup curve shows whether plans actually parallelize or
+   serialize on a single partition/driver step.
+
+Prints one JSON line per probe. Not part of bench.py (these runs cost
+minutes); results are recorded in README's scaling section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_banded_pairs,
+)
+from us_accidents_bigdata_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, times: int, key: str):
+    """N re-keyed copies: keys stay unique across copies so dedup/agg
+    cardinality scales with data size (a plain union would collapse)."""
+    n = df.count()
+    parts = [
+        df.withColumn(key, F.col(key) + F.lit(i * n * 10)) for i in range(times)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def data_scaling(spark) -> dict:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out: dict[str, dict] = {}
+    for mult in (1, 4, 8):
+        d = replicate(docs, mult, "doc_id").persist()
+        e = replicate(events, mult, "event_id").persist()
+        d.count(), e.count()
+        out[f"x{mult}"] = {
+            "exact_dedup_docs": timed(
+                lambda: exact_dedup(d, ["text"]).count()
+            ),
+            "minhash_banded_pairs": timed(
+                lambda: minhash_banded_pairs(d).count()
+            ),
+            "hourly_event_agg": timed(
+                lambda: e.groupBy(
+                    F.hour("ts").alias("h"), "event_type"
+                )
+                .agg(F.count("*"), F.sum("value"))
+                .collect()
+            ),
+        }
+        d.unpersist(), e.unpersist()
+    return out
+
+
+def core_scaling() -> dict:
+    out: dict[str, dict] = {}
+    for cores in (4, 16, 32):
+        spark = get_spark(
+            app_name=f"scale{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=max(cores, 8),
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs = replicate(docs, 8, "doc_id").persist()
+        docs.count()
+        out[f"cores{cores}"] = {
+            "exact_dedup_docs_x8": timed(
+                lambda: exact_dedup(docs, ["text"]).count()
+            ),
+            "minhash_banded_x8": timed(
+                lambda: minhash_banded_pairs(docs).count()
+            ),
+        }
+        docs.unpersist()
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "data"
+    if which == "data":
+        spark = get_spark(app_name="scaling", master="local[32]")
+        print(json.dumps({"data_scaling": data_scaling(spark)}))
+    else:
+        print(json.dumps({"core_scaling": core_scaling()}))
