@@ -65,7 +65,7 @@ def data_scaling(spark) -> dict:
         d.count(), e.count()
         out[f"x{mult}"] = {
             "exact_dedup_docs": timed(
-                lambda: exact_dedup(d, ["text"]).count()
+                lambda: exact_dedup(d, ["text"], "doc_id").count()
             ),
             "minhash_banded_pairs": timed(
                 lambda: minhash_banded_pairs(d).count()
@@ -95,7 +95,7 @@ def core_scaling() -> dict:
         docs.count()
         out[f"cores{cores}"] = {
             "exact_dedup_docs_x8": timed(
-                lambda: exact_dedup(docs, ["text"]).count()
+                lambda: exact_dedup(docs, ["text"], "doc_id").count()
             ),
             "minhash_banded_x8": timed(
                 lambda: minhash_banded_pairs(docs).count()

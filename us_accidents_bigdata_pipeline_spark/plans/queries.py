@@ -186,6 +186,7 @@ _CHECK_PRIORITY: list[str] = [
     "string_functions_parts",
     "balanced_source_sample",
     "sql_udf_net_revenue",
+    "embedding_dim_profile",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5466,4 +5467,39 @@ def q_sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   round(sum(net_price(l_extendedprice, l_discount)), 2)
                       AS net_revenue
            FROM _udf_lineitem GROUP BY l_returnflag"""
+    )
+
+
+@_register(
+    "embedding_dim_profile",
+    """SELECT label, CAST(r.i AS INT) AS dim,
+              round(avg(CAST(embedding[r.i] AS DOUBLE)), 6) AS dim_mean,
+              round(stddev_samp(CAST(embedding[r.i] AS DOUBLE)), 6)
+                  AS dim_std
+       FROM embeddings, range(1, 9) r(i)
+       GROUP BY label, dim""",
+    doc="per-dimension vector profile (the drift/normalization check "
+    "for an embedding pipeline): posexplode the array to (label, dim, "
+    "x), aggregate mean/std per (label, dimension). Spark posexplode "
+    "is 0-based, SQL 1-based subscripts — shifted explicitly. "
+    "Scales: the exploded stream is (rows × dims) slim doubles with "
+    "map-side partial aggregation; restricting to the first 8 dims "
+    "prunes BEFORE the shuffle. Float32 values cast to double before "
+    "accumulating on both engines (same convention as "
+    "embedding_hof_stats).",
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim0", "x"
+        ),
+    ).filter(F.col("dim0") <= 7)
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("dim_mean"),
+            F.round(F.stddev_samp("x"), 6).alias("dim_std"),
+        )
     )
