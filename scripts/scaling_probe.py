@@ -36,13 +36,21 @@ from us_accidents_bigdata_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicate(df, times: int, key: str):
-    """N re-keyed copies: keys stay unique across copies so dedup/agg
-    cardinality scales with data size (a plain union would collapse)."""
+def replicate(df, times: int, key: str, text_col: str | None = None):
+    """N re-keyed copies; if ``text_col`` is given each copy's text is
+    tagged with its copy index so copies are NOT exact duplicates of
+    each other — otherwise a dedup probe measures a pathological
+    corpus where every doc has N-1 identical twins (candidate pairs
+    grow N² instead of N) rather than a bigger corpus."""
     n = df.count()
-    parts = [
-        df.withColumn(key, F.col(key) + F.lit(i * n * 10)) for i in range(times)
-    ]
+    parts = []
+    for i in range(times):
+        p = df.withColumn(key, F.col(key) + F.lit(i * n * 10))
+        if text_col is not None and i > 0:
+            p = p.withColumn(
+                text_col, F.concat(F.col(text_col), F.lit(f" copytag{i}"))
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -50,9 +58,14 @@ def replicate(df, times: int, key: str):
 
 
 def timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 2)
+    """min-of-2: this host's sustained throughput swings up to 4x, so a
+    single sample mostly measures ambient contention."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
 
 
 def data_scaling(spark) -> dict:
@@ -60,7 +73,7 @@ def data_scaling(spark) -> dict:
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     out: dict[str, dict] = {}
     for mult in (1, 4, 8):
-        d = replicate(docs, mult, "doc_id").persist()
+        d = replicate(docs, mult, "doc_id", text_col="text").persist()
         e = replicate(events, mult, "event_id").persist()
         d.count(), e.count()
         out[f"x{mult}"] = {
@@ -91,7 +104,7 @@ def core_scaling() -> dict:
             shuffle_partitions=max(cores, 8),
         )
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        docs = replicate(docs, 8, "doc_id").persist()
+        docs = replicate(docs, 8, "doc_id", text_col="text").persist()
         docs.count()
         out[f"cores{cores}"] = {
             "exact_dedup_docs_x8": timed(

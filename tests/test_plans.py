@@ -517,3 +517,19 @@ def test_reused_exchange_dedupes_shared_subplan(spark):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_parameterized_sql_named_args(spark):
+    """Parameterized SQL (Spark 3.4+): literals bind server-side as
+    typed parameters — the injection-safe surface a query service
+    exposes; the bound plan must still push the predicate to the scan."""
+    df = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM "
+        f"parquet.`{SF_ORACLE}/orders.parquet` "
+        "WHERE o_totalprice > :floor AND o_orderpriority = :prio",
+        args={"floor": 400_000.0, "prio": "1-URGENT"},
+    )
+    rows = df.collect()
+    assert all(r.o_totalprice > 400_000.0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan, plan
