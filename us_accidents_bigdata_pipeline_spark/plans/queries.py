@@ -187,6 +187,7 @@ _CHECK_PRIORITY: list[str] = [
     "balanced_source_sample",
     "sql_udf_net_revenue",
     "embedding_dim_profile",
+    "entity_resolution_parts",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5502,4 +5503,63 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("x"), 6).alias("dim_mean"),
             F.round(F.stddev_samp("x"), 6).alias("dim_std"),
         )
+    )
+
+
+@_register(
+    "entity_resolution_parts",
+    """WITH RECURSIVE
+       pairs AS (
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+         FROM part a JOIN part b
+           ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2),
+       edges AS (SELECT key_a AS s, key_b AS d FROM pairs
+                 UNION SELECT key_b, key_a FROM pairs),
+       reach(node, r) AS (
+           SELECT p_partkey, p_partkey FROM part
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+       SELECT node AS p_partkey, min(r) AS canonical_id,
+              node = min(r) AS keep
+       FROM reach GROUP BY node""",
+    doc="END-TO-END entity resolution (the capstone composition): "
+    "block on a name token → edit-distance ≤2 scoring within blocks "
+    "(never all-pairs) → connected components (pointer jumping, "
+    "O(log n) rounds) → deterministic min-id survivor. The WHOLE "
+    "composition carries one oracle (blocked pairs + recursive-CTE "
+    "reachability), the same discipline as corpus_curation_funnel: "
+    "component interfaces can't drift apart silently. Scales: block "
+    "join is |block|² per block, components shuffle slim (node, "
+    "label) pairs, survivors derive from the labels — no step "
+    "touches an unblocked cross product.",
+)
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import resolve_components
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blk = F.split(F.col("p_name"), " ").getItem(1)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("_na"),
+        blk.alias("_blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("_nb"),
+        blk.alias("_blk"),
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("_na", "_nb") <= 2)
+        .select("key_a", "key_b")
+    )
+    return resolve_components(
+        p.select("p_partkey"),
+        pairs,
+        id_col="p_partkey",
+        src_col="key_a",
+        dst_col="key_b",
     )
