@@ -188,6 +188,8 @@ _CHECK_PRIORITY: list[str] = [
     "sql_udf_net_revenue",
     "embedding_dim_profile",
     "entity_resolution_parts",
+    "rfm_customer_segments",
+    "percentile_cont_prices",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5562,4 +5564,75 @@ def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         src_col="key_a",
         dst_col="key_b",
+    )
+
+
+@_register(
+    "rfm_customer_segments",
+    """WITH rfm AS (
+         SELECT o_custkey,
+                max(o_orderdate) AS last_order,
+                CAST(count(*) AS BIGINT) AS frequency,
+                sum(o_totalprice) AS monetary
+         FROM orders GROUP BY o_custkey),
+       scored AS (
+         SELECT o_custkey,
+                ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+                ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+         FROM rfm)
+       SELECT r_score, f_score, m_score,
+              CAST(count(*) AS BIGINT) AS n_customers
+       FROM scored GROUP BY r_score, f_score, m_score""",
+    doc="RFM segmentation (the classic CRM workload): one pass builds "
+    "recency/frequency/monetary per customer, three ntile(4) windows "
+    "score them, final agg counts the 64 segments. Ties broken by "
+    "custkey so quartile boundaries are engine-identical. Scale note: "
+    "unpartitioned ntile is a single-reducer sort — fine for "
+    "|customers| summary rows (dim-sized after the first agg), and "
+    "the percentile-threshold join is the swap-in at true scale.",
+)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    def nt(col):
+        return F.ntile(4).over(W.orderBy(col, "o_custkey"))
+    scored = rfm.select(
+        nt(F.col("last_order")).alias("r_score"),
+        nt(F.col("frequency")).alias("f_score"),
+        nt(F.col("monetary")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_register(
+    "percentile_cont_prices",
+    """SELECT p_brand,
+              round(quantile_cont(p_retailprice, 0.25), 4) AS q25,
+              round(quantile_cont(p_retailprice, 0.50), 4) AS q50,
+              round(quantile_cont(p_retailprice, 0.75), 4) AS q75
+       FROM part GROUP BY p_brand""",
+    doc="exact interpolated percentiles per group: Spark "
+    "percentile_cont ≡ DuckDB quantile_cont (both linear "
+    "interpolation between order statistics) — the exact tier "
+    "backing approx_percentile's sketch tier. Exact percentiles "
+    "shuffle the full value column per group (fine per-brand); the "
+    "approx tier is the 100 TB default.",
+)
+def q_percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    def pc(f):
+        return F.expr(
+            f"percentile_cont({f}) WITHIN GROUP (ORDER BY p_retailprice)"
+        )
+    return p.groupBy("p_brand").agg(
+        F.round(pc(0.25), 4).alias("q25"),
+        F.round(pc(0.50), 4).alias("q50"),
+        F.round(pc(0.75), 4).alias("q75"),
     )
