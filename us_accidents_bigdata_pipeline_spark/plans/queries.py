@@ -190,6 +190,8 @@ _CHECK_PRIORITY: list[str] = [
     "entity_resolution_parts",
     "rfm_customer_segments",
     "percentile_cont_prices",
+    "event_transition_matrix",
+    "linear_attribution_credit",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5635,4 +5637,98 @@ def q_percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pc(0.25), 4).alias("q25"),
         F.round(pc(0.50), 4).alias("q50"),
         F.round(pc(0.75), 4).alias("q75"),
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    """SELECT prev_type, event_type AS next_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(count(*) * 1.0 / sum(count(*))
+                    OVER (PARTITION BY prev_type), 4) AS p_next
+       FROM (SELECT user_id, event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        AS prev_type
+             FROM events) t
+       WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type""",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lag window (one key shuffle) → transition counts → "
+    "row-normalized probabilities via a window over the 5x5 count "
+    "frame. Ties in ts broken by event_id so sequences are "
+    "deterministic. The behavioral-analytics primitive behind "
+    "next-action prediction and anomalous-flow detection; state "
+    "per key is one row of lookback, counts collapse map-side.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p_next"),
+    )
+
+
+@_register(
+    "linear_attribution_credit",
+    """WITH purchases AS (
+         SELECT event_id AS pid, user_id, ts AS pts FROM events
+         WHERE event_type = 'purchase'),
+       touches AS (
+         SELECT p.pid, e.event_type AS channel
+         FROM purchases p JOIN events e
+           ON e.user_id = p.user_id
+          AND e.event_type IN ('click', 'view')
+          AND e.ts >= p.pts - INTERVAL 1 DAY AND e.ts < p.pts),
+       credit AS (
+         SELECT pid, channel,
+                1.0 / count(*) OVER (PARTITION BY pid) AS w
+         FROM touches)
+       SELECT channel, round(sum(w), 4) AS credit,
+              CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+       FROM credit GROUP BY channel""",
+    doc="LINEAR multi-touch attribution (the companion to last-touch): "
+    "every click/view in the day before a purchase shares the "
+    "purchase's credit equally (1/n per touch) — a user-keyed "
+    "interval join (range predicate rides the equi-join as a "
+    "residual, never a cross product), per-purchase touch counts via "
+    "a window, one final channel rollup. Credit conservation (sum "
+    "over channels = attributed purchases) falls out of the 1/n "
+    "split and is what the oracle certifies end-to-end.",
+)
+def q_linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("pts"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("_u2"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("_u") == F.col("_u2"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("tts") < F.col("pts")),
+    ).select("pid", "channel")
+    wp = W.partitionBy("pid")
+    credit = joined.select(
+        "pid", "channel", (F.lit(1.0) / F.count(F.lit(1)).over(wp)).alias("w")
+    )
+    return credit.groupBy("channel").agg(
+        F.round(F.sum("w"), 4).alias("credit"),
+        F.countDistinct("pid").alias("n_purchases"),
     )
