@@ -458,3 +458,57 @@ def test_pandas_api_on_spark_surface(spark):
         .collect()
     }
     assert got.to_dict() == expected
+
+
+def test_schema_diff_contract_check(spark):
+    from pyspark.sql import types as T
+
+    from us_accidents_bigdata_pipeline_spark.sources.io import schema_diff
+
+    before = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("gone", T.StringType(), True),
+            T.StructField("tightened", T.StringType(), True),
+        ]
+    )
+    after = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),  # type change
+            T.StructField("new_col", T.IntegerType(), True),
+            T.StructField("tightened", T.StringType(), False),
+        ]
+    )
+    d = schema_diff(before, after)
+    assert d == {
+        "added": ["new_col"],
+        "removed": ["gone"],
+        "type_changed": ["v"],
+        "nullability_tightened": ["tightened"],
+    }
+
+
+def test_delete_rows_tombstone_publish(spark, tmp_path):
+    from us_accidents_bigdata_pipeline_spark.sources.io import (
+        delete_rows,
+        read_published,
+        write_audit_publish,
+    )
+
+    d = str(tmp_path / "wap_del")
+    base = spark.range(100).selectExpr("id", "id * 3 AS v")
+    assert write_audit_publish(base, d, [("nonempty", lambda df: df.count() > 0)])[
+        "published"
+    ]
+
+    tomb = spark.createDataFrame([(3,), (50, ), (99,)], "id long")
+    r = delete_rows(spark, d, tomb, "id")
+    assert r["published"] and r["audit"]["tombstones_absent"]
+    live = read_published(spark, d)
+    assert live.count() == 97
+    assert live.filter("id IN (3, 50, 99)").count() == 0
+    # prior version still on disk for the retention window
+    import os
+    assert any(x.startswith("v-1") for x in os.listdir(d))

@@ -192,6 +192,7 @@ _CHECK_PRIORITY: list[str] = [
     "percentile_cont_prices",
     "event_transition_matrix",
     "linear_attribution_credit",
+    "rolling_zscore_anomalies",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5731,4 +5732,40 @@ def q_linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credit.groupBy("channel").agg(
         F.round(F.sum("w"), 4).alias("credit"),
         F.countDistinct("pid").alias("n_purchases"),
+    )
+
+
+@_register(
+    "rolling_zscore_anomalies",
+    """SELECT event_id, user_id,
+              round(z, 2) AS zscore
+       FROM (SELECT event_id, user_id, value,
+                    (value - avg(value) OVER w)
+                        / NULLIF(stddev_samp(value) OVER w, 0) AS z
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+       WHERE z IS NOT NULL AND abs(z) > 3.0""",
+    doc="rolling z-score anomaly detection: each event scored against "
+    "its user's TRAILING 20-event window (ROWS BETWEEN ... AND 1 "
+    "PRECEDING — the current row must not contaminate its own "
+    "baseline), flag |z| > 3. NULLIF guards the constant-window "
+    "degenerate case. One user-keyed shuffle, O(window) state per "
+    "row — the streaming-adjacent monitoring primitive; the "
+    "event-time version is streaming_running_totals' stateful op.",
+)
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
+    return (
+        e.select("event_id", "user_id", z.alias("z"))
+        .filter(F.col("z").isNotNull() & (F.abs("z") > 3.0))
+        .select("event_id", "user_id", F.round("z", 2).alias("zscore"))
     )

@@ -332,3 +332,71 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
 
     with open(f"{table_dir}/_LIVE") as f:
         return spark.read.parquet(_json.load(f)["path"])
+
+
+def schema_diff(before, after) -> dict:
+    """Schema contract check between two StructTypes (or DataFrames):
+    added / removed / type-changed / nullability-tightened columns.
+
+    The review gate for schema evolution at scale: `mergeSchema`
+    silently widens, so upstream contract breaks (a column vanishing,
+    a double becoming a string) surface first as wrong results — this
+    makes them a diffable artifact instead. Nullability TIGHTENING
+    (nullable → required) is called out separately: it breaks writers
+    that used to emit nulls, while loosening is compatible.
+    """
+    bs = before.schema if hasattr(before, "schema") else before
+    as_ = after.schema if hasattr(after, "schema") else after
+    b = {f.name: f for f in bs.fields}
+    a = {f.name: f for f in as_.fields}
+    return {
+        "added": sorted(set(a) - set(b)),
+        "removed": sorted(set(b) - set(a)),
+        "type_changed": sorted(
+            n
+            for n in set(a) & set(b)
+            if a[n].dataType != b[n].dataType
+        ),
+        "nullability_tightened": sorted(
+            n
+            for n in set(a) & set(b)
+            if b[n].nullable and not a[n].nullable
+        ),
+    }
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_dir: str,
+    tombstones,
+    key_col: str,
+    checks=(),
+):
+    """Right-to-be-forgotten deletion over a write-audit-publish table:
+    anti-join the LIVE version against a tombstone key set and publish
+    the survivor rows as a new version (the old version stays on disk
+    for the retention window — physical erasure is the vacuum step).
+
+    Composes the existing primitives — read_published → broadcast
+    anti-join → write_audit_publish — so the delete inherits the WAP
+    guarantees: a failed audit (e.g. a tombstoned key still present)
+    leaves the previous version live.
+    """
+    from pyspark.sql import functions as F
+
+    live = read_published(spark, table_dir)
+    tomb = tombstones.select(F.col(key_col).alias("_tomb_key")).distinct()
+    survivors = live.join(
+        F.broadcast(tomb),
+        live[key_col] == F.col("_tomb_key"),
+        "left_anti",
+    )
+    tomb_keys = {r._tomb_key for r in tomb.collect()}
+    audit_checks = [
+        (
+            "tombstones_absent",
+            lambda df: df.filter(df[key_col].isin(tomb_keys)).count() == 0,
+        ),
+        *checks,
+    ]
+    return write_audit_publish(survivors, table_dir, audit_checks)
