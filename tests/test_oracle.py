@@ -86,6 +86,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals
     "skew_report_lineitem_suppkey": {"nested_loop"},  # 1-row key totals
+    "benford_first_digit": {"nested_loop"},        # 1-row grand total
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path

@@ -193,6 +193,8 @@ _CHECK_PRIORITY: list[str] = [
     "event_transition_matrix",
     "linear_attribution_credit",
     "rolling_zscore_anomalies",
+    "missing_orderkey_ranges",
+    "benford_first_digit",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5768,4 +5770,93 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", "user_id", z.alias("z"))
         .filter(F.col("z").isNotNull() & (F.abs("z") > 3.0))
         .select("event_id", "user_id", F.round("z", 2).alias("zscore"))
+    )
+
+
+@_register(
+    "missing_orderkey_ranges",
+    """WITH bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                       FROM orders),
+       expected AS (SELECT unnest(generate_series(lo, hi)) AS k
+                    FROM bounds),
+       missing AS (SELECT k FROM expected
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = k)),
+       grouped AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp
+                   FROM missing)
+       SELECT min(k) AS gap_start, max(k) AS gap_end,
+              CAST(count(*) AS BIGINT) AS gap_len
+       FROM grouped GROUP BY grp""",
+    doc="sequence-gap detection (the completeness check for id-keyed "
+    "ingest): generate the expected key range (sequence + explode — "
+    "distributed, not a driver loop), anti-join against present keys, "
+    "collapse consecutive missing keys into ranges via the classic "
+    "gaps-and-islands (k - row_number). Scales: the spine generates "
+    "per-partition; the anti-join shuffles only keys; output is one "
+    "row per GAP, not per missing key.",
+)
+def q_missing_orderkey_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    expected = b.select(
+        F.explode(F.sequence("lo", "hi")).alias("k")
+    )
+    missing = expected.join(
+        o.select(F.col("o_orderkey").alias("k")), "k", "left_anti"
+    )
+    grp = (F.col("k") - F.row_number().over(W.orderBy("k"))).alias("grp")
+    return (
+        missing.select("k", grp)
+        .groupBy("grp")
+        .agg(
+            F.min("k").alias("gap_start"),
+            F.max("k").alias("gap_end"),
+            F.count(F.lit(1)).alias("gap_len"),
+        )
+        .drop("grp")
+    )
+
+
+@_register(
+    "benford_first_digit",
+    """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit,
+              CAST(count(*) AS BIGINT) AS n,
+              round(count(*) * 1.0
+                    / (SELECT count(*) FROM orders
+                       WHERE o_totalprice >= 1), 4) AS observed_p,
+              round(log10(1.0 + 1.0
+                    / CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT)), 4)
+                  AS benford_p
+       FROM orders WHERE o_totalprice >= 1
+       GROUP BY digit""",
+    doc="Benford first-digit profile (fraud/synthetic-data screening): "
+    "leading digit of each amount vs the log10(1 + 1/d) expectation. "
+    "Digit extracted via integer-truncate → string head on BOTH "
+    "engines (float formatting differs across engines; integer "
+    "formatting doesn't). Map-side 9-group agg; the 1-row total is a "
+    "scalar broadcast.",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    total = o.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 4).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias(
+                "benford_p"
+            ),
+        )
     )
