@@ -195,6 +195,8 @@ _CHECK_PRIORITY: list[str] = [
     "rolling_zscore_anomalies",
     "missing_orderkey_ranges",
     "benford_first_digit",
+    "topk_with_ties_by_segment",
+    "abc_part_classification",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5859,4 +5861,86 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "benford_p"
             ),
         )
+    )
+
+
+@_register(
+    "topk_with_ties_by_segment",
+    """SELECT c_mktsegment, c_custkey, c_acctbal
+       FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                    rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY round(c_acctbal, 0) DESC) AS rk
+             FROM customer) t
+       WHERE rk <= 3""",
+    doc="TOP K WITH TIES semantics: rank() (not row_number) over a "
+    "coarsened key keeps EVERY row tied at the boundary — the "
+    "SQL-standard FETCH FIRST ... WITH TIES behavior, semantically "
+    "distinct from window_topk_per_group's arbitrary tie-cut. The "
+    "rank key is round(bal) so ties actually occur in the fixture; "
+    "output rows can exceed 3 per group by design. One key shuffle "
+    "for the window; no global sort.",
+)
+def q_topk_with_ties_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 0).desc()
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@_register(
+    "abc_part_classification",
+    """WITH rev AS (SELECT l_partkey,
+                          sum(l_extendedprice * (1 - l_discount)) AS r
+                   FROM lineitem GROUP BY l_partkey),
+       ranked AS (SELECT l_partkey, r,
+                         sum(r) OVER (ORDER BY r DESC, l_partkey)
+                             / sum(r) OVER () AS cum_share
+                  FROM rev)
+       SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                   WHEN cum_share <= 0.8 THEN 'B'
+                   ELSE 'C' END AS abc_class,
+              CAST(count(*) AS BIGINT) AS n_parts,
+              round(sum(r), 2) AS class_revenue
+       FROM ranked GROUP BY abc_class""",
+    doc="Pareto / ABC analysis (inventory classics): parts ranked by "
+    "revenue, cumulative-share window classifies A (top 50% of "
+    "revenue) / B (to 80%) / C (tail). Cumulative sum is ordered by "
+    "(revenue DESC, partkey) — the unique tie-break that makes the "
+    "running share engine-identical. Scale note: the ordered window "
+    "runs over the |parts|-sized AGGREGATE, not the fact table; the "
+    "global sum is the window's unpartitioned frame (1 extra pass "
+    "over the same frame, no join).",
+)
+def q_abc_part_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    w_cum = W.orderBy(F.col("r").desc(), F.col("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        (
+            F.sum("r").over(w_cum)
+            / F.sum("r").over(W.partitionBy())
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("class_revenue"),
     )
