@@ -3556,15 +3556,20 @@ def q_daily_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_percentile_ranks",
     """SELECT c_custkey, c_nationkey,
               round(percent_rank() OVER (PARTITION BY c_nationkey
-                                         ORDER BY c_acctbal, c_custkey), 6)
-                  AS pct_rank,
+                                         ORDER BY c_acctbal, c_custkey)
+                    + 1e-9, 6) AS pct_rank,
               round(cume_dist() OVER (PARTITION BY c_nationkey
-                                      ORDER BY c_acctbal, c_custkey), 6)
-                  AS cume
+                                      ORDER BY c_acctbal, c_custkey)
+                    + 1e-9, 6) AS cume
        FROM customer""",
     doc="percent_rank + cume_dist per nation over account balance "
     "(the relative-standing window family; ties broken by custkey so "
-    "both engines rank identically)",
+    "both engines rank identically). The +1e-9 nudge (identical both "
+    "sides) steps off exact round-half boundaries: k/(n-1) lands on "
+    "an exact decimal half whenever the partition size divides a "
+    "2·10^d, and Spark rounds doubles HALF_UP while DuckDB rounds "
+    "HALF_EVEN — caught by the sf0.1 sweep where one nation has a "
+    "641-row partition (41/640 = 0.0640625 exactly).",
 )
 def q_window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3574,8 +3579,8 @@ def q_window_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
     )
 
 
@@ -4817,7 +4822,7 @@ def q_sole_late_supplier_ranking(
                               min(l_extendedprice / l_quantity) AS unit_cost
                        FROM lineitem GROUP BY l_partkey, l_suppkey)
        SELECT p.p_partkey, p.p_name, s.s_name,
-              round(o.unit_cost, 4) AS min_unit_cost
+              round(o.unit_cost + 1e-9, 4) AS min_unit_cost
        FROM offers o
        JOIN part p ON p.p_partkey = o.l_partkey AND p.p_size <= 3
        JOIN supplier s ON s.s_suppkey = o.l_suppkey
@@ -4830,7 +4835,9 @@ def q_sole_late_supplier_ranking(
     "partition-min window over the offers frame — no second scan, no "
     "self-join — which is exactly the decorrelated form. min() is "
     "order-insensitive (unlike sums) so the equality is exact across "
-    "engines; rounding applies to OUTPUT only. Scales: offers is one "
+    "engines; rounding applies to OUTPUT only, with a +1e-9 nudge on "
+    "both sides because price/quantity quotients can land on exact "
+    "4dp halves where Spark (HALF_UP) and DuckDB (HALF_EVEN) split. Scales: offers is one "
     "(partkey,suppkey) shuffle; the window re-shuffles only the "
     "|offers|-sized frame on partkey.",
 )
@@ -4854,7 +4861,7 @@ def q_min_cost_supplier_per_part(
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("unit_cost", 4).alias("min_unit_cost"),
+            F.round(F.col("unit_cost") + 1e-9, 4).alias("min_unit_cost"),
         )
     )
 
