@@ -197,6 +197,7 @@ _CHECK_PRIORITY: list[str] = [
     "benford_first_digit",
     "topk_with_ties_by_segment",
     "abc_part_classification",
+    "time_weighted_avg_value",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -5950,4 +5951,48 @@ def q_abc_part_classification(
     return ranked.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("r"), 2).alias("class_revenue"),
+    )
+
+
+@_register(
+    "time_weighted_avg_value",
+    """SELECT user_id,
+              round(sum(value * dur_s) / sum(dur_s), 4) AS twa_value,
+              CAST(count(*) AS BIGINT) AS n_intervals
+       FROM (SELECT user_id, value,
+                    CAST(date_diff('second', ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                         AS DOUBLE) AS dur_s
+             FROM events) t
+       WHERE dur_s IS NOT NULL AND dur_s > 0
+       GROUP BY user_id""",
+    doc="time-weighted average (TWAP / IoT sensor mean): each reading "
+    "weighted by how long it was current (lead(ts) - ts), so "
+    "irregular sampling doesn't bias the mean toward chatty periods "
+    "— the semantics a plain avg() silently gets wrong on event "
+    "streams. One user-keyed shuffle for the window, agg reuses the "
+    "same partitioning. Open last intervals are excluded (no known "
+    "duration), identically on both engines.",
+)
+def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # DuckDB date_diff('second', a, b) counts SECOND-BOUNDARY
+    # crossings (truncate each side to seconds, then subtract) — not
+    # floor(b - a); match it exactly
+    sec = lambda c: F.floor(
+        F.unix_micros(c.cast("timestamp")) / 1_000_000
+    )
+    dur_s = (sec(F.lead("ts").over(w)) - sec(F.col("ts"))).cast("double")
+    return (
+        e.select("user_id", "value", dur_s.alias("dur_s"))
+        .filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s"), 4
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
     )
