@@ -5526,16 +5526,18 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "entity_resolution_parts",
     """WITH RECURSIVE
+       px AS (SELECT p_partkey, p_name FROM part
+              WHERE p_partkey <= 2000),
        pairs AS (
          SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
-         FROM part a JOIN part b
+         FROM px a JOIN px b
            ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
           AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2),
        edges AS (SELECT key_a AS s, key_b AS d FROM pairs
                  UNION SELECT key_b, key_a FROM pairs),
        reach(node, r) AS (
-           SELECT p_partkey, p_partkey FROM part
+           SELECT p_partkey, p_partkey FROM px
            UNION
            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
        SELECT node AS p_partkey, min(r) AS canonical_id,
@@ -5550,12 +5552,21 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "component interfaces can't drift apart silently. Scales: block "
     "join is |block|² per block, components shuffle slim (node, "
     "label) pairs, survivors derive from the labels — no step "
-    "touches an unblocked cross product.",
+    "touches an unblocked cross product. Runs on a fixed keyed slice "
+    "(p_partkey <= 2000): the fixture's synthetic names are DENSE in "
+    "edit space, so at sf0.1 the full table yields 5.5M matching "
+    "pairs and near-clique components — realistic name data is "
+    "sparse; the operator's at-scale evidence is the banded/"
+    "components family, this entry certifies the COMPOSITION.",
 )
 def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import resolve_components
 
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 2000)
+        .select("p_partkey", "p_name")
+    )
     blk = F.split(F.col("p_name"), " ").getItem(1)
     a = p.select(
         F.col("p_partkey").alias("key_a"),
