@@ -5796,12 +5796,14 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "missing_orderkey_ranges",
-    """WITH bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
-                       FROM orders),
+    """WITH present AS (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus <> 'P'),
+       bounds AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+                  FROM present),
        expected AS (SELECT unnest(generate_series(lo, hi)) AS k
                     FROM bounds),
        missing AS (SELECT k FROM expected
-                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM present o
                                      WHERE o.o_orderkey = k)),
        grouped AS (SELECT k, k - row_number() OVER (ORDER BY k) AS grp
                    FROM missing)
@@ -5814,10 +5816,14 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapse consecutive missing keys into ranges via the classic "
     "gaps-and-islands (k - row_number). Scales: the spine generates "
     "per-partition; the anti-join shuffles only keys; output is one "
-    "row per GAP, not per missing key.",
+    "row per GAP, not per missing key. The fixture's key space is "
+    "dense, so the probe treats pending ('P') orders as the holes — "
+    "same plan, non-trivial output at every SF.",
 )
 def q_missing_orderkey_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # the fixture's key space is dense, so the probe runs against the
+    # non-'P' subset — the pending orders ARE the ingest gaps
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
     b = o.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     )
