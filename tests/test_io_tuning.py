@@ -512,3 +512,58 @@ def test_delete_rows_tombstone_publish(spark, tmp_path):
     # prior version still on disk for the retention window
     import os
     assert any(x.startswith("v-1") for x in os.listdir(d))
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite: an incremental job rewrites ONLY
+    the partitions present in its output — static mode (the default)
+    would drop every other partition of the table first, which at
+    100 TB turns a daily backfill into a table wipe."""
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, part string"
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        patch = spark.createDataFrame([(99, "b")], "id long, part string")
+        patch.write.mode("overwrite").partitionBy("part").parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+    got = {
+        (r.id, r.part) for r in spark.read.parquet(path).collect()
+    }
+    # partition b replaced; a and c untouched
+    assert got == {(1, "a"), (2, "a"), (99, "b"), (4, "c")}
+
+
+def test_streaming_query_progress_observable(spark, tmp_path):
+    """Streaming observability: lastProgress exposes per-batch row
+    counts and state metrics — what a production monitor scrapes; the
+    numbers must reconcile with the data actually processed."""
+    src = str(tmp_path / "stream_src")
+    df = spark.range(100).selectExpr("id", "id % 5 AS k")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = stream.groupBy("k").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("progress_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        p = q.lastProgress
+        assert p is not None
+        assert p["stateOperators"][0]["numRowsTotal"] == 5
+        total_in = sum(
+            rp["numInputRows"] for rp in q.recentProgress
+        )
+        assert total_in == 100
+    finally:
+        q.stop()
