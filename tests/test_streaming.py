@@ -582,3 +582,33 @@ def test_stateful_totals_on_rocksdb_state_store(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_available_now_trigger_backfill(spark):
+    """Trigger.AvailableNow: process everything currently in the
+    source through STREAMING semantics (watermarks, state, exactly-
+    once) and then STOP — the backfill mode that lets one codepath
+    serve both live streams and historical catch-up, instead of
+    maintaining a separate batch variant."""
+    from us_accidents_bigdata_pipeline_spark.streaming import windowed_counts
+
+    agg = windowed_counts(
+        _event_stream(spark), window_duration="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # self-terminates: that's the contract
+    assert not q.isActive
+    got = spark.table("avail_now").count()
+    expected = (
+        _event_batch(spark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert got == expected
