@@ -198,6 +198,8 @@ _CHECK_PRIORITY: list[str] = [
     "topk_with_ties_by_segment",
     "abc_part_classification",
     "time_weighted_avg_value",
+    "yoy_monthly_revenue",
+    "cep_error_then_purchase",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -6012,4 +6014,95 @@ def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa_value"),
             F.count(F.lit(1)).alias("n_intervals"),
         )
+    )
+
+
+@_register(
+    "yoy_monthly_revenue",
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+                        sum(o_totalprice) AS rev
+                  FROM orders GROUP BY mon)
+       SELECT CAST(mon AS TIMESTAMP) AS mon,
+              round(rev, 2) AS revenue,
+              round(rev / lag(rev, 12) OVER (ORDER BY mon) - 1, 4)
+                  AS yoy_change
+       FROM m""",
+    doc="year-over-year growth: monthly revenue joined to itself 12 "
+    "months back via lag(12) — the seasonal comparison that a naive "
+    "month-over-month delta gets wrong. The lag runs over the "
+    "months-sized AGGREGATE (driver-tiny), not the fact table; NULL "
+    "for the first year by construction. date_trunc output cast to "
+    "TIMESTAMP on both engines (DuckDB yields DATE-like).",
+)
+def q_yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = W.orderBy("mon")
+    return m.select(
+        # NTZ per the derived-timestamp convention (host-tz independent)
+        F.col("mon").cast("timestamp_ntz").alias("mon"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.lag("rev", 12).over(w) - 1, 4).alias(
+            "yoy_change"
+        ),
+    )
+
+
+@_register(
+    "cep_error_then_purchase",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              CAST(date_diff('second', e.ts, p.ts) AS BIGINT)
+                  AS secs_after_error
+       FROM events p
+       JOIN events e
+         ON e.user_id = p.user_id AND e.event_type = 'error'
+        AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 30 MINUTE
+       WHERE p.event_type = 'purchase'
+         AND e.ts = (SELECT max(e2.ts) FROM events e2
+                     WHERE e2.user_id = p.user_id
+                       AND e2.event_type = 'error' AND e2.ts < p.ts)
+         AND NOT EXISTS (SELECT 1 FROM events s
+                         WHERE s.user_id = p.user_id
+                           AND s.event_type = 'signup'
+                           AND s.ts > e.ts AND s.ts < p.ts)""",
+    doc="complex-event pattern (CEP): purchase within 30 min AFTER an "
+    "error with NO signup in between — the A-then-B-without-C shape "
+    "behind fraud and recovery-flow detection. Spark side is pure "
+    "windows over ONE user-keyed sort: last-error-before via "
+    "last(when(error), ignorenulls) and last-signup-before likewise; "
+    "the no-C condition is signup_ts < error_ts. No self-joins at "
+    "all — the oracle states the same pattern as correlated "
+    "subqueries and must agree, certifying the window rewrite. "
+    "Ambiguity guard: error/signup ties on ts broken by event order "
+    "in the window sort (ts, event_id).",
+)
+def q_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    flagged = (
+        e.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("_err", last_err)
+        .withColumn("_sgn", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .filter(
+            F.col("_err").isNotNull()
+            & (F.col("_err") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("_sgn").isNull() | (F.col("_sgn") < F.col("_err")))
+        )
+    )
+    sec = lambda c: F.floor(F.unix_micros(c.cast("timestamp")) / 1_000_000)
+    return flagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (sec(F.col("ts")) - sec(F.col("_err"))).alias("secs_after_error"),
     )
