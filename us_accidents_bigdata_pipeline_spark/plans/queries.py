@@ -200,6 +200,7 @@ _CHECK_PRIORITY: list[str] = [
     "time_weighted_avg_value",
     "yoy_monthly_revenue",
     "cep_error_then_purchase",
+    "top_session_paths",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -6105,4 +6106,71 @@ def q_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         (sec(F.col("ts")) - sec(F.col("_err"))).alias("secs_after_error"),
+    )
+
+
+@_register(
+    "top_session_paths",
+    """WITH seq AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS sid
+         FROM seq),
+       paths AS (
+         SELECT user_id, sid,
+                array_to_string(
+                    (list(event_type ORDER BY ts, event_id))[1:3],
+                    '>') AS path
+         FROM sess GROUP BY user_id, sid)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY n_sessions DESC, path LIMIT 20""",
+    doc="session path analysis: sessionize (gaps-and-islands running "
+    "sum over the 30-min break flag — same rewrite sessionize_events "
+    "pins), take each session's FIRST THREE event types in "
+    "deterministic (ts, event_id) order, count path frequencies. "
+    "The ordered prefix is sort_array(collect_list(struct)) sliced "
+    "to 3 — collect_list alone is partition-order dependent, the "
+    "struct sort restores determinism. Top-20 tie-broken by path.",
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = F.when(
+        tsec - F.lag(tsec).over(w) > 1800 * 1_000_000,
+        1,
+    ).otherwise(0)
+    # lag NULL (first event) starts a session too
+    brk = F.when(F.lag("ts").over(w).isNull(), 1).otherwise(brk)
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn("sid", F.sum("brk").over(w))
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s.event_type,
+            ),
+            1,
+            3,
+        ),
+        ">",
+    )
+    paths = sess.groupBy("user_id", "sid").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
     )
