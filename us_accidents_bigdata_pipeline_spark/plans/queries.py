@@ -201,6 +201,7 @@ _CHECK_PRIORITY: list[str] = [
     "yoy_monthly_revenue",
     "cep_error_then_purchase",
     "top_session_paths",
+    "part_affinity_lift",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -6173,4 +6174,80 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
+    )
+
+
+@_register(
+    "part_affinity_lift",
+    """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+       n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+             FROM baskets),
+       item AS (SELECT l_partkey, count(*) AS c FROM baskets
+                GROUP BY l_partkey),
+       pair AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS c_ab
+                FROM baskets a JOIN baskets b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY part_a, part_b
+                HAVING count(*) >= 3)
+       SELECT p.part_a, p.part_b, CAST(p.c_ab AS BIGINT) AS n_both,
+              round(p.c_ab / n.n_orders, 6) AS support,
+              round(p.c_ab * 1.0 / ia.c, 4) AS confidence_a_to_b,
+              round(p.c_ab * n.n_orders / (ia.c * 1.0 * ib.c), 4) AS lift
+       FROM pair p
+       JOIN item ia ON p.part_a = ia.l_partkey
+       JOIN item ib ON p.part_b = ib.l_partkey, n
+       ORDER BY lift DESC, p.part_a, p.part_b LIMIT 25""",
+    doc="market-basket association rules: support / confidence / lift "
+    "for co-purchased part pairs (the Apriori 2-itemset tier). "
+    "Candidate pairs come from a basket self-join on the order key — "
+    "|basket|² per order, never a global cross product — with a "
+    "min-support HAVING that prunes before the metric joins; item "
+    "counts broadcast. Lift > 1 = genuinely associated, not just "
+    "popular. Tie-broken (part_a, part_b) for a stable top-25. At "
+    "100 TB the same shape runs on a sampled or min-support-raised "
+    "basket set — support pruning IS the scale knob.",
+)
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("_n")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, "_ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("_ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("_cb"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").alias("n_both"),
+            F.round(F.col("c_ab") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("_ca"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("c_ab") * F.col("_n") / (F.col("_ca") * F.col("_cb")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
     )
