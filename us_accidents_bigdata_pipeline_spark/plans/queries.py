@@ -202,6 +202,8 @@ _CHECK_PRIORITY: list[str] = [
     "cep_error_then_purchase",
     "top_session_paths",
     "part_affinity_lift",
+    "gini_customer_revenue",
+    "new_vs_returning_revenue",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -6250,4 +6252,90 @@ def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(25)
+    )
+
+
+@_register(
+    "gini_customer_revenue",
+    """WITH cr AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                   FROM orders GROUP BY o_custkey),
+       ranked AS (SELECT rev,
+                         row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                         count(*) OVER () AS n,
+                         sum(rev) OVER () AS total
+                  FROM cr)
+       SELECT round(2.0 * sum(i * rev) / (n * total)
+                    - (n + 1.0) / n, 6) AS gini,
+              CAST(n AS BIGINT) AS n_customers
+       FROM ranked GROUP BY n, total""",
+    doc="Gini coefficient of customer revenue (concentration metric "
+    "for revenue-at-risk analysis): exact closed form G = 2·Σ(i·x_i)/"
+    "(n·Σx) − (n+1)/n over rank-ordered values, custkey tie-break. "
+    "The rank/total windows run over the |customers|-sized AGGREGATE; "
+    "the single global sort is dim-sized. Companion to the ABC "
+    "classification (same Lorenz machinery, scalar summary).",
+)
+def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wr = W.orderBy("rev", "o_custkey")
+    wall = W.partitionBy()
+    ranked = cr.select(
+        "rev",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    return ranked.groupBy("n", "total").agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.col("n").cast("bigint").alias("n_customers"),
+    ).select("gini", "n_customers")
+
+
+@_register(
+    "new_vs_returning_revenue",
+    """WITH firsts AS (SELECT o_custkey,
+                             min(o_orderdate) AS first_dt
+                      FROM orders GROUP BY o_custkey)
+       SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                  AS mon,
+              CASE WHEN o.o_orderdate = f.first_dt
+                   THEN 'new' ELSE 'returning' END AS cust_type,
+              round(sum(o.o_totalprice), 2) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+       GROUP BY mon, cust_type""",
+    doc="new-vs-returning revenue split per month (the growth-"
+    "accounting view): each order classified by whether it IS its "
+    "customer's first (min-date window; expressed as an aggregate "
+    "join so the oracle states it identically). One custkey shuffle "
+    "shared by the min and the join; monthly rollup is partial-agg "
+    "friendly. NTZ month per the derived-timestamp convention.",
+)
+def q_new_vs_returning_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("_ck")).agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    ctype = F.when(
+        F.col("o_orderdate") == F.col("first_dt"), "new"
+    ).otherwise("returning")
+    return (
+        o.join(firsts, o.o_custkey == F.col("_ck"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("timestamp_ntz")
+            .alias("mon"),
+            ctype.alias("cust_type"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
