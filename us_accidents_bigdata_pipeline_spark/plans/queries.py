@@ -204,6 +204,8 @@ _CHECK_PRIORITY: list[str] = [
     "part_affinity_lift",
     "gini_customer_revenue",
     "new_vs_returning_revenue",
+    "repurchase_interval_profile",
+    "rapid_repeat_orders",
     # Every front slot now carries a query with no recorded driver
     # correctness row yet; the long-green r1-r3 core (joins, windows,
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
@@ -6337,5 +6339,107 @@ def q_new_vs_returning_revenue(
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "repurchase_interval_profile",
+    """WITH gaps AS (
+         SELECT o_custkey,
+                CAST(date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate,
+                                                     o_orderkey),
+                     o_orderdate) AS DOUBLE) AS gap_days
+         FROM orders)
+       SELECT round(quantile_cont(gap_days, 0.25), 2) AS q25_days,
+              round(quantile_cont(gap_days, 0.50), 2) AS median_days,
+              round(quantile_cont(gap_days, 0.75), 2) AS q75_days,
+              round(avg(gap_days), 2) AS mean_days,
+              CAST(count(*) AS BIGINT) AS n_intervals
+       FROM gaps WHERE gap_days IS NOT NULL""",
+    doc="repurchase-interval profile (the retention-health metric "
+    "behind 'when should we expect the next order'): per-customer "
+    "consecutive-order gaps via lag, summarized as exact interpolated "
+    "quartiles + mean. One custkey shuffle for the window; the "
+    "percentile runs over the gaps frame. date_diff('day') boundary-"
+    "crossing semantics matched exactly (dates are midnight-aligned "
+    "in the fixture so crossings == elapsed days).",
+)
+def q_repurchase_interval_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = lambda c: F.floor(
+        F.unix_micros(c.cast("timestamp")) / (86400 * 1_000_000)
+    )
+    gap = (day(F.col("o_orderdate")) - day(F.lag("o_orderdate").over(w))).cast(
+        "double"
+    )
+    gaps = o.select(gap.alias("gap_days")).filter(
+        F.col("gap_days").isNotNull()
+    )
+    pc = lambda f: F.expr(
+        f"percentile_cont({f}) WITHIN GROUP (ORDER BY gap_days)"
+    )
+    return gaps.agg(
+        F.round(pc(0.25), 2).alias("q25_days"),
+        F.round(pc(0.50), 2).alias("median_days"),
+        F.round(pc(0.75), 2).alias("q75_days"),
+        F.round(F.avg("gap_days"), 2).alias("mean_days"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@_register(
+    "rapid_repeat_orders",
+    """SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+              a.o_custkey,
+              round(abs(a.o_totalprice - b.o_totalprice), 2)
+                  AS price_delta
+       FROM orders a JOIN orders b
+         ON a.o_custkey = b.o_custkey
+        AND a.o_orderkey < b.o_orderkey
+        AND b.o_orderdate >= a.o_orderdate
+        AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY""",
+    doc="rapid-repeat-order audit (the duplicate-payment screen's "
+    "shape on data without planted dupes): same customer, two orders "
+    "within two days, with the amount delta for triage. The join "
+    "keys on custkey so candidate generation is an equi-join with "
+    "the date window as a residual — the naive date-range self-join "
+    "without the customer key would be an all-pairs trap. In a real "
+    "AP system the delta==0 slice is the duplicate-payment alarm.",
+)
+def q_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        "o_custkey",
+        F.col("o_totalprice").alias("_pa"),
+        F.col("o_orderdate").alias("_da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("_ck"),
+        F.col("o_totalprice").alias("_pb"),
+        F.col("o_orderdate").alias("_db"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("_ck"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.col("_db") >= F.col("_da"))
+            & (F.col("_db") <= F.col("_da") + F.expr("INTERVAL 2 DAYS")),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "o_custkey",
+            F.round(F.abs(F.col("_pa") - F.col("_pb")), 2).alias(
+                "price_delta"
+            ),
         )
     )
