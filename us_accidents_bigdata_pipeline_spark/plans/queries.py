@@ -211,6 +211,12 @@ _CHECK_PRIORITY: list[str] = [
     # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
     # priority_distribution is entry()'s flagship, smoke-checked by
     # the driver every round regardless.
+    #
+    # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 records the current
+    # front 50 green, move them to the back and promote the block
+    # above (TPC-H completion through the analytics tier —
+    # order_priority_check onward) into the front 50 so the driver
+    # certifies the round-4 second-half additions next.
 ]
 
 
