@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -100,4 +100,54 @@ def zorder_write(
         .drop("_zkey")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Total-order row number WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` forces every row through one
+    task — the classic scale-killer for sorted-neighborhood blocking,
+    pagination, and export numbering at 100 TB. Instead:
+
+    1. ``repartitionByRange`` on the order columns (sampled range
+       exchange — the same primitive ``ORDER BY`` writes use),
+    2. per-partition ``row_number`` windowed on ``spark_partition_id()``
+       (each task numbers only its own slice),
+    3. one tiny aggregate of per-partition counts (``n_partitions``
+       rows to the driver) turned into cumulative offsets and joined
+       back via broadcast.
+
+    The result equals the rank of each row in the total order by
+    ``order_cols`` (which must be a unique key for determinism),
+    independent of partitioning. Cost: one range shuffle + one
+    ``n_partitions``-row aggregate — no serial stage.
+    """
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Per-partition counts are tiny (one row per partition); collect and
+    # turn into exclusive prefix offsets. repartitionByRange assigns
+    # contiguous key ranges to ascending partition ids, so offsets in
+    # pid order reconstruct the global order.
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(out_col, F.row_number().over(w) + off[F.col("_pid")])
+        .drop("_pid")
     )

@@ -6449,3 +6449,311 @@ def q_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Gaps-and-islands: longest consecutive-day order streak per priority.
+# The classic islands rewrite (date minus dense row_number is constant
+# within a run) keeps everything as two hash aggregations + one window
+# partitioned by priority — no self-join, no sequence materialization.
+# Scales: the window partitions by priority (parallel across groups);
+# distinct-date pre-agg shrinks input to |priority|×|days| rows first.
+# =====================================================================
+
+
+@_register(
+    "order_streak_islands",
+    """WITH d AS (SELECT DISTINCT o_orderpriority,
+                         CAST(o_orderdate AS DATE) AS d
+                  FROM orders),
+       isl AS (SELECT o_orderpriority, d,
+                      d - CAST(row_number() OVER (
+                              PARTITION BY o_orderpriority ORDER BY d)
+                          AS INT) AS anchor
+               FROM d),
+       runs AS (SELECT o_orderpriority, anchor,
+                       CAST(count(*) AS BIGINT) AS len
+                FROM isl GROUP BY 1, 2)
+       SELECT o_orderpriority,
+              CAST(max(len) AS BIGINT) AS max_streak_days,
+              CAST(count(*) AS BIGINT) AS n_islands
+       FROM runs GROUP BY 1""",
+    doc="gaps-and-islands longest consecutive-day streak of order "
+    "activity per priority: distinct-date pre-agg, date-minus-"
+    "row_number island anchor, two hash aggs; window partitioned by "
+    "priority so no serial stage",
+)
+def q_order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .distinct()
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("d")
+    runs = (
+        o.withColumn(
+            "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+        )
+        .groupBy("o_orderpriority", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    return runs.groupBy("o_orderpriority").agg(
+        F.max("len").alias("max_streak_days"),
+        F.count("*").alias("n_islands"),
+    )
+
+
+# =====================================================================
+# Welch's two-sample t-test per group — the unequal-variance test the
+# reference's evaluation tier lacks (its stats stop at accuracy/AUC;
+# metrics ml/metrics.py). Promo (discount > 0.05) vs non-promo
+# extended price per return flag; t statistic and Welch–Satterthwaite
+# degrees of freedom from one conditional-aggregate pass.
+# Scales: single map-side-combinable hash agg; no shuffle beyond the
+# |groups|-row exchange.
+# =====================================================================
+
+
+@_register(
+    "welch_ttest_price_promo",
+    """WITH s AS (
+         SELECT l_returnflag,
+                CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                     AS BIGINT) AS n_a,
+                avg(l_extendedprice) FILTER (WHERE l_discount > 0.05)
+                    AS m_a,
+                var_samp(l_extendedprice) FILTER (WHERE l_discount > 0.05)
+                    AS v_a,
+                CAST(count(*) FILTER (WHERE l_discount <= 0.05)
+                     AS BIGINT) AS n_b,
+                avg(l_extendedprice) FILTER (WHERE l_discount <= 0.05)
+                    AS m_b,
+                var_samp(l_extendedprice) FILTER (WHERE l_discount <= 0.05)
+                    AS v_b
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, n_a, n_b,
+              round(m_a - m_b, 2) AS mean_diff,
+              round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4)
+                  AS t_stat,
+              round(pow(v_a / n_a + v_b / n_b, 2)
+                    / (pow(v_a / n_a, 2) / (n_a - 1)
+                       + pow(v_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+       FROM s""",
+    doc="Welch unequal-variance two-sample t-test (promo vs non-promo "
+    "extended price per return flag): conditional count/avg/var_samp "
+    "in ONE hash-agg pass, t and Welch-Satterthwaite df as projections",
+)
+def q_welch_ttest_price_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    promo = F.col("l_discount") > 0.05
+    price = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.when(promo, 1)).alias("n_a"),
+        F.avg(F.when(promo, price)).alias("m_a"),
+        F.var_samp(F.when(promo, price)).alias("v_a"),
+        F.count(F.when(~promo, 1)).alias("n_b"),
+        F.avg(F.when(~promo, price)).alias("m_b"),
+        F.var_samp(F.when(~promo, price)).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return s.select(
+        "l_returnflag",
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 2).alias("mean_diff"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+# =====================================================================
+# Zipf's-law fit per corpus source: regression slope of ln(freq) on
+# ln(rank) over each source's top-100 tokens. Natural-language token
+# frequencies follow freq ∝ rank^s with s ≈ -1; the fitted slope is a
+# standard corpus-health diagnostic (synthetic/templated text shows
+# flat or cliffed curves). regr_slope/regr_intercept are built-in
+# JVM-side aggregates in both engines.
+# Scales: token explode → two-level hash agg (map-side combine on
+# (source, token)); the per-source window ranks only |vocab| rows.
+# =====================================================================
+
+
+@_register(
+    "zipf_slope_by_source",
+    r"""WITH f AS (
+         SELECT source, token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT source,
+                      unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents)
+         WHERE token <> '' GROUP BY 1, 2),
+       r AS (SELECT source, n,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY n DESC, token) AS rank
+             FROM f)
+       SELECT source,
+              round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+              round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+              CAST(count(*) AS BIGINT) AS n_ranks
+       FROM r WHERE rank <= 100 GROUP BY 1""",
+    doc="Zipf's-law slope per source: ln(freq)~ln(rank) OLS over each "
+    "source's top-100 tokens via built-in regr_slope/regr_intercept; "
+    "token tie-break is alphabetical so both engines rank identically",
+)
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("source", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.col("token"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 100
+    )
+    y, x = F.log(F.col("n")), F.log(F.col("rank"))
+    return ranked.groupBy("source").agg(
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.count("*").alias("n_ranks"),
+    )
+
+
+# =====================================================================
+# Sorted-neighborhood entity-resolution blocking (Hernández & Stolfo):
+# sort records by a blocking key and compare only records within a
+# fixed-size sliding window of the sort order — the complementary
+# strategy to fuzzy_part_pairs' token blocking (SN catches prefix
+# typos token blocking misses; token blocking catches mid-string
+# variants SN's sort separates). The window join is rewritten as an
+# EQUI-join: explode offsets 1..w and match a.rn + off = b.rn, so the
+# plan is a hash join on rn, never a BNLJ range join.
+# Scales: global rank comes from operators/layout.global_row_number
+# (range exchange + per-partition numbering + broadcast offsets — no
+# single-partition window); the join shuffles slim (rn, key, name)
+# rows only.
+# =====================================================================
+
+
+@_register(
+    "sorted_neighborhood_pairs",
+    """WITH r AS (SELECT p_partkey, p_name,
+                         row_number() OVER (ORDER BY p_name, p_partkey)
+                             AS rn
+                  FROM part)
+       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              CAST(b.rn - a.rn AS INT) AS w_dist,
+              CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+       FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 2
+       WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    doc="sorted-neighborhood blocking: rank by name (scalable "
+    "global_row_number, no serial window), equi-join a.rn+off=b.rn "
+    "for off in 1..w instead of a range join, edit-distance verify",
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import global_row_number
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    r = global_row_number(p, ["p_name", "p_partkey"], n_partitions=8)
+    a = r.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("rn").alias("rn_a"),
+    ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+    b = r.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.withColumn("_match", F.col("rn_a") + F.col("off"))
+        .join(b, F.col("_match") == F.col("rn_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select(
+            "key_a",
+            "key_b",
+            F.col("off").cast("int").alias("w_dist"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+# =====================================================================
+# Time-to-conversion profile (first view → first purchase): per-user
+# conditional-min firsts in one hash agg, day-bucketed delay histogram
+# with cumulative conversion share. The microsecond-difference bucket
+# (floor(Δµs / 86400e6)) is integer-exact in both engines — no
+# timezone or fractional-seconds drift.
+# Scales: one map-side-combinable agg over events; the histogram
+# window runs on the ≤|max-delay-days| aggregated rows.
+# =====================================================================
+
+
+@_register(
+    "time_to_conversion_profile",
+    """WITH f AS (
+         SELECT user_id,
+                min(ts) FILTER (WHERE event_type = 'view') AS fv,
+                min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+         FROM events GROUP BY 1),
+       b AS (SELECT CAST(floor((epoch_us(fp) - epoch_us(fv))
+                               / 86400000000.0) AS INT) AS day_bucket,
+                    CAST(count(*) AS BIGINT) AS n_users
+             FROM f WHERE fv IS NOT NULL AND fp >= fv GROUP BY 1)
+       SELECT day_bucket, n_users,
+              round(CAST(sum(n_users) OVER (ORDER BY day_bucket
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / sum(n_users) OVER (), 4) AS cum_share
+       FROM b""",
+    doc="first-view→first-purchase conversion-delay histogram with "
+    "cumulative share: conditional MIN firsts in one agg, exact "
+    "microsecond day bucketing, tiny-frame cumulative window",
+)
+def q_time_to_conversion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    conv = f.filter(
+        F.col("fv").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(
+        F.floor(
+            (
+                F.unix_micros(F.col("fp").cast("timestamp"))
+                - F.unix_micros(F.col("fv").cast("timestamp"))
+            )
+            / F.lit(86400000000.0)
+        )
+        .cast("int")
+        .alias("day_bucket")
+    )
+    b = conv.groupBy("day_bucket").agg(F.count("*").alias("n_users"))
+    w_cum = W.orderBy("day_bucket").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    return b.select(
+        "day_bucket",
+        "n_users",
+        F.round(
+            F.sum("n_users").over(w_cum).cast("double")
+            / F.sum("n_users").over(w_all),
+            4,
+        ).alias("cum_share"),
+    )
