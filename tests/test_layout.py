@@ -8,6 +8,7 @@ import glob
 
 import pyarrow.parquet as pq
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from us_accidents_bigdata_pipeline_spark.operators.layout import (
@@ -92,3 +93,51 @@ def test_zorder_key_handles_constant_column(spark):
     zkeys = [r._zkey for r in rows]
     assert zkeys == sorted(zkeys)
     assert len(set(zkeys)) > 50
+
+
+def test_global_row_number_matches_serial_window(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_row_number,
+    )
+
+    # Uneven, shuffled input across several partitions; string + tie
+    # columns exercise the range boundaries.
+    df = (
+        spark.range(0, 997)
+        .withColumn("k", F.expr("concat('k', id % 139)"))
+        .withColumn("v", F.expr("id % 7"))
+        .repartition(13)
+    )
+    got = {
+        (r["k"], r["v"], r["id"]): r["rn"]
+        for r in global_row_number(
+            df, ["k", "v", "id"], n_partitions=5
+        ).collect()
+    }
+    expected = {
+        (r["k"], r["v"], r["id"]): r["rn"]
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy().orderBy("k", "v", "id")
+            ),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_global_row_number_no_single_partition_sort(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 500).withColumn("k", F.expr("id % 11"))
+    plan = (
+        global_row_number(df, ["k", "id"], n_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the serial pattern is a window over an empty partition spec,
+    # which plans as Exchange SinglePartition
+    assert "SinglePartition" not in plan

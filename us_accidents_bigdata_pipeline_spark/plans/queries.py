@@ -6757,3 +6757,319 @@ def q_time_to_conversion_profile(
             4,
         ).alias("cum_share"),
     )
+
+
+# =====================================================================
+# EWMA (exponentially weighted moving average) of daily revenue with a
+# finite 10-day memory — expressed EXACTLY (not iteratively) as a
+# dot product of the window's trailing values with a geometric weight
+# vector, via higher-order array functions in both engines. Daily
+# revenues are rounded to cents FIRST so both engines fold identical
+# inputs in identical order (collect_list/list() preserve frame order).
+# Scales: the expensive part is the daily pre-agg (map-side combine);
+# the windowed HOF runs over the ~|days| aggregated rows only.
+# =====================================================================
+
+
+@_register(
+    "ewma_daily_revenue",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1),
+       l AS (SELECT day, rev,
+                    list(rev) OVER (ORDER BY day ROWS 9 PRECEDING) AS lst
+             FROM d)
+       SELECT day, rev,
+              round(list_dot_product(lst,
+                        list_transform(generate_series(len(lst) - 1, 0, -1),
+                                       e -> pow(0.7, e)))
+                    / list_sum(
+                        list_transform(generate_series(len(lst) - 1, 0, -1),
+                                       e -> pow(0.7, e))), 4) AS ewma
+       FROM l""",
+    doc="exact finite-memory EWMA of daily revenue: trailing-10-row "
+    "window list dot geometric weights via HOFs (zip_with/aggregate "
+    "in Spark, list_dot_product in DuckDB); inputs pre-rounded so "
+    "both engines fold identical values in frame order",
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    wf = W.orderBy("day").rowsBetween(-9, 0)
+    l = d.withColumn("lst", F.collect_list("rev").over(wf))
+    seq = F.sequence(F.size("lst") - 1, F.lit(0), F.lit(-1))
+    wts = F.transform(seq, lambda e: F.pow(F.lit(0.7), e))
+    num = F.aggregate(
+        F.zip_with(F.col("lst"), wts, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
+    return l.select(
+        "day", "rev", F.round(num / den, 4).alias("ewma")
+    )
+
+
+# =====================================================================
+# Kaplan–Meier survival estimator over customer ordering lifetimes:
+# duration = days between first and last order (30-day buckets),
+# churned = last order before 2001-02-01 (later actives are right-
+# censored — they leave the risk set without a churn event, which is
+# the entire point of KM vs a naive churn histogram). S(t) =
+# Π_{u≤t} (1 − d_u/n_u) computed as exp of a cumulative ln sum.
+# Scales: one hash agg per customer, then all windows run on the
+# ≤|buckets| aggregated rows.
+# =====================================================================
+
+
+@_register(
+    "kaplan_meier_customer_churn",
+    """WITH u AS (SELECT o_custkey,
+                         min(CAST(o_orderdate AS DATE)) AS f,
+                         max(CAST(o_orderdate AS DATE)) AS l
+                  FROM orders GROUP BY 1),
+       d AS (SELECT CAST(date_diff('day', f, l) // 30 AS INT)
+                        AS month_bucket,
+                    l < DATE '2001-02-01' AS churned
+             FROM u),
+       t AS (SELECT month_bucket,
+                    CAST(count(*) FILTER (churned) AS BIGINT) AS d_t,
+                    CAST(count(*) AS BIGINT) AS leave_t
+             FROM d GROUP BY 1),
+       k AS (SELECT month_bucket, d_t,
+                    sum(leave_t) OVER () - coalesce(
+                        sum(leave_t) OVER (ORDER BY month_bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS n_t
+             FROM t)
+       SELECT month_bucket, d_t, CAST(n_t AS BIGINT) AS n_at_risk,
+              round(exp(sum(ln(1.0 - CAST(d_t AS DOUBLE) / n_t))
+                        OVER (ORDER BY month_bucket
+                              ROWS UNBOUNDED PRECEDING)), 4) AS survival
+       FROM k WHERE d_t > 0""",
+    doc="Kaplan-Meier survival over customer order-span lifetimes "
+    "with right-censoring (active-past-cutoff customers exit the "
+    "risk set without a churn event); product via exp(cum-sum(ln)), "
+    "windows on the aggregated bucket frame only",
+)
+def q_kaplan_meier_customer_churn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
+    )
+    d = u.select(
+        F.floor(F.datediff(F.col("l"), F.col("f")) / 30)
+        .cast("int")
+        .alias("month_bucket"),
+        (F.col("l") < F.lit("2001-02-01").cast("date")).alias("churned"),
+    )
+    t = d.groupBy("month_bucket").agg(
+        F.count(F.when(F.col("churned"), 1)).alias("d_t"),
+        F.count("*").alias("leave_t"),
+    )
+    w_all = W.partitionBy()
+    w_prior = W.orderBy("month_bucket").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_cum = W.orderBy("month_bucket").rowsBetween(W.unboundedPreceding, 0)
+    k = t.select(
+        "month_bucket",
+        "d_t",
+        (
+            F.sum("leave_t").over(w_all)
+            - F.coalesce(F.sum("leave_t").over(w_prior), F.lit(0))
+        ).alias("n_t"),
+    )
+    return (
+        k.select(
+            "month_bucket",
+            "d_t",
+            F.col("n_t").cast("long").alias("n_at_risk"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d_t").cast("double") / F.col("n_t")
+                        )
+                    ).over(w_cum)
+                ),
+                4,
+            ).alias("survival"),
+        )
+        .filter(F.col("d_t") > 0)
+    )
+
+
+# =====================================================================
+# Exact weighted median (quantity-weighted extended price) per return
+# flag: the smallest value whose cumulative weight reaches half the
+# total — the weighted generalization median_exact lacks. One window
+# cum-sum ordered by (value, unique key) per group, then a MIN over
+# the qualifying rows; both engines fold identical weights in
+# identical order so the cut row matches exactly.
+# Scales: windows partition by flag (parallel across groups); no
+# global sort, no collect.
+# =====================================================================
+
+
+@_register(
+    "weighted_median_price_by_flag",
+    """WITH c AS (
+         SELECT l_returnflag, l_extendedprice,
+                sum(l_quantity) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS cumw,
+                sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+         FROM lineitem)
+       SELECT l_returnflag,
+              min(l_extendedprice) AS weighted_median,
+              round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
+       FROM c WHERE 2 * cumw >= totw GROUP BY 1""",
+    doc="exact weighted median (quantity-weighted price) per return "
+    "flag: per-group cumulative-weight window with unique-key "
+    "tie-break, min over rows past the half-weight cut",
+)
+def q_weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w_cum = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cumw"),
+        F.sum("l_quantity").over(w_all).alias("totw"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.round(F.max("totw").cast("double"), 2).alias("total_weight"),
+        )
+    )
+
+
+# =====================================================================
+# BM25 relevance scoring (Robertson k1=1.2, b=0.75, +1 idf) of every
+# document against a fixed query term set — the standard retrieval
+# scorer a training-data curation stack uses for quality-targeted
+# selection (tfidf_top_terms covers the vectorizer; this is the
+# ranker). Corpus stats (N, avgdl) are 1-row scalar aggregates
+# broadcast into the per-(doc,term) score — the same shape at any
+# scale since only tf rows for the |q| query terms survive the join.
+# =====================================================================
+
+
+@_register(
+    "bm25_doc_scores",
+    r"""WITH tok AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+'))
+                               AS token
+                    FROM documents),
+       tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n
+              FROM tok WHERE token <> '' GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl
+              FROM tf GROUP BY 1),
+       s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                    avg(dl) AS avgdl
+             FROM dl),
+       q AS (SELECT unnest(['hash', 'join', 'scan']) AS token),
+       df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf JOIN q USING (token) GROUP BY 1)
+       SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+              round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * tf.n * 2.2
+                        / (tf.n + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))),
+                    4) AS bm25
+       FROM tf JOIN df USING (token)
+       JOIN dl USING (doc_id) CROSS JOIN s
+       GROUP BY 1""",
+    doc="BM25 (k1=1.2, b=0.75, +1 idf) document scores for query "
+    "terms {hash, join, scan}: tf/df/doclen from one tokenize pass, "
+    "1-row corpus stats broadcast, only query-term tf rows survive "
+    "the semi-like join",
+)
+def q_bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "scan"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
+    dl = tf.groupBy("doc_id").agg(F.sum("n").alias("dl"))
+    s = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        docs.agg(F.count("*").alias("n_docs"))
+    )
+    df_ = (
+        tf.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = (
+        idf
+        * F.col("n")
+        * F.lit(2.2)
+        / (
+            F.col("n")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(s))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(score_term), 4).alias("bm25"),
+        )
+    )
+
+
+# =====================================================================
+# Degree distribution of the co-purchase graph — the diagnostic that
+# decides whether triangle counting / components need skew handling
+# (a power-law tail means hub vertices; see triangle_count's degree
+# orientation). Degree per node is one hash agg over the symmetric
+# edge list; the histogram is a second tiny agg.
+# =====================================================================
+
+
+@_register(
+    "copurchase_degree_histogram",
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM lineitem a
+                  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey <> b.l_partkey),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+               FROM e GROUP BY 1)
+       SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM deg GROUP BY 1""",
+    doc="co-purchase graph degree histogram (symmetric edge list -> "
+    "per-node degree -> degree frequency): the skew diagnostic for "
+    "graph ops; two hash aggs over slim (src,dst) rows",
+)
+def q_copurchase_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import copurchase_edges
+
+    e = copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    deg = e.groupBy(F.col("src")).agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
