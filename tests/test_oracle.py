@@ -79,6 +79,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "robust_outliers_price": {"nested_loop"},      # 1-row median/MAD
     "token_kl_by_source": {"nested_loop"},         # 1-row corpus total
     "bm25_doc_scores": {"nested_loop"},            # 1-row N/avgdl stats
+    "bigram_lm_perplexity": {"nested_loop"},       # 1-row vocab size
     "tfidf_top_terms": {"nested_loop"},            # 1-row doc count
     # the documented QUADRATIC reference tier (exact all-pairs cosine);
     # the banded/blas/lsh variants are the scale paths and stay clean

@@ -114,3 +114,36 @@ def test_bitmap_distinct_exact_and_rollup(spark):
         e, ["event_type"], [], "user_id"
     ).collect()
     assert rolled.n_distinct == e.select("user_id").distinct().count()
+
+
+def test_exact_heavy_hitters_matches_exact_groupby(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+
+    # 5 heavy keys at 5% each amid ~15k unique-tail keys, scattered
+    # across an adversarial partitioning (hash repartition spreads
+    # every heavy key thin across all 16 partitions, so no single
+    # partition sees a heavy key's full count).
+    df = (
+        spark.range(0, 20000)
+        .withColumn("key", F.expr("if(id % 4 = 0, id % 5, id)"))
+        .repartition(16)
+    )
+    phi = 0.02
+    got = {
+        (r["key"], r["freq"])
+        for r in exact_heavy_hitters(df, "key", phi=phi).collect()
+    }
+    import math
+
+    thr = int(math.ceil(phi * 20000))
+    expected = {
+        (r["key"], r["n"])
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one heavy hitter"

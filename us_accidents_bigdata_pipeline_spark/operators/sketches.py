@@ -174,3 +174,84 @@ def bitmap_rollup_distinct(
     return merged.groupBy(*rollup_cols).agg(
         F.sum(F.bitmap_count("_bm")).alias("n_distinct")
     )
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float = 0.01,
+) -> DataFrame:
+    """EXACT frequent items above frequency ``phi·N`` via the
+    Misra–Gries candidate + exact-verify two-pass.
+
+    The naive exact plan shuffles EVERY distinct key to count it — at
+    100 TB with billions of distinct keys that shuffle dwarfs the
+    answer (a handful of heavy keys). Instead:
+
+    1. **Candidate pass** (map-only, ``mapInPandas``): each partition
+       runs batched Misra–Gries with capacity ``k = ceil(1/phi)`` — a
+       k-entry dict maintained across the partition's Arrow batches;
+       each batch merges its ``value_counts`` then applies the
+       uniform-decrement trim (subtract the (k+1)-th largest count
+       from all, drop non-positives). MG guarantees any item with
+       partition frequency > n_p/(k+1) survives, and n_p/(k+1) <
+       φ·n_p, so every item with partition frequency ≥ φ·n_p is
+       retained; a global item with frequency ≥ φ·N has frequency
+       ≥ φ·n_p in at least one partition (pigeonhole over N = Σ n_p),
+       so the UNION of partition summaries is a superset of every
+       true heavy hitter. ≤ k·P candidate rows leave the mappers —
+       no full shuffle.
+    2. **Verify pass**: broadcast-semi-join the raw rows to the
+       candidate set and count exactly, filtering to
+       ``count ≥ ceil(phi·N)``. Only candidate-key rows participate
+       in the aggregation.
+
+    Output: ``key_col`` (original type), ``freq`` (exact long). The
+    result is EXACT — MG only prunes the candidate space, the
+    pigeonhole superset guarantee means no true heavy hitter is lost
+    (pinned by the DuckDB plain GROUP BY/HAVING oracle).
+    """
+    import math
+
+    from pyspark.sql.types import StructField, StructType
+
+    k = max(int(math.ceil(1.0 / phi)), 1)
+    field = df.schema[key_col]
+    cand_schema = StructType([StructField("cand", field.dataType, True)])
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key_col].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # uniform-decrement trim: subtracting the (k+1)-th
+                # largest count from every counter performs that many
+                # simultaneous MG decrement rounds at once
+                delta = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - delta
+                    for key, c in counters.items()
+                    if c - delta > 0
+                }
+        yield pd.DataFrame({"cand": list(counters.keys())})
+
+    cands = (
+        df.select(key_col)
+        .mapInPandas(mg_partition, schema=cand_schema)
+        .distinct()
+    )
+    n_total = df.count()
+    threshold = int(math.ceil(phi * n_total))
+    return (
+        df.join(
+            F.broadcast(cands),
+            df[key_col] == cands["cand"],
+            "left_semi",
+        )
+        .groupBy(key_col)
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= threshold)
+    )

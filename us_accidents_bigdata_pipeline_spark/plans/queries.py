@@ -7073,3 +7073,106 @@ def q_copurchase_degree_histogram(
     e = copurchase_edges(_t(spark, sf_dir, "lineitem"))
     deg = e.groupBy(F.col("src")).agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# =====================================================================
+# Exact heavy hitters via Misra–Gries candidates + exact verify
+# (operators/sketches.py::exact_heavy_hitters). The oracle is the
+# plain GROUP BY / HAVING — identical output, but the engine path
+# never shuffles the full distinct-key space: per-partition MG
+# summaries (pigeonhole superset guarantee) bound the shuffle to
+# ≤ k·P candidate rows plus the semi-joined verify counts.
+# =====================================================================
+
+
+@_register(
+    "heavy_hitter_users",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS freq
+       FROM events GROUP BY 1
+       HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""",
+    doc="exact phi=0.008 heavy hitters over events.user_id: "
+    "Misra-Gries per-partition candidates (mapInPandas, batched "
+    "uniform-decrement), broadcast-semi-join exact verify — same "
+    "answer as GROUP BY/HAVING with a candidate-bounded shuffle",
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import exact_heavy_hitters
+
+    return exact_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", phi=0.008
+    )
+
+
+# =====================================================================
+# Bigram-LM cross-entropy scoring (CCNet-style quality filtering):
+# train add-one-smoothed bigram MLE counts on the corpus itself, then
+# score every document by the perplexity of its own bigrams under
+# that model — the classic "how language-like is this text" filter a
+# pretraining curation stack runs before mixing. All counts are
+# integer-exact; only the final avg-ln/exp is rounded.
+# Scales: two hash aggs build the model; scoring joins bigram
+# instances to their counts on (w1,w2)/(w1) — map-side-combinable
+# shuffles on slim token pairs; the vocab size is a 1-row broadcast.
+# =====================================================================
+
+
+@_register(
+    "bigram_lm_perplexity",
+    r"""WITH tok AS (
+         SELECT doc_id, i AS pos, toks[i] AS token
+         FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+              UNNEST(generate_series(1, len(toks))) AS u(i)
+         WHERE toks[i] <> ''),
+       b AS (SELECT * FROM (
+               SELECT doc_id,
+                      lag(token) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS w1,
+                      token AS w2
+               FROM tok)
+             WHERE w1 IS NOT NULL),
+       c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+       v AS (SELECT count(DISTINCT token) AS v FROM tok)
+       SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(exp(-avg(ln((c12.c12 + 1.0) / (c1.c1 + v.v)))), 4)
+                  AS ppl
+       FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+       GROUP BY 1""",
+    doc="add-one bigram LM perplexity per document, model trained on "
+    "the corpus itself (CCNet-style quality scoring): integer count "
+    "model via two hash aggs, scoring joins on (w1,w2)/(w1), 1-row "
+    "vocab broadcast; round(4) absorbs ln-sum fold order",
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    b = (
+        tok.select(
+            "doc_id",
+            F.lag("token").over(wl).alias("w1"),
+            F.col("token").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c12 = b.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = tok.agg(F.countDistinct("token").alias("v"))
+    ll = F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        b.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.avg(ll)), 4).alias("ppl"),
+        )
+    )
