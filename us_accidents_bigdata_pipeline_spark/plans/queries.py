@@ -7176,3 +7176,153 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(ll)), 4).alias("ppl"),
         )
     )
+
+
+# =====================================================================
+# Robust statistics: winsorized mean — clip values at the group's
+# exact p05/p95 (percentile_cont interpolation) before averaging, the
+# outlier-resistant mean robust_outliers_price's MAD screen pairs
+# with. Percentiles come from ONE per-group aggregate and join back
+# broadcast (|groups| rows), so the data is scanned twice but never
+# shuffled beyond the group keys.
+# =====================================================================
+
+
+@_register(
+    "winsorized_mean_price",
+    """WITH q AS (SELECT l_returnflag,
+                         quantile_cont(l_extendedprice, 0.05) AS p05,
+                         quantile_cont(l_extendedprice, 0.95) AS p95
+                  FROM lineitem GROUP BY 1)
+       SELECT l.l_returnflag,
+              round(avg(least(greatest(l.l_extendedprice, q.p05),
+                              q.p95)), 2) AS winsorized_mean,
+              round(avg(l.l_extendedprice), 2) AS raw_mean,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem l JOIN q USING (l_returnflag)
+       GROUP BY 1""",
+    doc="winsorized (5%/95%-clipped) mean vs raw mean per return "
+    "flag: exact interpolated percentiles from one per-group agg, "
+    "broadcast back, clip via least/greatest in the averaging pass",
+)
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_cont(0.05) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").alias("p05"),
+        F.expr("percentile_cont(0.95) WITHIN GROUP "
+               "(ORDER BY l_extendedprice)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_mean"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# Deterministic mode (most frequent value, smallest-value tie-break)
+# per group — the built-in mode() leaves ties unspecified, so the
+# engine form is the rank-over-counts rewrite that pins them.
+# Scales: two hash aggs + a window over the (group, value) count
+# frame — never the raw rows.
+# =====================================================================
+
+
+@_register(
+    "mode_quantity_by_flag",
+    """SELECT l_returnflag, mode_quantity, CAST(n AS BIGINT) AS n
+       FROM (SELECT l_returnflag, l_quantity AS mode_quantity,
+                    count(*) AS n,
+                    row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY count(*) DESC, l_quantity) AS rk
+             FROM lineitem GROUP BY 1, 2)
+       WHERE rk = 1""",
+    doc="deterministic per-group mode: count per (group, value), "
+    "rank by count desc with smallest-value tie-break — the "
+    "tie-pinned form of the built-in mode() aggregate",
+)
+def q_mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            "n",
+        )
+    )
+
+
+# =====================================================================
+# Hierarchical percent-of-parent: each nation's share of its region's
+# revenue — two-level aggregate where the parent total comes from a
+# second grouping of the SAME child aggregate (no rescan) joined back
+# broadcast. The standard drill-down ratio shape.
+# =====================================================================
+
+
+@_register(
+    "nation_revenue_share_of_region",
+    """WITH nat AS (
+         SELECT r.r_name AS region, n.n_name AS nation,
+                sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1, 2)
+       SELECT region, nation, round(rev, 2) AS nation_rev,
+              round(100.0 * rev / sum(rev) OVER (PARTITION BY region), 4)
+                  AS pct_of_region
+       FROM nat""",
+    doc="percent-of-parent drill-down: nation revenue share within "
+    "region — fact joins broadcast the dimension chain, parent total "
+    "via a window over the |nations|-row child aggregate (no rescan)",
+)
+def q_nation_revenue_share_of_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    w = W.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.round(F.col("rev"), 2).alias("nation_rev"),
+        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w), 4).alias(
+            "pct_of_region"
+        ),
+    )
