@@ -7326,3 +7326,41 @@ def q_nation_revenue_share_of_region(
             "pct_of_region"
         ),
     )
+
+
+# =====================================================================
+# IVF with nprobe = n_cells probes EVERY cell, making the search
+# EXACT regardless of the quantizer fit — the recall ladder's
+# endpoint, which upgrades the IVF path from rows-only evidence to a
+# full value oracle (the partial-probe `ivf_search` entry measures
+# the approximate regime; its recall is pinned in pytest).
+# =====================================================================
+
+
+@_register(
+    "ivf_search_full_probe",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(sqrt(list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> (e.v[i] - q.qv[i]) ^ 2))), 4) AS dist
+       FROM e, q WHERE e.vec_id <> 0
+       ORDER BY dist, e.vec_id LIMIT 5""",
+    doc="IVF probe search at nprobe=n_cells — every cell probed, so "
+    "the result is the EXACT Euclidean top-k independent of the "
+    "quantizer fit; oracle is the brute-force scan, same elementwise "
+    "(a-b)^2 fold order on both engines "
+    "(operators/similarity.py::ivf_search)",
+)
+def q_ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_search
+
+    return ivf_search(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=5,
+        nprobe=8,
+        n_cells=8,
+    )
