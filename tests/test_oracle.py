@@ -80,6 +80,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "token_kl_by_source": {"nested_loop"},         # 1-row corpus total
     "bm25_doc_scores": {"nested_loop"},            # 1-row N/avgdl stats
     "bigram_lm_perplexity": {"nested_loop"},       # 1-row vocab size
+    "rolling_7d_distinct_users": {"nested_loop"},  # 1-row date bounds
     "tfidf_top_terms": {"nested_loop"},            # 1-row doc count
     # the documented QUADRATIC reference tier (exact all-pairs cosine);
     # the banded/blas/lsh variants are the scale paths and stay clean

@@ -7364,3 +7364,183 @@ def q_ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8,
         n_cells=8,
     )
+
+
+# =====================================================================
+# Rolling 7-day distinct users (WAU per day) — COUNT(DISTINCT) over a
+# sliding window, which Spark's window frames cannot express
+# directly. The scalable rewrite: dedupe to (user, active_day), then
+# EXPLODE the 7 target days each activity-day contributes to and hash
+# -aggregate distinct users per target day — an equi-shuffle on
+# (target_day), never a range join, never a per-window rescan.
+# Output restricted to days with a full 7-day lookback inside the
+# data range so every reported window is complete.
+# =====================================================================
+
+
+@_register(
+    "rolling_7d_distinct_users",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+       bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+       contrib AS (SELECT user_id, d + CAST(o.i AS INT) AS target_day
+                   FROM ud, UNNEST(generate_series(0, 6)) AS o(i)),
+       wau AS (SELECT target_day,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+               FROM contrib GROUP BY 1)
+       SELECT w.target_day AS day, w.wau
+       FROM wau w, bounds b
+       WHERE w.target_day BETWEEN b.dmin + 6 AND b.dmax""",
+    doc="rolling 7-day distinct users per day: (user, day) dedupe -> "
+    "explode 7 contribution offsets -> equi-shuffle distinct count; "
+    "the windowed-COUNT-DISTINCT rewrite that avoids range joins and "
+    "per-window rescans",
+)
+def q_rolling_7d_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    bounds = ud.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    contrib = ud.withColumn(
+        "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+    ).withColumn("target_day", F.date_add(F.col("d"), F.col("off")))
+    wau = contrib.groupBy("target_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        wau.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("target_day") >= F.date_add(F.col("dmin"), 6))
+            & (F.col("target_day") <= F.col("dmax"))
+        )
+        .select(F.col("target_day").alias("day"), "wau")
+    )
+
+
+# =====================================================================
+# Overlapping-interval merge (union of per-user activity intervals):
+# each event opens a 30-minute activity interval; overlapping ones
+# merge; output per user = merged-interval count and total covered
+# seconds. The islands rewrite: an interval starts a new island iff
+# its start exceeds the running MAX of all prior ends (cumulative-max
+# window per user), island id = running count of such breaks, then
+# one aggregate per island and one per user.
+# Scales: windows partition by user; everything else is hash aggs.
+# =====================================================================
+
+
+@_register(
+    "merged_active_intervals",
+    """WITH iv AS (SELECT user_id, ts AS s,
+                          ts + INTERVAL 30 MINUTE AS e
+                   FROM events),
+       marked AS (
+         SELECT user_id, s, e,
+                CASE WHEN s > coalesce(max(e) OVER (
+                         PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING),
+                         TIMESTAMP '1900-01-01')
+                     THEN 1 ELSE 0 END AS brk
+         FROM iv),
+       isl AS (SELECT user_id, s, e,
+                      sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+               FROM marked),
+       m AS (SELECT user_id, island, min(s) AS ms, max(e) AS me
+             FROM isl GROUP BY 1, 2)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(epoch_us(me) - epoch_us(ms)) AS BIGINT)
+                  AS active_micros
+       FROM m GROUP BY 1""",
+    doc="overlapping-interval merge per user (30-min activity "
+    "envelopes): cumulative-max-of-ends break detection, running-sum "
+    "island ids, per-island then per-user aggregation — the "
+    "gaps-and-islands form that never self-joins intervals",
+)
+def q_merged_active_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w_prior = W.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    marked = iv.withColumn(
+        "brk",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prior),
+                F.lit("1900-01-01").cast("timestamp"),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = W.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    isl = marked.withColumn("island", F.sum("brk").over(w_cum))
+    m = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(
+            F.unix_micros(F.col("me").cast("timestamp"))
+            - F.unix_micros(F.col("ms").cast("timestamp"))
+        ).alias("active_micros"),
+    )
+
+
+# =====================================================================
+# Candidate-key discovery over the orders table: a column (set) is a
+# candidate key iff its distinct count equals the row count — the
+# metadata-profiling pass schema-inference and CDC tooling run before
+# choosing merge keys. ONE aggregate computes all columns' distinct
+# counts (exact; count_distinct over a 1.5M-row column is a plain
+# shuffle of the distinct values — at 100 TB swap in the HLL tier
+# from operators/sketches for a first pass, confirming exactly only
+# on the survivors).
+# =====================================================================
+
+
+@_register(
+    "candidate_key_profile",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                  AS d_orderkey,
+              count(DISTINCT o_orderkey) = count(*) AS key_orderkey,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+              count(DISTINCT o_custkey) = count(*) AS key_custkey,
+              CAST(count(DISTINCT o_totalprice) AS BIGINT)
+                  AS d_totalprice,
+              count(DISTINCT o_totalprice) = count(*) AS key_totalprice
+       FROM orders""",
+    doc="candidate-key discovery: per-column exact distinct counts vs "
+    "row count in one aggregate pass; the profiling step before "
+    "choosing merge/upsert keys (HLL tier is the 100 TB first pass)",
+)
+def q_candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    n = F.count("*")
+    return o.agg(
+        n.alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("d_orderkey"),
+        (F.countDistinct("o_orderkey") == n).alias("key_orderkey"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        (F.countDistinct("o_custkey") == n).alias("key_custkey"),
+        F.countDistinct("o_totalprice").alias("d_totalprice"),
+        (F.countDistinct("o_totalprice") == n).alias("key_totalprice"),
+    )
