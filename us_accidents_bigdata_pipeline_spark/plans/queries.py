@@ -7544,3 +7544,142 @@ def q_candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_totalprice").alias("d_totalprice"),
         (F.countDistinct("o_totalprice") == n).alias("key_totalprice"),
     )
+
+
+# =====================================================================
+# Pareto frontier (2-D skyline): suppliers not dominated on (revenue,
+# quantity). Computed on the per-supplier AGGREGATE (|suppliers|
+# rows), where the airtight dominance anti-join is affordable; at
+# larger frontier inputs the sort-based sweep (order by rev desc,
+# running max of qty) is the scale path — the anti-join form is kept
+# because it handles measure ties with exact skyline semantics.
+# =====================================================================
+
+
+@_register(
+    "pareto_frontier_suppliers",
+    """WITH s AS (SELECT l_suppkey,
+                         round(sum(l_extendedprice * (1 - l_discount)), 2)
+                             AS rev,
+                         round(sum(l_quantity), 2) AS qty
+                  FROM lineitem GROUP BY 1)
+       SELECT a.l_suppkey, a.rev, a.qty
+       FROM s a
+       WHERE NOT EXISTS (
+           SELECT 1 FROM s b
+           WHERE b.rev >= a.rev AND b.qty >= a.qty
+             AND (b.rev > a.rev OR b.qty > a.qty))""",
+    doc="2-D Pareto frontier over the per-supplier (revenue, "
+    "quantity) aggregate: exact dominance anti-join on the tiny "
+    "aggregate frame (tie-correct); sort-sweep is the scale path",
+)
+def q_pareto_frontier_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("rev"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+    a = s.select(
+        F.col("l_suppkey"), F.col("rev"), F.col("qty")
+    )
+    b = s.select(
+        F.col("l_suppkey").alias("_sk"),
+        F.col("rev").alias("_rev"),
+        F.col("qty").alias("_qty"),
+    )
+    dominated = (
+        (F.col("_rev") >= F.col("rev"))
+        & (F.col("_qty") >= F.col("qty"))
+        & ((F.col("_rev") > F.col("rev")) | (F.col("_qty") > F.col("qty")))
+    )
+    return a.join(F.broadcast(b), dominated, "left_anti")
+
+
+# =====================================================================
+# Running balance with threshold resets — the per-key SEQUENTIAL
+# recurrence (b_i = 0 if b_{i-1}+q_i ≥ T else b_{i-1}+q_i) that no
+# window frame can express (resets break prefix-sum associativity).
+# Engine path: applyInPandas — per-key Arrow batch, deterministic
+# in-group sort, plain scan; parallel across keys, sequential only
+# within one key, which is the inherent dependency structure. The
+# oracle is a DuckDB RECURSIVE CTE walking rn → rn+1 — genuinely
+# different execution strategy, same exact arithmetic.
+# =====================================================================
+
+
+@_register(
+    "restock_resets_by_supplier",
+    """WITH RECURSIVE li AS (
+         SELECT l_suppkey, l_quantity,
+                row_number() OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+         FROM lineitem WHERE l_suppkey < 10),
+       walk(l_suppkey, rn, bal, resets) AS (
+         SELECT l_suppkey, rn,
+                CASE WHEN l_quantity >= 100 THEN 0 ELSE l_quantity END,
+                CASE WHEN l_quantity >= 100 THEN 1 ELSE 0 END
+         FROM li WHERE rn = 1
+         UNION ALL
+         SELECT li.l_suppkey, li.rn,
+                CASE WHEN w.bal + li.l_quantity >= 100 THEN 0
+                     ELSE w.bal + li.l_quantity END,
+                w.resets + CASE WHEN w.bal + li.l_quantity >= 100
+                                THEN 1 ELSE 0 END
+         FROM walk w JOIN li ON li.l_suppkey = w.l_suppkey
+                            AND li.rn = w.rn + 1)
+       SELECT l_suppkey, CAST(max(rn) AS BIGINT) AS n_lines,
+              CAST(max(resets) AS BIGINT) AS n_resets,
+              round(max(CASE WHEN rn = mx THEN bal END), 2)
+                  AS final_balance
+       FROM (SELECT *, max(rn) OVER (PARTITION BY l_suppkey) AS mx
+             FROM walk)
+       GROUP BY 1""",
+    doc="threshold-reset running balance per supplier (T=100): "
+    "sequential per-key recurrence via applyInPandas (parallel "
+    "across keys, scan within — the inherent dependency shape); "
+    "oracle walks the same recurrence as a recursive CTE",
+)
+def q_restock_resets_by_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            "l_suppkey",
+            "l_quantity",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["l_shipdate", "l_orderkey", "l_linenumber"]
+        )
+        bal, resets = 0.0, 0
+        for q in pdf["l_quantity"]:
+            bal += float(q)
+            if bal >= 100.0:
+                bal, resets = 0.0, resets + 1
+        return pd.DataFrame(
+            {
+                "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
+                "n_lines": [len(pdf)],
+                "n_resets": [resets],
+                "final_balance": [round(bal, 2)],
+            }
+        )
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        walk,
+        schema="l_suppkey long, n_lines long, n_resets long, "
+        "final_balance double",
+    )
