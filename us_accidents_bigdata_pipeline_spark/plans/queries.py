@@ -7683,3 +7683,93 @@ def q_restock_resets_by_supplier(
         schema="l_suppkey long, n_lines long, n_resets long, "
         "final_balance double",
     )
+
+
+# =====================================================================
+# Rolling exact median of daily revenue (trailing 8-day frame) —
+# median over a window FRAME, which Spark's median() aggregate
+# rejects; the rewrite collects the frame into an array and takes the
+# DISCRETE median (lower middle, = quantile_disc 0.5) with HOF
+# expressions (array_sort + element_at) — no interpolation
+# arithmetic, so values stay parquet-exact and immune to the
+# engines' round-half-mode split on .xx5 midpoints. Frame arrays are
+# ≤8 doubles built over the ~|days| aggregated rows.
+# =====================================================================
+
+
+@_register(
+    "rolling_median_daily_revenue",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1)
+       SELECT day, rev,
+              quantile_disc(rev, 0.5) OVER (
+                        ORDER BY day ROWS 7 PRECEDING)
+                  AS rolling_median
+       FROM d""",
+    doc="exact discrete rolling median over a trailing 8-row frame: "
+    "collect_list + array_sort + lower-middle element HOFs (Spark "
+    "median() refuses window frames; quantile_disc twin on the "
+    "oracle side — no midpoint arithmetic, no round-half-mode trap)",
+)
+def q_rolling_median_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    wf = W.orderBy("day").rowsBetween(-7, 0)
+    lst = F.array_sort(F.collect_list("rev").over(wf))
+    med = F.element_at(lst, F.ceil(F.size(lst) / 2).cast("int"))
+    return d.select("day", "rev", med.alias("rolling_median"))
+
+
+# =====================================================================
+# Autocorrelation of daily revenue at lags 1, 2, 7 — the seasonality
+# screen before fitting any forecast. Lag columns from one ordered
+# window over the ~|days| aggregate, Pearson corr as built-in
+# co-moment aggregates; inputs pre-rounded so both engines correlate
+# identical series.
+# =====================================================================
+
+
+@_register(
+    "daily_revenue_autocorrelation",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1),
+       l AS (SELECT rev,
+                    lag(rev, 1) OVER (ORDER BY day) AS lag1,
+                    lag(rev, 2) OVER (ORDER BY day) AS lag2,
+                    lag(rev, 7) OVER (ORDER BY day) AS lag7
+             FROM d)
+       SELECT CAST(count(*) AS BIGINT) AS n_days,
+              round(corr(rev, lag1), 4) AS acf_1,
+              round(corr(rev, lag2), 4) AS acf_2,
+              round(corr(rev, lag7), 4) AS acf_7
+       FROM l""",
+    doc="lag-1/2/7 autocorrelation of daily revenue: ordered lag "
+    "window on the daily aggregate + built-in Pearson corr; the "
+    "pre-forecast seasonality screen",
+)
+def q_daily_revenue_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    wl = W.orderBy("day")
+    l = d.select(
+        "rev",
+        F.lag("rev", 1).over(wl).alias("lag1"),
+        F.lag("rev", 2).over(wl).alias("lag2"),
+        F.lag("rev", 7).over(wl).alias("lag7"),
+    )
+    return l.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("rev", "lag1"), 4).alias("acf_1"),
+        F.round(F.corr("rev", "lag2"), 4).alias("acf_2"),
+        F.round(F.corr("rev", "lag7"), 4).alias("acf_7"),
+    )
