@@ -86,6 +86,13 @@ HEADLINE = [
     "hll_distinct_users_by_type",
     "dsir_importance_weights",
     "semantic_dedup_pairs",
+    # round-4 close: stats/IR/sketch tier
+    "bigram_lm_perplexity",
+    "bm25_doc_scores",
+    "heavy_hitter_users",
+    "rolling_7d_distinct_users",
+    "sorted_neighborhood_pairs",
+    "restock_resets_by_supplier",
 ]
 
 

@@ -216,7 +216,19 @@ _CHECK_PRIORITY: list[str] = [
     # front 50 green, move them to the back and promote the block
     # above (TPC-H completion through the analytics tier —
     # order_priority_check onward) into the front 50 so the driver
-    # certifies the round-4 second-half additions next.
+    # certifies the round-4 second-half additions next. The round-4
+    # CLOSE batch (order_streak_islands, welch_ttest_price_promo,
+    # zipf_slope_by_source, sorted_neighborhood_pairs,
+    # time_to_conversion_profile, ewma_daily_revenue,
+    # kaplan_meier_customer_churn, weighted_median_price_by_flag,
+    # bm25_doc_scores, copurchase_degree_histogram,
+    # heavy_hitter_users, bigram_lm_perplexity, ivf_search_full_probe,
+    # winsorized_mean_price, mode_quantity_by_flag,
+    # nation_revenue_share_of_region, rolling_7d_distinct_users,
+    # merged_active_intervals, candidate_key_profile,
+    # pareto_frontier_suppliers, restock_resets_by_supplier,
+    # rolling_median_daily_revenue, daily_revenue_autocorrelation)
+    # queues right behind them — all oracled, all pytest-green.
 ]
 
 
