@@ -81,6 +81,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "bm25_doc_scores": {"nested_loop"},            # 1-row N/avgdl stats
     "bigram_lm_perplexity": {"nested_loop"},       # 1-row vocab size
     "rolling_7d_distinct_users": {"nested_loop"},  # 1-row date bounds
+    "mutual_information_type_daypart": {"nested_loop"},  # 1-row N
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path
     "pareto_frontier_suppliers": {"nested_loop"},

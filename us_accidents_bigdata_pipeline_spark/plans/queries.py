@@ -7785,3 +7785,251 @@ def q_daily_revenue_autocorrelation(
         F.round(F.corr("rev", "lag2"), 4).alias("acf_2"),
         F.round(F.corr("rev", "lag7"), 4).alias("acf_7"),
     )
+
+
+# =====================================================================
+# Grid-density clustering (DBSCAN-style) over the 2-D embedding
+# projection, COMPOSED from existing primitives: hash-agg density
+# grid (dense cell = minPts reached), 8-neighbor adjacency via
+# offset-explode EQUI-join (never a spatial range join), connected
+# components via operators/dedup.resolve_components (pointer
+# jumping). Cluster count/extent per min-cell-id label. The oracle
+# walks the same dense-cell graph with a recursive CTE.
+# Scales: density grid is one map-side-combinable agg; adjacency
+# joins dense cells only (≪ points); components run O(log n) rounds.
+# =====================================================================
+
+
+@_register(
+    "grid_density_clusters",
+    """WITH RECURSIVE
+       cells AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+                             AS BIGINT) AS gx,
+                        CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+                             AS BIGINT) AS gy,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM embeddings GROUP BY 1, 2 HAVING count(*) >= 4),
+       keyed AS (SELECT (gx + 100) * 1000 + (gy + 100) AS cell,
+                        gx, gy, n
+                 FROM cells),
+       edges AS (SELECT a.cell AS s, b.cell AS d
+                 FROM keyed a JOIN keyed b
+                   ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+                  AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+                  AND a.cell <> b.cell),
+       reach(node, r) AS (
+           SELECT cell, cell FROM keyed
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(k.n) AS BIGINT) AS n_points
+       FROM comp JOIN keyed k ON comp.node = k.cell
+       GROUP BY 1""",
+    doc="DBSCAN-style grid-density clustering on the embedding's "
+    "first two dims (cell 0.05, minPts 4): density grid hash agg, "
+    "8-neighbor adjacency via offset-explode equi-join, "
+    "resolve_components min-label clusters; recursive-CTE oracle",
+)
+def q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import resolve_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            F.floor(
+                F.col("embedding").getItem(0).cast("double") / 0.05
+            ).alias("gx"),
+            F.floor(
+                F.col("embedding").getItem(1).cast("double") / 0.05
+            ).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 4)
+    )
+    keyed = cells.withColumn(
+        "cell", (F.col("gx") + 100) * 1000 + (F.col("gy") + 100)
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (dx, dy) != (0, 0)]
+    neigh = keyed.select(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("o"),
+        "gx",
+        "gy",
+    ).select(
+        F.col("cell").alias("s"),
+        (
+            (F.col("gx") + F.col("o.dx") + 100) * 1000
+            + (F.col("gy") + F.col("o.dy") + 100)
+        ).alias("d"),
+    )
+    exists = keyed.select(F.col("cell").alias("d"))
+    edges = (
+        neigh.join(exists, "d", "semi")
+        .filter(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("doc_a"), F.col("d").alias("doc_b"))
+    )
+    nodes = keyed.select(F.col("cell").alias("doc_id"))
+    comp = resolve_components(nodes, edges, id_col="doc_id")
+    return (
+        comp.select(
+            F.col("doc_id").alias("cell"),
+            F.col("canonical_id").alias("cluster_id"),
+        )
+        .join(keyed.select("cell", "n"), "cell")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("n_points"),
+        )
+    )
+
+
+# =====================================================================
+# CUSUM changepoint screen on daily revenue: S_t = Σ_{u≤t}(rev_u − μ)
+# peaks where the series' mean shifts. Arithmetic is done in exact
+# integer CENTS (sum and cumulative sum are exact longs; μ enters as
+# one exact-rational division), so both engines walk identical
+# doubles and the argmax day is stable. Output: the candidate
+# changepoint (max |S_t|) with its magnitude.
+# =====================================================================
+
+
+@_register(
+    "cusum_changepoint_daily_revenue",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                             AS rev_c
+                  FROM orders GROUP BY 1),
+       s AS (SELECT day,
+                    sum(rev_c) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS cum_c,
+                    row_number() OVER (ORDER BY day) AS t,
+                    sum(rev_c) OVER () AS tot_c,
+                    count(*) OVER () AS n
+             FROM d),
+       c AS (SELECT day,
+                    round((cum_c - t * (CAST(tot_c AS DOUBLE) / n))
+                          / 100.0, 2) AS cusum
+             FROM s)
+       SELECT day AS changepoint_day, cusum AS cusum_value,
+              (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days
+       FROM c
+       ORDER BY abs(cusum) DESC, day LIMIT 1""",
+    doc="CUSUM mean-shift screen over daily revenue in exact integer "
+    "cents (cumsum and totals exact longs, one rational division), "
+    "argmax |S_t| with day tie-break = the candidate changepoint",
+)
+def q_cusum_changepoint_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_c")
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    s = d.select(
+        "day",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.row_number().over(W.orderBy("day")).alias("t"),
+        F.sum("rev_c").over(w_all).alias("tot_c"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    c = s.select(
+        "day",
+        F.round(
+            (
+                F.col("cum_c")
+                - F.col("t") * (F.col("tot_c").cast("double") / F.col("n"))
+            )
+            / 100.0,
+            2,
+        ).alias("cusum"),
+        F.col("n").alias("n_days"),
+    )
+    return (
+        c.orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum").alias("cusum_value"),
+            "n_days",
+        )
+    )
+
+
+# =====================================================================
+# Mutual information between event type and 6-hour day-part — the
+# information-theoretic association screen beside the chi-square test
+# (chi2_event_type_bucket): MI = Σ (n_xy/N)·ln(n_xy·N/(n_x·n_y)),
+# every term from exact integer counts; joint and marginals from one
+# pass each, broadcast back, 1-row N.
+# =====================================================================
+
+
+@_register(
+    "mutual_information_type_daypart",
+    """WITH e AS (SELECT event_type,
+                         CAST(extract(hour FROM ts) AS INT) // 6
+                             AS daypart
+                  FROM events),
+       xy AS (SELECT event_type, daypart,
+                     CAST(count(*) AS BIGINT) AS n_xy
+              FROM e GROUP BY 1, 2),
+       x AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_x
+             FROM e GROUP BY 1),
+       y AS (SELECT daypart, CAST(count(*) AS BIGINT) AS n_y
+             FROM e GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e)
+       SELECT round(sum((CAST(n_xy AS DOUBLE) / total)
+                        * ln(CAST(n_xy AS DOUBLE) * total
+                             / (CAST(n_x AS DOUBLE) * n_y))), 6)
+                  AS mi_nats,
+              CAST(max(total) AS BIGINT) AS n_events
+       FROM xy JOIN x USING (event_type) JOIN y USING (daypart)
+       CROSS JOIN n""",
+    doc="mutual information (nats) between event type and 6-hour "
+    "day-part from exact integer counts: joint + marginal hash aggs, "
+    "1-row total broadcast; the information-theoretic twin of the "
+    "chi-square association screen",
+)
+def q_mutual_information_type_daypart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (F.hour("ts").cast("int") / 6).cast("int").alias("daypart"),
+    )
+    xy = e.groupBy("event_type", "daypart").agg(
+        F.count("*").alias("n_xy")
+    )
+    x = e.groupBy("event_type").agg(F.count("*").alias("n_x"))
+    y = e.groupBy("daypart").agg(F.count("*").alias("n_y"))
+    n = e.agg(F.count("*").alias("total"))
+    term = (F.col("n_xy").cast("double") / F.col("total")) * F.log(
+        F.col("n_xy").cast("double")
+        * F.col("total")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        xy.join(F.broadcast(x), "event_type")
+        .join(F.broadcast(y), "daypart")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(term), 6).alias("mi_nats"),
+            F.max("total").alias("n_events"),
+        )
+    )
