@@ -8033,3 +8033,84 @@ def q_mutual_information_type_daypart(
             F.max("total").alias("n_events"),
         )
     )
+
+
+# =====================================================================
+# Contrastive hard-negative mining: for each query vector, the top-k
+# most-similar corpus vectors with a DIFFERENT label — the negatives
+# that sit closest to the decision boundary, which is what a
+# contrastive/embedding trainer wants in its batch. Same broadcast-
+# query + ranking-window shape as the exact kNN baseline, with the
+# cross-label predicate pushed into the join.
+# =====================================================================
+
+
+@_register(
+    "hard_negative_mining",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+             FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS negative_id,
+                e.label AS negative_label,
+                round(list_dot_product(e.v, q.qv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                    AS cosine
+         FROM e, q
+         WHERE e.vec_id <> q.query_id AND e.label <> q.query_label)
+       SELECT query_id, negative_id, negative_label, cosine FROM scored
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, negative_id)
+               <= 5""",
+    doc="contrastive hard-negative mining: per-query top-5 nearest "
+    "CROSS-label vectors (the boundary negatives an embedding "
+    "trainer batches); broadcast queries, cross-label predicate in "
+    "the join, ranking window",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(dot / (norm("v") * norm("qv")), 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
