@@ -127,9 +127,19 @@ def global_row_number(
     ``order_cols`` (which must be a unique key for determinism),
     independent of partitioning. Cost: one range shuffle + one
     ``n_partitions``-row aggregate — no serial stage.
+
+    The ranged frame is ``localCheckpoint``-ed (eager) before the
+    counts pass: the range exchange picks its boundaries by SAMPLING,
+    and each action would otherwise re-execute that sampling — the
+    counts job and the numbering job MUST see the identical
+    partitioning or the offsets are wrong. Checkpointing materializes
+    one partitioning that both jobs (and the caller's downstream
+    actions) reuse.
     """
-    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Per-partition counts are tiny (one row per partition); collect and
     # turn into exclusive prefix offsets. repartitionByRange assigns
