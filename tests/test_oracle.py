@@ -83,6 +83,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "rolling_7d_distinct_users": {"nested_loop"},  # 1-row date bounds
     "mutual_information_type_daypart": {"nested_loop"},  # 1-row N
     "hard_negative_mining": {"nested_loop"},       # k query points
+    "equi_depth_histogram_price": {"nested_loop"}, # 1-row decile bounds
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path
     "pareto_frontier_suppliers": {"nested_loop"},

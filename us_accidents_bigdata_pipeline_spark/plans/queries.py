@@ -8114,3 +8114,218 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .drop("rk")
     )
+
+
+# =====================================================================
+# Largest-remainder apportionment: allocate an integer budget of 1000
+# units across nations proportionally to revenue, preserving the
+# exact total — floor each share, then hand the leftover units to the
+# largest fractional remainders (rank window, deterministic
+# tie-break). The reporting/finance classic that naive rounding
+# breaks (rounded shares don't sum to the budget). Shares derive
+# from exact integer cents so both engines rank identical doubles.
+# =====================================================================
+
+
+@_register(
+    "largest_remainder_allocation",
+    """WITH nat AS (
+         SELECT n.n_name AS nation,
+                CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))
+                           * 100, 0) AS BIGINT) AS rev_c
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1),
+       s AS (SELECT nation, rev_c,
+                    1000.0 * rev_c / sum(rev_c) OVER () AS share,
+                    CAST(floor(1000.0 * rev_c / sum(rev_c) OVER ())
+                         AS BIGINT) AS base
+             FROM nat),
+       r AS (SELECT nation, base, share - base AS rem,
+                    1000 - sum(base) OVER () AS leftover,
+                    row_number() OVER (ORDER BY share - base DESC,
+                                       nation) AS rk
+             FROM s)
+       SELECT nation,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS units
+       FROM r""",
+    doc="largest-remainder apportionment of 1000 units across nations "
+    "by revenue: floor shares + leftover to the largest remainders "
+    "(deterministic tie-break); total exactly preserved — the "
+    "allocation naive per-row rounding cannot guarantee",
+)
+def q_largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w_all = W.partitionBy()
+    share = F.lit(1000.0) * F.col("rev_c") / F.sum("rev_c").over(w_all)
+    s = nat.select(
+        "nation",
+        share.alias("share"),
+        F.floor(share).cast("long").alias("base"),
+    )
+    r = s.select(
+        "nation",
+        "base",
+        (F.col("share") - F.col("base")).alias("rem"),
+        (F.lit(1000) - F.sum("base").over(w_all)).alias("leftover"),
+        F.row_number()
+        .over(W.orderBy(F.desc(F.col("share") - F.col("base")), "nation"))
+        .alias("rk"),
+    )
+    return r.select(
+        "nation",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("units"),
+    )
+
+
+# =====================================================================
+# Equi-DEPTH histogram of extended price: decile boundaries from one
+# exact interpolated-percentile aggregate (broadcast back), bin
+# membership via the boundary array — the histogram whose bins carry
+# equal mass, the complement of the equi-width histogram
+# (histogram_quantity). Bin assignment compares against identical
+# boundary doubles in both engines.
+# =====================================================================
+
+
+@_register(
+    "equi_depth_histogram_price",
+    """WITH b AS (SELECT quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                              0.9]) AS qs
+                  FROM lineitem),
+       binned AS (SELECT
+           CAST(1 + (CASE WHEN l_extendedprice > qs[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[4] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[5] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[6] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[7] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[8] THEN 1 ELSE 0 END)
+              + (CASE WHEN l_extendedprice > qs[9] THEN 1 ELSE 0 END)
+                 AS INT) AS bin,
+           l_extendedprice
+         FROM lineitem CROSS JOIN b)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              min(l_extendedprice) AS bin_min,
+              max(l_extendedprice) AS bin_max
+       FROM binned GROUP BY 1""",
+    doc="equi-depth decile histogram of price: exact interpolated "
+    "decile boundaries from ONE percentile aggregate broadcast back, "
+    "bin = count of boundaries exceeded; equal-mass complement of "
+    "the equi-width histogram",
+)
+def q_equi_depth_histogram_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [i / 10 for i in range(1, 10)]
+    b = li.agg(
+        *[
+            F.expr(
+                f"percentile_cont({q}) WITHIN GROUP "
+                "(ORDER BY l_extendedprice)"
+            ).alias(f"q{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    binned = li.crossJoin(F.broadcast(b)).select(
+        "l_extendedprice",
+        (
+            F.lit(1)
+            + sum(
+                F.when(
+                    F.col("l_extendedprice") > F.col(f"q{i}"), 1
+                ).otherwise(0)
+                for i in range(1, 10)
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("bin_min"),
+        F.max("l_extendedprice").alias("bin_max"),
+    )
+
+
+# =====================================================================
+# Functional-dependency discovery: X → Y holds iff the number of
+# distinct X values equals the number of distinct (X, Y) pairs — the
+# profiling pass (beside candidate_key_profile) that schema tooling
+# runs to find derivable columns. One aggregate per tested pair over
+# pre-deduped slim frames.
+# =====================================================================
+
+
+@_register(
+    "functional_dependency_check",
+    """SELECT 'o_orderkey->o_custkey' AS fd,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+              CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+                  AS n_pairs,
+              count(DISTINCT o_orderkey)
+                  = count(DISTINCT (o_orderkey, o_custkey)) AS holds
+       FROM orders
+       UNION ALL
+       SELECT 'o_custkey->o_orderpriority' AS fd,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_lhs,
+              CAST(count(DISTINCT (o_custkey, o_orderpriority))
+                   AS BIGINT) AS n_pairs,
+              count(DISTINCT o_custkey)
+                  = count(DISTINCT (o_custkey, o_orderpriority)) AS holds
+       FROM orders""",
+    doc="functional-dependency discovery (X→Y iff NDV(X) = NDV(X,Y)): "
+    "the schema-profiling pass that finds derivable columns; one "
+    "distinct-aggregate per tested pair",
+)
+def q_functional_dependency_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def fd(lhs: str, rhs: str) -> DataFrame:
+        return o.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.countDistinct(lhs).alias("n_lhs"),
+            F.countDistinct(lhs, rhs).alias("n_pairs"),
+            (F.countDistinct(lhs) == F.countDistinct(lhs, rhs)).alias(
+                "holds"
+            ),
+        )
+
+    return fd("o_orderkey", "o_custkey").unionAll(
+        fd("o_custkey", "o_orderpriority")
+    )
