@@ -141,3 +141,48 @@ def test_global_row_number_no_single_partition_sort(spark):
     # the serial pattern is a window over an empty partition spec,
     # which plans as Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_global_running_sum_matches_serial_window(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    df = (
+        spark.range(0, 803)
+        .withColumn("v", F.expr("cast(id % 13 - 6 as long)"))
+        .repartition(7)
+    )
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(
+            df, ["id"], "v", n_partitions=5
+        ).collect()
+    }
+    expected = {
+        r["id"]: r["rs"]
+        for r in df.withColumn(
+            "rs",
+            F.sum("v").over(
+                W.partitionBy()
+                .orderBy("id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_global_running_sum_no_single_partition_sort(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 300).withColumn("v", F.lit(1))
+    plan = (
+        global_running_sum(df, ["id"], "v", n_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

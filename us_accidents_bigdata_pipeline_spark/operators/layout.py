@@ -161,3 +161,51 @@ def global_row_number(
         ranged.withColumn(out_col, F.row_number().over(w) + off[F.col("_pid")])
         .drop("_pid")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global prefix sum WITHOUT a single-partition window — the
+    running-total twin of ``global_row_number`` (same two-phase
+    scan-sum shape every parallel-prefix algorithm uses):
+
+    1. range-partition on the order columns and ``localCheckpoint``
+       (one materialized partitioning for every downstream job — the
+       range exchange samples its boundaries, see global_row_number),
+    2. per-partition prefix sum windowed on ``spark_partition_id()``,
+    3. per-partition TOTALS (``n_partitions`` rows) collected and
+       turned into exclusive prefix offsets, broadcast back as a
+       literal map.
+
+    Equals ``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` for any total order (make ``order_cols`` unique for a
+    deterministic per-row result). Cost: one range shuffle + one
+    ``n_partitions``-row aggregate; no stage ever serializes.
+    """
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return ranged.withColumn(
+        out_col, F.sum(value_col).over(w) + off[F.col("_pid")]
+    ).drop("_pid")

@@ -8329,3 +8329,61 @@ def q_functional_dependency_check(
     return fd("o_orderkey", "o_custkey").unionAll(
         fd("o_custkey", "o_orderpriority")
     )
+
+
+# =====================================================================
+# Peak concurrency per day (sweep line): each event opens a 30-minute
+# session envelope; +1/−1 deltas at the endpoints, a GLOBAL prefix
+# sum gives instantaneous concurrency, then max per day. The prefix
+# sum runs through operators/layout.global_running_sum — range
+# exchange + per-partition cumsum + broadcast offsets — so the
+# classic "ORDER BY over everything" sweep never serializes into one
+# task. End events sort before coincident starts (delta asc), i.e.
+# half-open [s, e) envelopes.
+# =====================================================================
+
+
+@_register(
+    "peak_concurrency_daily",
+    """WITH deltas AS (
+         SELECT ts, 1 AS delta, event_id FROM events
+         UNION ALL
+         SELECT ts + INTERVAL 30 MINUTE, -1, event_id FROM events),
+       run AS (SELECT CAST(ts AS DATE) AS day,
+                      sum(delta) OVER (ORDER BY ts, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+               FROM deltas)
+       SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+       FROM run GROUP BY 1""",
+    doc="sweep-line peak concurrency per day over 30-min session "
+    "envelopes: +1/-1 endpoint deltas, DISTRIBUTED global prefix sum "
+    "(layout.global_running_sum: range exchange + per-partition "
+    "cumsum + broadcast offsets — no SinglePartition window), max "
+    "per day; ends sort before coincident starts (half-open "
+    "intervals)",
+)
+def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import global_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    starts = ev.select(
+        F.col("ts"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionAll(ends)
+    run = global_running_sum(
+        deltas,
+        ["ts", "delta", "event_id"],
+        "delta",
+        out_col="conc",
+        n_partitions=16,
+    )
+    return (
+        run.select(F.col("ts").cast("date").alias("day"), "conc")
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak_concurrency"))
+    )
