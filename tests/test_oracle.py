@@ -84,6 +84,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "mutual_information_type_daypart": {"nested_loop"},  # 1-row N
     "hard_negative_mining": {"nested_loop"},       # k query points
     "equi_depth_histogram_price": {"nested_loop"}, # 1-row decile bounds
+    "dow_seasonality_index": {"nested_loop"},      # 1-row overall avg
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path
     "pareto_frontier_suppliers": {"nested_loop"},

@@ -8387,3 +8387,84 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("conc").alias("peak_concurrency"))
     )
+
+
+# =====================================================================
+# Day-of-week seasonality index: average daily revenue per weekday
+# divided by the overall daily average — the multiplicative seasonal
+# profile a forecaster divides out. Spark's dayofweek is 1=Sunday;
+# DuckDB's dow is 0=Sunday: the oracle shifts by +1 (the documented
+# cross-engine calendar trap, handled the same way as
+# calendar_functions_orders). Revenue pre-rounded to cents so both
+# engines average identical values.
+# =====================================================================
+
+
+@_register(
+    "dow_seasonality_index",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1),
+       g AS (SELECT CAST(dayofweek(day) + 1 AS INT) AS dow,
+                    avg(rev) AS dow_avg,
+                    CAST(count(*) AS BIGINT) AS n_days
+             FROM d GROUP BY 1),
+       o AS (SELECT avg(rev) AS overall FROM d)
+       SELECT dow, n_days, round(dow_avg, 2) AS dow_avg_revenue,
+              round(dow_avg / overall, 4) AS seasonal_index
+       FROM g CROSS JOIN o""",
+    doc="day-of-week multiplicative seasonality index of daily "
+    "revenue (dow avg / overall avg); Spark dayofweek is 1=Sunday vs "
+    "DuckDB dow 0=Sunday — oracle shifts +1",
+)
+def q_dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    g = d.groupBy(
+        F.dayofweek("day").cast("int").alias("dow")
+    ).agg(
+        F.avg("rev").alias("dow_avg"), F.count("*").alias("n_days")
+    )
+    overall = d.agg(F.avg("rev").alias("overall"))
+    return g.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        F.round(F.col("dow_avg"), 2).alias("dow_avg_revenue"),
+        F.round(F.col("dow_avg") / F.col("overall"), 4).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+# =====================================================================
+# Systematic sampling: every 200th order in key order — the
+# QA/audit sampling scheme (deterministic, evenly spread over the
+# sort dimension, reproducible on any cluster layout). The global
+# rank comes from layout.global_row_number, so the sample never
+# funnels through a single-partition window.
+# =====================================================================
+
+
+@_register(
+    "systematic_sample_orders",
+    """SELECT o_orderkey, o_totalprice
+       FROM (SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_orderkey) AS rn
+             FROM orders)
+       WHERE rn % 200 = 1""",
+    doc="systematic (every-200th-row) sample over key order: "
+    "deterministic, evenly spread, layout-independent; global rank "
+    "via layout.global_row_number — no SinglePartition window",
+)
+def q_systematic_sample_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.layout import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(o, ["o_orderkey"], n_partitions=16)
+    return ranked.filter(F.col("rn") % 200 == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
