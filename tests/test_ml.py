@@ -244,3 +244,48 @@ def test_model_save_load_roundtrip(accidents_cleaned, tmp_path):
         r.ID: r.prediction for r in loaded.transform(sample).collect()
     }
     assert before == after
+
+
+def test_cross_validator_tuning_selects_from_grid(accidents_cleaned):
+    """MLlib hyperparameter tuning surface (CrossValidator): 3-fold CV
+    over a small RF grid must pick a grid member and beat the majority
+    class — the idiomatic Spark form of the reference's manual k-sweep
+    loops (knn_classification.py's find-optimal-k; kmeans elbow)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    df = accidents_cleaned.withColumn(
+        "label", (F.col("Severity") - 1).cast("double")
+    )
+    feat, _ = assemble_and_scale(df, FEATURES, with_mean=False)
+    train, test = deterministic_split(feat, "ID", 0.25)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="label", seed=42, maxDepth=5
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [5, 20])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", metricName="accuracy"
+        ),
+        numFolds=3,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(train)
+    assert model.bestModel.getNumTrees in (5, 20)
+    assert len(model.avgMetrics) == 2
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy"
+    ).evaluate(model.bestModel.transform(test))
+    assert acc > 0.66, acc
+    # CV's selection is consistent with its own fold metrics
+    best_idx = max(range(len(model.avgMetrics)),
+                   key=lambda i: model.avgMetrics[i])
+    assert grid[best_idx][rf.numTrees] == model.bestModel.getNumTrees

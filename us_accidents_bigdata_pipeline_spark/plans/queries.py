@@ -8468,3 +8468,54 @@ def q_systematic_sample_orders(
     return ranked.filter(F.col("rn") % 200 == 1).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+# =====================================================================
+# Arrow-optimized scalar Python UDF (Spark 4 `udf(useArrow=True)`):
+# the sanctioned scalar-Python tier between JVM expressions and
+# pandas_udf — Arrow-batched transfer (plans as ArrowEvalPython, not
+# the flagged row-pickling BatchEvalPython), per-value Python logic.
+# Kept OUT of hot paths by policy; this entry exists to pin the API
+# surface with a JVM-expressible twin as its oracle (the CASE
+# expression both engines run).
+# =====================================================================
+
+
+@_register(
+    "arrow_udf_price_tier",
+    """SELECT tier, CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM (SELECT CASE WHEN o_totalprice < 50000 THEN 'S'
+                         WHEN o_totalprice < 150000 THEN 'M'
+                         WHEN o_totalprice < 300000 THEN 'L'
+                         ELSE 'XL' END AS tier,
+                    o_totalprice
+             FROM orders)
+       GROUP BY 1""",
+    doc="Arrow-optimized scalar Python UDF (useArrow=True, plans as "
+    "ArrowEvalPython — the sanctioned scalar-Python tier, not the "
+    "flagged BatchEvalPython): price-tier labeling with the "
+    "equivalent CASE expression as oracle",
+)
+def q_arrow_udf_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def tier(p: float) -> str:
+        if p < 50000:
+            return "S"
+        if p < 150000:
+            return "M"
+        if p < 300000:
+            return "L"
+        return "XL"
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(tier(F.col("o_totalprice")).alias("tier"), "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
