@@ -147,3 +147,26 @@ def test_exact_heavy_hitters_matches_exact_groupby(spark):
     }
     assert got == expected
     assert expected, "fixture must produce at least one heavy hitter"
+
+
+def test_exact_heavy_hitters_plan_is_candidate_bounded(spark):
+    """The verify pass must semi-join against BROADCAST candidates —
+    the plan shape that bounds the shuffle to candidate keys (a plain
+    groupBy of all keys would make the MG pass pointless)."""
+    from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+
+    df = spark.range(0, 5000).withColumn(
+        "key", F.expr("if(id % 4 = 0, id % 5, id)")
+    )
+    plan = (
+        exact_heavy_hitters(df, "key", phi=0.02)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # candidate generation is Arrow-batched, never row-pickled
+    assert "BatchEvalPython" not in plan

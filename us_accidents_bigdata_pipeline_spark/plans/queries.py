@@ -8519,3 +8519,50 @@ def q_arrow_udf_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# =====================================================================
+# Inverted-index build (the search-engine artifact BM25 serves from):
+# token → document-frequency + SORTED posting list of doc_ids, for
+# the 20 highest-df tokens (deterministic tie-break). Posting lists
+# are arrays built with sort_array(collect_set(...)) — engine-exact
+# because membership and order are both deterministic.
+# Scales: one tokenize + distinct pass, one hash agg per token; the
+# top-k cut runs on the |vocab|-row aggregate.
+# =====================================================================
+
+
+@_register(
+    "inverted_index_postings",
+    r"""WITH tok AS (SELECT DISTINCT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+'))
+                               AS token
+                    FROM documents),
+       t AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                    list_sort(list(doc_id)) AS postings
+             FROM tok WHERE token <> '' GROUP BY 1)
+       SELECT token, df, postings
+       FROM t ORDER BY df DESC, token LIMIT 20""",
+    doc="inverted-index posting lists for the 20 highest-df tokens: "
+    "distinct (doc, token) pass, sorted doc_id arrays per token — "
+    "the search-index artifact the BM25 ranker serves from",
+)
+def q_inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    t = tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return t.orderBy(F.desc("df"), "token").limit(20)
