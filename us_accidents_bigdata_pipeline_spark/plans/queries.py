@@ -8566,3 +8566,107 @@ def q_inverted_index_postings(
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
     return t.orderBy(F.desc("df"), "token").limit(20)
+
+
+# =====================================================================
+# Cumulative distinct count — COUNT(DISTINCT) over a running window,
+# which neither engine's window aggregates accept. Spark rewrite:
+# size(collect_set(...)) over the per-user ordered frame (exact for
+# bounded-cardinality columns like event_type). The oracle uses a
+# correlated distinct-count subquery — a different strategy, same
+# semantics. Per-user windows keep the stage parallel.
+# =====================================================================
+
+
+@_register(
+    "cumulative_distinct_event_types",
+    """SELECT e.event_id, e.user_id,
+              CAST((SELECT count(DISTINCT e2.event_type) FROM events e2
+                    WHERE e2.user_id = e.user_id
+                      AND (e2.ts < e.ts
+                           OR (e2.ts = e.ts
+                               AND e2.event_id <= e.event_id)))
+                   AS INT) AS n_types_seen
+       FROM events e""",
+    doc="running COUNT(DISTINCT event_type) per user: "
+    "size(collect_set) over the ordered per-user frame (exact for "
+    "bounded-cardinality values); oracle is a correlated "
+    "distinct-count subquery — different strategy, same semantics",
+)
+def q_cumulative_distinct_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("n_types_seen"),
+    )
+
+
+# =====================================================================
+# Higher central moments of document length per source — skewness and
+# excess kurtosis computed EXPLICITLY from broadcast means and central
+# -moment aggregates (population form), because the engines' built-in
+# skewness/kurtosis disagree on bias correction. Two passes: 1-row-
+# per-source means broadcast back, then one moment aggregate.
+# =====================================================================
+
+
+@_register(
+    "doc_length_moments_by_source",
+    """WITH m AS (SELECT source, avg(CAST(n_chars AS DOUBLE)) AS mu
+                  FROM documents GROUP BY 1),
+       c AS (SELECT d.source,
+                    CAST(count(*) AS BIGINT) AS n,
+                    max(m.mu) AS mu,
+                    avg(pow(d.n_chars - m.mu, 2)) AS m2,
+                    avg(pow(d.n_chars - m.mu, 3)) AS m3,
+                    avg(pow(d.n_chars - m.mu, 4)) AS m4
+             FROM documents d JOIN m USING (source) GROUP BY 1)
+       SELECT source, n, round(mu, 4) AS mean_len,
+              round(sqrt(m2), 4) AS std_pop,
+              round(m3 / pow(m2, 1.5), 4) AS skewness_pop,
+              round(m4 / pow(m2, 2) - 3, 4) AS excess_kurtosis_pop
+       FROM c""",
+    doc="population skewness / excess kurtosis of doc length per "
+    "source from explicit central moments (broadcast means + one "
+    "moment aggregate) — engine-built-ins disagree on bias "
+    "correction, the explicit form doesn't",
+)
+def q_doc_length_moments_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.avg(F.col("n_chars").cast("double")).alias("mu")
+    )
+    dev = F.col("n_chars") - F.col("mu")
+    c = (
+        d.join(F.broadcast(m), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.avg(F.pow(dev, 2)).alias("m2"),
+            F.avg(F.pow(dev, 3)).alias("m3"),
+            F.avg(F.pow(dev, 4)).alias("m4"),
+        )
+    )
+    return c.select(
+        "source",
+        "n",
+        F.round(F.col("mu"), 4).alias("mean_len"),
+        F.round(F.sqrt(F.col("m2")), 4).alias("std_pop"),
+        F.round(F.col("m3") / F.pow(F.col("m2"), 1.5), 4).alias(
+            "skewness_pop"
+        ),
+        F.round(F.col("m4") / F.pow(F.col("m2"), 2) - 3, 4).alias(
+            "excess_kurtosis_pop"
+        ),
+    )
