@@ -8670,3 +8670,30 @@ def q_doc_length_moments_by_source(
             "excess_kurtosis_pop"
         ),
     )
+
+
+# =====================================================================
+# ROLLUP with grouping_id: the bitmask that tells a NULL-from-rollup
+# subtotal row apart from a NULL-in-data group — the disambiguation
+# every BI layer over a rollup needs (rollup_agg leaves it implicit).
+# grouping_id bit order is the GROUP BY column order in both engines.
+# =====================================================================
+
+
+@_register(
+    "rollup_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                   AS INT) AS gid,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    doc="ROLLUP with the grouping-bit disambiguator (subtotal NULL vs "
+    "data NULL): grouping_id bitmask in GROUP BY column order, "
+    "identical across engines",
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n")
