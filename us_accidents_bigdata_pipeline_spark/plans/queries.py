@@ -8697,3 +8697,132 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").alias("n"),
     ).select("l_returnflag", "l_linestatus", "gid", "n")
+
+
+# =====================================================================
+# U-shaped (position-based) multi-touch attribution — the 40/20/40
+# companion to linear_attribution_credit: first and last touch get
+# 40% of each purchase's credit, the middle touches split the
+# remaining 20%; single-touch gets all, two-touch splits evenly.
+# Same user-keyed interval join; position and count from one window
+# pair keyed by purchase, deterministic touch order (ts, event_id).
+# =====================================================================
+
+
+@_register(
+    "u_shaped_attribution",
+    """WITH purchases AS (
+         SELECT event_id AS pid, user_id, ts AS pts FROM events
+         WHERE event_type = 'purchase'),
+       touches AS (
+         SELECT p.pid, e.event_type AS channel, e.ts AS tts,
+                e.event_id AS tid
+         FROM purchases p JOIN events e
+           ON e.user_id = p.user_id
+          AND e.event_type IN ('click', 'view')
+          AND e.ts >= p.pts - INTERVAL 1 DAY AND e.ts < p.pts),
+       pos AS (
+         SELECT pid, channel,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY tts, tid) AS rn,
+                count(*) OVER (PARTITION BY pid) AS n
+         FROM touches),
+       credit AS (
+         SELECT pid, channel,
+                CASE WHEN n = 1 THEN 1.0
+                     WHEN n = 2 THEN 0.5
+                     WHEN rn = 1 OR rn = n THEN 0.4
+                     ELSE 0.2 / (n - 2) END AS w
+         FROM pos)
+       SELECT channel, round(sum(w), 4) AS credit,
+              CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+       FROM credit GROUP BY channel""",
+    doc="U-shaped (40/20/40 position-based) multi-touch attribution: "
+    "first/last touch 40% each, middles split 20%; credit "
+    "conservation per purchase holds by construction, same interval "
+    "join as the linear model",
+)
+def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("pts"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("_u2"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("_u") == F.col("_u2"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("tts") < F.col("pts")),
+    ).select("pid", "channel", "tts", "tid")
+    wp = W.partitionBy("pid")
+    pos = joined.select(
+        "pid",
+        "channel",
+        F.row_number()
+        .over(W.partitionBy("pid").orderBy("tts", "tid"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        pos.select("pid", "channel", w.alias("w"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("w"), 4).alias("credit"),
+            F.countDistinct("pid").alias("n_purchases"),
+        )
+    )
+
+
+# =====================================================================
+# Geometric mean of daily revenue growth — the compounding-correct
+# average of ratios (arithmetic means of growth rates overstate
+# compound growth): exp(avg(ln(rev_t / rev_{t-1}))). Ratios come
+# from pre-rounded daily revenues so both engines fold identical
+# values; one ordered-lag window on the daily aggregate.
+# =====================================================================
+
+
+@_register(
+    "geometric_mean_daily_growth",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1),
+       r AS (SELECT rev / lag(rev) OVER (ORDER BY day) AS ratio
+             FROM d)
+       SELECT CAST(count(*) AS BIGINT) AS n_ratios,
+              round(exp(avg(ln(ratio))), 6) AS geo_mean_growth,
+              round(avg(ratio), 6) AS arith_mean_growth
+       FROM r WHERE ratio IS NOT NULL""",
+    doc="geometric vs arithmetic mean of day-over-day revenue growth "
+    "ratios (exp-avg-ln on the daily aggregate): the "
+    "compounding-correct average, with the arithmetic one beside it "
+    "to show the overstatement",
+)
+def q_geometric_mean_daily_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    r = d.select(
+        (F.col("rev") / F.lag("rev").over(W.orderBy("day"))).alias("ratio")
+    ).filter(F.col("ratio").isNotNull())
+    return r.agg(
+        F.count("*").alias("n_ratios"),
+        F.round(F.exp(F.avg(F.log("ratio"))), 6).alias("geo_mean_growth"),
+        F.round(F.avg("ratio"), 6).alias("arith_mean_growth"),
+    )
