@@ -289,3 +289,57 @@ def test_cross_validator_tuning_selects_from_grid(accidents_cleaned):
     best_idx = max(range(len(model.avgMetrics)),
                    key=lambda i: model.avgMetrics[i])
     assert grid[best_idx][rf.numTrees] == model.bestModel.getNumTrees
+
+
+def test_fpgrowth_small_itemsets_match_sql(spark):
+    """FP-Growth's size-1 and size-2 frequent itemsets must equal the
+    exact SQL counts (distinct per-order baskets, pair counts by
+    co-occurrence) — the pinning that upgrades the rows-only catalog
+    entry to verified output on the tier SQL can afford."""
+    from us_accidents_bigdata_pipeline_spark.plans.queries import REGISTRY
+    from .conftest import SF_ORACLE
+
+    rows = REGISTRY["fpgrowth_itemsets"].builder(spark, SF_ORACLE).collect()
+    import json
+
+    got1 = {
+        tuple(json.loads(r["itemset"])): r["freq"]
+        for r in rows
+        if r["n_items"] == 1
+    }
+    got2 = {
+        tuple(json.loads(r["itemset"])): r["freq"]
+        for r in rows
+        if r["n_items"] == 2
+    }
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = baskets.select("l_orderkey").distinct().count()
+    min_freq = 0.002 * n_baskets
+    exact1 = {
+        (r["l_partkey"],): r["n"]
+        for r in baskets.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_freq)
+        .collect()
+    }
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    exact2 = {
+        (min(r["pa"], r["pb"]), max(r["pa"], r["pb"])): r["n"]
+        for r in a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_freq)
+        .collect()
+    }
+    got2 = {(min(k), max(k)): v for k, v in got2.items()}
+    assert got1 == exact1
+    assert got2 == exact2
+    assert exact1, "size-1 tier must be non-empty at this support"

@@ -8826,3 +8826,41 @@ def q_geometric_mean_daily_growth(
         F.round(F.exp(F.avg(F.log("ratio"))), 6).alias("geo_mean_growth"),
         F.round(F.avg("ratio"), 6).alias("arith_mean_growth"),
     )
+
+
+# =====================================================================
+# FP-Growth frequent itemsets (MLlib pattern mining) over per-order
+# part baskets — the full-lattice generalization of the size-2
+# part_affinity_lift query. The itemset/support output is fully
+# determined by (data, minSupport) but its SIZE-3+ tier is not
+# SQL-expressible at reasonable cost, so the catalog entry is
+# rows-only and tests/test_ml.py pins the size-≤2 tier against the
+# exact SQL counts (same discipline as the ANN recall anchors).
+# Scales: FP-Growth is the classic shared-nothing frequent-pattern
+# algorithm (conditional FP-trees per suffix, distributed by item).
+# =====================================================================
+
+
+@_register(
+    "fpgrowth_itemsets",
+    None,
+    doc="MLlib FP-Growth frequent itemsets over per-order part "
+    "baskets (minSupport 0.002): deterministic for fixed input; "
+    "size-<=2 tier pinned against exact SQL counts in "
+    "tests/test_ml.py::test_fpgrowth_small_itemsets_match_sql",
+)
+def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.002, minConfidence=0.1
+    ).fit(baskets)
+    return model.freqItemsets.select(
+        F.to_json(F.sort_array("items")).alias("itemset"),
+        F.col("freq").alias("freq"),
+        F.size("items").alias("n_items"),
+    )
