@@ -343,3 +343,51 @@ def test_fpgrowth_small_itemsets_match_sql(spark):
     assert got1 == exact1
     assert got2 == exact2
     assert exact1, "size-1 tier must be non-empty at this support"
+
+
+def test_pca_matches_numpy_eig(spark):
+    """MLlib PCA must agree with numpy's eigendecomposition of the
+    exact sample covariance: explained-variance ratios to 1e-6, and
+    each projection column equal up to the eigenvector sign."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("a")
+    )
+    feat = emb.select(
+        "vec_id", array_to_vector("a").alias("features")
+    )
+    model = PCA(k=2, inputCol="features", outputCol="pc").fit(feat)
+    got = {
+        r["vec_id"]: np.array(r["p"])
+        for r in model.transform(feat)
+        .select("vec_id", vector_to_array("pc").alias("p"))
+        .collect()
+    }
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["a"] for r in rows])
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+
+    ratios_np = (w / w.sum())[:2]
+    ratios_ml = np.array(model.explainedVariance.toArray())
+    assert np.allclose(ratios_ml, ratios_np, atol=1e-6), (
+        ratios_ml, ratios_np,
+    )
+    # MLlib projects the UNCENTERED data; compare per-component up to
+    # sign after removing each column's mean offset
+    proj_np = X @ v[:, :2]
+    proj_ml = np.array([got[i] for i in ids])
+    for j in range(2):
+        a, b = proj_ml[:, j], proj_np[:, j]
+        same = np.allclose(a, b, atol=1e-6)
+        flipped = np.allclose(a, -b, atol=1e-6)
+        assert same or flipped, f"component {j} mismatch beyond sign"

@@ -8864,3 +8864,46 @@ def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").alias("freq"),
         F.size("items").alias("n_items"),
     )
+
+
+# =====================================================================
+# PCA projection of the embedding corpus (MLlib PCA, k=2) — the
+# dimensionality-reduction step an embedding pipeline runs for
+# visualization/whitening. Distributed: MLlib computes the exact
+# Gramian/covariance in one pass and eigendecomposes driver-side
+# (d×d, d=16 — driver cost independent of row count). Eigenvector
+# SIGN is basis-ambiguous, so the catalog entry is rows-only;
+# tests/test_ml.py pins explained variance and the projection
+# against numpy's eigendecomposition up to sign.
+# =====================================================================
+
+
+@_register(
+    "pca_embedding_projection",
+    None,
+    doc="MLlib PCA k=2 over embeddings: exact one-pass covariance + "
+    "driver-side dxd eigensolve, projection to (pc1, pc2); sign-"
+    "ambiguous hence rows-only — numpy parity pinned in tests/"
+    "test_ml.py::test_pca_matches_numpy_eig",
+)
+def q_pca_embedding_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.col("embedding").cast("array<double>")
+        ).alias("features"),
+    )
+    model = PCA(k=2, inputCol="features", outputCol="pc").fit(emb)
+    out = model.transform(emb).select(
+        "vec_id", vector_to_array("pc").alias("pc")
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("pc").getItem(0), 4).alias("pc1"),
+        F.round(F.col("pc").getItem(1), 4).alias("pc2"),
+    )
