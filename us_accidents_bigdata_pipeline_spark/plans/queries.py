@@ -8907,3 +8907,130 @@ def q_pca_embedding_projection(
         F.round(F.col("pc").getItem(0), 4).alias("pc1"),
         F.round(F.col("pc").getItem(1), 4).alias("pc2"),
     )
+
+
+# =====================================================================
+# Lorenz curve deciles — the curve behind gini_customer_revenue:
+# customers ranked by revenue, cumulative population share vs
+# cumulative revenue share at each decile boundary. ntile gives the
+# engine-identical decile cut (same tie-break key), the shares come
+# from window sums over the 10-row decile aggregate.
+# =====================================================================
+
+
+@_register(
+    "lorenz_curve_deciles",
+    """WITH c AS (SELECT o_custkey,
+                         round(sum(o_totalprice), 2) AS rev
+                  FROM orders GROUP BY 1),
+       t AS (SELECT rev,
+                    ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+             FROM c),
+       d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+                    sum(rev) AS rev
+             FROM t GROUP BY 1)
+       SELECT decile, n_cust,
+              round(CAST(sum(n_cust) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / sum(n_cust) OVER (), 4) AS cum_pop_share,
+              round(sum(rev) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING)
+                    / sum(rev) OVER (), 4) AS cum_rev_share
+       FROM d""",
+    doc="Lorenz curve at decile boundaries (cumulative population vs "
+    "revenue share, customers ranked by revenue) — the curve the "
+    "Gini coefficient integrates; ntile cut tie-broken by key for "
+    "engine-identical deciles",
+)
+def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    t = c.select(
+        "rev",
+        F.ntile(10).over(W.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    d = t.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("rev").alias("rev")
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    return d.select(
+        "decile",
+        "n_cust",
+        F.round(
+            F.sum("n_cust").over(w_cum).cast("double")
+            / F.sum("n_cust").over(w_all),
+            4,
+        ).alias("cum_pop_share"),
+        F.round(
+            F.sum("rev").over(w_cum) / F.sum("rev").over(w_all), 4
+        ).alias("cum_rev_share"),
+    )
+
+
+# =====================================================================
+# Cohort LTV curve: cumulative revenue per first-order cohort YEAR by
+# months-since-first-order offset — the money companion to
+# cohort_retention's headcount matrix. Offsets quantized to quarters
+# to keep the matrix compact; cumulative along each cohort row via a
+# per-cohort window on the aggregated frame.
+# =====================================================================
+
+
+@_register(
+    "cohort_ltv_curve",
+    """WITH first_order AS (
+         SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f
+         FROM orders GROUP BY 1),
+       rev AS (SELECT CAST(extract(year FROM fo.f) AS INT)
+                          AS cohort_year,
+                      CAST(((extract(year FROM o.o_orderdate) * 12
+                              + extract(month FROM o.o_orderdate))
+                             - (extract(year FROM fo.f) * 12
+                                + extract(month FROM fo.f))) // 3
+                           AS INT) AS quarter_offset,
+                      sum(o.o_totalprice) AS rev
+               FROM orders o JOIN first_order fo USING (o_custkey)
+               GROUP BY 1, 2)
+       SELECT cohort_year, quarter_offset,
+              round(rev, 2) AS quarter_rev,
+              round(sum(rev) OVER (PARTITION BY cohort_year
+                        ORDER BY quarter_offset
+                        ROWS UNBOUNDED PRECEDING), 2) AS cum_ltv
+       FROM rev""",
+    doc="cohort LTV curve: cumulative revenue per first-order-year "
+    "cohort by quarter offset — the money companion to the retention "
+    "headcount matrix; per-cohort windows on the aggregated frame",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f")
+    )
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            F.year("f").cast("int").alias("cohort_year"),
+            F.floor(
+                (
+                    (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                    - (F.year("f") * 12 + F.month("f"))
+                )
+                / 3
+            )
+            .cast("int")
+            .alias("quarter_offset"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_cum = W.partitionBy("cohort_year").orderBy(
+        "quarter_offset"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    return rev.select(
+        "cohort_year",
+        "quarter_offset",
+        F.round(F.col("rev"), 2).alias("quarter_rev"),
+        F.round(F.sum("rev").over(w_cum), 2).alias("cum_ltv"),
+    )
