@@ -163,6 +163,50 @@ def global_row_number(
     )
 
 
+def global_running_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Multi-column form of ``global_running_sum``: one range exchange
+    and ONE checkpointed partitioning serving prefix sums for several
+    value columns at once (separate calls would each shuffle and
+    checkpoint, and joining their outputs back would add another
+    shuffle)."""
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: [r[f"_s{i}"] for i in range(len(value_cols))]
+        for r in ranged.groupBy("_pid")
+        .agg(
+            *[
+                F.sum(c).alias(f"_s{i}")
+                for i, c in enumerate(value_cols)
+            ]
+        )
+        .collect()
+    }
+    out = ranged
+    w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid][i] or 0
+        off = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        out = out.withColumn(oc, F.sum(vc).over(w) + off[F.col("_pid")])
+    return out.drop("_pid")
+
+
 def global_running_sum(
     df: DataFrame,
     order_cols: list[str],

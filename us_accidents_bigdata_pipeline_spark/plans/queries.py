@@ -9034,3 +9034,224 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev"), 2).alias("quarter_rev"),
         F.round(F.sum("rev").over(w_cum), 2).alias("cum_ltv"),
     )
+
+
+# =====================================================================
+# Shingle novelty per document: the fraction of a doc's 3-grams first
+# seen in THIS doc (min doc_id over the shingle's occurrences) — the
+# temporal-novelty screen a curation pipeline uses to find
+# boilerplate-heavy late additions. First-occurrence attribution is
+# one min-aggregate per shingle joined back on the shingle key.
+# =====================================================================
+
+
+@_register(
+    "shingle_novelty_by_doc",
+    r"""WITH t AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS shingle
+              FROM t, UNNEST(generate_series(1,
+                       greatest(len(toks) - 2, 0))) AS u(i)),
+       firsts AS (SELECT shingle, min(doc_id) AS first_doc
+                  FROM sh GROUP BY 1)
+       SELECT sh.doc_id,
+              CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(count(*) FILTER (f.first_doc = sh.doc_id) AS BIGINT)
+                  AS n_novel,
+              round(CAST(count(*) FILTER (f.first_doc = sh.doc_id)
+                         AS DOUBLE) / count(*), 4) AS novelty
+       FROM sh JOIN firsts f USING (shingle)
+       GROUP BY 1""",
+    doc="per-doc shingle novelty (share of 3-grams first seen in this "
+    "doc, by min-doc_id attribution): the temporal boilerplate "
+    "screen; one min-agg per shingle + shingle-key join back",
+)
+def q_shingle_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _doc_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "doc_id", "text", 3)
+    firsts = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    j = sh.join(firsts, "shingle")
+    novel = F.count(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 4).alias("novelty"),
+    )
+
+
+# =====================================================================
+# Population Stability Index between early (≤1997) and late (≥1998)
+# order prices — the ML-ops drift metric run before retraining on new
+# data: PSI = Σ (p_i − q_i)·ln(p_i/q_i) over the EARLY period's
+# decile bins (binning by the reference distribution is the standard
+# convention). All counts exact integers; bins from one percentile
+# aggregate broadcast back.
+# =====================================================================
+
+
+@_register(
+    "psi_price_drift",
+    """WITH early AS (SELECT o_totalprice AS p FROM orders
+                     WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       late AS (SELECT o_totalprice AS p FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       b AS (SELECT quantile_cont(p, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,
+                                      0.9]) AS qs
+             FROM early),
+       eb AS (SELECT CAST(1 + CAST(p > qs[1] AS INT) + CAST(p > qs[2] AS INT) + CAST(p > qs[3] AS INT) + CAST(p > qs[4] AS INT) + CAST(p > qs[5] AS INT) + CAST(p > qs[6] AS INT) + CAST(p > qs[7] AS INT) + CAST(p > qs[8] AS INT) + CAST(p > qs[9] AS INT) AS INT)
+                  AS bin, count(*) AS n
+              FROM early CROSS JOIN b GROUP BY 1),
+       lb AS (SELECT CAST(1 + CAST(p > qs[1] AS INT) + CAST(p > qs[2] AS INT) + CAST(p > qs[3] AS INT) + CAST(p > qs[4] AS INT) + CAST(p > qs[5] AS INT) + CAST(p > qs[6] AS INT) + CAST(p > qs[7] AS INT) + CAST(p > qs[8] AS INT) + CAST(p > qs[9] AS INT) AS INT)
+                  AS bin, count(*) AS n
+              FROM late CROSS JOIN b GROUP BY 1)
+       SELECT round(sum((pe - pl) * ln(pe / pl)), 6) AS psi,
+              CAST(count(*) AS BIGINT) AS n_bins
+       FROM (SELECT eb.bin,
+                    CAST(eb.n AS DOUBLE)
+                        / sum(eb.n) OVER () AS pe,
+                    CAST(lb.n AS DOUBLE)
+                        / sum(lb.n) OVER () AS pl
+             FROM eb JOIN lb USING (bin))""",
+    doc="Population Stability Index of order price, early(<=1997) vs "
+    "late(>=1998), over the early period's decile bins (reference-"
+    "binning convention): the pre-retrain drift gate; exact counts, "
+    "1-row bin-edge broadcast",
+)
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_totalprice").alias("p")
+    )
+    late = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_totalprice").alias("p")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    b = early.agg(
+        *[
+            F.expr(
+                f"percentile_cont({q}) WITHIN GROUP (ORDER BY p)"
+            ).alias(f"q{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        e = df.crossJoin(F.broadcast(b))
+        bin_ = (
+            F.lit(1)
+            + sum(
+                F.when(F.col("p") > F.col(f"q{i}"), 1).otherwise(0)
+                for i in range(1, 10)
+            )
+        ).cast("int")
+        return e.select(bin_.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias("n")
+        )
+
+    eb = binned(early).select("bin", F.col("n").alias("ne"))
+    lb = binned(late).select("bin", F.col("n").alias("nl"))
+    w_all = W.partitionBy()
+    j = eb.join(lb, "bin").select(
+        (F.col("ne").cast("double") / F.sum("ne").over(w_all)).alias("pe"),
+        (F.col("nl").cast("double") / F.sum("nl").over(w_all)).alias("pl"),
+    )
+    return j.agg(
+        F.round(
+            F.sum(
+                (F.col("pe") - F.col("pl"))
+                * F.log(F.col("pe") / F.col("pl"))
+            ),
+            6,
+        ).alias("psi"),
+        F.count("*").alias("n_bins"),
+    )
+
+
+# =====================================================================
+# Two-sample Kolmogorov–Smirnov statistic (early vs late order
+# prices): max |F1 − F2| over the pooled sorted values. Each sample's
+# empirical CDF comes from cumulative counts over the pooled order —
+# one union, one ordered window pair on slim (value, flag) rows, one
+# max. The drift metric PSI's binned view can miss.
+# =====================================================================
+
+
+@_register(
+    "ks_statistic_price_periods",
+    """WITH pooled AS (
+         SELECT o_totalprice AS p,
+                CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                     THEN 1 ELSE 0 END AS is_early,
+                o_orderkey
+         FROM orders),
+       c AS (SELECT p,
+                    sum(is_early) OVER (ORDER BY p, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS c1,
+                    sum(1 - is_early) OVER (ORDER BY p, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS c2,
+                    sum(is_early) OVER () AS n1,
+                    sum(1 - is_early) OVER () AS n2
+             FROM pooled)
+       SELECT round(max(abs(CAST(c1 AS DOUBLE) / n1
+                            - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat,
+              CAST(max(n1) AS BIGINT) AS n_early,
+              CAST(max(n2) AS BIGINT) AS n_late
+       FROM c""",
+    doc="two-sample KS statistic (early vs late order price): pooled "
+    "sort, per-sample cumulative counts from one window pair, max "
+    "CDF gap — the unbinned drift metric beside PSI; at scale the "
+    "ordered cumsum rides layout.global_running_sum",
+)
+def q_ks_statistic_price_periods(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pooled = o.select(
+        F.col("o_totalprice").alias("p"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_early"),
+        "o_orderkey",
+    )
+    from ..operators.layout import global_running_sums
+
+    pooled = pooled.withColumn(
+        "is_late", 1 - F.col("is_early")
+    )
+    run = global_running_sums(
+        pooled,
+        ["p", "o_orderkey"],
+        ["is_early", "is_late"],
+        ["c1", "c2"],
+        n_partitions=16,
+    )
+    tot = pooled.agg(
+        F.sum("is_early").alias("n1"), F.sum("is_late").alias("n2")
+    )
+    c = run.select("c1", "c2").crossJoin(F.broadcast(tot))
+    return c.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("n1").cast("long").alias("n_early"),
+        F.max("n2").cast("long").alias("n_late"),
+    )
