@@ -9255,3 +9255,97 @@ def q_ks_statistic_price_periods(
         F.max("n1").cast("long").alias("n_early"),
         F.max("n2").cast("long").alias("n_late"),
     )
+
+
+# =====================================================================
+# Diversified top-k (the search/reco "fair ranking" pattern): the 10
+# highest-revenue parts subject to AT MOST 2 per brand — a per-brand
+# rank filter BEFORE the global cut, so one dominant brand can't
+# monopolize the result. Both ranks are windows over the per-part
+# AGGREGATE; ties broken by part key for engine-identical cuts.
+# =====================================================================
+
+
+@_register(
+    "diversified_topk_parts",
+    """WITH r AS (SELECT p.p_partkey, p.p_brand,
+                         round(sum(l.l_extendedprice
+                                   * (1 - l.l_discount)), 2) AS rev
+                  FROM lineitem l JOIN part p
+                    ON l.l_partkey = p.p_partkey
+                  GROUP BY 1, 2),
+       b AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+                           ORDER BY rev DESC, p_partkey) AS brand_rank
+             FROM r)
+       SELECT p_partkey, p_brand, rev,
+              CAST(brand_rank AS INT) AS brand_rank
+       FROM b WHERE brand_rank <= 2
+       ORDER BY rev DESC, p_partkey LIMIT 10""",
+    doc="diversified top-10 parts by revenue with at most 2 per brand "
+    "(per-brand rank filter before the global cut — the fair-ranking "
+    "pattern that stops one brand monopolizing results); both ranks "
+    "on the per-part aggregate, key tie-breaks",
+)
+def q_diversified_topk_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    r = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("rev")
+        )
+    )
+    wb = W.partitionBy("p_brand").orderBy(F.desc("rev"), "p_partkey")
+    b = r.withColumn(
+        "brand_rank", F.row_number().over(wb).cast("int")
+    ).filter(F.col("brand_rank") <= 2)
+    return b.orderBy(F.desc("rev"), "p_partkey").limit(10).select(
+        "p_partkey", "p_brand", "rev", "brand_rank"
+    )
+
+
+# =====================================================================
+# max_by / min_by aggregate surface (Spark ≥3.3; DuckDB arg_max /
+# arg_min): the argmax-as-aggregate that replaces a window-rank pass
+# when only the extremal row's companion value is needed — per brand,
+# the part name with the highest retail price (key tie-break folded
+# into the comparator tuple so both engines pick the same row).
+# =====================================================================
+
+
+@_register(
+    "max_by_part_per_brand",
+    """SELECT p_brand,
+              arg_max(p_name,
+                      CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                          * 10000000 + p_partkey) AS priciest_part,
+              max(p_retailprice) AS max_retail
+       FROM part GROUP BY 1""",
+    doc="max_by/arg_max aggregate surface: per brand, the name of the "
+    "highest-retail part in ONE aggregate pass (no window, no "
+    "self-join). DuckDB arg_max takes only SCALAR comparators, so "
+    "ties are pinned via an exact integer composite key "
+    "(cents * 1e7 + partkey — widen the multiplier for key spaces "
+    "past 1e7)",
+)
+def q_max_by_part_per_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    key = (
+        F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.lit(10_000_000)
+        + F.col("p_partkey")
+    )
+    return p.groupBy("p_brand").agg(
+        F.max_by("p_name", key).alias("priciest_part"),
+        F.max("p_retailprice").alias("max_retail"),
+    )
