@@ -9349,3 +9349,54 @@ def q_max_by_part_per_brand(
         F.max_by("p_name", key).alias("priciest_part"),
         F.max("p_retailprice").alias("max_retail"),
     )
+
+
+# =====================================================================
+# Shard-uniformity audit: chi-square goodness-of-fit of the training
+# shard assignment against the uniform expectation — the QA check on
+# shard_assignment's md5 bucketing (composition: the export operator
+# feeds its own statistical audit). All counts exact; expectation
+# N/16 enters as one exact-rational division.
+# =====================================================================
+
+
+@_register(
+    "shard_uniformity_chi2",
+    """WITH k AS (SELECT CAST(strpos('0123456789abcdef',
+                           substr(md5('42-' || CAST(doc_id AS VARCHAR)),
+                                  8, 1)) - 1 AS INT) AS shard
+                  FROM documents),
+       c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM k
+             GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS DOUBLE) / 16 AS expected FROM c)
+       SELECT CAST(count(*) AS BIGINT) AS n_shards,
+              round(sum(pow(n - expected, 2) / expected), 4)
+                  AS chi2_stat,
+              CAST(15 AS INT) AS dof
+       FROM c CROSS JOIN t""",
+    doc="chi-square goodness-of-fit of the md5 training-shard "
+    "assignment vs uniform (the export QA audit composed on "
+    "operators/shard.shard_assignment's bucketing); exact counts, "
+    "1-row expectation broadcast",
+)
+def q_shard_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shard import shard_assignment
+
+    sh = shard_assignment(
+        _t(spark, sf_dir, "documents"), n_shards=16, seed=42
+    )
+    c = sh.groupBy("shard").agg(F.count("*").alias("n"))
+    t = c.agg(
+        (F.sum("n").cast("double") / 16).alias("expected")
+    )
+    return c.crossJoin(F.broadcast(t)).agg(
+        F.count("*").alias("n_shards"),
+        F.round(
+            F.sum(
+                F.pow(F.col("n") - F.col("expected"), 2)
+                / F.col("expected")
+            ),
+            4,
+        ).alias("chi2_stat"),
+        F.lit(15).cast("int").alias("dof"),
+    )
