@@ -228,7 +228,17 @@ _CHECK_PRIORITY: list[str] = [
     # merged_active_intervals, candidate_key_profile,
     # pareto_frontier_suppliers, restock_resets_by_supplier,
     # rolling_median_daily_revenue, daily_revenue_autocorrelation)
-    # queues right behind them — all oracled, all pytest-green.
+    # queues right behind them — all oracled, all pytest-green. A
+    # second close sweep (winsorized/mode/moments robust stats,
+    # percent-of-parent, rolling COUNT DISTINCT, interval merge,
+    # candidate keys + functional dependencies, Pareto skyline,
+    # reset recurrence, rolling median, ACF/CUSUM/MI screens,
+    # grid-density clusters, hard negatives, apportionment,
+    # equi-depth histogram, prefix-sum concurrency + systematic
+    # sample, dow index, Arrow UDF, inverted index, U-shaped
+    # attribution, geometric growth, grouping_id, Lorenz, LTV,
+    # novelty, PSI/KS drift, diversified top-k, arg_max,
+    # shard-uniformity chi2) follows in rest_oracled order.
 ]
 
 
