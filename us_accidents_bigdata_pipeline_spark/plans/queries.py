@@ -9410,3 +9410,133 @@ def q_shard_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2_stat"),
         F.lit(15).cast("int").alias("dof"),
     )
+
+
+# =====================================================================
+# Int8-quantized vs float similarity serving: the same top-5 search
+# for query vector 0 executed in BOTH domains — float cosine (the
+# exact tier) and symmetric-int8 dot product rescaled by the two
+# vectors' scales (the serving tier quantize_embeddings feeds).
+# Integer code dot products are EXACT (≤ 127²·d ≪ 2⁵³), so the only
+# float ops are the two scale multiplies — engine-identical. Output
+# is both rankings side by side (method, rank, neighbor, score);
+# agreement between them IS the recall readout.
+# =====================================================================
+
+
+@_register(
+    "int8_vs_float_topk",
+    r"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0
+                        AS scale
+             FROM e),
+       q AS (SELECT vec_id, v, scale,
+                    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                        ELSE round(x / scale, 0) END) AS qv
+             FROM s),
+       qq AS (SELECT v AS q_v, qv AS q_qv, scale AS q_scale
+              FROM q WHERE vec_id = 0),
+       scored AS (
+         SELECT q.vec_id,
+                round(list_dot_product(q.v, qq.q_v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(qq.q_v, qq.q_v))), 4)
+                    AS cosine,
+                round(q.scale * qq.q_scale
+                      * list_dot_product(q.qv, qq.q_qv), 4) AS int8_dot
+         FROM q, qq WHERE q.vec_id <> 0),
+       f AS (SELECT 'float' AS method, vec_id AS neighbor_id,
+                    cosine AS score,
+                    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                         AS INT) AS rank
+             FROM scored),
+       i AS (SELECT 'int8' AS method, vec_id AS neighbor_id,
+                    int8_dot AS score,
+                    CAST(row_number() OVER (ORDER BY int8_dot DESC,
+                                            vec_id) AS INT) AS rank
+             FROM scored)
+       SELECT method, rank, neighbor_id, score FROM f WHERE rank <= 5
+       UNION ALL
+       SELECT method, rank, neighbor_id, score FROM i WHERE rank <= 5""",
+    doc="int8-quantized vs float top-5 similarity serving for one "
+    "query: integer code dot products are exact, only the two scale "
+    "multiplies are float — both rankings side by side, agreement = "
+    "the quantization recall readout "
+    "(operators/similarity.py::quantize_embeddings serving tier)",
+)
+def q_int8_vs_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = e.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+        / F.lit(127.0),
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                F.round(x / F.col("scale"), 0)
+            ),
+        ),
+    )
+    qq = (
+        q.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("v").alias("q_v"),
+            F.col("qv").alias("q_qv"),
+            F.col("scale").alias("q_scale"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("q_v"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("q_v"), F.col("q_v")))
+                ),
+                4,
+            ).alias("cosine"),
+            F.round(
+                F.col("scale")
+                * F.col("q_scale")
+                * dot(F.col("qv"), F.col("q_qv")),
+                4,
+            ).alias("int8_dot"),
+        )
+    )
+    f = scored.select(
+        F.lit("float").alias("method"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine"), "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cosine").alias("score"),
+    ).filter(F.col("rank") <= 5)
+    i = scored.select(
+        F.lit("int8").alias("method"),
+        F.row_number()
+        .over(W.orderBy(F.desc("int8_dot"), "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("int8_dot").alias("score"),
+    ).filter(F.col("rank") <= 5)
+    return f.unionAll(i).select("method", "rank", "neighbor_id", "score")
