@@ -186,3 +186,69 @@ def test_global_running_sum_no_single_partition_sort(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_global_rank_and_prefix_sum_property(spark):
+    """Property check on generated inputs: for ANY multiset of
+    (key, value) rows — duplicates, negatives, skew — the distributed
+    global row number and prefix sums must equal the serial
+    single-partition window forms."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-20, max_value=20),
+            min_size=1,
+            max_size=40,
+        ),
+        nparts=st.sampled_from([1, 3, 5]),
+    )
+    def run(vals, nparts):
+        df = spark.createDataFrame(
+            [(i, v, 1 if v > 0 else 0) for i, v in enumerate(vals)],
+            "uid long, v long, flag long",
+        ).repartition(4)
+        got_rn = {
+            r["uid"]: r["rn"]
+            for r in global_row_number(
+                df, ["v", "uid"], n_partitions=nparts
+            ).collect()
+        }
+        w = W.partitionBy().orderBy("v", "uid")
+        exp_rn = {
+            r["uid"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(w)
+            ).collect()
+        }
+        assert got_rn == exp_rn
+        got_s = {
+            r["uid"]: (r["s1"], r["s2"])
+            for r in global_running_sums(
+                df, ["v", "uid"], ["v", "flag"], ["s1", "s2"],
+                n_partitions=nparts,
+            ).collect()
+        }
+        wc = W.partitionBy().orderBy("v", "uid").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        exp_s = {
+            r["uid"]: (r["s1"], r["s2"])
+            for r in df.withColumn("s1", F.sum("v").over(wc))
+            .withColumn("s2", F.sum("flag").over(wc))
+            .collect()
+        }
+        assert got_s == exp_s
+
+    run()

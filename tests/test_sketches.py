@@ -170,3 +170,49 @@ def test_exact_heavy_hitters_plan_is_candidate_bounded(spark):
     assert "BroadcastExchange" in plan
     # candidate generation is Arrow-batched, never row-pickled
     assert "BatchEvalPython" not in plan
+
+
+def test_exact_heavy_hitters_property(spark):
+    """Property check: for ANY generated key distribution and phi, the
+    MG-candidate + verify pipeline equals the exact GROUP BY/HAVING
+    answer (the pigeonhole superset guarantee can never lose a true
+    heavy hitter, whatever the skew or partition layout)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+    import math
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=12),
+            min_size=1,
+            max_size=60,
+        ),
+        phi=st.sampled_from([0.05, 0.1, 0.3]),
+        nparts=st.sampled_from([1, 4]),
+    )
+    def run(keys, phi, nparts):
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "i long, key long"
+        ).repartition(nparts)
+        got = {
+            (r["key"], r["freq"])
+            for r in exact_heavy_hitters(df, "key", phi=phi).collect()
+        }
+        thr = int(math.ceil(phi * len(keys)))
+        from collections import Counter
+
+        exp = {
+            (k, n) for k, n in Counter(keys).items() if n >= thr
+        }
+        assert got == exp
+
+    run()
