@@ -9540,3 +9540,64 @@ def q_int8_vs_float_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("int8_dot").alias("score"),
     ).filter(F.col("rank") <= 5)
     return f.unionAll(i).select("method", "rank", "neighbor_id", "score")
+
+
+# =====================================================================
+# Negative-sampling distribution (word2vec's unigram^0.75 table):
+# token sampling weights flattened by the 3/4 power, normalized, with
+# the cumulative boundary each sampler bucket uses — built over the
+# top-100 vocabulary (deterministic tie-break). The exponent and
+# normalization are the published convention; everything runs on the
+# |vocab|-row aggregate.
+# =====================================================================
+
+
+@_register(
+    "negative_sampling_table",
+    r"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT unnest(string_split_regex(trim(text),
+                                                         '\s+')) AS token
+                        FROM documents)
+                  WHERE token <> '' GROUP BY 1),
+       top AS (SELECT token, n,
+                      row_number() OVER (ORDER BY n DESC, token) AS rk
+               FROM f QUALIFY rk <= 100),
+       w AS (SELECT token, n, rk, pow(n, 0.75) AS wt FROM top)
+       SELECT token, n,
+              round(wt / sum(wt) OVER (), 6) AS prob,
+              round(sum(wt) OVER (ORDER BY rk
+                        ROWS UNBOUNDED PRECEDING)
+                    / sum(wt) OVER (), 6) AS cum_prob
+       FROM w""",
+    doc="word2vec negative-sampling table (unigram^0.75, normalized, "
+    "cumulative bucket boundaries) over the top-100 vocabulary; "
+    "windows on the aggregate only",
+)
+def q_negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = f.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+    ).filter(F.col("rk") <= 100)
+    w = top.withColumn("wt", F.pow(F.col("n"), 0.75))
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    return w.select(
+        "token",
+        "n",
+        F.round(F.col("wt") / F.sum("wt").over(w_all), 6).alias("prob"),
+        F.round(
+            F.sum("wt").over(w_cum) / F.sum("wt").over(w_all), 6
+        ).alias("cum_prob"),
+    )
