@@ -9601,3 +9601,130 @@ def q_negative_sampling_table(
             F.sum("wt").over(w_cum) / F.sum("wt").over(w_all), 6
         ).alias("cum_prob"),
     )
+
+
+# =====================================================================
+# Revenue bridge (waterfall) decomposition: the 1997→1998 revenue
+# change per return flag split into VOLUME effect ((q98−q97)·p̄97)
+# and PRICE effect ((p̄98−p̄97)·q98) — the standard FP&A variance
+# bridge whose two effects reconcile exactly to the total change
+# (volume at old price + price at new volume is the exact identity).
+# Everything from two conditional aggregates in one pass.
+# =====================================================================
+
+
+@_register(
+    "revenue_bridge_price_volume",
+    """WITH s AS (
+         SELECT l_returnflag,
+                sum(l_quantity) FILTER (
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate < TIMESTAMP '1998-01-01') AS q97,
+                sum(l_extendedprice) FILTER (
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate < TIMESTAMP '1998-01-01') AS r97,
+                sum(l_quantity) FILTER (
+                    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                      AND l_shipdate < TIMESTAMP '1999-01-01') AS q98,
+                sum(l_extendedprice) FILTER (
+                    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                      AND l_shipdate < TIMESTAMP '1999-01-01') AS r98
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag,
+              round(r98 - r97, 2) AS total_change,
+              round((q98 - q97) * (r97 / q97), 2) AS volume_effect,
+              round((r98 / q98 - r97 / q97) * q98, 2) AS price_effect
+       FROM s""",
+    doc="FP&A revenue bridge per return flag (1997 -> 1998): volume "
+    "effect at old unit price + price effect at new volume — the "
+    "exact decomposition identity; two conditional aggregates in one "
+    "pass",
+)
+def q_revenue_bridge_price_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def yr(y: int):
+        return (
+            F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp")
+        ) & (
+            F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp")
+        )
+
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(yr(1997), F.col("l_quantity"))).alias("q97"),
+        F.sum(F.when(yr(1997), F.col("l_extendedprice"))).alias("r97"),
+        F.sum(F.when(yr(1998), F.col("l_quantity"))).alias("q98"),
+        F.sum(F.when(yr(1998), F.col("l_extendedprice"))).alias("r98"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(F.col("r98") - F.col("r97"), 2).alias("total_change"),
+        F.round(
+            (F.col("q98") - F.col("q97"))
+            * (F.col("r97") / F.col("q97")),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            (F.col("r98") / F.col("q98") - F.col("r97") / F.col("q97"))
+            * F.col("q98"),
+            2,
+        ).alias("price_effect"),
+    )
+
+
+# =====================================================================
+# Lexical richness per source: type-token ratio and hapax-legomena
+# rate (share of once-occurring types) — the corpus-linguistics
+# screens beside the Zipf slope for spotting templated/synthetic
+# text (low TTR, thin hapax tail). One (source, token) count pass
+# feeds both.
+# =====================================================================
+
+
+@_register(
+    "lexical_richness_by_source",
+    r"""WITH f AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT source,
+                               unnest(string_split_regex(trim(text),
+                                                         '\s+')) AS token
+                        FROM documents)
+                  WHERE token <> '' GROUP BY 1, 2)
+       SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr,
+              round(CAST(count(*) FILTER (n = 1) AS DOUBLE)
+                    / count(*), 6) AS hapax_rate
+       FROM f GROUP BY 1""",
+    doc="lexical richness per source: type-token ratio and hapax rate "
+    "from one (source, token) count pass — the corpus-linguistics "
+    "screens beside zipf_slope_by_source for templated text",
+)
+def q_lexical_richness_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    hapax = F.count(F.when(F.col("n") == 1, 1))
+    return f.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(
+            F.count("*").cast("double") / F.sum("n"), 6
+        ).alias("ttr"),
+        F.round(hapax.cast("double") / F.count("*"), 6).alias(
+            "hapax_rate"
+        ),
+    )
