@@ -173,6 +173,58 @@ def test_global_running_sum_matches_serial_window(spark):
     assert got == expected
 
 
+def test_global_running_sum_null_semantics_match_serial_window(spark):
+    """NULL values must behave exactly like the serial SUM() OVER
+    window: rows before the first global non-null stay NULL; an
+    all-NULL prefix inside a later partition inherits the prior
+    partitions' running total instead of nullifying it (the latent
+    divergence ADVICE r4 flagged)."""
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_running_sum,
+        global_running_sums,
+    )
+
+    # ids 0..59; NULL for ids < 10 (leading all-NULL run spanning the
+    # first range partition(s)) and for 30 <= id < 45 (an interior
+    # run long enough that some partition's whole prefix is NULL when
+    # split 6 ways).
+    df = (
+        spark.range(0, 60)
+        .withColumn(
+            "v",
+            F.when(
+                (F.col("id") < 10)
+                | ((F.col("id") >= 30) & (F.col("id") < 45)),
+                F.lit(None),
+            ).otherwise(F.col("id") % 7),
+        )
+        .repartition(5)
+    )
+    expected = {
+        r["id"]: r["rs"]
+        for r in df.withColumn(
+            "rs",
+            F.sum("v").over(
+                W.partitionBy()
+                .orderBy("id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(df, ["id"], "v", n_partitions=6).collect()
+    }
+    assert got == expected
+    got_multi = {
+        r["id"]: r["rs_v"]
+        for r in global_running_sums(
+            df, ["id"], ["v"], ["rs_v"], n_partitions=6
+        ).collect()
+    }
+    assert got_multi == expected
+
+
 def test_global_running_sum_no_single_partition_sort(spark):
     from us_accidents_bigdata_pipeline_spark.operators.layout import (
         global_running_sum,

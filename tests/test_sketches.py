@@ -149,6 +149,48 @@ def test_exact_heavy_hitters_matches_exact_groupby(spark):
     assert expected, "fixture must produce at least one heavy hitter"
 
 
+def test_exact_heavy_hitters_null_keys_excluded_from_population(spark):
+    """NULL convention pinned (ADVICE r4): NULL keys neither surface
+    as a group nor inflate the threshold denominator — the operator
+    answers "heavy hitters among non-null keys". With 50% NULL rows,
+    key 7 appears 455 times = 9.1% of the 5000 non-null rows (heavy at
+    phi=0.06, threshold 300) but only 4.6% of the total table —
+    counting NULLs in N (threshold 600) would wrongly drop it."""
+    import math
+
+    from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+        exact_heavy_hitters,
+    )
+
+    df = (
+        spark.range(0, 10000)
+        .withColumn(
+            "key",
+            F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(
+                F.expr("if(id % 22 = 1, 7, id)")
+            ),
+        )
+        .repartition(8)
+    )
+    got = {
+        (r["key"], r["freq"])
+        for r in exact_heavy_hitters(df, "key", phi=0.06).collect()
+    }
+    n_nonnull = df.filter(F.col("key").isNotNull()).count()
+    thr = int(math.ceil(0.06 * n_nonnull))
+    expected = {
+        (r["key"], r["n"])
+        for r in df.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= thr)
+        .collect()
+    }
+    assert got == expected
+    assert expected, "fixture must produce at least one heavy hitter"
+    assert None not in {k for k, _ in got}
+
+
 def test_exact_heavy_hitters_plan_is_candidate_bounded(spark):
     """The verify pass must semi-join against BROADCAST candidates —
     the plan shape that bounds the shuffle to candidate keys (a plain

@@ -503,6 +503,76 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MLlib MinHashLSH candidates + EXACT-Jaccard verify — the
+    LSH-then-verify pipeline every production dedup stack runs, and
+    the step that turns the approximate MLlib path into an
+    oracle-checkable operator.
+
+    Stage 1 reuses ``minhash_near_dup_pairs`` as the candidate
+    generator, run at a slackened threshold (0.8x) so HashingTF
+    feature-space collisions can't drop a borderline true pair before
+    verification. Stage 2 recomputes EXACT shingle-set Jaccard on the
+    candidate pairs only (same verify join as
+    ``minhash_banded_pairs``) and filters at the true ``threshold``.
+
+    Output (doc_a, doc_b, jaccard) therefore has no false positives;
+    banding only bounds recall, and with 8 OR-amplified tables the
+    per-pair miss probability at the corpus's planted s>=0.9 near-dups
+    is (1-s)^8 ~ 1e-8 — deterministic in practice, so the DuckDB
+    exact all-pairs oracle doubles as a standing recall assertion.
+
+    At 100 TB: candidate generation is MLlib's hash-bucket join
+    (collision-bound), and the verify join touches candidate pairs
+    only — shingle sets never cross-join.
+    """
+    cand = (
+        minhash_near_dup_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=0.8 * threshold,
+            num_hash_tables=num_hash_tables,
+            num_features=num_features,
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sizes_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    return (
+        inter.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def resolve_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -163,6 +163,45 @@ def global_row_number(
     )
 
 
+def _prefix_offset_map(totals: dict, sum_type) -> "F.Column":
+    """Exclusive prefix offsets over per-partition SUM totals, as a
+    literal map column — with SQL window NULL semantics.
+
+    The offset for a partition is the running sum of all EARLIER
+    partitions' non-null totals; it is NULL while no earlier partition
+    has contributed a non-null value. Combined with
+    ``_serial_running_sum``, rows before the first global non-null
+    value stay NULL (matching ``SUM(v) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``), while all-NULL prefixes inside later
+    partitions inherit the prior partitions' running total instead of
+    nullifying it.
+    """
+    entries: list = []
+    acc, seen = 0, False
+    for pid in sorted(totals):
+        entries.append(F.lit(pid))
+        entries.append(
+            F.lit(acc).cast(sum_type) if seen else F.lit(None).cast(sum_type)
+        )
+        if totals[pid] is not None:
+            acc += totals[pid]
+            seen = True
+    return F.create_map(*entries)
+
+
+def _serial_running_sum(persum: "F.Column", off_map: "F.Column") -> "F.Column":
+    """Combine a per-partition prefix sum with its exclusive offset so
+    the result equals the serial ``SUM() OVER`` window: NULL prefix +
+    NULL offset → NULL (nothing non-null seen yet); NULL prefix +
+    non-null offset → the offset (earlier partitions' total); else
+    prefix + offset (offset coalesced to 0 for the first contributing
+    partition)."""
+    off = off_map[F.col("_pid")]
+    return F.when(persum.isNull(), off).otherwise(
+        persum + F.coalesce(off, F.lit(0))
+    )
+
+
 def global_running_sums(
     df: DataFrame,
     order_cols: list[str],
@@ -180,30 +219,24 @@ def global_running_sums(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    agg = ranged.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(value_cols)]
+    )
+    sum_types = [agg.schema[f"_s{i}"].dataType for i in range(len(value_cols))]
     totals = {
         r["_pid"]: [r[f"_s{i}"] for i in range(len(value_cols))]
-        for r in ranged.groupBy("_pid")
-        .agg(
-            *[
-                F.sum(c).alias(f"_s{i}")
-                for i, c in enumerate(value_cols)
-            ]
-        )
-        .collect()
+        for r in agg.collect()
     }
     out = ranged
     w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, 0
     )
     for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
-        offsets, acc = {}, 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid][i] or 0
-        off = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
+        off = _prefix_offset_map(
+            {pid: totals[pid][i] for pid in totals}, sum_types[i]
         )
-        out = out.withColumn(oc, F.sum(vc).over(w) + off[F.col("_pid")])
+        persum = F.sum(vc).over(w)
+        out = out.withColumn(oc, _serial_running_sum(persum, off))
     return out.drop("_pid")
 
 
@@ -236,20 +269,14 @@ def global_running_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = {
-        r["_pid"]: r["s"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    agg = ranged.groupBy("_pid").agg(F.sum(value_col).alias("s"))
+    sum_type = agg.schema["s"].dataType
+    totals = {r["_pid"]: r["s"] for r in agg.collect()}
+    off = _prefix_offset_map(totals, sum_type)
     w = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, 0
     )
+    persum = F.sum(value_col).over(w)
     return ranged.withColumn(
-        out_col, F.sum(value_col).over(w) + off[F.col("_pid")]
+        out_col, _serial_running_sum(persum, off)
     ).drop("_pid")

@@ -210,11 +210,22 @@ def exact_heavy_hitters(
     result is EXACT — MG only prunes the candidate space, the
     pigeonhole superset guarantee means no true heavy hitter is lost
     (pinned by the DuckDB plain GROUP BY/HAVING oracle).
+
+    NULL convention: NULL keys are excluded from BOTH the candidate
+    space and the population N (the threshold denominator) — i.e. the
+    operator answers "heavy hitters among non-null keys", matching an
+    oracle written ``WHERE key IS NOT NULL GROUP BY key HAVING
+    count(*) >= ceil(phi * (SELECT count(key) ...))``. Without the
+    pre-filter, NULL rows would inflate N (raising the threshold)
+    while never being able to surface as a group (dropna + semi-join),
+    a silent asymmetry; filtering first also keeps a nullable integer
+    key from degrading to float64 in the Arrow→pandas hop.
     """
     import math
 
     from pyspark.sql.types import StructField, StructType
 
+    df = df.filter(F.col(key_col).isNotNull())
     k = max(int(math.ceil(1.0 / phi)), 1)
     field = df.schema[key_col]
     cand_schema = StructType([StructField("cand", field.dataType, True)])

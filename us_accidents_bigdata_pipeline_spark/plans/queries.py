@@ -83,174 +83,74 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # Driver sampling order. The correctness driver checks the FIRST 50
-# entries of queries() against their oracles; entries past that window
-# get no recorded evidence, and rows-only entries inside it waste
-# checked slots. Order the registry export accordingly: queries whose
-# oracles have not yet appeared in a recorded correctness round first,
-# then one-per-family representatives of the long-green relational
-# core, then the remaining oracled queries, rows-only entries last.
-# (Registration order in this file stays grouped by SURVEY §2 section
-# for readability; only the export order changes.)
+# entries of queries() against their oracles each round; entries past
+# that window get no recorded evidence that round, and rows-only
+# entries inside it waste checked slots. _DRIVER_CERTIFIED is the
+# union of names with a recorded row in CORRECTNESS_r01..r04 (105
+# names, all green). The export order is self-rotating:
+#   1. oracled queries with NO recorded driver row yet (registration
+#      order — SURVEY §2 section order), so each round certifies 50
+#      previously-unchecked names;
+#   2. the already-certified oracled core (stays green in pytest's
+#      per-registry oracle sweep, tests/test_oracle.py);
+#   3. rows-only entries last (the driver records only a weaker
+#      rows-only check for them — they never belong in the window
+#      while oracled work remains unrecorded).
+# After each round, fold the newly recorded CORRECTNESS_r{N} names
+# into _DRIVER_CERTIFIED — the rotation then advances itself.
+# priority_distribution is entry()'s flagship and is smoke-checked by
+# the driver every round regardless of window position.
 # ---------------------------------------------------------------------
-_CHECK_PRIORITY: list[str] = [
-    # oracled but never driver-checked through round 3
-    "embedding_norm_stats",
-    "multimodal_byte_stats",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_blas",
-    "embedding_near_dup_resolve",
-    "streaming_windowed_counts",
-    "streaming_sliding_counts",
-    "streaming_session_windows",
-    "streaming_running_totals",
-    "streaming_dedup_events",
-    "range_join_bands",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "minhash_banded_pairs",
-    "sessionize_events",
-    "asof_last_purchase",
-    "string_indexer_mapping",
-    "local_supplier_volume",
-    "above_nation_avg_balance",
-    "having_filter",
-    "json_extract_props",
-    "json_schema_parse",
-    "unpivot_order_measures",
-    "catalog_sql_region_orders",
-    "decontaminate_docs",
-    "vocab_top_tokens",
-    "training_shard_assignment",
-    "sequence_pack_assignment",
-    "mixture_sample_docs",
-    "histogram_quantity",
-    "robust_outliers_price",
-    "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "winnow_fingerprints_md5",
-    "fingerprint_dedup_md5",
-    "funnel_conversion",
-    # round-4 additions, never driver-checked
-    "tfidf_top_terms",
-    "chunk_documents",
-    "pii_redact_docs",
-    "token_kl_by_source",
-    "embedding_quantize_error",
-    "rolling_30d_revenue",
-    "cohort_retention",
-    "order_priority_check",
-    "sole_late_supplier_ranking",
-    "dsir_importance_weights",
-    "line_dedup_docs",
-    "corpus_curation_funnel",
-    "grouped_ols_value_on_hour",
-    "substring_dup_runs",
-    "streaming_static_join_counts",
-    "corpus_report",
-    "python_datasource_squares",
-    "variant_extract_props",
-    "streaming_python_source_squares",
-    "udtf_trigrams_docs",
-    "salted_agg_returnflag",
-    "returned_revenue_topk",
-    "recursive_date_spine",
-    "daily_revenue_change",
-    "window_percentile_ranks",
-    "simhash_near_dup_pairs_md5",
-    "correlation_stats",
-    "char_entropy_docs",
-    # TPC-H completion batch (second half of round 4) — the three
-    # highest-signal shapes (EXISTS decorrelation, double-anti-join,
-    # DSIR) are pulled into the checked window above; the rest queue
-    # for the next rotation
-    "nation_pair_trade_volume",
-    "nation_market_share",
-    "part_revenue_concentration",
-    "late_shipment_priority_counts",
-    "cust_order_count_distribution",
-    "top_revenue_suppliers",
-    "small_quantity_order_revenue",
-    "large_quantity_orders",
-    "min_cost_supplier_per_part",
-    "streaming_chained_window_rollup",
-    "bitmap_distinct_users",
-    "incremental_agg_orders",
-    "table_fingerprint_orders",
-    "scd2_order_status_intervals",
-    "skew_report_lineitem_suppkey",
-    "triangle_count_copurchase",
-    "not_in_inactive_customers",
-    "udtf_dynamic_unpivot_orders",
-    "try_arithmetic_safety",
-    "calendar_functions_orders",
-    "string_functions_parts",
-    "balanced_source_sample",
-    "sql_udf_net_revenue",
-    "embedding_dim_profile",
-    "entity_resolution_parts",
-    "rfm_customer_segments",
-    "percentile_cont_prices",
-    "event_transition_matrix",
-    "linear_attribution_credit",
-    "rolling_zscore_anomalies",
-    "missing_orderkey_ranges",
-    "benford_first_digit",
-    "topk_with_ties_by_segment",
-    "abc_part_classification",
-    "time_weighted_avg_value",
-    "yoy_monthly_revenue",
-    "cep_error_then_purchase",
-    "top_session_paths",
-    "part_affinity_lift",
-    "gini_customer_revenue",
-    "new_vs_returning_revenue",
-    "repurchase_interval_profile",
-    "rapid_repeat_orders",
-    # Every front slot now carries a query with no recorded driver
-    # correctness row yet; the long-green r1-r3 core (joins, windows,
-    # aggs, dedup, kNN) stays oracled in pytest past slot 50, and
-    # priority_distribution is entry()'s flagship, smoke-checked by
-    # the driver every round regardless.
-    #
-    # ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 records the current
-    # front 50 green, move them to the back and promote the block
-    # above (TPC-H completion through the analytics tier —
-    # order_priority_check onward) into the front 50 so the driver
-    # certifies the round-4 second-half additions next. The round-4
-    # CLOSE batch (order_streak_islands, welch_ttest_price_promo,
-    # zipf_slope_by_source, sorted_neighborhood_pairs,
-    # time_to_conversion_profile, ewma_daily_revenue,
-    # kaplan_meier_customer_churn, weighted_median_price_by_flag,
-    # bm25_doc_scores, copurchase_degree_histogram,
-    # heavy_hitter_users, bigram_lm_perplexity, ivf_search_full_probe,
-    # winsorized_mean_price, mode_quantity_by_flag,
-    # nation_revenue_share_of_region, rolling_7d_distinct_users,
-    # merged_active_intervals, candidate_key_profile,
-    # pareto_frontier_suppliers, restock_resets_by_supplier,
-    # rolling_median_daily_revenue, daily_revenue_autocorrelation)
-    # queues right behind them — all oracled, all pytest-green. A
-    # second close sweep (winsorized/mode/moments robust stats,
-    # percent-of-parent, rolling COUNT DISTINCT, interval merge,
-    # candidate keys + functional dependencies, Pareto skyline,
-    # reset recurrence, rolling median, ACF/CUSUM/MI screens,
-    # grid-density clusters, hard negatives, apportionment,
-    # equi-depth histogram, prefix-sum concurrency + systematic
-    # sample, dow index, Arrow UDF, inverted index, U-shaped
-    # attribution, geometric growth, grouping_id, Lorenz, LTV,
-    # novelty, PSI/KS drift, diversified top-k, arg_max,
-    # shard-uniformity chi2) follows in rest_oracled order.
-]
+_DRIVER_CERTIFIED: frozenset = frozenset(
+    {
+        "above_nation_avg_balance", "array_agg_sorted", "asof_last_purchase",
+        "cast_arithmetic", "catalog_sql_region_orders", "chunk_documents",
+        "cohort_retention", "conditional_impute", "corpus_curation_funnel",
+        "cube_agg", "decontaminate_docs", "describe_stats",
+        "distinct_count", "dsir_importance_weights", "embedding_near_dup_pairs",
+        "embedding_near_dup_pairs_blas", "embedding_near_dup_resolve", "embedding_norm_stats",
+        "embedding_quantize_error", "event_type_distribution", "exact_dedup_docs",
+        "filter_in_list", "filter_not_null_range", "fingerprint_dedup",
+        "fingerprint_dedup_md5", "funnel_conversion", "global_mean",
+        "grouped_ols_value_on_hour", "grouping_sets_agg", "having_filter",
+        "histogram_quantity", "hourly_event_stats", "ivf_cell_assignment",
+        "join_anti", "join_left_outer", "join_region_stats",
+        "join_revenue_topk", "join_semi", "json_extract_props",
+        "json_schema_parse", "knn_cosine_batch", "knn_cosine_topk",
+        "knn_label_vote", "language_id_docs", "line_dedup_docs",
+        "local_supplier_volume", "lsh_ann_candidates", "median_exact",
+        "merge_upsert_orders", "minhash_banded_pairs", "minhash_near_dup_pairs",
+        "mixture_sample_docs", "ml_kmeans_customer_clusters", "ml_knn_embedding_predictions",
+        "ml_rf_lineitem_metrics", "multi_agg_group", "multimodal_byte_stats",
+        "multimodal_frame_sample", "multimodal_resize", "near_dup_resolve",
+        "near_dup_resolve_banded", "ngram_jaccard_pairs", "null_audit",
+        "order_priority_check", "pii_redact_docs", "pivot_linestatus",
+        "pricing_summary", "priority_distribution", "projection_select",
+        "range_join_bands", "rename_columns", "robust_outliers_price",
+        "rolling_30d_revenue", "rollup_agg", "sequence_pack_assignment",
+        "sessionize_events", "setop_except", "setop_intersect",
+        "setop_union_distinct", "simhash_near_dup_pairs", "snapshot_diff_orders",
+        "sole_late_supplier_ranking", "streaming_dedup_events", "streaming_running_totals",
+        "streaming_session_windows", "streaming_sliding_counts", "streaming_windowed_counts",
+        "string_agg_sorted", "string_indexer_mapping", "substring_dup_runs",
+        "temporal_extract", "text_quality_scores", "text_stats_docs",
+        "tfidf_top_terms", "token_kl_by_source", "topk_orders",
+        "total_count", "training_shard_assignment", "unpivot_order_measures",
+        "vocab_top_tokens", "window_first_last", "window_ntile_quartiles",
+        "window_running_sum", "window_topk_per_group", "winnow_fingerprints_md5",
+    }
+)
 
 
 def _export_order() -> list[str]:
-    front = [n for n in _CHECK_PRIORITY if n in REGISTRY]
-    rest_oracled = [
-        n for n, s in REGISTRY.items() if s.oracle and n not in _CHECK_PRIORITY
+    uncertified = [
+        n for n, s in REGISTRY.items() if s.oracle and n not in _DRIVER_CERTIFIED
     ]
-    rows_only = [
-        n for n, s in REGISTRY.items() if not s.oracle and n not in _CHECK_PRIORITY
+    certified = [
+        n for n, s in REGISTRY.items() if s.oracle and n in _DRIVER_CERTIFIED
     ]
-    return front + rest_oracled + rows_only
+    rows_only = [n for n, s in REGISTRY.items() if not s.oracle]
+    return uncertified + certified + rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1272,6 +1172,46 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_lsh_verified_pairs",
+    # Exact all-pairs Jaccard oracle (same SQL as minhash_banded_pairs):
+    # the LSH stage only GENERATES candidates at a slackened threshold;
+    # exact-Jaccard verification makes the output false-positive-free,
+    # and the 8-table OR-amplified recall at the corpus's planted
+    # s>=0.9 near-dups is 1-(1-s)^8 ~ 1-1e-8 — a hash mismatch here IS
+    # a recall failure, surfaced by the oracle instead of assumed.
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b,
+              round(CAST(p.n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+       FROM pairs p
+       JOIN sizes sa ON p.doc_a = sa.doc_id
+       JOIN sizes sb ON p.doc_b = sb.doc_id
+       WHERE round(CAST(p.n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5""",
+    doc="MLlib MinHashLSH candidates + exact-Jaccard verify — the "
+    "LSH-then-verify production dedup shape, oracle-checkable "
+    "(operators/dedup.py::minhash_lsh_verified_pairs)",
+)
+def q_minhash_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_verified_pairs
+
+    return minhash_lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@_register(
     "fingerprint_dedup",
     None,  # xxhash64 values are engine-specific → rows-only
     doc="64-bit normalized-content fingerprints "
@@ -1419,6 +1359,34 @@ def q_lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_ann_batch(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "lsh_ann_verified_topk",
+    # Exact top-k oracle (same SQL as knn_cosine_topk): LSH only
+    # PRUNES the corpus to k*overfetch candidates; the exact cosine
+    # re-rank makes the output identical to brute force whenever the
+    # true top-k survive pruning — so the oracle doubles as a standing
+    # recall@5 assertion on the approximate stage.
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       FROM e, q WHERE e.vec_id <> 0
+       ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+    doc="ANN serving pattern: LSH candidate prune + exact cosine "
+    "re-rank, top-5 for query 0 "
+    "(operators/similarity.py::lsh_ann_verified_topk)",
+)
+def q_lsh_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_ann_verified_topk
+
+    return lsh_ann_verified_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5
+    )
 
 
 @_register(
@@ -7110,8 +7078,9 @@ def q_copurchase_degree_histogram(
 @_register(
     "heavy_hitter_users",
     """SELECT user_id, CAST(count(*) AS BIGINT) AS freq
-       FROM events GROUP BY 1
-       HAVING count(*) >= ceil(0.008 * (SELECT count(*) FROM events))""",
+       FROM events WHERE user_id IS NOT NULL GROUP BY 1
+       HAVING count(*) >= ceil(0.008 * (
+           SELECT count(*) FROM events WHERE user_id IS NOT NULL))""",
     doc="exact phi=0.008 heavy hitters over events.user_id: "
     "Misra-Gries per-partition candidates (mapInPandas, batched "
     "uniform-decrement), broadcast-semi-join exact verify — same "

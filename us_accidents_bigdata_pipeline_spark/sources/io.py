@@ -98,8 +98,12 @@ def write_csv(
 def write_table(
     df: DataFrame, name: str, format: str = "parquet", mode: str = "overwrite"
 ) -> None:
-    """Catalog-managed table (S10 — the Hive ORC tables re-expressed as
-    ``saveAsTable``; format stays parquet per SURVEY §1.1)."""
+    """Catalog-managed table (S10 — the Hive ORC tables of the
+    reference, ``hive/create_tables.hql:99-100,116-117`` ORC+SNAPPY,
+    re-expressed as ``saveAsTable``). Default format is parquet per
+    SURVEY §1.1; pass ``format="orc"`` for byte-for-byte parity with
+    the reference's managed-table layout (Spark's native ORC writer,
+    snappy-compressed by default)."""
     df.write.mode(mode).format(format).saveAsTable(name)
 
 
