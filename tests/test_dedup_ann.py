@@ -518,3 +518,76 @@ def test_semantic_dedup_no_false_positives_high_recall(spark):
     # and where a pair is found, the cosine is the exact one
     for k, v in sem.items():
         assert abs(v - exact[k]) < 1e-9
+
+
+def test_semantic_dedup_recall_cost_curve(spark):
+    """The m_assign knob — the recall/cost dial a 100 TB operator
+    reaches for first — pinned at two operating points: replication
+    m=1 (cheapest, within-cell only) through m=3 must be MONOTONE in
+    recall vs the exact tier, m=2 must clear 0.8 and m=3 must be at
+    least as good (cost is exactly linear in m: n·m cell
+    assignments → Σ|cell|² pair work, so the curve documents what
+    each extra replication buys)."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    assert exact
+    recall = {}
+    for m in (1, 2, 3):
+        sem = {
+            (r.doc_a, r.doc_b)
+            for r in semantic_dedup_pairs(e, n_cells=8, m_assign=m).collect()
+        }
+        assert sem - exact == set()  # never false positives, any m
+        recall[m] = len(sem & exact) / len(exact)
+    assert recall[1] <= recall[2] <= recall[3]
+    assert recall[2] >= 0.8
+    assert recall[3] >= recall[2] >= recall[1] > 0
+
+
+def test_keep_best_per_cluster_picks_highest_score_min_id_tie(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, n_chars long",
+    )
+    resolved = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (9, 4)],
+        "doc_id long, canonical_id long",
+    )
+    got = {
+        r["canonical_id"]: (r["kept_doc_id"], r["n_members"])
+        for r in keep_best_per_cluster(docs, resolved, "n_chars").collect()
+    }
+    # cluster 1: scores 10/30/30 -> tie between 2 and 3 -> min id 2
+    # cluster 4: scores 5/7 -> doc 9
+    assert got == {1: (2, 3), 4: (9, 2)}
+
+
+def test_incremental_dedup_removes_known_content(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "fresh content"), (12, "gamma delta"),
+         (13, "fresh content")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
+    # 10 and 12 duplicate the corpus; 11 and 13 are both new (batch-
+    # internal dupes are NOT this operator's job)
+    assert got == [11, 13]

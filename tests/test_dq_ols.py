@@ -1,0 +1,214 @@
+"""Tests for the data-quality constraint suite (operators/dq.py) and
+the normal-equations OLS family (operators/profile.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from us_accidents_bigdata_pipeline_spark.operators.dq import (
+    constraint_report,
+    in_range,
+    in_set,
+    not_null,
+)
+from us_accidents_bigdata_pipeline_spark.operators.profile import (
+    ols_fit,
+    ols_fit2,
+    ols_normal_eq_sums,
+)
+
+
+# ---------------------------------------------------------------- DQ
+
+
+@pytest.fixture()
+def fact(spark):
+    # planted defects: one NULL id, one duplicate id, one bad status,
+    # two out-of-range amounts, one orphan dim key
+    rows = [
+        (1, 10, "A", 50.0),
+        (2, 10, "A", 150.0),   # amount > 100
+        (3, 11, "B", 20.0),
+        (3, 11, "B", 30.0),    # duplicate id=3
+        (None, 12, "A", 40.0), # NULL id
+        (5, 99, "C", -5.0),    # orphan dim key 99, bad status C, amount < 0
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, dim_id bigint, status string, amount double"
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame(
+        [(10,), (11,), (12,)], "dim_key bigint"
+    )
+
+
+def test_constraint_report_counts(spark, fact, dim):
+    rep = {
+        r["constraint_name"]: (r["violations"], r["status"])
+        for r in constraint_report(
+            fact,
+            row_checks={
+                "id_not_null": not_null("id"),
+                "status_in_set": in_set("status", ["A", "B"]),
+                "amount_range": in_range("amount", 0, 100),
+            },
+            unique_keys={"id_unique": ["id"]},
+            foreign_keys={"dim_fk": (dim, ["dim_id"], ["dim_key"])},
+        ).collect()
+    }
+    assert rep["id_not_null"] == (1, "fail")
+    assert rep["status_in_set"] == (1, "fail")
+    assert rep["amount_range"] == (2, "fail")
+    # 5 non-null ids, 4 distinct -> 1 excess duplicate
+    assert rep["id_unique"] == (1, "fail")
+    assert rep["dim_fk"] == (1, "fail")
+
+
+def test_constraint_report_all_pass_and_plan(spark, fact, dim):
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    clean = fact.filter(F.col("id").isNotNull() & (F.col("id") != 5)).dropDuplicates(["id"])
+    rep = constraint_report(
+        clean,
+        row_checks={"id_not_null": not_null("id")},
+        unique_keys={"id_unique": ["id"]},
+        foreign_keys={"dim_fk": (dim, ["dim_id"], ["dim_key"])},
+    )
+    assert audit_plan(rep) == []  # broadcast anti-join, no nested loop
+    got = {r["constraint_name"]: r["status"] for r in rep.collect()}
+    assert got == {
+        "id_not_null": "pass",
+        "id_unique": "pass",
+        "dim_fk": "pass",
+    }
+
+
+def test_constraint_report_single_pass_for_row_checks(spark, fact):
+    """All row-local + uniqueness checks must land in ONE aggregate:
+    exactly one Aggregate over the fact scan in the plan (no
+    per-constraint jobs)."""
+    rep = constraint_report(
+        fact,
+        row_checks={
+            "a": not_null("id"),
+            "b": in_range("amount", 0, 100),
+            "c": in_set("status", ["A", "B"]),
+        },
+        unique_keys={"u": ["id"]},
+    )
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    # one scan of the fact table feeding one aggregate chain
+    assert plan.lower().count("relation") <= 1
+
+
+# --------------------------------------------------------------- OLS
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    # y = 3 + 2*x1 - 5*x2 + small deterministic wiggle
+    df = (
+        spark.range(0, 400)
+        .withColumn("x1", (F.col("id") % 23).cast("double"))
+        .withColumn("x2", ((F.col("id") * 7) % 11).cast("double"))
+        .withColumn(
+            "y",
+            F.lit(3.0)
+            + 2.0 * F.col("x1")
+            - 5.0 * F.col("x2")
+            + ((F.col("id") * 13) % 17).cast("double") / 100.0,
+        )
+    )
+    return df
+
+
+def test_ols_fit_matches_numpy_lstsq(spark, xy):
+    pdf = xy.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"].to_numpy(), pdf["x2"].to_numpy()]
+    )
+    ref, *_ = np.linalg.lstsq(X, pdf["y"].to_numpy(), rcond=None)
+    got = {r["term"]: r["value"] for r in ols_fit(xy, ["x1", "x2"], "y").collect()}
+    assert got["intercept"] == pytest.approx(ref[0], abs=1e-5)
+    assert got["coef_x1"] == pytest.approx(ref[1], abs=1e-5)
+    assert got["coef_x2"] == pytest.approx(ref[2], abs=1e-5)
+    assert got["n"] == 400.0
+    assert 0.99 <= got["r2"] <= 1.0
+
+
+def test_ols_fit2_matches_general_path(spark, xy):
+    a = {r["term"]: r["value"] for r in ols_fit2(xy, "x1", "x2", "y").collect()}
+    b = {r["term"]: r["value"] for r in ols_fit(xy, ["x1", "x2"], "y").collect()}
+    for k in ("intercept", "coef_x1", "coef_x2", "r2", "n"):
+        assert a[k] == pytest.approx(b[k], abs=1e-6), k
+
+
+def test_ols_drops_null_rows(spark, xy):
+    withnull = xy.union(
+        spark.createDataFrame(
+            [(9999, None, 1.0, 2.0)], "id bigint, x1 double, x2 double, y double"
+        )
+    )
+    s = ols_normal_eq_sums(withnull, ["x1", "x2"], "y")
+    assert s["n"] == 400
+
+
+def test_ols_sums_partition_layout_independent(spark, xy):
+    """Decimal sums must be identical under any repartitioning — the
+    reproducibility claim that float sums cannot make."""
+    a = ols_normal_eq_sums(xy, ["x1", "x2"], "y")
+    b = ols_normal_eq_sums(xy.repartition(13), ["x1", "x2"], "y")
+    assert a == b
+
+
+# --------------------------------------------------------------- CDC
+
+
+def test_cdc_apply_latest_wins_tombstones_idempotent(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 55.0, 1, "U"),
+            (1, 66.0, 2, "U"),   # latest wins
+            (2, None, 1, "D"),   # tombstone
+            (4, 40.0, 1, "I"),   # new key
+            (5, 50.0, 1, "I"),
+            (5, None, 2, "D"),   # inserted then deleted in same batch
+        ],
+        "k long, v double, seq long, op string",
+    )
+    snap = cdc_apply(base, changes, ["k"])
+    got = {r["k"]: r["v"] for r in snap.collect()}
+    assert got == {1: 66.0, 3: 30.0, 4: 40.0}
+    # replay idempotence: applying the same changelog to the result
+    # yields the same snapshot
+    again = cdc_apply(snap, changes, ["k"])
+    assert {r["k"]: r["v"] for r in again.collect()} == got
+
+
+def test_fk_containment_profile_detects_clean_and_broken(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dq import (
+        fk_containment_profile,
+    )
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rep = {
+        r["relation"]: (r["n_fact_keys"], r["n_contained"], r["containment"])
+        for r in fk_containment_profile(
+            {"f_d": (fact, "fk", dim, "k")}
+        ).collect()
+    }
+    # 3 distinct non-null fact keys, 2 contained
+    assert rep["f_d"] == (3, 2, 0.6667)

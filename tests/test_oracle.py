@@ -89,6 +89,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "shard_uniformity_chi2": {"nested_loop"},      # 1-row expectation
     "int8_vs_float_topk": {"nested_loop"},         # 1 query point
     "lsh_ann_verified_topk": {"nested_loop"},      # 1 query point re-rank
+    "zorder_keys_events": {"nested_loop"},         # 1-row min/max bounds
     "dow_seasonality_index": {"nested_loop"},      # 1-row overall avg
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path

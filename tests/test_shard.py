@@ -145,3 +145,41 @@ def test_byte_stats_arrow_matches_jvm(spark):
     }
     assert got == {k: (int(v[0]), v[1]) for k, v in jvm.items()}
     assert got[4][0] == 256 and got[2] == (0, True)
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: (a) deterministic — identical selection
+    across reruns and repartitionings; (b) weight-proportional — rows
+    with 10x the weight are strongly over-represented vs their count
+    share; (c) excludes non-positive weights; (d) exactly k rows."""
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn(
+            "w",
+            F.when(F.col("id") < 200, F.lit(10.0)).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "w",
+            F.when(F.col("id") >= 1990, F.lit(-1.0)).otherwise(F.col("w")),
+        )
+    )
+    got = weighted_sample(df, "id", "w", k=300)
+    ids = sorted(r["id"] for r in got.collect())
+    assert len(ids) == 300 and len(set(ids)) == 300
+    ids2 = sorted(
+        r["id"] for r in weighted_sample(df.repartition(7), "id", "w", k=300).collect()
+    )
+    assert ids == ids2
+    assert all(i < 1990 for i in ids)  # non-positive weights excluded
+    # heavy rows are 200/1990 ~ 10% of eligible rows but carry ~53% of
+    # total weight; expect far more than their count share in the sample
+    heavy = sum(1 for i in ids if i < 200)
+    assert heavy > 90
+
+    # plan: top-k must be TakeOrderedAndProject, not a global sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1068,3 +1068,97 @@ def prefix_filtered_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    resolved: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection: given a near-dup resolution
+    (``near_dup_resolve`` output: id → canonical cluster label), keep
+    the HIGHEST-SCORING member of each cluster instead of the min-id
+    one — the policy production dedup actually wants ("of these 40
+    mirrors of the same article, keep the longest / highest-quality
+    copy"), cf. SemDeDup/CCNet keep-best-by-perplexity.
+
+    Returns (canonical_id, kept_doc_id, n_members). Ties break to the
+    smallest id so the choice is deterministic.
+
+    Scale: ONE hash aggregation over the (id, cluster, score) frame —
+    the argmax rides a struct max (score, -id), so there is no window
+    sort and no second shuffle; n_members shares the same agg.
+    """
+    scored = resolved.select(id_col, "canonical_id").join(
+        docs.select(id_col, score_col), id_col
+    )
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+        )
+    ).alias("_b")
+    return (
+        scored.groupBy("canonical_id")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "canonical_id",
+            (-F.col("_b.nid")).cast("long").alias("kept_doc_id"),
+            "n_members",
+        )
+    )
+
+
+def normalize_for_dedup(col: "F.Column") -> "F.Column":
+    """Canonical text form for normalization-robust exact dedup:
+    lowercase, strip everything but [a-z0-9 ], collapse runs of
+    whitespace, trim — so trivially-reformatted copies (case, "smart"
+    punctuation, double spaces) hash identically. Pure JVM regexp
+    expressions, map-only."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, "[^a-z0-9 ]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
+def normalized_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED content: (content_key, keeper id,
+    n_copies) grouped by md5 of the canonical form. Catches the
+    reformatted-copy tier that byte-exact dedup misses and near-dup
+    pipelines shouldn't have to pay for.
+
+    Scale: the shuffle key is the 32-char md5, so document payloads
+    never move — same shape as hash-first exact dedup; md5 (not
+    xxhash64) keeps the key engine-portable for cross-system
+    verification."""
+    key = F.md5(normalize_for_dedup(F.col(text_col)))
+    return df.groupBy(key.alias("content_key")).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``new_batch`` whose content
+    does not already exist in ``corpus`` — the every-snapshot shape of
+    a crawl pipeline (dedup TODAY'S batch against ALL history without
+    re-deduping history).
+
+    Anti-join on md5(content): the corpus side reduces to a
+    deduplicated hash-only frame (32 bytes/doc, not documents), both
+    sides hash-partition on the key, and at 100 TB the corpus key set
+    is exactly the bucketed fingerprint index a warehouse would
+    maintain incrementally."""
+    k = F.md5(F.col(text_col))
+    corpus_keys = corpus.select(k.alias("_ck")).dropDuplicates()
+    return (
+        new_batch.withColumn("_ck", k)
+        .join(corpus_keys, "_ck", "left_anti")
+        .drop("_ck")
+    )

@@ -1,0 +1,191 @@
+"""Data-quality constraint suite (Deequ-style declarative checks).
+
+The reference validates data by ad-hoc filters sprinkled through its
+cleaning script (``BigDataPipeline/spark/data_cleaning.py`` null drops
+and value fixes); production pipelines instead declare the contract
+once and audit every load against it. ``constraint_report`` is that
+audit as a single operator: a set of named constraints in, one small
+(constraint_name, violations, status) report out.
+
+Scale shape — the whole point of the design:
+
+- Every ROW-LOCAL constraint (not-null, set membership, ranges,
+  arbitrary boolean predicates) and every UNIQUENESS constraint over
+  the same table is fused into ONE aggregate pass: conditional sums +
+  count-distincts in a single ``agg``, map-side partials, no shuffle
+  of data rows, O(#constraints) numbers out. Adding a constraint adds
+  an expression, not a job.
+- REFERENTIAL constraints are one broadcast anti-join each against
+  the (small, deduplicated) dimension key set — the fact table
+  streams, never shuffles.
+
+The report frame is a few rows; downstream it gates writes
+(`status = 'fail'` → abort) or lands in an audit table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violated_if(expr: Column) -> Column:
+    """Adapter: a boolean 'this row violates the constraint' predicate
+    as a summable 0/1 — NULL-safe (NULL predicate counts as a
+    violation only if the caller says so via coalesce)."""
+    return F.when(expr, F.lit(1)).otherwise(F.lit(0))
+
+
+def not_null(col: str) -> Column:
+    return violated_if(F.col(col).isNull())
+
+
+def in_set(col: str, values: list) -> Column:
+    """Violated when non-null and outside the allowed set (NULLs are
+    the not_null constraint's business, not this one's)."""
+    return violated_if(
+        F.col(col).isNotNull() & ~F.col(col).isin(values)
+    )
+
+
+def in_range(col: str, lo, hi) -> Column:
+    """Violated when non-null and outside [lo, hi]."""
+    return violated_if(
+        F.col(col).isNotNull()
+        & ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)))
+    )
+
+
+def constraint_report(
+    df: DataFrame,
+    row_checks: dict[str, Column] | None = None,
+    unique_keys: dict[str, list[str]] | None = None,
+    foreign_keys: dict[str, tuple[DataFrame, list[str], list[str]]] | None = None,
+) -> DataFrame:
+    """(constraint_name, violations, status) — one row per declared
+    constraint.
+
+    - ``row_checks``: name → 0/1 violation Column (see helpers above).
+    - ``unique_keys``: name → key column list; violations = rows minus
+      distinct keys (excess duplicates). Rows with a NULL key column
+      are excluded from both counts (count/countDistinct semantics) —
+      declare a not_null check alongside if NULL keys matter.
+    - ``foreign_keys``: name → (dim_df, fact_cols, dim_cols);
+      violations = fact rows with a non-null key absent from the
+      dimension (broadcast anti-join on the deduplicated dim keys).
+    """
+    row_checks = row_checks or {}
+    unique_keys = unique_keys or {}
+    foreign_keys = foreign_keys or {}
+    spark = df.sparkSession
+
+    frames: list[DataFrame] = []
+    aggs: list[Column] = []
+    names: list[str] = []
+    for name, pred in row_checks.items():
+        aggs.append(F.sum(pred).cast("bigint").alias(name))
+        names.append(name)
+    for name, cols in unique_keys.items():
+        all_nn = F.lit(True)
+        for c in cols:
+            all_nn = all_nn & F.col(c).isNotNull()
+        aggs.append(
+            (
+                F.count(F.when(all_nn, F.lit(1)))
+                - F.count_distinct(*[F.col(c) for c in cols])
+            ).cast("bigint").alias(name)
+        )
+        names.append(name)
+    if aggs:
+        one = df.agg(*aggs)
+        # unpivot the single row to long form — still one job, one pass
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("constraint_name"),
+                    F.col(n).alias("violations"),
+                )
+                for n in names
+            ]
+        )
+        frames.append(
+            one.select(F.explode(pairs).alias("kv")).select(
+                "kv.constraint_name", "kv.violations"
+            )
+        )
+
+    for name, (dim, fact_cols, dim_cols) in foreign_keys.items():
+        keys = dim.select(
+            *[F.col(d).alias(f) for f, d in zip(fact_cols, dim_cols)]
+        ).dropDuplicates()
+        orphans = (
+            df.na.drop(subset=fact_cols)
+            .join(F.broadcast(keys), on=fact_cols, how="left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .select(
+                F.lit(name).alias("constraint_name"), F.col("violations")
+            )
+        )
+        frames.append(orphans)
+
+    if not frames:
+        return spark.createDataFrame(
+            [], "constraint_name string, violations bigint, status string"
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "constraint_name",
+        "violations",
+        F.when(F.col("violations") == 0, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+        .alias("status"),
+    )
+
+
+def fk_containment_profile(
+    pairs: dict[str, tuple[DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Join-key discovery: for each candidate (fact_col ⊆ dim_col)
+    relationship, the CONTAINMENT coefficient — the fraction of the
+    fact side's distinct non-null keys that exist in the dimension.
+    1.0 means a clean foreign key; values near 0 rule the pair out.
+    The profiling pass schema tools (and humans inheriting an
+    undocumented lake) run before writing joins.
+
+    ``pairs``: name → (fact_df, fact_col, dim_df, dim_col). Output:
+    (relation, n_fact_keys, n_contained, containment).
+
+    Scale: per pair, both sides reduce to DISTINCT key sets before
+    anything joins (aggregate-sized, not fact-sized), then one left
+    join against the hit-tagged dimension key set; contained and
+    total fall out of a single agg over the tagged keys.
+    """
+    frames = []
+    for name, (fact, fcol, dim, dcol) in pairs.items():
+        fk = fact.select(F.col(fcol).alias("_k")).na.drop().distinct()
+        dk = dim.select(F.col(dcol).alias("_k")).distinct()
+        tagged = fk.join(
+            dk.withColumn("_hit", F.lit(1)), "_k", "left"
+        )
+        frames.append(
+            tagged.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("bigint").alias("n_fact_keys"),
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_contained"),
+            ).select(
+                "relation",
+                "n_fact_keys",
+                "n_contained",
+                F.round(
+                    F.col("n_contained") / F.col("n_fact_keys"), 4
+                ).alias("containment"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -118,3 +118,45 @@ def incremental_agg_merge(
             ).alias(c)
         )
     return merged.select(*out_cols)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (I/U/D ops with a monotone sequence
+    number) to a base snapshot — the Debezium-feed/materialized-view
+    shape ``merge_upsert`` can't express: multiple ops per key in one
+    batch, LATEST-WINS ordering, and delete tombstones.
+
+    ``changes`` carries the base's columns plus ``op`` ('I'|'U'|'D';
+    deletes may leave payload columns NULL) and ``seq``. The base is
+    treated as sequence 0, so any change outranks it. Per key, only
+    the highest-sequence row survives; if that row is a tombstone the
+    key disappears. Returns the next snapshot (base columns only).
+
+    Scale: ONE hash shuffle on the key for the window (base and
+    changelog co-partition), no driver logic, idempotent under replay
+    (re-applying the same changelog yields the same snapshot — the
+    property CDC consumers must have).
+    """
+    payload = base.columns
+    base_tagged = base.select(
+        *payload,
+        F.lit(0).cast("long").alias(seq_col),
+        F.lit("I").alias(op_col),
+    )
+    all_rows = base_tagged.unionByName(
+        changes.select(
+            *payload, F.col(seq_col).cast("long"), F.col(op_col)
+        )
+    )
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .select(*payload)
+    )

@@ -221,3 +221,140 @@ def table_fingerprint(
         F.bit_xor(row_hash).alias("xor_fingerprint"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def _det3(m: list[list[float]]) -> float:
+    """3x3 determinant by first-row cofactor expansion, written in the
+    EXACT operation order the catalog oracle spells out in SQL —
+    IEEE-754 doubles evaluated in the same order are bit-identical
+    across engines, which is what lets an independent engine verify
+    the coefficient solve itself (not just the sufficient statistics).
+    Keep in sync with the ``ols_normal_equations_lineitem`` oracle.
+    """
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def ols_normal_eq_sums(
+    df: DataFrame, x_cols: list[str], y_col: str
+) -> dict[str, float]:
+    """Sufficient statistics for closed-form OLS in ONE distributed
+    pass: n, Σxᵢ, Σy, Σxᵢxⱼ (i ≤ j), Σxᵢy, Σy² — the Gram matrix XᵀX
+    and moment vector Xᵀy of the design [1, x₁, …, x_d].
+
+    This is the 100 TB formulation of linear regression: the data is
+    touched once with map-side partial aggregation, only O(d²) numbers
+    reach the driver, and the d×d solve is a driver-side epsilon. No
+    gradient iterations, no per-row Python.
+
+    Sums are computed in DECIMAL(38,12) (inputs cast to
+    DECIMAL(18,6)): decimal addition is exact and therefore
+    partition-order independent, so the statistics are REPRODUCIBLE
+    bit-for-bit across cluster layouts and across engines — float
+    sums would differ in the last ulps per run and per engine. Rows
+    with any NULL among the regression columns are dropped (the
+    standard complete-case contract).
+    """
+    cols = list(x_cols) + [y_col]
+    dfc = df.na.drop(subset=cols).select(
+        *[F.col(c).cast("decimal(18,6)").alias(c) for c in cols]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, ci in enumerate(cols):
+        aggs.append(F.sum(ci).alias(f"s_{ci}"))
+        for cj in cols[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(ci) * F.col(cj)).cast("decimal(38,12)")
+                ).alias(f"s_{ci}_{cj}")
+            )
+    row = dfc.agg(*aggs).collect()[0]
+    return {k: float(row[k]) for k in row.asDict()}
+
+
+def ols_fit2(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-feature OLS ŷ = b₀ + b₁·x₁ + b₂·x₂ solved from the
+    normal-equation sufficient statistics via Cramer's rule.
+
+    Output is long-form (term, value): intercept, one coefficient per
+    feature, r2, and n — one tiny driver-assembled frame. Cramer (not
+    LU) is deliberate: with the determinant expansion written in the
+    same operation order as the SQL oracle, the solve is
+    engine-reproducible down to the last bit, so the oracle certifies
+    the SOLVE, not only the sums. For general d use ``ols_fit``.
+
+    r² = 1 − SSE/SST with SSE = Σy² − bᵀXᵀy (the closed-form OLS
+    identity) — no second pass over the data.
+    """
+    s = ols_normal_eq_sums(df, [x1, x2], y_col)
+    n = s["n"]
+    sx1, sx2, sy = s[f"s_{x1}"], s[f"s_{x2}"], s[f"s_{y_col}"]
+    sx1x1, sx1x2 = s[f"s_{x1}_{x1}"], s[f"s_{x1}_{x2}"]
+    sx2x2 = s[f"s_{x2}_{x2}"]
+    sx1y, sx2y = s[f"s_{x1}_{y_col}"], s[f"s_{x2}_{y_col}"]
+    syy = s[f"s_{y_col}_{y_col}"]
+    m = [[n, sx1, sx2], [sx1, sx1x1, sx1x2], [sx2, sx1x2, sx2x2]]
+    v = [sy, sx1y, sx2y]
+    det = _det3(m)
+    b = [
+        _det3([[v[r] if c == j else m[r][c] for c in range(3)] for r in range(3)])
+        / det
+        for j in range(3)
+    ]
+    sse = syy - (b[0] * sy + b[1] * sx1y + b[2] * sx2y)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst
+    rows = [
+        ("intercept", round(b[0], ndigits)),
+        (f"coef_{x1}", round(b[1], ndigits)),
+        (f"coef_{x2}", round(b[2], ndigits)),
+        ("r2", round(r2, ndigits)),
+        ("n", float(n)),
+    ]
+    return df.sparkSession.createDataFrame(rows, "term string, value double")
+
+
+def ols_fit(
+    df: DataFrame, x_cols: list[str], y_col: str, ndigits: int = 6
+) -> DataFrame:
+    """General-d OLS from the same single-pass sufficient statistics,
+    solved with numpy on the driver (LU; backward-stable for the d×d
+    normal matrix). Same long-form (term, value) output as
+    ``ols_fit2``. d is model width — tens, not millions — so the
+    driver solve is O(d³) on a matrix assembled from one aggregate."""
+    import numpy as np
+
+    s = ols_normal_eq_sums(df, x_cols, y_col)
+    cols = list(x_cols)
+    d = len(cols) + 1
+    names = ["_one"] + cols
+
+    def _s(a: str, b: str) -> float:
+        if a == "_one" and b == "_one":
+            return s["n"]
+        if a == "_one":
+            return s[f"s_{b}"]
+        if b == "_one":
+            return s[f"s_{a}"]
+        return s.get(f"s_{a}_{b}", s.get(f"s_{b}_{a}"))
+
+    m = np.array([[_s(a, b) for b in names] for a in names])
+    v = np.array([s[f"s_{y_col}"]] + [s[f"s_{c}_{y_col}"] for c in cols])
+    b = np.linalg.solve(m, v)
+    syy = s[f"s_{y_col}_{y_col}"]
+    sse = syy - float(b @ v)
+    sst = syy - s[f"s_{y_col}"] ** 2 / s["n"]
+    r2 = 1.0 - sse / sst if sst > 0 else 0.0
+    rows = [("intercept", round(float(b[0]), ndigits))]
+    rows += [
+        (f"coef_{c}", round(float(b[i + 1]), ndigits))
+        for i, c in enumerate(cols)
+    ]
+    rows += [("r2", round(r2, ndigits)), ("n", float(s["n"]))]
+    return df.sparkSession.createDataFrame(rows, "term string, value double")

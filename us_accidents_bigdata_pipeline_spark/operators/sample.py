@@ -124,3 +124,47 @@ def mixture_sample(
     )
     rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(float(default_rate)))
     return df.filter(u16 < rate * 65536)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows WITHOUT replacement —
+    Efraimidis–Spirakis A-ES: each row draws a uniform u and is ranked
+    by u^(1/w); the k largest ranks are exactly a sequential weighted
+    sample without replacement. Used for importance-weighted corpus
+    subsampling (sample documents ∝ quality score) where Bernoulli
+    thinning can't hit an exact k.
+
+    DETERMINISTIC variant: u derives from ``md5(seed-id)`` (hex digits
+    1-12 → 48-bit uniform), so membership is a pure function of
+    (id, seed) — partition-layout independent, re-runnable, and
+    engine-exact (the DuckDB oracle reproduces the selection, unlike
+    ``rand()``-based sampling, SURVEY §7.4.1). Ranking uses
+    ln(u)/w — monotone in u^(1/w), cheaper, and written identically
+    in the oracle so both engines order the same IEEE doubles.
+
+    Scale: map-only key computation on the scan, then top-k via
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps + one
+    k-row merge at the driver — no global sort, no shuffle of the
+    table). Rows with NULL or non-positive weight are excluded (A-ES
+    is defined for w > 0).
+    """
+    from .shard import _shuffle_key
+
+    v = F.conv(F.substring(_shuffle_key(id_col, seed), 1, 12), 16, 10).cast(
+        "double"
+    )
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 48))
+    aes = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(F.col(id_col), F.col(weight_col), aes.alias("_aes"))
+        .orderBy(F.col("_aes").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_aes")
+    )

@@ -962,6 +962,55 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "normalized_exact_dedup_docs",
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all semantics; [^a-z0-9 ] and ' +' mean the same in RE2
+    # and Java regex.
+    """SELECT md5(trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                  ' +', ' ', 'g'))) AS content_key,
+              min(doc_id) AS doc_id,
+              count(*) AS n_copies
+       FROM documents
+       GROUP BY 1""",
+    doc="normalization-robust exact dedup: canonicalize (lowercase, "
+    "strip punctuation, collapse whitespace) then group by md5 of the "
+    "canonical form — document payloads never shuffle, only 32-char "
+    "keys (operators/dedup.py::normalized_exact_dedup)",
+)
+def q_normalized_exact_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import normalized_exact_dedup
+
+    return normalized_exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "incremental_dedup_new_batch",
+    """SELECT d.doc_id, d.n_chars
+       FROM documents d
+       WHERE d.doc_id % 10 = 0
+         AND md5(d.text) NOT IN (SELECT md5(text) FROM documents
+                                 WHERE doc_id % 10 <> 0)""",
+    doc="incremental-ingest dedup: today's batch (doc_id%10=0) "
+    "anti-joined on content md5 against the standing corpus — the "
+    "every-snapshot crawl-pipeline shape; corpus side reduces to a "
+    "hash-only fingerprint frame "
+    "(operators/dedup.py::incremental_dedup)",
+)
+def q_incremental_dedup_new_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(new_batch, corpus).select("doc_id", "n_chars")
+
+
+@_register(
     "text_stats_docs",
     r"""SELECT doc_id,
               length(text) AS n_chars,
@@ -1127,6 +1176,59 @@ def q_near_dup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_resolve(
         _t(spark, sf_dir, "documents"), threshold=0.5, method="exact"
     )
+
+
+@_register(
+    "near_dup_keep_best",
+    # Same recursive-CTE component walk as near_dup_resolve, then the
+    # keep-best policy: highest n_chars per cluster, ties to min id.
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       m AS (SELECT node AS doc_id, min(r) AS canonical_id
+             FROM reach GROUP BY node),
+       sel AS (SELECT m.canonical_id, d.doc_id, d.n_chars,
+                      row_number() OVER (PARTITION BY m.canonical_id
+                                         ORDER BY d.n_chars DESC, d.doc_id)
+                          AS rn,
+                      count(*) OVER (PARTITION BY m.canonical_id)
+                          AS n_members
+               FROM m JOIN documents d ON d.doc_id = m.doc_id)
+       SELECT canonical_id, doc_id AS kept_doc_id,
+              CAST(n_members AS BIGINT) AS n_members
+       FROM sel WHERE rn = 1""",
+    doc="canonical-doc selection after near-dup resolution: keep the "
+    "LONGEST member of each duplicate cluster (ties to min id) — the "
+    "keep-best-quality policy of production dedup (CCNet/SemDeDup), "
+    "computed as one struct-max hash agg, no window sort "
+    "(operators/dedup.py::keep_best_per_cluster)",
+)
+def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import keep_best_per_cluster, near_dup_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    resolved = near_dup_resolve(docs, threshold=0.5, method="exact")
+    return keep_best_per_cluster(docs, resolved, "n_chars")
 
 
 @_register(
@@ -3109,6 +3211,357 @@ def q_grouped_ols_value_on_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ols_normal_equations_lineitem",
+    # The oracle recomputes the ENTIRE fit — exact decimal sufficient
+    # statistics AND the Cramer solve written in the same IEEE
+    # operation order as operators/profile.py::_det3 — so it certifies
+    # the coefficient solve, not just the sums. Decimal sums are exact
+    # in both engines (partition-order independent), making the
+    # matrices identical before the (identically-ordered) float
+    # arithmetic. The regressors are CENTERED/SCALED (qty−25,
+    # (disc−0.05)·100, price/1000): raw TPC-H scales give the normal
+    # matrix a ~1e6 condition number that amplifies last-ulp
+    # representation differences into the 6th decimal of the
+    # coefficients; centering drops it to O(10) so the rounded solve
+    # is engine-stable — the same conditioning practice a real fit at
+    # scale needs. (DuckDB operands are DECIMAL(19,6): 18-digit
+    # operands multiply in int64 and overflow; 19 forces int128.)
+    """WITH li AS (
+         SELECT (l_quantity - 25.0) AS x1,
+                ((l_discount - 0.05) * 100.0) AS x2,
+                (l_extendedprice / 1000.0) AS y
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           AND l_extendedprice IS NOT NULL),
+       s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(CAST(x1 AS DECIMAL(19,6))) AS DOUBLE) AS sx1,
+                CAST(sum(CAST(x2 AS DECIMAL(19,6))) AS DOUBLE) AS sx2,
+                CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(CAST(x1 AS DECIMAL(19,6))
+                              * CAST(x1 AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+                CAST(sum(CAST(CAST(x1 AS DECIMAL(19,6))
+                              * CAST(x2 AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+                CAST(sum(CAST(CAST(x2 AS DECIMAL(19,6))
+                              * CAST(x2 AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+                CAST(sum(CAST(CAST(x1 AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sx1y,
+                CAST(sum(CAST(CAST(x2 AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS sx2y,
+                CAST(sum(CAST(CAST(y AS DECIMAL(19,6))
+                              * CAST(y AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         FROM li),
+       d AS (SELECT *,
+               n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+                 + sx2*(sx1*s12 - s11*sx2) AS det
+             FROM s),
+       b AS (SELECT *,
+               (sy*(s11*s22 - s12*s12) - sx1*(sx1y*s22 - s12*sx2y)
+                  + sx2*(sx1y*s12 - s11*sx2y)) / det AS b0,
+               (n*(sx1y*s22 - s12*sx2y) - sy*(sx1*s22 - s12*sx2)
+                  + sx2*(sx1*sx2y - sx1y*sx2)) / det AS b1,
+               (n*(s11*sx2y - sx1y*s12) - sx1*(sx1*sx2y - sx1y*sx2)
+                  + sy*(sx1*s12 - s11*sx2)) / det AS b2
+             FROM d),
+       r AS (SELECT *, syy - (b0*sy + b1*sx1y + b2*sx2y) AS sse,
+                       syy - sy*sy/n AS sst
+             FROM b)
+       SELECT 'intercept' AS term, round(b0, 6) AS value FROM r
+       UNION ALL SELECT 'coef_qty_c', round(b1, 6) FROM r
+       UNION ALL SELECT 'coef_disc_c', round(b2, 6) FROM r
+       UNION ALL SELECT 'r2', round(1.0 - sse/sst, 6) FROM r
+       UNION ALL SELECT 'n', n FROM r""",
+    doc="distributed multi-feature OLS via normal equations: ONE pass "
+    "computes exact-decimal XᵀX / Xᵀy partials (map-side combine, "
+    "O(d²) numbers to the driver), Cramer solve on the driver — the "
+    "100 TB linear-regression shape; price(k$) ~ centered quantity + "
+    "centered discount "
+    "(operators/profile.py::ols_fit2, ols_normal_eq_sums)",
+)
+def q_ols_normal_equations_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import ols_fit2
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") - 25.0).alias("qty_c"),
+        ((F.col("l_discount") - 0.05) * 100.0).alias("disc_c"),
+        (F.col("l_extendedprice") / 1000.0).alias("price_k"),
+    )
+    return ols_fit2(li, "qty_c", "disc_c", "price_k")
+
+
+@_register(
+    "dq_constraint_report",
+    """WITH v AS (
+         SELECT 'o_orderkey_not_null' AS constraint_name,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS violations
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey_unique',
+                CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                     AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus_in_set',
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice_range',
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0
+                                   OR o_totalprice > 400000)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey_fk_customer',
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)))
+       SELECT constraint_name, violations,
+              CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END
+                  AS status
+       FROM v""",
+    doc="Deequ-style declarative data-quality audit over orders: "
+    "not-null / uniqueness / set-membership / range checks fused into "
+    "ONE aggregate pass + a broadcast anti-join referential check "
+    "against customer; the o_totalprice range is deliberately tight "
+    "so the report shows a real 'fail' row "
+    "(operators/dq.py::constraint_report)",
+)
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import constraint_report, in_range, in_set, not_null
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return constraint_report(
+        orders,
+        row_checks={
+            "o_orderkey_not_null": not_null("o_orderkey"),
+            "o_orderstatus_in_set": in_set("o_orderstatus", ["F", "O", "P"]),
+            "o_totalprice_range": in_range("o_totalprice", 0, 400000),
+        },
+        unique_keys={"o_orderkey_unique": ["o_orderkey"]},
+        foreign_keys={
+            "o_custkey_fk_customer": (customer, ["o_custkey"], ["c_custkey"])
+        },
+    )
+
+
+@_register(
+    "cdc_apply_orders",
+    # Deterministic synthetic changelog over orders: keys %7==1 get a
+    # seq-1 update then a seq-2 update (+100 then +200 — latest wins),
+    # keys %7==2 get a tombstone, and 50 brand-new keys (orderkey +
+    # 10M) arrive as inserts. The oracle replays the same log with
+    # QUALIFY row_number.
+    """WITH base AS (SELECT o_orderkey,
+                            CAST(0 AS BIGINT) AS seq, 'I' AS op,
+                            o_totalprice
+                     FROM orders),
+       chg AS (
+         SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+                round(o_totalprice + 100.0, 2) AS o_totalprice
+         FROM orders WHERE o_orderkey % 7 = 1
+         UNION ALL
+         SELECT o_orderkey, CAST(2 AS BIGINT), 'U',
+                round(o_totalprice + 200.0, 2)
+         FROM orders WHERE o_orderkey % 7 = 1
+         UNION ALL
+         SELECT o_orderkey, CAST(1 AS BIGINT), 'D', NULL
+         FROM orders WHERE o_orderkey % 7 = 2
+         UNION ALL
+         SELECT o_orderkey + 10000000, CAST(1 AS BIGINT), 'I',
+                round(o_totalprice, 2)
+         FROM orders WHERE o_orderkey % 300 = 3),
+       lg AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+       latest AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                               ORDER BY seq DESC) AS rn
+                  FROM lg)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM latest WHERE rn = 1 AND op <> 'D'""",
+    doc="CDC changelog apply (Debezium-feed shape): I/U/D ops with a "
+    "monotone sequence folded onto a base snapshot — latest-wins per "
+    "key, delete tombstones drop keys, replay-idempotent; ONE hash "
+    "shuffle on the key (operators/merge.py::cdc_apply)",
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import cdc_apply
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    raw = _t(spark, sf_dir, "orders")
+    u1 = raw.filter(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+    )
+    u2 = raw.filter(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey",
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") + 200.0, 2).alias("o_totalprice"),
+    )
+    d1 = raw.filter(F.col("o_orderkey") % 7 == 2).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    i1 = raw.filter(F.col("o_orderkey") % 300 == 3).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    changes = u1.unionByName(u2).unionByName(d1).unionByName(i1).select(
+        "o_orderkey", "o_totalprice", "seq", "op"
+    )
+    return cdc_apply(base, changes, ["o_orderkey"])
+
+
+@_register(
+    "fk_containment_profile",
+    """SELECT 'lineitem_part' AS relation,
+              CAST(count(*) AS BIGINT) AS n_fact_keys,
+              CAST(sum(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contained,
+              round(sum(CASE WHEN p_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4) AS containment
+       FROM (SELECT DISTINCT l_partkey FROM lineitem
+             WHERE l_partkey IS NOT NULL) f
+       LEFT JOIN (SELECT DISTINCT p_partkey FROM part) d
+         ON f.l_partkey = d.p_partkey
+       UNION ALL
+       SELECT 'orders_customer',
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              round(sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4)
+       FROM (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_custkey IS NOT NULL) f
+       LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) d
+         ON f.o_custkey = d.c_custkey
+       UNION ALL
+       SELECT 'lineitem_orderkey_vs_custkey',
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              round(sum(CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4)
+       FROM (SELECT DISTINCT l_orderkey FROM lineitem
+             WHERE l_orderkey IS NOT NULL) f
+       LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) d
+         ON f.l_orderkey = d.c_custkey""",
+    doc="join-key discovery: containment coefficient of candidate "
+    "foreign-key relationships (lineitem→part and orders→customer are "
+    "clean FKs; lineitem.l_orderkey⊆customer.c_custkey is the planted "
+    "negative) — distinct key sets join, never fact rows "
+    "(operators/dq.py::fk_containment_profile)",
+)
+def q_fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import fk_containment_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fk_containment_profile(
+        {
+            "lineitem_part": (li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+            "orders_customer": (
+                _t(spark, sf_dir, "orders"),
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+            "lineitem_orderkey_vs_custkey": (
+                li,
+                "l_orderkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+        }
+    )
+
+
+@_register(
+    "weighted_sample_parts",
+    """WITH k AS (
+         SELECT p_partkey, p_retailprice,
+                ln((CAST('0x' || substr(md5('42-'
+                         || CAST(p_partkey AS VARCHAR)), 1, 12)
+                         AS BIGINT) + 0.5) / 281474976710656.0)
+                  / CAST(p_retailprice AS DOUBLE) AS aes
+         FROM part
+         WHERE p_retailprice IS NOT NULL AND p_retailprice > 0)
+       SELECT p_partkey, p_retailprice
+       FROM k ORDER BY aes DESC, p_partkey LIMIT 100""",
+    doc="Efraimidis-Spirakis weighted sample without replacement, "
+    "k=100 parts with probability ∝ retail price — deterministic "
+    "md5-derived uniforms make the selection engine-exact and "
+    "layout-independent; top-k via TakeOrderedAndProject, no global "
+    "sort (operators/sample.py::weighted_sample)",
+)
+def q_weighted_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_retailprice", k=100
+    )
+
+
+@_register(
+    "zorder_keys_events",
+    # The z-key arithmetic is deterministic IEEE double math (subtract,
+    # divide, scale, floor — identical op order on both engines), so
+    # the Morton interleave itself is oracle-checkable bit for bit.
+    """WITH b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                         min(value) AS mnv, max(value) AS mxv
+                  FROM events),
+       g AS (SELECT e.event_id,
+                    least(CAST(floor(((CAST(e.user_id AS DOUBLE)
+                                       - CAST(b.mnu AS DOUBLE))
+                                      / (CAST(b.mxu AS DOUBLE)
+                                         - CAST(b.mnu AS DOUBLE)))
+                                     * 256.0) AS BIGINT), 255) AS gu,
+                    least(CAST(floor(((e.value - b.mnv)
+                                      / (b.mxv - b.mnv))
+                                     * 256.0) AS BIGINT), 255) AS gv
+             FROM events e, b),
+       z AS (SELECT event_id,
+                    sum(((gu >> i) & 1) * (1 << (2 * i))
+                        + ((gv >> i) & 1) * (1 << (2 * i + 1))) AS zkey
+             FROM g, UNNEST(generate_series(0, 7)) AS u(i)
+             GROUP BY event_id)
+       SELECT event_id, CAST(zkey AS BIGINT) AS zkey FROM z""",
+    doc="Morton/z-order clustering key over (user_id, value): min-max "
+    "grid scale + bit interleave, all shift/mask expressions inside "
+    "whole-stage codegen; the key zorder_write range-partitions on so "
+    "multi-column predicates prune files on BOTH dimensions — the "
+    "Delta/Iceberg OPTIMIZE ZORDER layout primitive "
+    "(operators/layout.py::zorder_key)",
+)
+def q_zorder_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "event_id", F.col("_zkey").alias("zkey")
+    )
+
+
+@_register(
     "substring_dup_runs",
     r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                   FROM documents),
@@ -4511,6 +4964,155 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mkt_share")
         )
+    )
+
+
+@_register(
+    "product_profit_by_nation_year",
+    # TPC-H Q9 adapted to this schema: no partsupp table exists in the
+    # testdata, so supply cost is proxied as 0.6 * p_retailprice *
+    # l_quantity (a fixed margin against the part's list price) — the
+    # JOIN/AGG SHAPE (part-name filter pruning a 5-way join, profit
+    # expression, nation x year rollup) is what Q9 exercises.
+    """SELECT n.n_name AS supp_nation,
+              CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)
+                        - 0.6 * p.p_retailprice * l.l_quantity), 2)
+                  AS profit
+       FROM part p
+       JOIN lineitem l ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n   ON s.s_nationkey = n.n_nationkey
+       JOIN orders o   ON o.o_orderkey = l.l_orderkey
+       WHERE p.p_name LIKE '%red%'
+       GROUP BY n.n_name, o_year""",
+    doc="TPC-H Q9 shape (product-type profit): part-name LIKE filter "
+    "prunes the fact stream at the first (broadcast) join, profit is "
+    "a per-line expression summed per supplier-nation x order-year. "
+    "Scales: filtered part + supplier + nation broadcast; the only "
+    "shuffle is fact-to-orders on orderkey, then a low-cardinality "
+    "final agg.",
+)
+def q_product_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@_register(
+    "supplier_cnt_by_part_attrs",
+    # TPC-H Q16 adapted: the partsupp relation is reconstructed as the
+    # DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem, and
+    # the "customer complaints" supplier exclusion becomes s_acctbal<0
+    # (this schema carries no comment text). Shape preserved: distinct
+    # pair dedup -> dimension-attribute filter -> NOT IN supplier
+    # anti-join -> count(DISTINCT supplier) per attribute triple.
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                  AS supplier_cnt
+       FROM ps
+       JOIN part p ON p.p_partkey = ps.l_partkey
+       WHERE p.p_brand <> 'Brand#1'
+         AND p.p_type NOT LIKE 'SMALL%'
+         AND p.p_size IN (1, 4, 7, 11, 14, 19, 23, 28)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_type, p.p_size""",
+    doc="TPC-H Q16 shape (supplier relationship count): distinct "
+    "part-supplier pairs, attribute filters, NOT-IN supplier "
+    "exclusion (broadcast anti-join — never a shuffled NOT IN), "
+    "count-distinct suppliers per (brand, type, size). Scales: the "
+    "pair dedup is the only fact shuffle; part and the excluded "
+    "supplier set broadcast.",
+)
+def q_supplier_cnt_by_part_attrs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin([1, 4, 7, 11, 14, 19, 23, 28])
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "dominant_part_suppliers",
+    # TPC-H Q20 adapted: no partsupp.ps_availqty exists, so "stocks
+    # more than half a year's shipments" becomes "SHIPPED more than
+    # half of the part's total 1997 volume" — preserving Q20's nested
+    # correlated-aggregate comparison (per-pair qty vs a per-part
+    # scalar), the part-name IN-subquery, and the nation filter.
+    """WITH pair AS (SELECT l_partkey, l_suppkey,
+                            sum(l_quantity) AS qty
+                     FROM lineitem
+                     WHERE EXTRACT(year FROM l_shipdate) = 1997
+                     GROUP BY l_partkey, l_suppkey),
+       tot AS (SELECT l_partkey, sum(qty) AS total_qty
+               FROM pair GROUP BY l_partkey)
+       SELECT DISTINCT s.s_suppkey, s.s_name
+       FROM pair
+       JOIN tot ON pair.l_partkey = tot.l_partkey
+       JOIN part p ON p.p_partkey = pair.l_partkey
+       JOIN supplier s ON s.s_suppkey = pair.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE pair.qty > 0.5 * tot.total_qty
+         AND p.p_name LIKE 'red%'
+         AND n.n_name = 'NATION_1'""",
+    doc="TPC-H Q20 shape (potential part promotion): suppliers who "
+    "shipped the MAJORITY of a red part's 1997 volume, restricted to "
+    "one nation — the correlated-aggregate threshold computed as a "
+    "window-free join of two stacked aggregates over the same slim "
+    "pair frame (never re-scanning the fact table). Scales: one "
+    "fact shuffle to (part,supp) pairs; everything after operates on "
+    "aggregate-sized frames with broadcast dims.",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .dropDuplicates()
     )
 
 
