@@ -93,6 +93,20 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "sorted_neighborhood_pairs",
     "restock_resets_by_supplier",
+    # round 5: TPC-H completion + production data-ops tier
+    "product_profit_by_nation_year",
+    "supplier_cnt_by_part_attrs",
+    "dominant_part_suppliers",
+    "ols_normal_equations_lineitem",
+    "dq_constraint_report",
+    "fk_containment_profile",
+    "cdc_apply_orders",
+    "weighted_sample_parts",
+    "zorder_keys_events",
+    "normalized_exact_dedup_docs",
+    "incremental_dedup_new_batch",
+    "minhash_lsh_verified_pairs",
+    "lsh_ann_verified_topk",
 ]
 
 
