@@ -212,3 +212,44 @@ def test_fk_containment_profile_detects_clean_and_broken(spark):
     }
     # 3 distinct non-null fact keys, 2 contained
     assert rep["f_d"] == (3, 2, 0.6667)
+
+
+# ----------------------------------------------------------- cogroup
+
+
+def test_cogrouped_ks_exactness_and_plan(spark):
+    """KS per key vs a direct numpy computation, keys missing on one
+    side omitted, and the plan must carry the co-grouped Arrow map
+    (FlatMapCoGroupsInPandas), not a collect-side loop."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        cogrouped_ks,
+    )
+
+    a = spark.createDataFrame(
+        [("k1", float(v)) for v in [1, 2, 2, 3, 5]]
+        + [("k2", float(v)) for v in [10, 11]]
+        + [("only_a", 1.0)],
+        "k string, v double",
+    )
+    b = spark.createDataFrame(
+        [("k1", float(v)) for v in [2, 3, 4, 4]]
+        + [("k2", float(v)) for v in [10, 12, 13]],
+        "k string, v double",
+    )
+    out = cogrouped_ks(a, b, "k", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    got = {r["k"]: (r["n_a"], r["n_b"], r["ks"]) for r in out.collect()}
+    assert set(got) == {"k1", "k2"}  # only_a omitted
+
+    def ks(x, y):
+        x, y = np.sort(np.array(x)), np.sort(np.array(y))
+        g = np.unique(np.concatenate([x, y]))
+        fa = np.searchsorted(x, g, side="right") / len(x)
+        fb = np.searchsorted(y, g, side="right") / len(y)
+        return round(float(np.max(np.abs(fa - fb))), 6)
+
+    assert got["k1"] == (5, 4, ks([1, 2, 2, 3, 5], [2, 3, 4, 4]))
+    assert got["k2"] == (2, 3, ks([10, 11], [10, 12, 13]))

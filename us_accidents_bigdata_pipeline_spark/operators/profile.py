@@ -358,3 +358,56 @@ def ols_fit(
     ]
     rows += [("r2", round(r2, ndigits)), ("n", float(s["n"]))]
     return df.sparkSession.createDataFrame(rows, "term string, value double")
+
+
+def cogrouped_ks(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov–Smirnov statistic between two
+    frames — segment-level drift detection (per event type, per
+    feature bucket: did the serving distribution move vs training?).
+
+    This is the CO-GROUPED-MAP Arrow surface
+    (``a.groupby(k).cogroup(b.groupby(k)).applyInPandas``): Spark
+    co-shuffles both inputs on the key and hands each kernel the pair
+    of per-key pandas frames — the U-family member that plain
+    grouped-map (one input) and stateful streaming kernels don't
+    cover. One co-partitioned shuffle total; the kernel is a sorted
+    numpy CDF scan, O(n log n) per key.
+
+    KS is evaluated at each DISTINCT pooled value with right-CDFs
+    (complete counts at ties) — the exact statistic, and the precise
+    formulation the DuckDB oracle reproduces with a distinct-value
+    cumulative window. Keys missing from either side are omitted (KS
+    is undefined against an empty sample), mirroring the oracle's
+    inner-join semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ktype = dict(a.dtypes)[key_col]
+    schema = f"{key_col} {ktype}, n_a bigint, n_b bigint, ks double"
+    cols = [key_col, "n_a", "n_b", "ks"]
+
+    def ks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=cols)
+        x = np.sort(left[value_col].to_numpy(dtype=np.float64))
+        y = np.sort(right[value_col].to_numpy(dtype=np.float64))
+        grid = np.unique(np.concatenate([x, y]))
+        fa = np.searchsorted(x, grid, side="right") / len(x)
+        fb = np.searchsorted(y, grid, side="right") / len(y)
+        stat = round(float(np.max(np.abs(fa - fb))), ndigits)
+        return pd.DataFrame(
+            [[left[key_col].iloc[0], len(x), len(y), stat]], columns=cols
+        )
+
+    return (
+        a.groupby(key_col)
+        .cogroup(b.groupby(key_col))
+        .applyInPandas(ks, schema)
+    )

@@ -1233,10 +1233,43 @@ def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "near_dup_resolve_banded",
-    None,  # banded candidate generation is approximate → rows-only;
-    # the exact-pairs variant above is the oracle-checked reference
+    # Same exact recursive-CTE oracle as near_dup_resolve: the banded
+    # candidate stage is oracle-verified equal to the exact pair set
+    # every round (minhash_banded_pairs passes the all-pairs Jaccard
+    # oracle — 16-band/8-row recall at the corpus's planted s>=0.5
+    # near-dups is ~1), so the resolution over banded pairs must equal
+    # the exact resolution; a banding recall failure now surfaces as
+    # an oracle mismatch instead of being assumed away.
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+       SELECT node AS doc_id, min(r) AS canonical_id,
+              node = min(r) AS keep
+       FROM reach GROUP BY node""",
     doc="near-dup resolution over banded-MinHash pairs — the 100 TB "
-    "path (operators/dedup.py::near_dup_resolve method='banded')",
+    "path; oracled against the EXACT-pair resolution because the "
+    "banded candidate set is itself oracle-equal to the exact pair "
+    "set (operators/dedup.py::near_dup_resolve method='banded')",
 )
 def q_near_dup_resolve_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dup_resolve
@@ -9765,6 +9798,56 @@ def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one union, one ordered window pair on slim (value, flag) rows, one
 # max. The drift metric PSI's binned view can miss.
 # =====================================================================
+
+
+@_register(
+    "cogrouped_ks_by_event_type",
+    # Exact per-key KS: cumulative counts at DISTINCT pooled values
+    # (complete counts at ties — right-CDFs), the same formulation the
+    # numpy kernel computes; intermediate-row windows would overshoot
+    # at cross-sample ties.
+    """WITH pooled AS (
+         SELECT event_type, value AS v,
+                CASE WHEN ts < TIMESTAMP '2024-01-16'
+                     THEN 1 ELSE 0 END AS in_a
+         FROM events),
+       d AS (SELECT event_type, v,
+                    sum(in_a) AS da, sum(1 - in_a) AS db
+             FROM pooled GROUP BY event_type, v),
+       c AS (SELECT event_type, v,
+                    sum(da) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS ca,
+                    sum(db) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cb,
+                    sum(da) OVER (PARTITION BY event_type) AS na,
+                    sum(db) OVER (PARTITION BY event_type) AS nb
+             FROM d)
+       SELECT event_type,
+              CAST(max(na) AS BIGINT) AS n_a,
+              CAST(max(nb) AS BIGINT) AS n_b,
+              round(max(abs(CAST(ca AS DOUBLE) / na
+                            - CAST(cb AS DOUBLE) / nb)), 6) AS ks
+       FROM c GROUP BY event_type""",
+    doc="per-key two-sample KS drift (first vs second half of the "
+    "month, per event type) via the CO-GROUPED-map Arrow surface — "
+    "cogroup().applyInPandas co-shuffles both frames once and hands "
+    "each kernel the per-key frame pair; exact distinct-value "
+    "right-CDF statistic, value-verified by the oracle "
+    "(operators/profile.py::cogrouped_ks)",
+)
+def q_cogrouped_ks_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import cogrouped_ks
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return cogrouped_ks(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "event_type",
+        "value",
+    )
 
 
 @_register(
