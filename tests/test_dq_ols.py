@@ -253,3 +253,77 @@ def test_cogrouped_ks_exactness_and_plan(spark):
 
     assert got["k1"] == (5, 4, ks([1, 2, 2, 3, 5], [2, 3, 4, 4]))
     assert got["k2"] == (2, 3, ks([10, 11], [10, 12, 13]))
+
+
+def test_cdc_apply_property_matches_dict_fold(spark):
+    """Property check: for ANY changelog (random keys, ops, seq order,
+    collisions), cdc_apply equals a serial dict fold of the ops in
+    sequence order. Ties on (key, seq) are excluded by construction —
+    CDC feeds have unique sequence numbers per key."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.merge import cdc_apply
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        base_keys=st.lists(
+            st.integers(min_value=0, max_value=9), unique=True, max_size=6
+        ),
+        ops=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # key
+                st.sampled_from(["I", "U", "D"]),        # op
+                st.integers(min_value=0, max_value=99),  # value payload
+            ),
+            max_size=12,
+        ),
+    )
+    def run(base_keys, ops):
+        base = spark.createDataFrame(
+            [(k, float(k * 10)) for k in base_keys] or [(None, None)],
+            "k long, v double",
+        ).filter(F.col("k").isNotNull())
+        changes = spark.createDataFrame(
+            [
+                (k, None if op == "D" else float(val), i + 1, op)
+                for i, (k, op, val) in enumerate(ops)
+            ]
+            or [(None, None, None, None)],
+            "k long, v double, seq long, op string",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r["k"]: r["v"] for r in cdc_apply(base, changes, ["k"]).collect()
+        }
+        state = {k: float(k * 10) for k in base_keys}
+        for i, (k, op, val) in enumerate(ops):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = float(val)
+        assert got == state
+
+    run()
+
+
+def test_weighted_sample_scale_invariant(spark):
+    """A-ES selection depends only on RELATIVE weights: scaling every
+    weight by a positive constant divides every ln(u)/w key by it,
+    preserving the order — the selected set must be identical."""
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 500).withColumn(
+        "w", (F.col("id") % 13 + 1).cast("double")
+    )
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", k=50).collect())
+    scaled = df.withColumn("w", F.col("w") * 1000.0)
+    b = sorted(
+        r["id"] for r in weighted_sample(scaled, "id", "w", k=50).collect()
+    )
+    assert a == b

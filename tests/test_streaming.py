@@ -654,3 +654,77 @@ def test_transform_with_state_totals_matches_batch():
     }
     got = {int(k): v for k, v in out["totals"].items()}
     assert got == expected
+
+
+def test_foreach_batch_cdc_tombstones_and_replay(spark, tmp_path):
+    """CDC sink: a change stream with updates, inserts AND delete
+    tombstones folds into the correct table; replaying the last batch
+    with its original batch_id leaves the table unchanged; a new batch
+    can re-insert a previously deleted key."""
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        cdc_batch_fn,
+        read_current,
+        streaming_cdc,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    batches = [
+        [(1, "a0", 1, "I"), (2, "b0", 2, "I"), (3, "c0", 3, "I")],
+        # update 1, delete 2, insert 4; in-batch insert+delete of 5
+        [
+            (1, "a1", 4, "U"),
+            (2, None, 5, "D"),
+            (4, "d0", 6, "I"),
+            (5, "e0", 7, "I"),
+            (5, None, 8, "D"),
+        ],
+        [(3, None, 9, "D"), (1, "a2", 10, "U")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "cdc_table")
+    streaming_cdc(
+        stream, root, key_cols=["k"], checkpoint=str(tmp_path / "cdc_ckpt")
+    )
+
+    expected = {1: "a2", 4: "d0"}
+    got = {r.k: r.v for r in read_current(spark, root).collect()}
+    assert got == expected
+
+    # replay last batch (same batch_id) → unchanged
+    cdc_batch_fn(root, ["k"])(spark.createDataFrame(batches[2], schema), 2)
+    assert {
+        r.k: r.v for r in read_current(spark, root).collect()
+    } == expected
+
+    # a NEW batch re-inserting a deleted key applies on top
+    cdc_batch_fn(root, ["k"])(
+        spark.createDataFrame([(2, "b9", 11, "I")], schema), 3
+    )
+    assert {r.k: r.v for r in read_current(spark, root).collect()} == {
+        **expected,
+        2: "b9",
+    }

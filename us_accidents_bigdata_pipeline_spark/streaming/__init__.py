@@ -1,7 +1,9 @@
 from .foreach_batch import (
+    cdc_batch_fn,
     list_versions,
     read_current,
     read_version,
+    streaming_cdc,
     streaming_upsert,
     upsert_batch_fn,
     vacuum_versions,
@@ -20,6 +22,7 @@ from .windows import (
 
 __all__ = [
     "adaptive_ts_stream",
+    "cdc_batch_fn",
     "counts_with_timeout",
     "dedup_stream",
     "kafka_stream_reader",
@@ -32,6 +35,7 @@ __all__ = [
     "run_windowed_batch",
     "running_totals_stateful",
     "session_window_counts",
+    "streaming_cdc",
     "streaming_upsert",
     "upsert_batch_fn",
     "vacuum_versions",

@@ -191,3 +191,87 @@ def vacuum_versions(root: str, keep: int = 2) -> list[int]:
         shutil.rmtree(os.path.join(root, f"v{b}"), ignore_errors=True)
         removed.append(b)
     return removed
+
+
+def cdc_batch_fn(
+    root: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """foreachBatch callable folding a CDC change stream (I/U/D ops +
+    monotone sequence — the Debezium topic shape) into the same
+    versioned-snapshot table ``upsert_batch_fn`` maintains. The upsert
+    sink can only add/overwrite keys; this one also DELETES them
+    (tombstones), turning a change stream into a continuously-correct
+    materialized table.
+
+    Same commit protocol (version dir + atomic pointer replace) and
+    the same replay guard, so exactly-once table state holds across
+    Structured Streaming's at-least-once batch redelivery. Per batch:
+    operators/merge.py::cdc_apply — one hash shuffle of base ∪ batch
+    on the key, latest-seq-wins, tombstones drop.
+    """
+    from ..operators.merge import cdc_apply
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(root, exist_ok=True)
+        payload = [c for c in batch_df.columns if c not in (seq_col, op_col)]
+        p = _pointer_path(root)
+        base = None
+        prev_version = None
+        if os.path.exists(p):
+            with open(p) as f:
+                meta = json.load(f)
+            prev_version = (
+                meta.get("prev")
+                if meta["batch_id"] == batch_id
+                else meta["version"]
+            )
+            if prev_version:
+                base = spark.read.parquet(os.path.join(root, prev_version))
+        if base is None:
+            base = spark.createDataFrame(
+                [], batch_df.select(*payload).schema
+            )
+        merged = cdc_apply(base, batch_df, key_cols, seq_col, op_col)
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, version))
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "batch_id": batch_id,
+                    "prev": prev_version,
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    return apply
+
+
+def streaming_cdc(
+    stream: DataFrame,
+    root: str,
+    key_cols: list[str],
+    checkpoint: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """Drive a bounded CDC stream to completion through the cdc sink
+    (production use: drop processAllAvailable, keep the trigger)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            cdc_batch_fn(root, key_cols, seq_col, op_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
