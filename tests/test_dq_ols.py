@@ -327,3 +327,26 @@ def test_weighted_sample_scale_invariant(spark):
         r["id"] for r in weighted_sample(scaled, "id", "w", k=50).collect()
     )
     assert a == b
+
+
+def test_group_quantiles_arrow_plan_and_values(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        group_quantiles_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [5, 1, 3, 2, 4]]
+        + [("b", float(v)) for v in [10, 30, 20, None][:3]],
+        "k string, v double",
+    )
+    out = group_quantiles_arrow(df, "k", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Arrow" in plan, plan  # grouped-map Arrow eval, not pandas
+    got = {
+        r["k"]: (r["n"], r["q25"], r["q50"], r["q75"])
+        for r in out.collect()
+    }
+    # a: sorted [1..5], ranks ceil(.25*5)=2, ceil(.5*5)=3, ceil(.75*5)=4
+    assert got["a"] == (5, 2.0, 3.0, 4.0)
+    # b: sorted [10,20,30], ranks 1, 2, 3
+    assert got["b"] == (3, 10.0, 20.0, 30.0)

@@ -411,3 +411,59 @@ def cogrouped_ks(
         .cogroup(b.groupby(key_col))
         .applyInPandas(ks, schema)
     )
+
+
+def group_quantiles_arrow(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group EXACT discrete quantiles (value at 1-indexed rank
+    ⌈q·n⌉ — a value that exists in the data, not an interpolation)
+    via ``groupBy().applyInArrow``: the grouped-map ARROW surface
+    (kernel receives/returns pyarrow Tables, no pandas conversion) —
+    the last member of the vectorized-Python family the engine
+    exercises (scalar pandas_udf, mapInPandas, mapInArrow,
+    applyInPandas, cogroup, applyInPandasWithState being the others).
+
+    Discrete (type-1) quantiles are deliberate: interpolated medians
+    of cent-valued data land on .xx5 round-half boundaries where
+    engines disagree (SURVEY §7.4), while a rank-selected value is
+    parquet-exact on both sides — which is what makes THIS grouped
+    Arrow kernel oracle-checkable to the last bit.
+
+    Scale: one hash shuffle on the key; per-group kernel is one sort.
+    NULL values are excluded (quantiles of the present data).
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    ktype = dict(df.dtypes)[key_col]
+    qnames = [f"q{int(q * 100)}" for q in qs]
+    schema = f"{key_col} {ktype}, n bigint, " + ", ".join(
+        f"{qn} double" for qn in qnames
+    )
+
+    def quant(tbl: "pa.Table") -> "pa.Table":
+        x = np.sort(
+            tbl.column(value_col).to_numpy(zero_copy_only=False)
+        )
+        n = len(x)
+        row: dict = {
+            key_col: [tbl.column(key_col)[0].as_py()],
+            "n": [n],
+        }
+        for q, qn in zip(qs, qnames):
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            row[qn] = [float(x[idx])]
+        return pa.table(row)
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInArrow(quant, schema)
+    )
