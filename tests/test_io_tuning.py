@@ -567,3 +567,32 @@ def test_streaming_query_progress_observable(spark, tmp_path):
         assert total_in == 100
     finally:
         q.stop()
+
+
+def test_write_with_metrics_single_job_audit(spark, tmp_path):
+    """df.observe piggybacks audit aggregates on the write job — the
+    metrics must exactly describe the written data, with no second
+    scan of the input."""
+    from pyspark.sql import functions as F
+
+    from us_accidents_bigdata_pipeline_spark.tuning import write_with_metrics
+
+    df = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("id"))
+    )
+    out = str(tmp_path / "observed")
+    got = write_with_metrics(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "max_id": F.max("id"),
+        },
+    )
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    assert got["max_id"] == 999
+    back = spark.read.parquet(out)
+    assert back.count() == got["n_rows"]
+    assert back.filter(F.col("v").isNull()).count() == got["n_null_v"]

@@ -2523,6 +2523,66 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xml_roundtrip_orders",
+    # Self-validating roundtrip: the XML is BUILT from the base
+    # columns, parsed back with from_xml, and aggregated on the parsed
+    # fields — the oracle computes the same aggregate straight from
+    # the base columns, so any parse loss or type mangling mismatches.
+    """SELECT o_orderpriority AS priority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(round(o_totalprice, 2)), 2) AS total
+       FROM orders GROUP BY o_orderpriority""",
+    doc="Spark 4 native XML surface: format_string builds an XML "
+    "payload per order, from_xml parses it against an explicit "
+    "schema, and the aggregate runs on the PARSED struct fields — "
+    "roundtrip-checked against the raw columns by the oracle "
+    "(ingesting XML feeds without external packages)",
+)
+def q_xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import from_xml
+
+    o = _t(spark, sf_dir, "orders")
+    xml = F.format_string(
+        "<order><k>%d</k><p>%s</p><tp>%.2f</tp></order>",
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice"),
+    )
+    parsed = o.select(
+        from_xml(xml, "k BIGINT, p STRING, tp DOUBLE").alias("x")
+    )
+    return (
+        parsed.groupBy(F.col("x.p").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("x.tp"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "param_sql_top_customers",
+    """SELECT c_custkey, c_acctbal
+       FROM customer WHERE c_acctbal > 9000.0
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 25""",
+    doc="parameterized SQL surface (Spark 4): spark.sql with NAMED "
+    "parameter markers (:min_bal, :k — injection-safe, plan-cacheable "
+    "across literal changes) and a DataFrame passed as a template "
+    "argument ({cust}) instead of a registered temp view — the modern "
+    "programmatic-SQL composition path",
+)
+def q_param_sql_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return spark.sql(
+        """SELECT c_custkey, c_acctbal FROM {cust}
+           WHERE c_acctbal > :min_bal
+           ORDER BY c_acctbal DESC, c_custkey LIMIT :k""",
+        args={"min_bal": 9000.0, "k": 25},
+        cust=cust,
+    )
+
+
+@_register(
     "catalog_sql_region_orders",
     """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o_totalprice), 2) AS total_price

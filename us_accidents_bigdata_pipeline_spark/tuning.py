@@ -196,3 +196,33 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return left.join(right, on + ["_salt"], how).drop("_salt")
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet AND collect aggregate audit metrics in the SAME
+    job via ``df.observe`` (``pyspark.sql.Observation``) — the
+    zero-extra-pass audit. The naive pattern (``df.count()`` then
+    ``df.write``, or write then re-read to count) scans the data
+    twice; at 100 TB the second scan is hours. ``observe`` piggybacks
+    the aggregates on the write job's task completion events, so the
+    metrics are free and EXACTLY describe what was written (a separate
+    count can silently disagree if the input is nondeterministic or
+    changed between jobs).
+
+    ``metrics``: name → aggregate Column (count/sum/min/max —
+    Observation requires commutative aggregates, no distinct).
+    Returns the observed values, e.g. ``{"n_rows": 123, ...}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(
+        obs, *[expr.alias(name) for name, expr in metrics.items()]
+    )
+    observed.write.mode(mode).parquet(path)
+    return obs.get
