@@ -1941,6 +1941,102 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_cdc_orders",
+    # Same deterministic changelog (and oracle) as cdc_apply_orders,
+    # but delivered as THREE mtime-ordered micro-batches through the
+    # tombstone-aware foreachBatch CDC sink — the final materialized
+    # snapshot must equal the batch fold. In-order delivery matters:
+    # snapshot folding resets surviving rows to seq 0, so a
+    # lower-seq change arriving AFTER a higher-seq one would win;
+    # Debezium topics are per-key ordered, which this models.
+    """WITH base AS (SELECT o_orderkey,
+                            CAST(0 AS BIGINT) AS seq, 'I' AS op,
+                            o_totalprice
+                     FROM orders),
+       chg AS (
+         SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+                round(o_totalprice + 100.0, 2) AS o_totalprice
+         FROM orders WHERE o_orderkey % 7 = 1
+         UNION ALL
+         SELECT o_orderkey, CAST(2 AS BIGINT), 'U',
+                round(o_totalprice + 200.0, 2)
+         FROM orders WHERE o_orderkey % 7 = 1
+         UNION ALL
+         SELECT o_orderkey, CAST(1 AS BIGINT), 'D', NULL
+         FROM orders WHERE o_orderkey % 7 = 2
+         UNION ALL
+         SELECT o_orderkey + 10000000, CAST(1 AS BIGINT), 'I',
+                round(o_totalprice, 2)
+         FROM orders WHERE o_orderkey % 300 = 3),
+       lg AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+       latest AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                               ORDER BY seq DESC) AS rn
+                  FROM lg)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM latest WHERE rn = 1 AND op <> 'D'""",
+    doc="streaming CDC end-to-end: a change stream (inserts, two "
+    "sequenced updates, delete tombstones) folded through the "
+    "versioned-snapshot foreachBatch sink across three micro-batches; "
+    "the materialized table is value-checked against the batch "
+    "QUALIFY-fold oracle (streaming/foreach_batch.py::streaming_cdc)",
+)
+def q_streaming_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming import parquet_stream_reader, read_current, streaming_cdc
+
+    raw = _t(spark, sf_dir, "orders")
+    sel = lambda df, seq, op, price: df.select(  # noqa: E731
+        "o_orderkey",
+        price.alias("o_totalprice"),
+        F.lit(seq).cast("long").alias("seq"),
+        F.lit(op).alias("op"),
+    )
+    batch0 = sel(raw, 0, "I", F.round("o_totalprice", 2))
+    b1u = sel(
+        raw.filter(F.col("o_orderkey") % 7 == 1),
+        1, "U", F.round(F.col("o_totalprice") + 100.0, 2),
+    )
+    b1d = sel(
+        raw.filter(F.col("o_orderkey") % 7 == 2),
+        1, "D", F.lit(None).cast("double"),
+    )
+    b1i = raw.filter(F.col("o_orderkey") % 300 == 3).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    batch1 = b1u.unionByName(b1d).unionByName(b1i)
+    batch2 = sel(
+        raw.filter(F.col("o_orderkey") % 7 == 1),
+        2, "U", F.round(F.col("o_totalprice") + 200.0, 2),
+    )
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    root = tempfile.mkdtemp(prefix="cdc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    try:
+        for b in (batch0, batch1, batch2):
+            b.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # distinct mtimes -> ordered micro-batches
+        stream = parquet_stream_reader(
+            spark, src, batch0.schema, glob_filter="*.parquet",
+            max_files_per_trigger=1,
+        )
+        streaming_cdc(stream, root, ["o_orderkey"], ckpt)
+        out = read_current(spark, root).select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for d in (src, root, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@_register(
     "range_join_bands",
     """WITH bands(band, lo, hi) AS (VALUES
          (0, 0.0, 80.0), (1, 50.0, 130.0), (2, 100.0, 180.0),
