@@ -533,3 +533,52 @@ def test_parameterized_sql_named_args(spark):
     assert all(r.o_totalprice > 400_000.0 for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan, plan
+
+
+def test_q9_profit_broadcasts_all_dims(spark):
+    """TPC-H Q9 shape: filtered part + supplier + nation must
+    broadcast; the only sort-merge/shuffle join permitted is
+    fact-to-orders on the orderkey."""
+    plan = plan_of(spark, "product_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    # part-name filter reaches the part scan (pruning before the join)
+    assert "StartsWith" in plan or "Contains" in plan or "LIKE" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """The NOT IN supplier exclusion must plan as a broadcast
+    anti-join, never a shuffled or nested-loop NOT IN."""
+    plan = plan_of(spark, "supplier_cnt_by_part_attrs")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_threshold_join_is_aggregate_sized(spark):
+    """Q20's correlated threshold: both aggregates stack over ONE scan
+    of the year-filtered fact (the pair frame feeds the total frame);
+    the fact table is never re-scanned for the threshold."""
+    plan = plan_of(spark, "dominant_part_suppliers")
+    assert plan.count("Scan parquet") <= 5, plan  # li + part + supp + nation (+reuse)
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_referential_check_broadcasts(spark):
+    plan = plan_of(spark, "dq_constraint_report")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark):
+    plan = plan_of(spark, "weighted_sample_parts")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cdc_apply_single_key_shuffle(spark):
+    """CDC fold: one hash exchange on the key for the window — no
+    extra exchanges beyond the union's inputs."""
+    plan = plan_of(spark, "cdc_apply_orders")
+    assert plan.count("Exchange hashpartitioning(o_orderkey") <= 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
