@@ -76,3 +76,47 @@ def test_cli_main_runs_end_to_end(spark, tmp_path):
     with open(f"{out}/pipeline_summary.json") as f:
         disk = json.load(f)
     assert disk["rows_processed"] == summary["rows_processed"]
+
+
+def test_export_corpus_cli_smoke(tmp_path):
+    """The corpus-export CLI runs end-to-end at the smoke tier: funnel
+    printed, shards written, audit metrics consistent with the data."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = tmp_path / "export"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "scripts" / "export_corpus.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(out),
+            "--shards", "4",
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    report = json.loads((out / "export_report.json").read_text())
+    assert report["audit"]["n_docs"] > 0
+    assert report["audit"]["n_null_text"] == 0
+    assert report["audit"]["n_tokens"] > report["audit"]["n_docs"]
+    stages = [s["stage"] for s in report["funnel"]]
+    assert stages == [
+        "raw", "quality", "repetition", "exact_dedup", "near_dup",
+        "decontaminated",
+    ]
+    # monotone funnel and shards on disk
+    counts = [s["n_docs"] for s in report["funnel"]]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    shard_dirs = sorted(p.name for p in (out / "shards").iterdir()
+                        if p.is_dir())
+    assert len(shard_dirs) == 4 and all(
+        d.startswith("shard=") for d in shard_dirs
+    )

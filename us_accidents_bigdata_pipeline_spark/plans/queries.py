@@ -2657,6 +2657,67 @@ def q_xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multi_format_union_orders",
+    # Federation roundtrip: three deterministic slices of orders are
+    # exported to parquet, CSV and JSON, read back through the three
+    # format readers, and unioned — the oracle aggregates the same
+    # slices straight from the base table, so any format-specific
+    # type/precision loss (CSV re-inference, JSON numeric widening)
+    # surfaces as a mismatch.
+    """SELECT o_orderpriority AS priority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(round(o_totalprice, 2)), 2) AS total
+       FROM orders WHERE o_orderkey % 3 IN (0, 1, 2)
+       GROUP BY o_orderpriority""",
+    doc="multi-format federation: one logical table assembled from "
+    "parquet + CSV + JSON slices via unionByName over the three "
+    "readers with ONE explicit schema (never inferSchema) — the "
+    "mixed-lake ingestion shape; roundtrip-checked against the base "
+    "table (sources/io.py::read_csv/read_json readers)",
+)
+def q_multi_format_union_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="multifmt_")
+    try:
+        base.filter(F.col("o_orderkey") % 3 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/p")
+        base.filter(F.col("o_orderkey") % 3 == 1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(f"{root}/c")
+        base.filter(F.col("o_orderkey") % 3 == 2).write.mode(
+            "overwrite"
+        ).json(f"{root}/j")
+        schema = base.schema
+        p = spark.read.parquet(f"{root}/p")
+        c = spark.read.schema(schema).option("header", "true").csv(
+            f"{root}/c"
+        )
+        j = spark.read.schema(schema).json(f"{root}/j")
+        out = (
+            p.unionByName(c)
+            .unionByName(j)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
     "param_sql_top_customers",
     """SELECT c_custkey, c_acctbal
        FROM customer WHERE c_acctbal > 9000.0
