@@ -1162,3 +1162,47 @@ def incremental_dedup(
         .join(corpus_keys, "_ck", "left_anti")
         .drop("_ck")
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination FRACTION: the share of a document's
+    distinct word n-grams that appear anywhere in the benchmark set —
+    the graded signal threshold tuning needs where
+    ``benchmark_decontaminate``'s boolean can only drop or keep (a doc
+    quoting one benchmark sentence and a verbatim test-set copy both
+    flag 'contaminated'; their fractions differ by 100x).
+
+    Returns (id, n_grams, n_hits, frac). Same scale shape as the
+    boolean operator: benchmark grams broadcast, corpus text never
+    shuffles, per-doc totals and hits come from ONE gram stream
+    (conditional count, not a second pass).
+    """
+    bench_grams = (
+        _doc_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = _doc_shingles(corpus, id_col, text_col, n)
+    per_doc = (
+        grams.join(F.broadcast(bench_grams), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("frac"),
+    )

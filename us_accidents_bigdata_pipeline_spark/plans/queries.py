@@ -2303,6 +2303,100 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "contamination_fraction_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                     || toks[i+3] || ' ' || toks[i+4] AS g
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+       bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+       per AS (SELECT sh.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_grams,
+                      CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_hits
+               FROM sh LEFT JOIN bench b USING (g)
+               GROUP BY sh.doc_id)
+       SELECT doc_id, n_grams, n_hits,
+              round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS frac
+       FROM per""",
+    doc="graded decontamination: per-doc FRACTION of distinct 5-grams "
+    "present in the benchmark — the threshold-tunable signal the "
+    "boolean flag can't give (one quoted sentence vs a verbatim "
+    "test-set copy differ 100x); one gram stream, benchmark broadcast "
+    "(operators/dedup.py::contamination_fraction)",
+)
+def q_contamination_fraction_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return contamination_fraction(docs, bench, n=5)
+
+
+@_register(
+    "dup_cluster_size_histogram",
+    # Reuses the exact components oracle, then histograms cluster
+    # sizes — the over-dedup risk readout (a corpus where most mass
+    # sits in giant clusters loses diversity when deduped to one doc
+    # per cluster).
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       comp AS (SELECT node, min(r) AS canonical_id FROM reach GROUP BY node),
+       cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY canonical_id)
+       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       FROM cs GROUP BY cluster_size""",
+    doc="over-dedup risk readout: histogram of near-dup cluster sizes "
+    "(how much corpus mass collapses per keep-one policy) — two tiny "
+    "aggregates over the resolution frame "
+    "(operators/dedup.py::near_dup_resolve)",
+)
+def q_dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+
+    resolved = near_dup_resolve(
+        _t(spark, sf_dir, "documents"), threshold=0.5, method="exact"
+    )
+    cs = resolved.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cs.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+@_register(
     "vocab_top_tokens",
     r"""SELECT token, CAST(count(*) AS BIGINT) AS n
        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
