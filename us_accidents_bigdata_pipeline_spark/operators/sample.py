@@ -168,3 +168,54 @@ def weighted_sample(
         .limit(k)
         .drop("_aes")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    target_rows: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: per-stratum keep rates
+    are DERIVED FROM THE DATA as n_s^(1/T) / Σ n^(1/T) — the
+    multilingual/source-balancing recipe (T=1 keeps natural
+    proportions, T→∞ uniform across strata) — then applied with the
+    same deterministic md5 16-bit-uniform thresholding as
+    ``mixture_sample`` (membership a pure function of (id, seed)).
+
+    Rates ride a broadcast join of the stratum-count aggregate (they
+    are computed, not configured, so no literal map); the corpus
+    itself is filtered map-side. Expected output size ≈ target_rows
+    (rate-based, not exact-k; use ``weighted_sample`` for exact k).
+
+    T defaults to 2 because n^(1/2) is an IEEE-exact sqrt on every
+    engine — an arbitrary T computes pow(), which may differ in the
+    last ulp across libm implementations; for oracle-exact pipelines
+    keep T=2 (document any other T as approximately-reproducible).
+    """
+    if temperature == 2.0:
+        wt = F.sqrt(F.col("n").cast("double"))
+    else:
+        wt = F.pow(F.col("n").cast("double"), 1.0 / temperature)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(stratum_col, "n", wt.alias("wt"))
+    total_wt = w.agg(F.sum("wt").alias("_tw"))
+    rates = w.crossJoin(F.broadcast(total_wt)).select(
+        stratum_col,
+        F.least(
+            F.lit(float(target_rows)) * F.col("wt") / F.col("_tw") / F.col("n"),
+            F.lit(1.0),
+        ).alias("_rate"),
+    )
+    from .shard import _shuffle_key
+
+    u16 = F.conv(
+        F.substring(_shuffle_key(id_col, seed), 9, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u16 < F.col("_rate") * 65536)
+        .drop("_rate")
+    )

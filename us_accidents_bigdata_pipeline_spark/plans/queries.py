@@ -2303,6 +2303,101 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_provenance_docs",
+    # Provenance over NEAR-dup clusters (the corpus's duplication is
+    # near-, not byte-exact): which sources mirror each other.
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       comp AS (SELECT node AS doc_id, min(r) AS canonical_id
+                FROM reach GROUP BY node)
+       SELECT c.canonical_id,
+              CAST(count(*) AS BIGINT) AS n_members,
+              array_to_string(list_sort(list(DISTINCT d.source)), ',')
+                  AS sources
+       FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       GROUP BY c.canonical_id
+       HAVING count(*) > 1""",
+    doc="dedup with provenance: for every near-dup cluster, the member "
+    "count and the SORTED distinct sources that carried the content "
+    "(comma-joined for engine-stable comparison) — the mirror-lineage "
+    "record a curated corpus keeps when collapsing duplicates (which "
+    "crawls/domains duplicate each other)",
+)
+def q_dedup_provenance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    resolved = near_dup_resolve(docs, threshold=0.5, method="exact")
+    return (
+        resolved.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@_register(
+    "temperature_mixture_sample_docs",
+    # T=2 → sqrt weights: IEEE-exact on every engine (pow() for
+    # arbitrary T can differ in the last ulp across libm builds).
+    # Identical expression order keeps the rate doubles identical, and
+    # the u16-vs-rate*65536 comparison has measure-zero boundary risk.
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM documents GROUP BY source),
+       w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+       r AS (SELECT source,
+                    least(200.0 * wt / (SELECT sum(wt) FROM w) / n, 1.0)
+                        AS rate
+             FROM w)
+       SELECT d.doc_id, d.source
+       FROM documents d JOIN r USING (source)
+       WHERE CAST('0x' || substr(md5('42-' || CAST(d.doc_id AS VARCHAR)),
+                                 9, 4) AS BIGINT)
+             < r.rate * 65536""",
+    doc="temperature-flattened mixture sampling (T=2): per-source keep "
+    "rates derived from the data as sqrt(n)/Σsqrt(n) — the "
+    "multilingual/source-balancing recipe — applied with the "
+    "deterministic md5 threshold sampler; rates ride a broadcast join "
+    "of the count aggregate, corpus filtered map-side "
+    "(operators/sample.py::temperature_mixture_sample)",
+)
+def q_temperature_mixture_sample_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sample import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        _t(spark, sf_dir, "documents"), target_rows=200
+    ).select("doc_id", "source")
+
+
+@_register(
     "contamination_fraction_docs",
     r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                   FROM documents),
