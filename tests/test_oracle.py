@@ -91,6 +91,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "lsh_ann_verified_topk": {"nested_loop"},      # 1 query point re-rank
     "zorder_keys_events": {"nested_loop"},         # 1-row min/max bounds
     "dow_seasonality_index": {"nested_loop"},      # 1-row overall avg
+    "temperature_mixture_sample_docs": {"nested_loop"},  # 1-row Σwt
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path
     "pareto_frontier_suppliers": {"nested_loop"},
@@ -112,6 +113,37 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # unpivot twin is the at-scale path
     "udtf_dynamic_unpivot_orders": {"python_row_udf"},
 }
+
+# SinglePartition windows are acceptable ONLY over aggregate-sized
+# frames (the window runs AFTER reduction — daily/monthly rollups,
+# deciles, per-customer summaries; tens to thousands of rows at any
+# SF). Each entry here declares that the windowed frame is an
+# aggregate, NOT the fact table; a new query tripping the flag without
+# a declaration here must switch to layout.global_running_sum's
+# range-exchange formulation.
+for _name in (
+    "daily_revenue_change",          # per-day revenue (dates)
+    "locf_hourly_values",            # hourly spine per key
+    "rfm_customer_segments",         # per-customer aggregate
+    "missing_orderkey_ranges",       # gap rows only
+    "abc_part_classification",       # per-part aggregate
+    "yoy_monthly_revenue",           # per-month aggregate
+    "gini_customer_revenue",         # per-customer aggregate
+    "repurchase_interval_profile",   # per-customer gaps
+    "time_to_conversion_profile",    # per-user firsts
+    "ewma_daily_revenue",            # per-day revenue
+    "kaplan_meier_customer_churn",   # per-interval lifetable
+    "bigram_lm_perplexity",          # vocab-bounded model rows
+    "rolling_median_daily_revenue",  # per-day revenue
+    "daily_revenue_autocorrelation", # per-day revenue
+    "cusum_changepoint_daily_revenue",  # per-day revenue
+    "largest_remainder_allocation",  # per-group shares
+    "geometric_mean_daily_growth",   # per-day revenue
+    "lorenz_curve_deciles",          # per-customer deciles
+    "psi_price_drift",               # decile bins
+    "ks_statistic_price_periods",    # 1-row assembly windows
+):
+    _AUDIT_ALLOW.setdefault(_name, set()).add("single_partition_window")
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

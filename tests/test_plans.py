@@ -582,3 +582,22 @@ def test_cdc_apply_single_key_shuffle(spark):
     plan = plan_of(spark, "cdc_apply_orders")
     assert plan.count("Exchange hashpartitioning(o_orderkey") <= 1, plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_audit_flags_single_partition_window(spark):
+    """The auditor must flag an ORDER-BY-everything window (Exchange
+    SinglePartition feeding Window) and stay quiet on a key-partitioned
+    window."""
+    from pyspark.sql import Window as W
+
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = spark.range(0, 100).withColumn("k", F.col("id") % 5)
+    global_w = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy().orderBy("id"))
+    )
+    assert "single_partition_window" in audit_plan(global_w)
+    keyed_w = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("k").orderBy("id"))
+    )
+    assert "single_partition_window" not in audit_plan(keyed_w)

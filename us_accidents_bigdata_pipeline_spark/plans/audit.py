@@ -20,6 +20,14 @@ Flags:
   the reference's kNN-UDF anti-pattern. Arrow-batched evals
   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
   sanctioned Python path and are NOT flagged.
+- ``single_partition_window``: an ``Exchange SinglePartition`` feeding
+  a ``Window`` — the everything-through-one-reducer global sort.
+  Acceptable ONLY when the windowed frame is aggregate-sized (daily
+  rollups, deciles, per-customer summaries — the whitelisted cases);
+  over a fact-sized input the right tool is
+  ``layout.global_running_sum``'s range-exchange formulation. Like
+  ``nested_loop``, the auditor cannot see cardinalities, so callers
+  whitelist the aggregate-frame queries explicitly.
 """
 
 from __future__ import annotations
@@ -38,8 +46,11 @@ def audit_plan(df: DataFrame) -> list[str]:
     AQE plan — join strategy and eval operators are already decided
     there). Empty list = clean."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return [
+    flags = [
         flag
         for flag, markers in FLAG_MARKERS.items()
         if any(m in plan for m in markers)
     ]
+    if "Exchange SinglePartition" in plan and "Window" in plan:
+        flags.append("single_partition_window")
+    return flags
