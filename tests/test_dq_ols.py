@@ -350,3 +350,34 @@ def test_group_quantiles_arrow_plan_and_values(spark):
     assert got["a"] == (5, 2.0, 3.0, 4.0)
     # b: sorted [10,20,30], ranks 1, 2, 3
     assert got["b"] == (3, 10.0, 20.0, 30.0)
+
+
+# ----------------------------------------------------------- audio
+
+
+def test_audio_frame_features_known_signal_and_edges(spark):
+    """RMS/ZCR on a hand-computed square wave; short payloads dropped;
+    trailing partial frames dropped."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    # clip 1: 8 samples alternating +1000/-1000 -> rms=1000, zcr=1.0
+    sq = np.array([1000, -1000] * 4, dtype="<i2").tobytes()
+    # clip 2: constant 500, 10 samples -> one 8-sample frame, zcr=0
+    const = np.array([500] * 10, dtype="<i2").tobytes()
+    # clip 3: too short for one frame -> dropped
+    short = np.array([1, 2, 3], dtype="<i2").tobytes()
+    df = spark.createDataFrame(
+        [(1, sq), (2, const), (3, short)], "media_id long, payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_id"]): (r["rms"], r["zcr"])
+        for r in audio_frame_features(df, frame=8).collect()
+    }
+    assert got == {
+        (1, 0): (1000.0, 1.0),
+        (2, 0): (500.0, 0.0),
+    }

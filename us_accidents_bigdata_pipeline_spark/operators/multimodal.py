@@ -275,3 +275,88 @@ def byte_stats_arrow(
     return df.select(id_col, payload_col).mapInArrow(
         batches, f"{id_col} long, n_bytes long, is_empty boolean"
     )
+
+
+def audio_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame: int = 256,
+) -> DataFrame:
+    """Frame-level audio features from raw PCM16LE payloads: per
+    non-overlapping ``frame``-sample window, RMS energy and
+    zero-crossing rate — the classic VAD/segmentation features, and
+    REAL DSP (unlike the codec-gated decode steps, PCM needs no
+    library: bytes → int16 is a dtype view).
+
+    Output (id, frame_id, rms, zcr): rms = sqrt(mean(s²)) over the
+    frame; zcr = sign changes / (frame-1) with s >= 0 counted as
+    non-negative. A trailing partial frame is dropped. Map-only
+    ``mapInPandas``; per clip the kernel is one reshape + two
+    vectorized reductions, no Python sample loops.
+
+    Exactness: samples are integers (exact in doubles), the frame
+    length is a power of two (mean = sum / 2^k, an exact scaling), and
+    sqrt is IEEE-correctly-rounded — so the features are bit-stable
+    across engines, which is what lets the catalog oracle verify the
+    BYTE DECODE + framing + math end-to-end from a SQL-reproducible
+    sample formula.
+    """
+    out_schema = f"{id_col} long, frame_id int, rms double, zcr double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            fids: list = []
+            rms: list = []
+            zcr: list = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) < 2 * frame:
+                    continue
+                s = np.frombuffer(p, dtype="<i2")
+                n_frames = len(s) // frame
+                fr = (
+                    s[: n_frames * frame]
+                    .reshape(n_frames, frame)
+                    .astype(np.float64)
+                )
+                ids.extend([mid] * n_frames)
+                fids.extend(range(n_frames))
+                rms.extend(
+                    np.round(np.sqrt((fr * fr).mean(axis=1)), 6)
+                )
+                neg = fr < 0
+                changes = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                zcr.extend(np.round(changes / (frame - 1), 6))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_id": fids, "rms": rms, "zcr": zcr}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def synth_pcm16(
+    df: DataFrame,
+    id_col: str,
+    n_samples: int = 1024,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Deterministic PCM16LE fixture payloads: sample i of clip k is
+    ((k*31 + i*17) % 65536) - 32768 — a full-range int16 sequence any
+    SQL engine can reproduce with generate_series, which is what makes
+    the audio DSP path oracle-checkable without shipping real audio.
+    Arrow-batched packing (numpy int16 → little-endian bytes)."""
+    out_schema = f"{id_col} long, {out_col} binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                (((int(k) * 31 + i * 17) % 65536) - 32768)
+                .astype("<i2")
+                .tobytes()
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)

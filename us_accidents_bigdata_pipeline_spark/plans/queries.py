@@ -1462,6 +1462,51 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "audio_frame_features_docs",
+    # The oracle recomputes the features from the SAMPLE FORMULA
+    # (no byte decoding in SQL): sample i of clip k is
+    # ((k*31 + i*17) % 65536) - 32768. Integers are exact in doubles,
+    # frame mean divides by 2^8 (exact), sqrt is IEEE-correct — so any
+    # byte-pack/decode/framing error on the Spark side mismatches.
+    """WITH s AS (SELECT d.doc_id, u.i AS i,
+                         CAST(((d.doc_id * 31 + u.i * 17) % 65536) - 32768
+                              AS DOUBLE) AS v
+                  FROM documents d,
+                       UNNEST(generate_series(0, 1023)) AS u(i)
+                  WHERE d.doc_id < 200),
+       fr AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_id, i, v,
+                     lag(v) OVER (PARTITION BY doc_id, i // 256
+                                  ORDER BY i) AS pv
+              FROM s)
+       SELECT doc_id, frame_id,
+              round(sqrt(avg(v * v)), 6) AS rms,
+              round(sum(CASE WHEN pv IS NOT NULL
+                             AND ((v < 0) <> (pv < 0))
+                        THEN 1 ELSE 0 END) / 255.0, 6) AS zcr
+       FROM fr GROUP BY doc_id, frame_id""",
+    doc="REAL audio DSP over opaque binary payloads: deterministic "
+    "PCM16LE synthesis (numpy int16 -> little-endian bytes), then "
+    "frame-level RMS + zero-crossing rate via a map-only mapInPandas "
+    "kernel (bytes -> int16 dtype view -> reshape -> vectorized "
+    "reductions); the oracle recomputes both features from the sample "
+    "formula, verifying byte pack, decode, framing and math "
+    "end-to-end (operators/multimodal.py::audio_frame_features, "
+    "synth_pcm16)",
+)
+def q_audio_frame_features_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import audio_frame_features, synth_pcm16
+
+    clips = synth_pcm16(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id",
+        n_samples=1024,
+    )
+    return audio_frame_features(clips, id_col="doc_id", frame=256)
+
+
+@_register(
     "multimodal_byte_stats",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
        FROM documents""",
