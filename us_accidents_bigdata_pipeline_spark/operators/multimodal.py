@@ -360,3 +360,32 @@ def synth_pcm16(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
     return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def synth_rgb(
+    df: DataFrame,
+    id_col: str,
+    width: int = 32,
+    height: int = 32,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Deterministic raw-RGB fixture payloads: pixel (r, c, ch) of
+    image k is (k*7 + r*3 + c*5 + ch*11) % 256, packed row-major
+    uint8 (height, width, 3) — the SQL-reproducible pixel formula that
+    lets the ViT patch path (`extract_patches`) carry a full value
+    oracle instead of a rows-only check."""
+    out_schema = f"{id_col} long, {out_col} binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(height, dtype=np.int64)[:, None, None]
+        c = np.arange(width, dtype=np.int64)[None, :, None]
+        ch = np.arange(3, dtype=np.int64)[None, None, :]
+        base = r * 3 + c * 5 + ch * 11
+        for pdf in it:
+            payloads = [
+                (((int(k) * 7 + base) % 256).astype(np.uint8).tobytes())
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)

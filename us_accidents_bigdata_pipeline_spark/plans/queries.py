@@ -1462,6 +1462,51 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_patch_stats_synthetic",
+    # Upgrades the ViT patch path from rows-only to a full value
+    # oracle: pixels come from a SQL-reproducible formula, so DuckDB
+    # recomputes every patch mean/std from first principles — any
+    # byte-pack, strided-reshape or reduction error on the Spark side
+    # mismatches. Integer pixels sum exactly in doubles; the std
+    # formulations (numpy two-pass vs avg(v²)−avg(v)²) agree far
+    # inside round-6.
+    """WITH px AS (
+         SELECT d.doc_id, r.i AS r, c.i AS c,
+                CAST((d.doc_id * 7 + r.i * 3 + c.i * 5 + ch.i * 11) % 256
+                     AS DOUBLE) AS v
+         FROM documents d,
+              UNNEST(generate_series(0, 31)) AS r(i),
+              UNNEST(generate_series(0, 31)) AS c(i),
+              UNNEST(generate_series(0, 2)) AS ch(i)
+         WHERE d.doc_id < 200),
+       p AS (SELECT doc_id,
+                    CAST((r // 16) * 2 + (c // 16) AS INT) AS patch_id, v
+             FROM px)
+       SELECT doc_id, patch_id,
+              round(avg(v), 6) AS mean,
+              round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
+       FROM p GROUP BY doc_id, patch_id""",
+    doc="ViT patch-embedding prep with a FULL value oracle: raw-RGB "
+    "payloads synthesized from a pixel formula (numpy uint8 pack), "
+    "then extract_patches' strided block reshape + per-patch mean/std "
+    "— byte layout, patch grid order and reductions all cross-engine "
+    "verified (operators/multimodal.py::extract_patches, synth_rgb)",
+)
+def q_image_patch_stats_synthetic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import extract_patches, synth_rgb
+
+    imgs = synth_rgb(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id",
+        width=32,
+        height=32,
+    )
+    return extract_patches(imgs, width=32, height=32, patch=16, id_col="doc_id")
+
+
+@_register(
     "audio_frame_features_docs",
     # The oracle recomputes the features from the SAMPLE FORMULA
     # (no byte decoding in SQL): sample i of clip k is
