@@ -107,6 +107,14 @@ HEADLINE = [
     "incremental_dedup_new_batch",
     "minhash_lsh_verified_pairs",
     "lsh_ann_verified_topk",
+    "cogrouped_ks_by_event_type",
+    "group_quantiles_events",
+    "temperature_mixture_sample_docs",
+    "contamination_fraction_docs",
+    "param_sql_top_customers",
+    "xml_roundtrip_orders",
+    "audio_frame_features_docs",
+    "image_patch_stats_synthetic",
 ]
 
 

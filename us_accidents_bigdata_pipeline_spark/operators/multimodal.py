@@ -389,3 +389,42 @@ def synth_rgb(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
 
     return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def resize_raw_rgb(
+    df: DataFrame,
+    w_in: int,
+    h_in: int,
+    w_out: int,
+    h_out: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-neighbor resize on RAW RGB buffers — unlike the
+    codec-gated ``resize_images`` (which must decode JPEG/PNG first),
+    a raw pixel buffer resizes with pure index math: output pixel
+    (r, c) takes source (r*h_in // h_out, c*w_in // w_out). Real
+    computation, no library, Arrow-batched; wrong-length payloads are
+    dropped. Returns (id, payload) with the resized buffer — feed it
+    to ``extract_patches`` for the verified feature path.
+    """
+    out_schema = f"{id_col} long, {payload_col} binary"
+    n_px = w_in * h_in * 3
+    rows = (np.arange(h_out, dtype=np.int64) * h_in) // h_out
+    cols = (np.arange(w_out, dtype=np.int64) * w_in) // w_out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            payloads: list = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) != n_px:
+                    continue
+                img = np.frombuffer(p, dtype=np.uint8).reshape(
+                    h_in, w_in, 3
+                )
+                ids.append(mid)
+                payloads.append(img[rows][:, cols].tobytes())
+            yield pd.DataFrame({id_col: ids, payload_col: payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -1462,6 +1462,51 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "image_resize_patch_stats",
+    # Nearest-neighbor resize 32x32 -> 16x16 then one 16x16 patch:
+    # resized pixel (r, c) = source (2r, 2c), so the oracle evaluates
+    # the pixel formula AT THE MAPPED coordinates — index math, byte
+    # re-pack and the downstream reductions all verified.
+    """WITH px AS (
+         SELECT d.doc_id, r.i AS r, c.i AS c,
+                CAST((d.doc_id * 7 + (r.i * 2) * 3 + (c.i * 2) * 5
+                      + ch.i * 11) % 256 AS DOUBLE) AS v
+         FROM documents d,
+              UNNEST(generate_series(0, 15)) AS r(i),
+              UNNEST(generate_series(0, 15)) AS c(i),
+              UNNEST(generate_series(0, 2)) AS ch(i)
+         WHERE d.doc_id < 200)
+       SELECT doc_id, CAST(0 AS INT) AS patch_id,
+              round(avg(v), 6) AS mean,
+              round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
+       FROM px GROUP BY doc_id""",
+    doc="decode-free image resize: nearest-neighbor on raw RGB buffers "
+    "(pure index math, no codec) composed with the patch reducer; the "
+    "oracle evaluates the pixel formula at the mapped source "
+    "coordinates (operators/multimodal.py::resize_raw_rgb)",
+)
+def q_image_resize_patch_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_patches,
+        resize_raw_rgb,
+        synth_rgb,
+    )
+
+    imgs = synth_rgb(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id",
+        width=32,
+        height=32,
+    )
+    small = resize_raw_rgb(imgs, 32, 32, 16, 16, id_col="doc_id")
+    return extract_patches(
+        small, width=16, height=16, patch=16, id_col="doc_id"
+    )
+
+
+@_register(
     "image_patch_stats_synthetic",
     # Upgrades the ViT patch path from rows-only to a full value
     # oracle: pixels come from a SQL-reproducible formula, so DuckDB
