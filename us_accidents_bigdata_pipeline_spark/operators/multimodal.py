@@ -428,3 +428,79 @@ def resize_raw_rgb(
             yield pd.DataFrame({id_col: ids, payload_col: payloads})
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def synth_rgb_frames(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 4,
+    width: int = 16,
+    height: int = 16,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Deterministic raw-video fixture: ``n_frames`` concatenated RGB
+    frames; pixel (t, r, c, ch) of clip k is
+    (k*7 + t*13 + r*3 + c*5 + ch*11) % 256 — SQL-reproducible, so the
+    temporal ops downstream carry full value oracles."""
+    out_schema = f"{id_col} long, {out_col} binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+        r = np.arange(height, dtype=np.int64)[None, :, None, None]
+        c = np.arange(width, dtype=np.int64)[None, None, :, None]
+        ch = np.arange(3, dtype=np.int64)[None, None, None, :]
+        base = t * 13 + r * 3 + c * 5 + ch * 11
+        for pdf in it:
+            payloads = [
+                (((int(k) * 7 + base) % 256).astype(np.uint8).tobytes())
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: payloads})
+
+    return df.select(id_col).mapInPandas(batches, out_schema)
+
+
+def frame_diff_energy(
+    df: DataFrame,
+    n_frames: int,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Temporal frame-difference energy over raw concatenated RGB
+    frames — the codec-free core of scene-change detection (a cut
+    spikes the mean absolute inter-frame pixel difference). Returns
+    (id, frame_id, diff_energy) for frame_id ≥ 1, diff_energy =
+    mean |frame_t − frame_{t−1}| over all pixels/channels.
+
+    Integer pixel differences are exact in doubles and the mean
+    divides by width*height*3, so the statistic is engine-exact —
+    fully oracle-checkable on formula-synthesized clips. Map-only
+    mapInPandas; per clip one reshape + one vectorized |diff| pass.
+    """
+    out_schema = f"{id_col} long, frame_id int, diff_energy double"
+    n_px = n_frames * width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list = []
+            fids: list = []
+            energy: list = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None or len(p) != n_px:
+                    continue
+                vid = (
+                    np.frombuffer(p, dtype=np.uint8)
+                    .reshape(n_frames, height, width, 3)
+                    .astype(np.float64)
+                )
+                d = np.abs(np.diff(vid, axis=0)).mean(axis=(1, 2, 3))
+                ids.extend([mid] * (n_frames - 1))
+                fids.extend(range(1, n_frames))
+                energy.extend(np.round(d, 6))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_id": fids, "diff_energy": energy}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -1462,6 +1462,54 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "video_frame_diff_energy",
+    # mean |frame_t − frame_{t−1}| per clip: integer pixel diffs are
+    # exact and the mean divides by 16*16*3 = 768 — deterministic on
+    # both engines; the oracle recomputes from the pixel formula.
+    # S/768 is DYADIC, so means land exactly on .xxxxxx5 half-points
+    # (caught live: 15.6953125) — the kernels round with numpy
+    # (banker's), so the oracles use DuckDB round_even, not round.
+    """WITH px AS (
+         SELECT d.doc_id, t.i AS t, r.i AS r, c.i AS c, ch.i AS ch,
+                CAST((d.doc_id * 7 + t.i * 13 + r.i * 3 + c.i * 5
+                      + ch.i * 11) % 256 AS DOUBLE) AS v
+         FROM documents d,
+              UNNEST(generate_series(0, 3)) AS t(i),
+              UNNEST(generate_series(0, 15)) AS r(i),
+              UNNEST(generate_series(0, 15)) AS c(i),
+              UNNEST(generate_series(0, 2)) AS ch(i)
+         WHERE d.doc_id < 200),
+       d2 AS (SELECT a.doc_id, a.t AS frame_id, abs(a.v - b.v) AS dv
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND b.t = a.t - 1
+               AND a.r = b.r AND a.c = b.c AND a.ch = b.ch)
+       SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+              round_even(avg(dv), 6) AS diff_energy
+       FROM d2 GROUP BY doc_id, frame_id""",
+    doc="codec-free video analytics: temporal frame-difference energy "
+    "(the scene-change detector core) over raw concatenated RGB "
+    "frames, map-only mapInPandas; byte layout, temporal indexing and "
+    "the |diff| reduction value-verified from the pixel formula "
+    "(operators/multimodal.py::frame_diff_energy, synth_rgb_frames)",
+)
+def q_video_frame_diff_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import frame_diff_energy, synth_rgb_frames
+
+    clips = synth_rgb_frames(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        "doc_id",
+        n_frames=4,
+        width=16,
+        height=16,
+    )
+    return frame_diff_energy(
+        clips, n_frames=4, width=16, height=16, id_col="doc_id"
+    )
+
+
+@_register(
     "image_resize_patch_stats",
     # Nearest-neighbor resize 32x32 -> 16x16 then one 16x16 patch:
     # resized pixel (r, c) = source (2r, 2c), so the oracle evaluates
@@ -1477,8 +1525,8 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNNEST(generate_series(0, 2)) AS ch(i)
          WHERE d.doc_id < 200)
        SELECT doc_id, CAST(0 AS INT) AS patch_id,
-              round(avg(v), 6) AS mean,
-              round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
+              round_even(avg(v), 6) AS mean,
+              round_even(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
        FROM px GROUP BY doc_id""",
     doc="decode-free image resize: nearest-neighbor on raw RGB buffers "
     "(pure index math, no codec) composed with the patch reducer; the "
@@ -1528,8 +1576,8 @@ def q_image_resize_patch_stats(
                     CAST((r // 16) * 2 + (c // 16) AS INT) AS patch_id, v
              FROM px)
        SELECT doc_id, patch_id,
-              round(avg(v), 6) AS mean,
-              round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
+              round_even(avg(v), 6) AS mean,
+              round_even(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std
        FROM p GROUP BY doc_id, patch_id""",
     doc="ViT patch-embedding prep with a FULL value oracle: raw-RGB "
     "payloads synthesized from a pixel formula (numpy uint8 pack), "
