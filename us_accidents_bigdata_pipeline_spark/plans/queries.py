@@ -1462,6 +1462,65 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "loo_target_encoding_orders",
+    # exact-decimal numerator: float window sums differ in the last
+    # ulps across engines, which /n exposes at round-6.
+    """SELECT o_orderkey,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                             OVER (PARTITION BY o_orderpriority)
+                         - CAST(o_totalprice AS DECIMAL(18,6))
+                         AS DOUBLE)
+                    / (count(*) OVER (PARTITION BY o_orderpriority) - 1),
+                    6) AS te
+       FROM orders""",
+    doc="leave-one-out target encoding: each order's priority encoded "
+    "as the mean totalprice of the OTHER orders in its priority — the "
+    "leakage-safe mean encoding tabular ML ships (plain mean encoding "
+    "leaks the row's own label); one category shuffle, closed-form "
+    "windows (ml/features.py::loo_target_encoding)",
+)
+def q_loo_target_encoding_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.features import loo_target_encoding
+
+    return loo_target_encoding(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    ).select("o_orderkey", "te")
+
+
+@_register(
+    "hashed_features_docs",
+    r"""WITH tok AS (
+         SELECT doc_id, t AS token
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS t
+               FROM documents)
+         WHERE t <> ''),
+       h AS (SELECT doc_id,
+                    CAST(CAST('0x' || substr(md5('42-' || token), 1, 4)
+                              AS BIGINT) % 16 AS INT) AS dim,
+                    CASE WHEN CAST('0x' || substr(md5('42-' || token), 5, 1)
+                              AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END AS s
+             FROM tok)
+       SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS value
+       FROM h GROUP BY doc_id, dim
+       HAVING sum(s) <> 0""",
+    doc="hashing-trick featurizer (HashingVectorizer analog): signed "
+    "md5 bucket per token, summed per (doc, bucket) — fixed-width "
+    "bag-of-words with NO vocabulary pass, engine-exact sparse "
+    "output (ml/features.py::hashed_features)",
+)
+def q_hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.features import hashed_features
+
+    return hashed_features(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=16
+    )
+
+
+@_register(
     "video_frame_diff_energy",
     # mean |frame_t − frame_{t−1}| per clip: integer pixel diffs are
     # exact and the mean divides by 16*16*3 = 768 — deterministic on
