@@ -92,6 +92,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "zorder_keys_events": {"nested_loop"},         # 1-row min/max bounds
     "dow_seasonality_index": {"nested_loop"},      # 1-row overall avg
     "temperature_mixture_sample_docs": {"nested_loop"},  # 1-row Σwt
+    "quantile_normalize_events": {"nested_loop"},  # 1-row global N
     # skyline dominance anti-join runs on the |suppliers|-row
     # AGGREGATE (tie-correct exact form); sort-sweep is the scale path
     "pareto_frontier_suppliers": {"nested_loop"},

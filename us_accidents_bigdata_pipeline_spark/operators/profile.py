@@ -5,7 +5,7 @@ per-column driver round-trips)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -466,4 +466,57 @@ def group_quantiles_arrow(
         .select(key_col, value_col)
         .groupBy(key_col)
         .applyInArrow(quant, schema)
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: each row's value is
+    replaced by the POOLED distribution's value at the row's relative
+    rank within its group — idx = ⌈(r − 0.5) · N / n_g⌉ — so every
+    group ends up with the same marginal distribution (the
+    batch-effect correction genomics/feature pipelines run when
+    sources disagree in scale but should agree in shape).
+
+    Discrete formulation (pooled value AT a rank, no interpolation):
+    rank arithmetic is exact integers + one identical-order double
+    product, so the mapping is engine-exact and the whole transform is
+    value-oracle-checkable.
+
+    Scale shape: the pooled rank→value map comes from
+    ``layout.global_row_number`` (range exchange — no SinglePartition
+    sort); per-group ranks are one keyed window; the final lookup is
+    an equi-join on the integer rank against the slim (rank, value)
+    map. The only 1-row broadcast is the global count N.
+    """
+    from .layout import global_row_number
+
+    pooled = global_row_number(
+        df.select(F.col(value_col), F.col(id_col)),
+        [value_col, id_col],
+    ).select(
+        F.col("rn").alias("_idx"), F.col(value_col).alias("norm_value")
+    )
+    n_total = df.agg(F.count(F.lit(1)).alias("_n"))
+    wg = W.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("_r", F.row_number().over(wg))
+        .withColumn(
+            "_ng", F.count(F.lit(1)).over(W.partitionBy(group_col))
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "_idx",
+            F.ceil(
+                (F.col("_r") - 0.5) * F.col("_n") / F.col("_ng")
+            ).cast("long"),
+        )
+    )
+    return ranked.join(pooled, "_idx").select(
+        id_col, group_col, value_col, "norm_value"
     )

@@ -1462,6 +1462,41 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantile_normalize_events",
+    """WITH pooled AS (
+         SELECT value AS norm_value,
+                row_number() OVER (ORDER BY value, event_id) AS idx
+         FROM events),
+       ranked AS (
+         SELECT event_id, event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS r,
+                count(*) OVER (PARTITION BY event_type) AS ng,
+                (SELECT count(*) FROM events) AS n
+         FROM events)
+       SELECT rk.event_id, rk.event_type, rk.value, p.norm_value
+       FROM ranked rk
+       JOIN pooled p
+         ON p.idx = CAST(ceil((rk.r - 0.5) * rk.n / rk.ng) AS BIGINT)""",
+    doc="quantile normalization across event types: each value mapped "
+    "to the pooled distribution's value at its within-group relative "
+    "rank (discrete, no interpolation) — the batch-effect correction "
+    "for sources that disagree in scale but should agree in shape; "
+    "pooled ranks via layout.global_row_number (range exchange, no "
+    "SinglePartition sort), final lookup an integer-rank equi-join "
+    "(operators/profile.py::quantile_normalize)",
+)
+def q_quantile_normalize_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import quantile_normalize
+
+    return quantile_normalize(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
+@_register(
     "loo_target_encoding_orders",
     # exact-decimal numerator: float window sums differ in the last
     # ulps across engines, which /n exposes at round-6.
