@@ -189,3 +189,37 @@ def fk_containment_profile(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit: equivalence classes over the declared
+    quasi-identifier columns whose size is below ``k`` — the records a
+    release would re-identify (an attacker joining on the QI combo
+    narrows them to fewer than k candidates). The pre-release privacy
+    check for any dataset carrying demographic-ish columns.
+
+    Returns one row per VIOLATING class: the QI values, its
+    ``class_size``, and ``n_below_k`` = class_size (kept explicit so a
+    downstream sum gives the total exposed-record count without a
+    second pass). Empty result = the release is k-anonymous.
+
+    Scale: one hash aggregation on the QI tuple — violating classes
+    are by definition tiny, so the output is small even when the
+    input is not. NULL QI values form their own class (groupBy NULL
+    semantics), matching the release behavior (NULL is still a
+    joinable value to an attacker).
+    """
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+        .select(
+            *quasi_identifiers,
+            "class_size",
+            F.col("class_size").alias("n_below_k"),
+        )
+    )

@@ -1462,6 +1462,45 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "k_anonymity_audit_customers",
+    # QI = (nation, mktsegment, acctbal rounded to hundreds): the
+    # bucketed balance keeps classes realistic — fine enough that some
+    # fall below k=5, the violating set the audit must surface.
+    """WITH q AS (SELECT c_nationkey,
+                         c_mktsegment,
+                         CAST(floor(c_acctbal / 100.0) AS BIGINT)
+                             AS acctbal_100
+                  FROM customer),
+       cls AS (SELECT c_nationkey, c_mktsegment, acctbal_100,
+                      CAST(count(*) AS BIGINT) AS class_size
+               FROM q GROUP BY 1, 2, 3)
+       SELECT c_nationkey, c_mktsegment, acctbal_100, class_size,
+              class_size AS n_below_k
+       FROM cls WHERE class_size < 5""",
+    doc="k-anonymity privacy audit (k=5): quasi-identifier equivalence "
+    "classes (nation x segment x balance-bucket) small enough to "
+    "re-identify — the pre-release check; one hash aggregation, "
+    "output bounded by the violating classes "
+    "(operators/dq.py::k_anonymity_audit)",
+)
+def q_k_anonymity_audit_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dq import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100.0)
+        .cast("bigint")
+        .alias("acctbal_100"),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment", "acctbal_100"], k=5
+    )
+
+
+@_register(
     "quantile_normalize_events",
     """WITH pooled AS (
          SELECT value AS norm_value,
