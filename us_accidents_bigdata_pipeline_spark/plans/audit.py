@@ -51,6 +51,27 @@ def audit_plan(df: DataFrame) -> list[str]:
         for flag, markers in FLAG_MARKERS.items()
         if any(m in plan for m in markers)
     ]
-    if "Exchange SinglePartition" in plan and "Window" in plan:
+    if _window_over_single_partition(plan):
         flags.append("single_partition_window")
     return flags
+
+
+def _window_over_single_partition(plan: str) -> bool:
+    """True when some Window node's OWN input is the single-partition
+    exchange. Plain marker co-occurrence false-positives whenever a
+    query has both a keyed window and an unrelated scalar aggregate
+    (whose final agg also exchanges to one partition), so walk the
+    linearized tree text instead: a WindowExec's child subtree prints
+    immediately below it, and the first Exchange line in it is the
+    window's partitioning — SinglePartition there means the window
+    sorts everything through one reducer."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" not in line or "WindowGroupLimit" in line:
+            continue
+        for below in lines[i + 1 :]:
+            if "Exchange" in below:
+                if "SinglePartition" in below:
+                    return True
+                break
+    return False
