@@ -1179,6 +1179,70 @@ def q_near_dup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "leakage_safe_split_docs",
+    # Whole near-dup CLUSTERS route to one split (md5 of the
+    # canonical id, 80/20): a random row split leaks near-duplicate
+    # content across train/test and inflates eval — the split unit
+    # must be the duplicate cluster, not the document.
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       comp AS (SELECT node AS doc_id, min(r) AS canonical_id
+                FROM reach GROUP BY node)
+       SELECT doc_id, canonical_id,
+              CASE WHEN CAST('0x' || substr(md5('42-'
+                        || CAST(canonical_id AS VARCHAR)), 9, 4)
+                        AS BIGINT) < 0.8 * 65536
+                   THEN 'train' ELSE 'test' END AS split
+       FROM comp""",
+    doc="leakage-safe train/test split: the split unit is the NEAR-DUP "
+    "CLUSTER (md5 of the canonical id, 80/20), so near-duplicate "
+    "content can never straddle train and test — the contamination a "
+    "random row split silently creates; composition of "
+    "near_dup_resolve + the deterministic md5 splitter "
+    "(operators/dedup.py::near_dup_resolve, sample.deterministic "
+    "threshold recipe)",
+)
+def q_leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+    from ..operators.shard import _shuffle_key
+
+    resolved = near_dup_resolve(
+        _t(spark, sf_dir, "documents"), threshold=0.5, method="exact"
+    ).select("doc_id", "canonical_id")
+    u16 = F.conv(
+        F.substring(_shuffle_key("canonical_id", 42), 9, 4), 16, 10
+    ).cast("long")
+    return resolved.select(
+        "doc_id",
+        "canonical_id",
+        F.when(u16 < 0.8 * 65536, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@_register(
     "near_dup_keep_best",
     # Same recursive-CTE component walk as near_dup_resolve, then the
     # keep-best policy: highest n_chars per cluster, ties to min id.
