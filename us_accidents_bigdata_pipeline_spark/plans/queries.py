@@ -2813,6 +2813,77 @@ def q_contamination_fraction_docs(
 
 
 @_register(
+    "dedup_savings_report",
+    # One-row ROI readout of the near-dup stage: how many documents
+    # and characters a keep-min-id policy removes.
+    r"""WITH RECURSIVE
+       t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       pairs AS (SELECT p.doc_a, p.doc_b FROM p0 p
+                 JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE round(CAST(p.n_common AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(node, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+       comp AS (SELECT node AS doc_id, min(r) AS canonical_id
+                FROM reach GROUP BY node)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(CASE WHEN c.doc_id <> c.canonical_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS redundant_docs,
+              CAST(sum(CASE WHEN c.doc_id <> c.canonical_id
+                       THEN d.n_chars ELSE 0 END) AS BIGINT)
+                  AS redundant_chars,
+              round(sum(CASE WHEN c.doc_id <> c.canonical_id
+                        THEN d.n_chars ELSE 0 END)
+                    / CAST(sum(d.n_chars) AS DOUBLE), 4)
+                  AS savings_share
+       FROM comp c JOIN documents d ON d.doc_id = c.doc_id""",
+    doc="dedup ROI report: documents and characters a keep-min-id "
+    "near-dup policy removes, plus the corpus share saved — the "
+    "one-row readout that justifies (or kills) the dedup stage's "
+    "compute; one join of the resolution frame against doc sizes "
+    "(operators/dedup.py::near_dup_resolve)",
+)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dup_resolve
+
+    docs = _t(spark, sf_dir, "documents")
+    resolved = near_dup_resolve(docs, threshold=0.5, method="exact")
+    redundant = F.when(
+        F.col("doc_id") != F.col("canonical_id"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        resolved.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(redundant).alias("redundant_docs"),
+            F.sum(redundant * F.col("n_chars")).alias("redundant_chars"),
+            F.round(
+                F.sum(redundant * F.col("n_chars"))
+                / F.sum("n_chars").cast("double"),
+                4,
+            ).alias("savings_share"),
+        )
+    )
+
+
+@_register(
     "dup_cluster_size_histogram",
     # Reuses the exact components oracle, then histograms cluster
     # sizes — the over-dedup risk readout (a corpus where most mass
@@ -2869,6 +2940,58 @@ def q_dup_cluster_size_histogram(
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+@_register(
+    "tokenizer_fertility_by_source",
+    r"""WITH s AS (
+         SELECT source,
+                CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                     AS BIGINT) AS chars,
+                CAST(len(string_split_regex(trim(text), '\s+'))
+                     AS BIGINT) AS words,
+                CAST(len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS BIGINT) AS bpe_toks
+         FROM documents)
+       SELECT source,
+              CAST(sum(bpe_toks) AS BIGINT) AS n_tokens,
+              round(CAST(sum(chars) AS DOUBLE) / sum(bpe_toks), 4)
+                  AS chars_per_token,
+              round(CAST(sum(bpe_toks) AS DOUBLE) / sum(words), 4)
+                  AS fertility
+       FROM s GROUP BY source""",
+    doc="tokenizer-fit diagnostic per source: chars-per-token and "
+    "fertility (subword tokens per word) — the readout that flags "
+    "sources a tokenizer fragments (high fertility = wasted context "
+    "budget); exact integer count sums, one pass "
+    "(functions/columns.py token counters)",
+)
+def q_tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    chars = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    ).cast("long")
+    agg = d.select(
+        "source",
+        chars.alias("chars"),
+        token_count("text").cast("long").alias("words"),
+        bpe.alias("bpe_toks"),
+    ).groupBy("source").agg(
+        F.sum("bpe_toks").alias("n_tokens"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("bpe_toks"), 4
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("bpe_toks").cast("double") / F.sum("words"), 4
+        ).alias("fertility"),
+    )
+    return agg
 
 
 @_register(
