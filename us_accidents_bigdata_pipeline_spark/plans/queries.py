@@ -1081,6 +1081,42 @@ def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "langid_confusion_matrix",
+    # Evaluates the heuristic against the labeled lang column — the
+    # confusion counts a classifier readout needs (per labeled
+    # language, how the stopword heuristic routes it).
+    r"""WITH pred AS (
+         SELECT doc_id, lang,
+                CASE WHEN len(list_filter(
+                              string_split_regex(trim(text), '\s+'),
+                              t -> t IN ('the','a','of','and','to',
+                                         'in','is','it')))
+                          / len(string_split_regex(trim(text), '\s+'))
+                          >= 0.02
+                     THEN 'en' ELSE 'unknown' END AS lang_pred
+         FROM documents)
+       SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+       FROM pred GROUP BY lang, lang_pred""",
+    doc="language-ID evaluation: confusion matrix of the stopword "
+    "heuristic vs the labeled lang column — the per-class readout "
+    "that tells which languages the cheap filter misroutes before "
+    "you trust it to gate a corpus "
+    "(operators/textstats.py::language_id)",
+)
+def q_langid_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
     "repetition_quality_docs",
     r"""WITH toks AS (
          SELECT doc_id,
