@@ -2979,6 +2979,43 @@ def q_dup_cluster_size_histogram(
 
 
 @_register(
+    "token_length_histogram_by_source",
+    # log2 buckets via length(bin(n)) - 1: integer-exact on both
+    # engines (float log2 of exact powers of two is libm-dependent).
+    r"""WITH s AS (SELECT source,
+                          CAST(len(string_split_regex(trim(text), '\s+'))
+                               AS BIGINT) AS n_toks
+                   FROM documents)
+       SELECT source,
+              CAST(length(bin(n_toks)) - 1 AS INT) AS log2_bucket,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM s WHERE n_toks > 0
+       GROUP BY source, log2_bucket""",
+    doc="sequence-length distribution per source in power-of-two "
+    "buckets — what a trainer reads to set context budgets and "
+    "packing strategy; the bucket is an integer bit-length, never a "
+    "float log (functions/columns.py::token_count)",
+)
+def q_token_length_histogram_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = token_count("text").cast("long")
+    return (
+        d.select("source", n.alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .select(
+            "source",
+            (F.length(F.bin("n_toks")) - 1).cast("int").alias("log2_bucket"),
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
     "tokenizer_fertility_by_source",
     r"""WITH s AS (
          SELECT source,
