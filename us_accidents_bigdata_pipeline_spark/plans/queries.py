@@ -85,9 +85,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Driver sampling order. The correctness driver checks the FIRST 50
 # entries of queries() against their oracles each round; entries past
 # that window get no recorded evidence that round, and rows-only
-# entries inside it waste checked slots. _DRIVER_CERTIFIED is the
-# union of names with a recorded row in CORRECTNESS_r01..r04 (105
-# names, all green). The export order is self-rotating:
+# entries inside it waste checked slots. The export order is
+# self-rotating:
 #   1. oracled queries with NO recorded driver row yet (registration
 #      order — SURVEY §2 section order), so each round certifies 50
 #      previously-unchecked names;
@@ -96,50 +95,108 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   3. rows-only entries last (the driver records only a weaker
 #      rows-only check for them — they never belong in the window
 #      while oracled work remains unrecorded).
-# After each round, fold the newly recorded CORRECTNESS_r{N} names
-# into _DRIVER_CERTIFIED — the rotation then advances itself.
+# _DRIVER_CERTIFIED is DERIVED AT IMPORT TIME from the committed
+# CORRECTNESS_r*.json artifacts next to __spark_entry__.py, so the
+# rotation advances itself each round with no manual step: a name is
+# certified once any round recorded a row for it, EXCEPT when its
+# latest record is a genuine error (not the weak-check "no_oracle"
+# marker) — those re-enter the front so the driver re-checks them.
+# _DRIVER_CERTIFIED_FALLBACK (the r1–r5 union, 155 names) covers
+# checkouts without the artifacts.
 # priority_distribution is entry()'s flagship and is smoke-checked by
 # the driver every round regardless of window position.
 # ---------------------------------------------------------------------
-_DRIVER_CERTIFIED: frozenset = frozenset(
+_DRIVER_CERTIFIED_FALLBACK: frozenset = frozenset(
     {
         "above_nation_avg_balance", "array_agg_sorted", "asof_last_purchase",
-        "cast_arithmetic", "catalog_sql_region_orders", "chunk_documents",
-        "cohort_retention", "conditional_impute", "corpus_curation_funnel",
-        "cube_agg", "decontaminate_docs", "describe_stats",
-        "distinct_count", "dsir_importance_weights", "embedding_near_dup_pairs",
-        "embedding_near_dup_pairs_blas", "embedding_near_dup_resolve", "embedding_norm_stats",
-        "embedding_quantize_error", "event_type_distribution", "exact_dedup_docs",
-        "filter_in_list", "filter_not_null_range", "fingerprint_dedup",
-        "fingerprint_dedup_md5", "funnel_conversion", "global_mean",
-        "grouped_ols_value_on_hour", "grouping_sets_agg", "having_filter",
-        "histogram_quantity", "hourly_event_stats", "ivf_cell_assignment",
-        "join_anti", "join_left_outer", "join_region_stats",
-        "join_revenue_topk", "join_semi", "json_extract_props",
-        "json_schema_parse", "knn_cosine_batch", "knn_cosine_topk",
-        "knn_label_vote", "language_id_docs", "line_dedup_docs",
-        "local_supplier_volume", "lsh_ann_candidates", "median_exact",
-        "merge_upsert_orders", "minhash_banded_pairs", "minhash_near_dup_pairs",
-        "mixture_sample_docs", "ml_kmeans_customer_clusters", "ml_knn_embedding_predictions",
-        "ml_rf_lineitem_metrics", "multi_agg_group", "multimodal_byte_stats",
-        "multimodal_frame_sample", "multimodal_resize", "near_dup_resolve",
-        "near_dup_resolve_banded", "ngram_jaccard_pairs", "null_audit",
-        "order_priority_check", "pii_redact_docs", "pivot_linestatus",
+        "audio_frame_features_docs", "cast_arithmetic", "catalog_sql_region_orders",
+        "cdc_apply_orders", "char_entropy_docs", "chunk_documents",
+        "cohort_retention", "conditional_impute", "contamination_fraction_docs",
+        "corpus_curation_funnel", "corpus_report", "correlation_stats",
+        "cube_agg", "daily_revenue_change", "decontaminate_docs",
+        "dedup_provenance_docs", "dedup_savings_report", "describe_stats",
+        "distinct_count", "dq_constraint_report", "dsir_importance_weights",
+        "dup_cluster_size_histogram", "embedding_near_dup_pairs", "embedding_near_dup_pairs_blas",
+        "embedding_near_dup_resolve", "embedding_norm_stats", "embedding_quantize_error",
+        "event_type_distribution", "exact_dedup_docs", "filter_in_list",
+        "filter_not_null_range", "fingerprint_dedup", "fingerprint_dedup_md5",
+        "fk_containment_profile", "funnel_conversion", "global_mean",
+        "grouped_ols_value_on_hour", "grouping_sets_agg", "hashed_features_docs",
+        "having_filter", "histogram_quantity", "hourly_event_stats",
+        "image_patch_stats_synthetic", "image_resize_patch_stats", "incremental_dedup_new_batch",
+        "ivf_cell_assignment", "join_anti", "join_left_outer",
+        "join_region_stats", "join_revenue_topk", "join_semi",
+        "json_extract_props", "json_schema_parse", "k_anonymity_audit_customers",
+        "knn_cosine_batch", "knn_cosine_topk", "knn_label_vote",
+        "langid_confusion_matrix", "language_id_docs", "leakage_safe_split_docs",
+        "line_dedup_docs", "local_supplier_volume", "loo_target_encoding_orders",
+        "lsh_ann_candidates", "lsh_ann_verified_topk", "median_exact",
+        "merge_upsert_orders", "minhash_banded_pairs", "minhash_lsh_verified_pairs",
+        "minhash_near_dup_pairs", "mixture_sample_docs", "ml_kmeans_customer_clusters",
+        "ml_knn_embedding_predictions", "ml_rf_lineitem_metrics", "multi_agg_group",
+        "multi_format_union_orders", "multimodal_byte_stats", "multimodal_frame_sample",
+        "multimodal_resize", "near_dup_keep_best", "near_dup_resolve",
+        "near_dup_resolve_banded", "ngram_jaccard_pairs", "normalized_exact_dedup_docs",
+        "null_audit", "ols_normal_equations_lineitem", "order_priority_check",
+        "param_sql_top_customers", "pii_redact_docs", "pivot_linestatus",
         "pricing_summary", "priority_distribution", "projection_select",
-        "range_join_bands", "rename_columns", "robust_outliers_price",
-        "rolling_30d_revenue", "rollup_agg", "sequence_pack_assignment",
-        "sessionize_events", "setop_except", "setop_intersect",
-        "setop_union_distinct", "simhash_near_dup_pairs", "snapshot_diff_orders",
-        "sole_late_supplier_ranking", "streaming_dedup_events", "streaming_running_totals",
-        "streaming_session_windows", "streaming_sliding_counts", "streaming_windowed_counts",
-        "string_agg_sorted", "string_indexer_mapping", "substring_dup_runs",
-        "temporal_extract", "text_quality_scores", "text_stats_docs",
-        "tfidf_top_terms", "token_kl_by_source", "topk_orders",
-        "total_count", "training_shard_assignment", "unpivot_order_measures",
-        "vocab_top_tokens", "window_first_last", "window_ntile_quartiles",
+        "promo_revenue_share", "python_datasource_squares", "quantile_normalize_events",
+        "range_join_bands", "recursive_date_spine", "rename_columns",
+        "repetition_quality_docs", "returned_revenue_topk", "revenue_forecast_filter",
+        "robust_outliers_price", "rolling_30d_revenue", "rollup_agg",
+        "salted_agg_returnflag", "sequence_pack_assignment", "sessionize_events",
+        "setop_except", "setop_intersect", "setop_union_distinct",
+        "shipping_priority_topk", "simhash_near_dup_pairs", "simhash_near_dup_pairs_md5",
+        "snapshot_diff_orders", "sole_late_supplier_ranking", "streaming_cdc_orders",
+        "streaming_dedup_events", "streaming_python_source_squares", "streaming_running_totals",
+        "streaming_session_windows", "streaming_sliding_counts", "streaming_static_join_counts",
+        "streaming_windowed_counts", "string_agg_sorted", "string_indexer_mapping",
+        "substring_dup_runs", "temperature_mixture_sample_docs", "temporal_extract",
+        "text_quality_scores", "text_stats_docs", "tfidf_top_terms",
+        "token_kl_by_source", "token_length_histogram_by_source", "tokenizer_fertility_by_source",
+        "topk_orders", "total_count", "training_shard_assignment",
+        "udtf_trigrams_docs", "unpivot_order_measures", "variant_extract_props",
+        "video_frame_diff_energy", "vocab_top_tokens", "weighted_sample_parts",
+        "window_first_last", "window_ntile_quartiles", "window_percentile_ranks",
         "window_running_sum", "window_topk_per_group", "winnow_fingerprints_md5",
+        "xml_roundtrip_orders", "zorder_keys_events",
     }
 )
+
+
+def _load_driver_certified() -> frozenset:
+    """Union of names with a recorded driver CORRECTNESS row, read from
+    the committed ``CORRECTNESS_r*.json`` files at the repo root (three
+    levels above this module, next to ``__spark_entry__.py``)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    )
+    latest: dict = {}
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            latest.update(rows)
+    names = {
+        n
+        for n, rec in latest.items()
+        if not (
+            isinstance(rec, dict)
+            and rec.get("err")
+            and rec.get("err") != "no_oracle"
+        )
+    }
+    return frozenset(names) if names else _DRIVER_CERTIFIED_FALLBACK
+
+
+_DRIVER_CERTIFIED: frozenset = _load_driver_certified()
 
 
 def _export_order() -> list[str]:
