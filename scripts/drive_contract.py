@@ -5,6 +5,7 @@ vs its DuckDB oracle at sf0.01 (column names + row count + order-insensitive
 values). Pass query names as argv for a subset; no args = full sweep."""
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -14,7 +15,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

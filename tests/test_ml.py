@@ -294,8 +294,8 @@ def test_cross_validator_tuning_selects_from_grid(accidents_cleaned):
 def test_fpgrowth_small_itemsets_match_sql(spark):
     """FP-Growth's size-1 and size-2 frequent itemsets must equal the
     exact SQL counts (distinct per-order baskets, pair counts by
-    co-occurrence) — the pinning that upgrades the rows-only catalog
-    entry to verified output on the tier SQL can afford."""
+    co-occurrence) — an in-Spark twin of the catalog entry's Apriori
+    DuckDB oracle (sizes 1-3)."""
     from us_accidents_bigdata_pipeline_spark.plans.queries import REGISTRY
     from .conftest import SF_ORACLE
 
@@ -315,8 +315,7 @@ def test_fpgrowth_small_itemsets_match_sql(spark):
 
     li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = baskets.select("l_orderkey").distinct().count()
-    min_freq = 0.002 * n_baskets
+    min_freq = 5  # absolute support, matching the catalog entry
     exact1 = {
         (r["l_partkey"],): r["n"]
         for r in baskets.groupBy("l_partkey")

@@ -8,7 +8,9 @@ names while uncertified oracled work remains.
 """
 
 from us_accidents_bigdata_pipeline_spark.plans.queries import (
-    _DRIVER_CERTIFIED,
+    _DRIVER_CERTIFIED_FALLBACK,
+    _DRIVER_RECORDS,
+    _driver_certified,
     _export_order,
     REGISTRY,
 )
@@ -32,13 +34,12 @@ def test_front_window_is_oracle_heavy():
 def test_front_window_prefers_uncertified():
     """While uncertified oracled queries remain, the window must spend
     its slots on them — not on names the driver already recorded."""
+    certified = _driver_certified()
     uncertified_total = sum(
-        1
-        for n, s in REGISTRY.items()
-        if s.oracle and n not in _DRIVER_CERTIFIED
+        1 for n, s in REGISTRY.items() if s.oracle and n not in certified
     )
     front = _export_order()[:WINDOW]
-    fresh = sum(1 for n in front if n not in _DRIVER_CERTIFIED)
+    fresh = sum(1 for n in front if n not in certified)
     assert fresh >= min(WINDOW, uncertified_total)
 
 
@@ -50,9 +51,32 @@ def test_rows_only_entries_sort_last():
     assert all(not REGISTRY[n].oracle for n in order[first_rows_only:])
 
 
-def test_certified_names_exist_in_registry():
-    """A certified name that vanished from the registry means a query
+def test_recorded_names_exist_in_registry():
+    """A recorded name that vanished from the registry means a query
     was renamed/deleted after the driver recorded it — flag it so the
     coverage ledger stays honest."""
-    missing = _DRIVER_CERTIFIED - set(REGISTRY)
-    assert not missing, f"certified-but-unregistered: {sorted(missing)}"
+    missing = set(_DRIVER_RECORDS) - set(REGISTRY)
+    assert not missing, f"recorded-but-unregistered: {sorted(missing)}"
+
+
+def test_records_derive_from_artifacts():
+    """With the CORRECTNESS_r*.json artifacts committed, the derived
+    record set must be a superset of the frozen fallback — if this
+    fails, the artifact parser regressed and the rotation would
+    re-burn certified slots."""
+    assert _DRIVER_CERTIFIED_FALLBACK <= set(_DRIVER_RECORDS)
+
+
+def test_upgraded_rows_only_names_refront():
+    """A name recorded only as a weak rows-only check that has since
+    gained an oracle must NOT count as certified — the driver should
+    record the stronger oracle row for it."""
+    certified = _driver_certified()
+    for n, rec in _DRIVER_RECORDS.items():
+        if (
+            isinstance(rec, dict)
+            and rec.get("err") == "no_oracle"
+            and n in REGISTRY
+            and REGISTRY[n].oracle
+        ):
+            assert n not in certified, n
