@@ -1154,11 +1154,23 @@ def incremental_dedup(
     deduplicated hash-only frame (32 bytes/doc, not documents), both
     sides hash-partition on the key, and at 100 TB the corpus key set
     is exactly the bucketed fingerprint index a warehouse would
-    maintain incrementally."""
+    maintain incrementally.
+
+    NULL contract: rows with NULL ``text_col`` are content-less —
+    they are excluded from the output AND from the corpus fingerprint
+    set (an anti-join on a NULL key would otherwise silently keep
+    every NULL-text new row, while SQL's ``NOT IN`` twin would
+    silently drop EVERYTHING if the corpus held one NULL — both sides
+    now agree by construction)."""
     k = F.md5(F.col(text_col))
-    corpus_keys = corpus.select(k.alias("_ck")).dropDuplicates()
+    corpus_keys = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(k.alias("_ck"))
+        .dropDuplicates()
+    )
     return (
-        new_batch.withColumn("_ck", k)
+        new_batch.filter(F.col(text_col).isNotNull())
+        .withColumn("_ck", k)
         .join(corpus_keys, "_ck", "left_anti")
         .drop("_ck")
     )

@@ -154,7 +154,22 @@ def cdc_apply(
             *payload, F.col(seq_col).cast("long"), F.col(op_col)
         )
     )
-    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    # Deterministic total order even on degenerate changelogs with
+    # duplicate (key, seq) pairs: tombstones outrank same-seq upserts
+    # (the conservative read of an ambiguous feed), and a payload hash
+    # breaks any remaining tie so the winner never depends on
+    # partition layout. Well-formed feeds (unique seq per key) are
+    # unaffected.
+    op_rank = (
+        F.when(F.col(op_col) == "D", 2)
+        .when(F.col(op_col) == "U", 1)
+        .otherwise(0)
+    )
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        op_rank.desc(),
+        F.xxhash64(*payload).desc(),
+    )
     return (
         all_rows.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))

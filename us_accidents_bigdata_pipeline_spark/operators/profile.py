@@ -262,6 +262,11 @@ def ols_normal_eq_sums(
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, ci in enumerate(cols):
         aggs.append(F.sum(ci).alias(f"s_{ci}"))
+        # a |value| >= 1e12 overflows the DECIMAL(18,6) cast to NULL;
+        # sum() would silently skip it while count() still counted the
+        # row — inconsistent statistics. Count the casted non-nulls
+        # and fail fast below instead.
+        aggs.append(F.count(ci).alias(f"_nn_{ci}"))
         for cj in cols[i:]:
             aggs.append(
                 F.sum(
@@ -269,7 +274,16 @@ def ols_normal_eq_sums(
                 ).alias(f"s_{ci}_{cj}")
             )
     row = dfc.agg(*aggs).collect()[0]
-    return {k: float(row[k]) for k in row.asDict()}
+    d = row.asDict()
+    n = d["n"]
+    for ci in cols:
+        if d[f"_nn_{ci}"] != n:
+            raise ValueError(
+                f"ols_normal_eq_sums: {n - d[f'_nn_{ci}']} value(s) in "
+                f"{ci!r} overflow DECIMAL(18,6) (|x| >= 1e12) — the "
+                "sums would silently exclude them; rescale the column"
+            )
+    return {k: float(v) for k, v in d.items() if not k.startswith("_nn_")}
 
 
 def ols_fit2(

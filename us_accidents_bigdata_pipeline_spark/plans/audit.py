@@ -56,22 +56,52 @@ def audit_plan(df: DataFrame) -> list[str]:
     return flags
 
 
+def _tree_depth(line: str) -> int:
+    """Structural depth of a plan-tree line: the column where its
+    branch marker (``+-`` or ``:-``) starts. Continuation prefixes
+    (``:  ``) keep earlier colons, so scan for the first colon/plus
+    that is immediately followed by a dash. Root lines (no marker)
+    are depth -1; each tree level indents by 3 columns."""
+    for j in range(len(line) - 1):
+        if line[j] in "+:" and line[j + 1] == "-":
+            return j
+    return -1
+
+
 def _window_over_single_partition(plan: str) -> bool:
-    """True when some Window node's OWN input is the single-partition
-    exchange. Plain marker co-occurrence false-positives whenever a
-    query has both a keyed window and an unrelated scalar aggregate
-    (whose final agg also exchanges to one partition), so walk the
-    linearized tree text instead: a WindowExec's child subtree prints
-    immediately below it, and the first Exchange line in it is the
-    window's partitioning — SinglePartition there means the window
-    sorts everything through one reducer."""
+    """True when some Window node's OWN input chain repartitions to
+    SinglePartition. Plain marker co-occurrence false-positives
+    whenever a query has both a keyed window and an unrelated scalar
+    aggregate (whose final agg also exchanges to one partition) — and
+    so does taking the first Exchange ANYWHERE below the Window line,
+    which can be a deep descendant under a join. So walk the
+    linearized tree text by indentation: follow only the Window's
+    direct single-child chain (each level +3 columns); the first
+    Exchange on that chain is the window's partitioning. Stop at a
+    branching node (a join/union child appears at the same depth as a
+    sibling or with a ``:-`` marker) — past one, an Exchange belongs
+    to someone else."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Window" not in line or "WindowGroupLimit" in line:
             continue
+        expect = _tree_depth(line) + 3
         for below in lines[i + 1 :]:
+            d = _tree_depth(below)
+            if d != expect:
+                # sibling/ancestor (d < expect) ends the subtree; a
+                # deeper line without passing through the chain means
+                # our direct child branched — either way, stop.
+                break
+            if below[d : d + 2] == ":-":
+                # first child of a multi-child node: the chain ends —
+                # the window inherits partitioning from a join, whose
+                # exchanges (even an Exchange right here) are its own
+                # business, not the window's.
+                break
             if "Exchange" in below:
                 if "SinglePartition" in below:
                     return True
                 break
+            expect = d + 3
     return False

@@ -1064,15 +1064,21 @@ def q_normalized_exact_dedup_docs(
 
 @_register(
     "incremental_dedup_new_batch",
+    # text IS NOT NULL on both sides mirrors the operator's explicit
+    # NULL contract (content-less rows excluded from output and from
+    # the fingerprint set) — without it, one NULL in the corpus would
+    # make NOT IN drop every row while the Spark anti-join kept
+    # NULL-text rows.
     """SELECT d.doc_id, d.n_chars
        FROM documents d
-       WHERE d.doc_id % 10 = 0
+       WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL
          AND md5(d.text) NOT IN (SELECT md5(text) FROM documents
-                                 WHERE doc_id % 10 <> 0)""",
+                                 WHERE doc_id % 10 <> 0
+                                   AND text IS NOT NULL)""",
     doc="incremental-ingest dedup: today's batch (doc_id%10=0) "
     "anti-joined on content md5 against the standing corpus — the "
     "every-snapshot crawl-pipeline shape; corpus side reduces to a "
-    "hash-only fingerprint frame "
+    "hash-only fingerprint frame; NULL-text rows excluded by contract "
     "(operators/dedup.py::incremental_dedup)",
 )
 def q_incremental_dedup_new_batch(
@@ -2498,8 +2504,13 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             query_name="stream_dedup_oracle",
             output_mode="append",
         )
-        # memory sink holds the rows; materialize before dropping files
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # memory sink holds the rows; materialize before dropping
+        # files — via the guarded collect (uniform S13 policy; the
+        # frame is windowed-aggregate-sized, the guard makes that a
+        # checked invariant instead of an assumption)
+        from ..tuning import safe_collect
+
+        out = spark.createDataFrame(safe_collect(out, 200_000), out.schema)
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
     return out
@@ -2594,7 +2605,10 @@ def q_streaming_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = read_current(spark, root).select(
             "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        from ..tuning import safe_collect
+
+        # memory-sink lifetime: materialize via the guarded collect
+        out = spark.createDataFrame(safe_collect(out, 200_000), out.schema)
     finally:
         for d in (src, root, ckpt):
             shutil.rmtree(d, ignore_errors=True)
@@ -3626,7 +3640,10 @@ def q_multi_format_union_orders(
                 F.round(F.sum("o_totalprice"), 2).alias("total"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        from ..tuning import safe_collect
+
+        # memory-sink lifetime: materialize via the guarded collect
+        return spark.createDataFrame(safe_collect(out, 200_000), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
