@@ -390,3 +390,51 @@ def test_pca_matches_numpy_eig(spark):
         same = np.allclose(a, b, atol=1e-6)
         flipped = np.allclose(a, -b, atol=1e-6)
         assert same or flipped, f"component {j} mismatch beyond sign"
+
+
+def test_pca2_exact_matches_numpy(spark):
+    """pca2_exact's projection must match numpy's eigendecomposition
+    of the same 2x2 covariance (up to the documented sign convention)."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.ml.pca import pca2_exact
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca2_exact(emb).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    xy = np.array([[r["embedding"][0], r["embedding"][1]] for r in rows],
+                  dtype=np.float64)
+    c = np.cov(xy, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1]
+    vecs = vecs[:, order]
+    for j in range(2):
+        if vecs[0, j] < 0 or (vecs[0, j] == 0 and vecs[1, j] < 0):
+            vecs[:, j] = -vecs[:, j]
+    proj = (xy - xy.mean(axis=0)) @ vecs
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - proj[i, 0]) < 2e-4, vid
+        assert abs(got[vid][1] - proj[i, 1]) < 2e-4, vid
+
+
+def test_pca_projection_signed_deterministic(spark):
+    """Two independent fits must produce identical signed projections
+    (the raw MLlib sign is an eigensolver accident; the convention
+    removes it)."""
+    from us_accidents_bigdata_pipeline_spark.ml.pca import (
+        pca_projection_signed,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    a = sorted(map(tuple, pca_projection_signed(emb, k=2).collect()))
+    b = sorted(map(tuple, pca_projection_signed(emb, k=2).collect()))
+    assert a == b
+    # the dominant-loading entry per axis is positive by construction:
+    # projections are not all-negative mirror images
+    assert a and any(abs(v) > 1e-3 for _, v, _ in a)

@@ -10678,31 +10678,101 @@ def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pca_embedding_projection",
     None,
     doc="MLlib PCA k=2 over embeddings: exact one-pass covariance + "
-    "driver-side dxd eigensolve, projection to (pc1, pc2); sign-"
-    "ambiguous hence rows-only — numpy parity pinned in tests/"
-    "test_ml.py::test_pca_matches_numpy_eig",
+    "driver-side dxd eigensolve, projection to (pc1, pc2) with a "
+    "DETERMINISTIC sign convention (largest-|loading| entry per axis "
+    "positive) so the output is reproducible across runs/layouts; "
+    "rows-only (no SQL engine eigensolves 64x64) — numpy parity "
+    "pinned in tests/test_ml.py::test_pca_matches_numpy_eig, and the "
+    "closed-form 2-feature twin pca_2d_exact IS fully oracled "
+    "(ml/pca.py::pca_projection_signed)",
 )
 def q_pca_embedding_projection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from ..ml.pca import pca_projection_signed
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        array_to_vector(
-            F.col("embedding").cast("array<double>")
-        ).alias("features"),
-    )
-    model = PCA(k=2, inputCol="features", outputCol="pc").fit(emb)
-    out = model.transform(emb).select(
-        "vec_id", vector_to_array("pc").alias("pc")
-    )
-    return out.select(
-        "vec_id",
-        F.round(F.col("pc").getItem(0), 4).alias("pc1"),
-        F.round(F.col("pc").getItem(1), 4).alias("pc2"),
-    )
+    return pca_projection_signed(_t(spark, sf_dir, "embeddings"), k=2)
+
+
+# =====================================================================
+# Closed-form 2-feature PCA — the oracle-checkable tier of the PCA
+# surface: exact-decimal covariance sufficient statistics (partition-
+# order independent), the 2x2 quadratic eigen-solve in a FIXED IEEE
+# operation order mirrored textually by the SQL, deterministic
+# eigenvector signs, map-only projection. One pass + O(1) driver math:
+# the tall-skinny-PCA shape that scales to 100 TB.
+# =====================================================================
+
+
+@_register(
+    "pca_2d_exact",
+    # Every float op below textually mirrors ml/pca.py::pca2_exact —
+    # exact decimal sums cross to double via one correctly-rounded
+    # conversion on each side (VARCHAR->DOUBLE here, float(Decimal)
+    # there), after which both engines run the identical double
+    # program, so even round(...,4) boundaries agree bit-for-bit.
+    """WITH d AS (SELECT vec_id,
+                  CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(13,10)) AS x,
+                  CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(13,10)) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS xd,
+                  CAST(embedding[2] AS DOUBLE) AS yd
+           FROM embeddings),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+                    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+                    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                    CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+                    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+             FROM d WHERE x IS NOT NULL AND y IS NOT NULL),
+       c AS (SELECT sx / n AS mx, sy / n AS my,
+                    sxx / n - (sx / n) * (sx / n) AS cxx,
+                    sxy / n - (sx / n) * (sy / n) AS cxy,
+                    syy / n - (sy / n) * (sy / n) AS cyy
+             FROM s),
+       e AS (SELECT mx, my, cxx, cxy, cyy,
+                    ((cxx + cyy)
+                     + sqrt((cxx - cyy) * (cxx - cyy)
+                            + 4.0 * (cxy * cxy))) / 2.0 AS l1
+             FROM c),
+       v0 AS (SELECT mx, my,
+                     CASE WHEN cxy <> 0.0 THEN cxy
+                          WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END AS wx,
+                     CASE WHEN cxy <> 0.0 THEN l1 - cxx
+                          WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END AS wy
+              FROM e),
+       v1 AS (SELECT mx, my,
+                     wx / sqrt(wx * wx + wy * wy) AS ux,
+                     wy / sqrt(wx * wx + wy * wy) AS uy
+              FROM v0),
+       vs AS (SELECT mx, my,
+                     CASE WHEN ux < 0.0 OR (ux = 0.0 AND uy < 0.0)
+                          THEN -ux ELSE ux END AS v1x,
+                     CASE WHEN ux < 0.0 OR (ux = 0.0 AND uy < 0.0)
+                          THEN -uy ELSE uy END AS v1y
+              FROM v1),
+       vv AS (SELECT mx, my, v1x, v1y,
+                     CASE WHEN -v1y < 0.0 OR (-v1y = 0.0 AND v1x < 0.0)
+                          THEN v1y ELSE -v1y END AS v2x,
+                     CASE WHEN -v1y < 0.0 OR (-v1y = 0.0 AND v1x < 0.0)
+                          THEN -v1x ELSE v1x END AS v2y
+              FROM vs)
+       SELECT d.vec_id,
+              round((d.xd - vv.mx) * vv.v1x
+                    + (d.yd - vv.my) * vv.v1y, 4) + 0.0 AS pc1,
+              round((d.xd - vv.mx) * vv.v2x
+                    + (d.yd - vv.my) * vv.v2y, 4) + 0.0 AS pc2
+       FROM d CROSS JOIN vv""",
+    doc="closed-form 2-feature PCA over embedding dims (0,1): exact "
+    "decimal sufficient statistics in one distributed pass, 2x2 "
+    "quadratic eigen-solve driver-side in a fixed IEEE op order, "
+    "deterministic signs, map-only projection — the oracle recomputes "
+    "sums, solve, and per-row projection end-to-end "
+    "(ml/pca.py::pca2_exact)",
+)
+def q_pca_2d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pca import pca2_exact
+
+    return pca2_exact(_t(spark, sf_dir, "embeddings"), x_idx=0, y_idx=1)
 
 
 # =====================================================================
