@@ -9,12 +9,22 @@ plain python.
         --out /tmp/corpus_export --shards 8 --quality-min 0.8
 
 Stages (each an individually-oracled operator in the catalog):
-1. ``curation.curate_corpus`` — quality/repetition filters, exact +
+1. ``dq.constraint_report`` — Deequ-style gate on the RAW input
+   (text non-null, doc_id unique, n_chars in range); hard failures
+   abort the export before any compute is spent.
+2. ``curation.curate_corpus`` — quality/repetition filters, exact +
    near-dup dedup, benchmark decontamination; prints the funnel.
-2. ``shard.shard_assignment`` + ``write_training_shards`` — md5-keyed
-   deterministic shuffle into ``shard=K/`` directories (byte-identical
-   on any cluster layout).
-3. ``tuning.write_with_metrics`` — the export itself carries its audit
+3. ``dedup.near_dup_resolve`` + canonical-id-hash split — the
+   LEAKAGE-SAFE train/eval split: the split key is the hash of the
+   near-dup cluster's canonical id, so residual near-dups can never
+   straddle train/eval.
+4. ``dq.k_anonymity_audit`` over the released metadata columns
+   (lang, source) — violating equivalence classes land in the report
+   before anything ships.
+5. ``shard.shard_assignment`` + ``write_training_shards`` per split —
+   md5-keyed deterministic shuffle into ``split/shard=K/``
+   directories (byte-identical on any cluster layout).
+6. ``tuning.write_with_metrics`` — the export itself carries its audit
    aggregates (row/token counts) on the SAME job via df.observe; the
    audit JSON lands next to the data.
 """
@@ -33,6 +43,18 @@ from pyspark.sql import functions as F  # noqa: E402
 from us_accidents_bigdata_pipeline_spark.operators.curation import (  # noqa: E402
     curate_corpus,
 )
+from us_accidents_bigdata_pipeline_spark.operators.dedup import (  # noqa: E402
+    near_dup_resolve,
+)
+from us_accidents_bigdata_pipeline_spark.operators.dq import (  # noqa: E402
+    constraint_report,
+    in_range,
+    k_anonymity_audit,
+    not_null,
+)
+from us_accidents_bigdata_pipeline_spark.operators.shard import (  # noqa: E402
+    _shuffle_key,
+)
 from us_accidents_bigdata_pipeline_spark.operators.shard import (  # noqa: E402
     write_training_shards,
 )
@@ -49,11 +71,39 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--quality-min", type=float, default=0.8)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--train-frac", type=float, default=0.9)
+    ap.add_argument("--k-anon", type=int, default=5)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="export_corpus", master=args.master)
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+
+    # ---- stage 0: DQ gate on the raw input (one pass, long-form) ----
+    dq_rows = constraint_report(
+        docs,
+        row_checks={
+            "text_not_null": not_null("text"),
+            "n_chars_in_range": in_range("n_chars", 0, 10**9),
+        },
+        unique_keys={"doc_id_unique": ["doc_id"]},
+    ).collect()
+    dq_report = [
+        {
+            "constraint": r["constraint_name"],
+            "violations": int(r["violations"]),
+            "status": r["status"],
+        }
+        for r in dq_rows
+    ]
+    for c in dq_report:
+        print(f"dq {c['constraint']:>18}: {c['status']}"
+              f" ({c['violations']} violations)", flush=True)
+    hard_fail = [c for c in dq_report if c["violations"] > 0
+                 and c["constraint"] == "doc_id_unique"]
+    if hard_fail:
+        print("export aborted: duplicate doc_id in input", flush=True)
+        return 2
     # benchmark set for decontamination: the synthetic fixture carries
     # no external benchmark, so use a held-out slice (every 97th doc)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
@@ -68,10 +118,54 @@ def main(argv: list[str] | None = None) -> int:
         print(f"funnel[{idx}] {stage:>15}: {n}", flush=True)
 
     curated = curated.persist()
-    shards_dir = os.path.join(args.out, "shards")
-    write_training_shards(
-        curated, shards_dir, n_shards=args.shards, seed=args.seed
-    )
+
+    # ---- leakage-safe split: hash of the near-dup canonical id ----
+    # (sub-threshold near-dups that survived curation can never
+    # straddle train/eval — same construction as the oracled
+    # leakage_safe_split_docs catalog entry)
+    resolved = near_dup_resolve(
+        curated.select("doc_id", "text"), threshold=0.5, method="banded"
+    ).select("doc_id", "canonical_id")
+    u16 = F.conv(
+        F.substring(_shuffle_key("canonical_id", args.seed), 9, 4), 16, 10
+    ).cast("long")
+    split_docs = curated.join(resolved, "doc_id").withColumn(
+        "split",
+        F.when(u16 < args.train_frac * 65536, F.lit("train")).otherwise(
+            F.lit("eval")
+        ),
+    ).persist()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in split_docs.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"split: {split_counts}", flush=True)
+
+    # ---- privacy audit on the released metadata columns ----
+    kanon_viol = k_anonymity_audit(
+        curated, ["lang", "source"], k=args.k_anon
+    ).collect()
+    kanon_report = {
+        "k": args.k_anon,
+        "violating_classes": len(kanon_viol),
+        "exposed_records": int(sum(r["n_below_k"] for r in kanon_viol)),
+    }
+    print(f"k-anonymity(k={args.k_anon}): "
+          f"{kanon_report['violating_classes']} violating classes, "
+          f"{kanon_report['exposed_records']} exposed records", flush=True)
+
+    for split_name in ("train", "eval"):
+        part = split_docs.filter(F.col("split") == split_name).drop(
+            "split", "canonical_id"
+        )
+        write_training_shards(
+            part,
+            os.path.join(args.out, "shards", split_name),
+            n_shards=args.shards,
+            seed=args.seed,
+        )
 
     from us_accidents_bigdata_pipeline_spark.functions import token_count
 
@@ -87,11 +181,16 @@ def main(argv: list[str] | None = None) -> int:
         },
     )
     curated.unpersist()
+    split_docs.unpersist()
     report = {
+        "dq": dq_report,
         "funnel": [
             {"stage_idx": i, "stage": s, "n_docs": n}
             for i, s, n in funnel_rows
         ],
+        "split": {k: int(v) for k, v in split_counts.items()},
+        "train_frac": args.train_frac,
+        "k_anonymity": kanon_report,
         "audit": {k: int(v) for k, v in audit.items()},
         "shards": args.shards,
         "seed": args.seed,

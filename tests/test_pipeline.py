@@ -115,8 +115,23 @@ def test_export_corpus_cli_smoke(tmp_path):
     # monotone funnel and shards on disk
     counts = [s["n_docs"] for s in report["funnel"]]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
-    shard_dirs = sorted(p.name for p in (out / "shards").iterdir()
-                        if p.is_dir())
-    assert len(shard_dirs) == 4 and all(
-        d.startswith("shard=") for d in shard_dirs
+    # DQ gate recorded and clean on the fixture
+    assert {c["constraint"] for c in report["dq"]} == {
+        "text_not_null", "n_chars_in_range", "doc_id_unique"
+    }
+    assert all(c["violations"] == 0 for c in report["dq"])
+    # leakage-safe split partitions the curated set
+    assert report["split"]["train"] + report["split"]["eval"] == (
+        report["audit"]["n_docs"]
     )
+    # k-anonymity audit present (fixture has tiny lang x source classes)
+    assert report["k_anonymity"]["k"] == 5
+    assert report["k_anonymity"]["exposed_records"] >= 0
+    for split in ("train", "eval"):
+        shard_dirs = sorted(
+            p.name for p in (out / "shards" / split).iterdir()
+            if p.is_dir()
+        )
+        assert len(shard_dirs) == 4 and all(
+            d.startswith("shard=") for d in shard_dirs
+        )
