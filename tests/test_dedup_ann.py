@@ -591,3 +591,57 @@ def test_incremental_dedup_removes_known_content(spark):
     # 10 and 12 duplicate the corpus; 11 and 13 are both new (batch-
     # internal dupes are NOT this operator's job)
     assert got == [11, 13]
+
+
+def test_pq_encode_shapes_and_reconstruction(spark):
+    """PQ codebooks have m x k_codes centroids of dim/m floats; codes
+    are in range; quantization actually compresses toward the input
+    (mean reconstruction error well below the mean vector norm)."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = pq_train(emb, m=8, k_codes=16)
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    rows = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # reconstruction error sanity on a few rows
+    by_id = {r["vec_id"]: r["codes"] for r in rows[:50]}
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(
+            emb.vec_id.isin(list(by_id))
+        ).collect()
+    }
+    errs, norms = [], []
+    for vid, codes in by_id.items():
+        rec = np.concatenate([np.asarray(books[j][codes[j]]) for j in range(8)])
+        errs.append(np.linalg.norm(orig[vid] - rec))
+        norms.append(np.linalg.norm(orig[vid]))
+    assert np.mean(errs) < np.mean(norms), (np.mean(errs), np.mean(norms))
+
+
+def test_minhash_estimate_calibration_statistics(spark):
+    """The 16-slot estimates must center on the exact Jaccard: mean
+    absolute error below 2x the binomial sd at J=0.5 (sqrt(J(1-J)/16)
+    = 0.125), and every estimate an exact multiple of 1/16."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        minhash_estimate_calibration,
+    )
+    from .conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rows = minhash_estimate_calibration(docs, threshold=0.3).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["estimate"] * 16 - round(r["estimate"] * 16)) < 1e-9
+    mae = sum(abs(r["estimate"] - r["jaccard"]) for r in rows) / len(rows)
+    assert mae < 0.25, mae

@@ -89,6 +89,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "shard_uniformity_chi2": {"nested_loop"},      # 1-row expectation
     "int8_vs_float_topk": {"nested_loop"},         # 1 query point
     "lsh_ann_verified_topk": {"nested_loop"},      # 1 query point re-rank
+    "pq_ann_verified_topk": {"nested_loop"},       # 1 query point re-rank
     "lsh_ann_candidates": {"nested_loop"},         # 1 query point + 5-row
     # exact-top-5 left join against the 50-row candidate broadcast
     "zorder_keys_events": {"nested_loop"},         # 1-row min/max bounds

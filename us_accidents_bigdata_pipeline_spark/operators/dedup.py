@@ -503,6 +503,80 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Estimator calibration for MinHash: per near-dup pair, the
+    H-slot MinHash Jaccard ESTIMATE next to the exact Jaccard — the
+    readout that tells a curation stack whether its signature width is
+    adequate before trusting banding thresholds at 100 TB (E[estimate]
+    = J; sd = sqrt(J(1-J)/H) ≈ 0.125 at J=0.5, H=16).
+
+    Hashes are md5 over a salted shingle (``"{slot}-{shingle}"``), min
+    taken over the md5 HEX STRING — every piece is engine-portable,
+    so a SQL oracle recomputes signature, estimate, and exact Jaccard
+    end-to-end: this certifies the estimator MATH cross-engine, not
+    just the pair set (the xxhash64 production path in
+    ``minhash_banded_pairs`` trades that portability for speed).
+
+    Estimates are exact multiples of 1/H — dyadic, so the 4-decimal
+    display rounding is representation-exact in both engines.
+
+    Scale shape: signatures are one grouped aggregate over exploded
+    shingles (map-side partial min per slot); the pair set and exact
+    Jaccard reuse the candidate-join shape; the estimate join touches
+    pairs only."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sigs = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_sh"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
+                f"_mh{i}"
+            )
+            for i in range(n_hashes)
+        ],
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_n_sh").alias("_na"),
+        *[F.col(f"_mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_n_sh").alias("_nb"),
+        *[F.col(f"_mh{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    matches = None
+    for i in range(n_hashes):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(matches / float(n_hashes), 4).alias("estimate"),
+        )
+    )
+
+
 def minhash_lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1462,6 +1462,62 @@ def q_near_dup_resolve_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_estimate_calibration",
+    # Fully portable estimator check: md5-salted slot hashes, string
+    # min — the oracle recomputes signature, estimate AND exact
+    # Jaccard end-to-end, certifying the MinHash estimator math
+    # cross-engine (the xxhash64 production path trades that for
+    # speed). Estimates are exact multiples of 1/16 (dyadic — display
+    # rounding is representation-exact in both engines).
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       sig AS (SELECT doc_id, s.i,
+                      min(md5(CAST(s.i AS VARCHAR) || '-' || shingle)) AS mh
+               FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS s(i)
+               GROUP BY doc_id, s.i),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       jac AS (SELECT p.doc_a, p.doc_b,
+                      CAST(p.n_common AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - p.n_common) AS j
+               FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+                      JOIN sizes sb ON p.doc_b = sb.doc_id
+               WHERE CAST(p.n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - p.n_common) >= 0.3),
+       est AS (SELECT j.doc_a, j.doc_b, j.j,
+                      sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0
+                          AS e
+               FROM jac j JOIN sig x ON x.doc_id = j.doc_a
+                          JOIN sig y ON y.doc_id = j.doc_b AND y.i = x.i
+               GROUP BY 1, 2, 3)
+       SELECT doc_a, doc_b, round(j, 4) AS jaccard,
+              round(e, 4) AS estimate
+       FROM est""",
+    doc="MinHash estimator calibration: per near-dup pair (exact "
+    "Jaccard >= 0.3), the 16-slot md5-MinHash estimate next to the "
+    "exact value — the signature-width adequacy readout "
+    "(sd = sqrt(J(1-J)/16)); estimator math certified cross-engine "
+    "(operators/dedup.py::minhash_estimate_calibration)",
+)
+def q_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_estimate_calibration
+
+    return minhash_estimate_calibration(
+        _t(spark, sf_dir, "documents"), threshold=0.3, n_hashes=16
+    )
+
+
+@_register(
     "simhash_near_dup_pairs",
     None,  # engine-specific xxhash64 simhashes → rows-only; pigeonhole
     # exactness (recall 1 vs brute-force hamming) tested in
@@ -2083,6 +2139,41 @@ def q_lsh_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return lsh_ann_verified_topk(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=5
+    )
+
+
+@_register(
+    "pq_ann_verified_topk",
+    # Exact top-k oracle for query 1: PQ-ADC only PRUNES the corpus
+    # to k*overfetch candidates; the exact cosine re-rank makes the
+    # output identical to brute force whenever the true top-k survive
+    # the prune — a quantization recall failure surfaces as a hash
+    # mismatch (verified exact-equal at sf0.001/0.01/0.1; this
+    # near-uniform corpus is the worst case for PQ, hence the high
+    # overfetch).
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1)
+       SELECT e.vec_id,
+              round(list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       FROM e, q WHERE e.vec_id <> 1
+       ORDER BY cosine DESC, e.vec_id LIMIT 5""",
+    doc="product-quantization ANN with exact re-rank: per-subspace "
+    "sampled-KMeans codebooks, map-only encode to m-code words (JVM "
+    "struct-min over codebook literals, no UDF), asymmetric-distance "
+    "prune via a query LUT riding the plan as literals, exact cosine "
+    "re-rank on the k*overfetch survivors — the memory-bounded ANN "
+    "tier: a 100 TB float corpus becomes an m-bytes/vector code table "
+    "(operators/similarity.py::pq_ann_verified_topk, pq_train, "
+    "pq_encode)",
+)
+def q_pq_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_ann_verified_topk
+
+    return pq_ann_verified_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=1, k=5
     )
 
 
