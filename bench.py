@@ -115,6 +115,12 @@ HEADLINE = [
     "xml_roundtrip_orders",
     "audio_frame_features_docs",
     "image_patch_stats_synthetic",
+    # round 6: verified-ANN completions + estimator calibration + PCA
+    "pq_ann_verified_topk",
+    "minhash_estimate_calibration",
+    "pca_2d_exact",
+    "fpgrowth_itemsets",
+    "embedding_near_dup_pairs_lsh",
 ]
 
 
