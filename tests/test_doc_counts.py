@@ -61,3 +61,18 @@ def test_verify_skill_counts():
         f"verify SKILL.md says {m.group(1)}/{m.group(2)}, registry is "
         f"{TOTAL}/{ORACLED}"
     )
+
+
+def test_bench_headline_names_exist():
+    """bench.py silently skips unknown names (so mid-round edits never
+    break it) — this test makes a typo'd headline name loud instead of
+    silently unbenched."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", ROOT / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"

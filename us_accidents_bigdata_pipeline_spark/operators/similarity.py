@@ -527,9 +527,13 @@ def pq_train(
                 F.slice(F.col("_v"), j * sub + 1, sub)
             ).alias("_features")
         )
+        # quantizer fits converge in a few iterations and exactness
+        # comes from the downstream re-rank, so cap the iteration
+        # budget (k-means|| init stays: random init measurably hurt
+        # codebook quality enough to cost recall at sf0.1)
         km = KMeans(
             k=k_codes, seed=seed + j, featuresCol="_features",
-            predictionCol="_c",
+            predictionCol="_c", maxIter=10,
         )
         model = km.fit(feats)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
