@@ -7057,6 +7057,71 @@ def q_scd2_order_status_intervals(
 
 
 @_register(
+    "point_in_time_state_join",
+    # The consumer of scd2_order_status_intervals' pattern: facts
+    # joined to the dimension version VALID AT the fact's timestamp.
+    # Change log = each user's non-purchase events (state = the event
+    # type); facts = purchases. Zero-length intervals (same-ts
+    # changes, tie-broken by event_id) match nothing, so intervals
+    # are disjoint and the join is deterministic. No timestamp
+    # columns in the output (instant-vs-NTZ collect trap).
+    """WITH dim AS (
+         SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to
+         FROM events WHERE event_type <> 'purchase'),
+       f AS (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase')
+       SELECT f.event_id, f.user_id,
+              coalesce(d.state, 'none') AS state_at_purchase,
+              f.value
+       FROM f LEFT JOIN dim d
+         ON f.user_id = d.user_id
+        AND f.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
+    doc="point-in-time (SCD2 interval) join: each purchase event "
+    "joined to the user state valid at its timestamp — the "
+    "warehouse dimension-versioning consumer of "
+    "scd2_order_status_intervals. Plan: one lead() window per key + "
+    "an equi-join on the entity key with range residuals (SortMerge, "
+    "never a nested loop); per-entity dimension rows are few, so the "
+    "shape holds at 100 TB",
+)
+def q_point_in_time_state_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .drop("event_id")
+    )
+    f = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = f.join(
+        dim,
+        (f["user_id"] == dim["user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+        "left",
+    )
+    return joined.select(
+        f["event_id"],
+        f["user_id"],
+        F.coalesce(dim["state"], F.lit("none")).alias("state_at_purchase"),
+        f["value"],
+    )
+
+
+@_register(
     "skew_report_lineitem_suppkey",
     """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
                   FROM lineitem GROUP BY l_suppkey),
