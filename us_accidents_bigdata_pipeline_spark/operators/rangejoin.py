@@ -82,6 +82,61 @@ def range_join_binned(
     return matched.unionByName(unmatched)
 
 
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``a.lo <= b.hi AND b.lo <=
+    a.hi``, closed ends) via the binning rewrite — the interval-
+    interval sibling of ``range_join_binned``. Column names must not
+    collide (rename before calling).
+
+    Each interval explodes into the fixed-width bins it covers; pairs
+    meet on the bin equi-key and are emitted EXACTLY ONCE by the
+    ownership rule: only in the bin containing the overlap's START
+    (``greatest(lo_a, lo_b)``) — that bin lies inside both intervals'
+    bin ranges whenever they overlap, so no dropDuplicates shuffle is
+    needed.
+
+    Scale: turns the quadratic overlap condition into an equi-join
+    whose cost is bin co-occupancy; pick ``bin_width`` near the
+    typical interval length (too small multiplies the explode, too
+    large multiplies per-bin candidates)."""
+    a = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_a) / F.lit(bin_width)),
+                F.floor(F.col(hi_a) / F.lit(bin_width)),
+            )
+        ),
+    )
+    b = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_b) / F.lit(bin_width)),
+                F.floor(F.col(hi_b) / F.lit(bin_width)),
+            )
+        ),
+    )
+    start = F.greatest(F.col(lo_a), F.col(lo_b))
+    return (
+        a.join(b, "_bin")
+        .filter(
+            (F.col(lo_a) <= F.col(hi_b))
+            & (F.col(lo_b) <= F.col(hi_a))
+            & (F.col("_bin") == F.floor(start / F.lit(bin_width)))
+        )
+        .drop("_bin")
+    )
+
+
 def grid_join_2d(
     points: DataFrame,
     id_col: str,

@@ -7122,6 +7122,90 @@ def q_point_in_time_state_join(
 
 
 @_register(
+    "session_overlap_pairs",
+    # Sessions = 30-min-gap sessionization per user; pairs of users
+    # whose sessions overlap in time (co-presence), with the exact
+    # total overlap in integer MICROSECONDS (epoch_us — no float).
+    # The oracle runs the quadratic overlap join; the Spark side runs
+    # the binned rewrite, so a binning bug (missed or duplicated
+    # pair) surfaces as a mismatch.
+    """WITH x AS (SELECT user_id, ts, event_id,
+              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        > INTERVAL '30 minutes'
+                   THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (SELECT user_id,
+                    sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid,
+                    ts
+             FROM x),
+       sess AS (SELECT user_id, sid, epoch_us(min(ts)) AS lo,
+                       epoch_us(max(ts)) AS hi
+                FROM s GROUP BY 1, 2)
+       SELECT a.user_id AS user_a, b.user_id AS user_b,
+              CAST(count(*) AS BIGINT) AS n_overlaps,
+              CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo))
+                   AS BIGINT) AS total_overlap_us
+       FROM sess a JOIN sess b
+         ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+       GROUP BY 1, 2""",
+    doc="interval x interval overlap join via the binning rewrite "
+    "(operators/rangejoin.py::interval_overlap_join_binned): 30-min "
+    "sessionization per user, then user pairs with overlapping "
+    "sessions and exact total co-presence time. The quadratic overlap "
+    "condition becomes a 1-hour-bin equi-join with an ownership rule "
+    "(pair emitted only in the overlap-start bin — exactly-once, no "
+    "dedup shuffle); the oracle runs the quadratic form, so binning "
+    "bugs surface as mismatches",
+)
+def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    # work in integer epoch microseconds throughout: ts may surface as
+    # TIMESTAMP or TIMESTAMP_NTZ depending on the reader path, and
+    # integer micros sidestep both the cast matrix and float seconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select("user_id", "event_id", us.alias("_us"))
+    w = W.partitionBy("user_id").orderBy("_us", "event_id")
+    brk = (
+        (F.col("_us") - F.lag("_us").over(w)) > 1_800_000_000
+    ).cast("int")
+    s = base.select(
+        "user_id",
+        "_us",
+        F.sum(F.coalesce(brk, F.lit(0))).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("_us").alias("lo"),
+        F.max("_us").alias("hi"),
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    pairs = interval_overlap_join_binned(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=3_600_000_000
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+        ).alias("total_overlap_us"),
+    )
+
+
+@_register(
     "skew_report_lineitem_suppkey",
     """WITH k AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
                   FROM lineitem GROUP BY l_suppkey),
