@@ -121,6 +121,8 @@ HEADLINE = [
     "pca_2d_exact",
     "fpgrowth_itemsets",
     "embedding_near_dup_pairs_lsh",
+    "point_in_time_state_join",
+    "session_overlap_pairs",
 ]
 
 
