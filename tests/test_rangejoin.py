@@ -154,3 +154,53 @@ def test_grid_join_2d_matches_brute_force(spark):
             brute[(a, b)] = round(d, 6)
     assert out == brute
     assert (900, 901) in out  # the exact-radius boundary pair survived
+
+
+def test_interval_overlap_binned_equals_quadratic(spark):
+    """Binned overlap join must equal the quadratic reference on
+    adversarial intervals: bin-boundary endpoints, zero-length,
+    nested, disjoint, and multi-bin spans — including pairs whose
+    overlap starts exactly on a bin edge (the ownership rule's edge)."""
+    import pyspark.sql.functions as F
+
+    from us_accidents_bigdata_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    W_BIN = 10
+    ivals = [
+        (0, 0, 5),     # id, lo, hi
+        (1, 5, 5),     # zero-length at interior point
+        (2, 5, 15),    # spans a bin edge
+        (3, 10, 10),   # zero-length ON a bin edge
+        (4, 10, 20),   # starts on a bin edge
+        (5, 0, 100),   # spans many bins (nested over everything)
+        (6, 21, 29),   # interior
+        (7, 30, 40),   # touches 29? no; touches 40/41 edges
+        (8, 40, 41),   # starts where 7 ends (closed ends: overlap)
+        (9, 55, 56),   # disjoint from most
+    ]
+    a = spark.createDataFrame(
+        [(i, lo, hi) for i, lo, hi in ivals], "ia int, lo_a long, hi_a long"
+    )
+    b = spark.createDataFrame(
+        [(i, lo, hi) for i, lo, hi in ivals], "ib int, lo_b long, hi_b long"
+    )
+    got = {
+        (r["ia"], r["ib"])
+        for r in interval_overlap_join_binned(
+            a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=W_BIN
+        ).collect()
+    }
+    expect = {
+        (x[0], y[0])
+        for x in ivals
+        for y in ivals
+        if x[1] <= y[2] and y[1] <= x[2]
+    }
+    assert got == expect
+    # exactly-once: the join emits no duplicate pairs
+    rows = interval_overlap_join_binned(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=W_BIN
+    ).groupBy("ia", "ib").count().filter(F.col("count") > 1).collect()
+    assert not rows, rows
