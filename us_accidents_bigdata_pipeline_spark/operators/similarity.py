@@ -590,6 +590,7 @@ def pq_ann_verified_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int = 100_000,
+    index=None,
 ) -> DataFrame:
     """PQ asymmetric-distance search with an exact re-rank — the third
     verified ANN tier next to LSH (``lsh_ann_verified_topk``) and IVF
@@ -624,11 +625,17 @@ def pq_ann_verified_topk(
             lambda x: x / l2_norm(vec_col),
         ),
     )
-    books = pq_train(
-        unit, m=m, k_codes=k_codes, vec_col="_unit",
-        fit_sample_rows=fit_sample_rows,
-    )
-    codes = pq_encode(unit, books, id_col=id_col, vec_col="_unit")
+    if index is not None:
+        # (codebooks, codes) from pq_train/pq_encode — build once,
+        # search many (persist the codes caller-side for full reuse);
+        # mirrors ivf_search's index parameter
+        books, codes = index
+    else:
+        books = pq_train(
+            unit, m=m, k_codes=k_codes, vec_col="_unit",
+            fit_sample_rows=fit_sample_rows,
+        )
+        codes = pq_encode(unit, books, id_col=id_col, vec_col="_unit")
 
     qrow = unit.filter(F.col(id_col) == query_id).select("_unit").head()
     if qrow is None:
