@@ -2608,6 +2608,74 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_incremental_dedup",
+    # Same contract (and NULL semantics) as incremental_dedup_new_batch,
+    # delivered as a STREAM: today's batch arrives through the file
+    # stream source and is anti-joined per micro-batch against the
+    # STATIC corpus fingerprint frame — the continuous-ingest shape of
+    # a crawl pipeline (stream-static joins are stateless: each batch
+    # probes the static side, no streaming state to bound).
+    """SELECT d.doc_id, d.n_chars
+       FROM documents d
+       WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL
+         AND md5(d.text) NOT IN (SELECT md5(text) FROM documents
+                                 WHERE doc_id % 10 <> 0
+                                   AND text IS NOT NULL)""",
+    doc="streaming incremental-ingest dedup: the new batch streams in "
+    "(file source, two micro-batches) and anti-joins on content md5 "
+    "against the static corpus fingerprint frame — "
+    "operators/dedup.py::incremental_dedup's logic applied through "
+    "readStream; stream-static anti-join, stateless, append mode",
+)
+def q_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming import parquet_stream_reader, run_windowed_batch
+    from ..tuning import safe_collect
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_keys = (
+        docs.filter(
+            (F.col("doc_id") % 10 != 0) & F.col("text").isNotNull()
+        )
+        .select(F.md5("text").alias("_ck"))
+        .dropDuplicates()
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text", "n_chars"
+    )
+    in_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+    try:
+        batch.write.mode("overwrite").parquet(in_dir)
+        stream = parquet_stream_reader(
+            spark,
+            in_dir,
+            batch.schema,
+            glob_filter="*.parquet",
+            max_files_per_trigger=1,  # force real multi-batch execution
+        )
+        fresh = (
+            stream.filter(F.col("text").isNotNull())
+            .withColumn("_ck", F.md5("text"))
+            .join(corpus_keys, "_ck", "left_anti")
+            .select("doc_id", "n_chars")
+        )
+        out = run_windowed_batch(
+            fresh,
+            query_name="stream_incremental_dedup",
+            output_mode="append",
+        )
+        # memory-sink lifetime: materialize via the guarded collect
+        out = spark.createDataFrame(safe_collect(out, 200_000), out.schema)
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+    return out
+
+
+@_register(
     "streaming_cdc_orders",
     # Same deterministic changelog (and oracle) as cdc_apply_orders,
     # but delivered as THREE mtime-ordered micro-batches through the
