@@ -120,7 +120,13 @@ HEADLINE = [
     "minhash_estimate_calibration",
     "pca_2d_exact",
     "fpgrowth_itemsets",
-    "embedding_near_dup_pairs_lsh",
+    # embedding_near_dup_pairs_lsh is NOT benched: at threshold 0.42
+    # the candidate radius approaches the random-pair distance and
+    # every bucket collides (see its docstring) — measured 172 s vs
+    # the blas exact tier's 3.4 s at sf0.1. LSH prunes at the
+    # production thresholds (>= ~0.8); benching the degenerate regime
+    # would report the wrong number for the operator. It stays
+    # correctness-checked in the oracle sweep.
     "point_in_time_state_join",
     "session_overlap_pairs",
 ]
