@@ -620,3 +620,26 @@ def test_audit_no_false_positive_deep_scalar_exchange(spark):
         "rn", F.row_number().over(W.partitionBy("k").orderBy("id"))
     )
     assert "single_partition_window" not in audit_plan(w)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A selective dim filter joined on the fact table's PARTITION
+    column must inject a dynamicpruning expression into the fact
+    scan's partition filters — at 100 TB this is the difference
+    between scanning one partition and scanning the lake. (Static
+    pruning is pinned above; this pins the RUNTIME variant.)"""
+    out = str(tmp_path / "ev_part")
+    ev = spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 4 = 0 THEN 'click' WHEN id % 4 = 1 "
+        "THEN 'view' WHEN id % 4 = 2 THEN 'purchase' ELSE 'error' END "
+        "AS event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("error", 4)],
+        "event_type string, w int",
+    ).filter("w = 1")
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
