@@ -128,6 +128,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
 for _name in (
     "daily_revenue_change",          # per-day revenue (dates)
     "locf_hourly_values",            # hourly spine per key
+    "interp_hourly_values",          # 72-row hourly spine
     "rfm_customer_segments",         # per-customer aggregate
     "missing_orderkey_ranges",       # gap rows only
     "abc_part_classification",       # per-part aggregate

@@ -127,6 +127,55 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS distance from one seed node: (node, hops)
+    for every node reachable within ``max_hops``, hops = the MINIMUM
+    edge count (true BFS distance — each node enters the frontier the
+    first time it is seen and is anti-joined away afterwards).
+
+    Fixed-depth iterative expansion: ``max_hops`` rounds of
+    frontier-join-edges → dedup → anti-join known. Deterministic (no
+    floating point, no sampling), so a recursive-CTE SQL oracle can
+    replay it exactly. Scale shape: each round is one equi-join keyed
+    by the node id plus a distinct — the frontier is usually far
+    smaller than the graph and broadcastable in early hops; for
+    all-pairs needs use ``connected_components``'s pointer-jumping
+    instead (O(log n) rounds, no per-seed work)."""
+    spark = edges.sparkSession
+    known = spark.createDataFrame([(seed, 0)], "node long, hops int")
+    frontier = known.select(F.col("node").alias("_f"))
+    for h in range(1, max_hops + 1):
+        # rename every side before joining: frontier descends from
+        # known which descends from edges in later rounds — shared
+        # expression ids would otherwise make the self-join ambiguous
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col(src_col).alias("_f"),
+                    F.col(dst_col).alias("node"),
+                ),
+                "_f",
+            )
+            .select("node")
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .persist()
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        known = known.unionByName(nxt)
+        frontier = nxt.select(F.col("node").alias("_f"))
+    return known
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected edge list (src, dst)
     via DEGREE ORIENTATION — the shape that survives scale-free

@@ -4997,6 +4997,41 @@ def q_streaming_static_join_counts(
 
 
 @_register(
+    "bfs_copurchase_hops",
+    # True BFS distance is deterministic (no floats, no sampling), so
+    # the recursive-CTE oracle replays it exactly: enumerate (node,
+    # hops) pairs up to depth 3, take min(hops) per node. The Spark
+    # side reaches the same set via fixed-depth frontier expansion
+    # with anti-join dedup — first-reach depth IS the minimum.
+    """WITH RECURSIVE
+       op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+       edges AS (SELECT DISTINCT a.p AS s, b.p AS d
+                 FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+       bfs(node, hops) AS (
+           SELECT (SELECT min(l_partkey) FROM lineitem), 0
+           UNION
+           SELECT e.d, b.hops + 1
+           FROM bfs b JOIN edges e ON e.s = b.node
+           WHERE b.hops < 3)
+       SELECT node, CAST(min(hops) AS INT) AS hops
+       FROM bfs GROUP BY node""",
+    doc="bounded-depth BFS distance over the part co-purchase graph "
+    "from the minimum part key: every part within 3 hops with its "
+    "true BFS distance (operators/graph.py::bfs_hops — fixed-depth "
+    "frontier expansion, one node-keyed equi-join + distinct + "
+    "anti-join per round; frontiers broadcast in early hops)",
+)
+def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops, copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    seed = li.agg(F.min("l_partkey")).head()[0]
+    edges = copurchase_edges(li)
+    return bfs_hops(edges, seed=int(seed), max_hops=3)
+
+
+@_register(
     "pagerank_copurchase",
     None,
     doc="PageRank over the part co-purchase graph (lineitem self-join "
@@ -5813,6 +5848,113 @@ def q_join_null_safe_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v")
         .join(p.alias("p"), F.col("v.grp").eqNullSafe(F.col("p.grp")))
         .select(F.col("v.grp").alias("grp"), "n_views", "n_purchases")
+    )
+
+
+@_register(
+    "interp_hourly_values",
+    # Linear interpolation between bracketing observations on a dense
+    # hourly spine — LOCF's numeric sibling (sensor/time-series
+    # resampling). Bracketing via last/first IGNORE NULLS windows;
+    # the interpolation formula is written in the identical IEEE op
+    # order on both sides, over integer epoch-microsecond gaps and
+    # 4-dp-rounded hourly means, so the engines agree bit-for-bit.
+    """WITH spine AS (SELECT unnest(generate_series(
+                        TIMESTAMP '2024-01-01 00:00:00',
+                        TIMESTAMP '2024-01-03 23:00:00',
+                        INTERVAL '1 hour')) AS hour),
+       hourly AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+                         round(avg(value), 4) AS v
+                  FROM events
+                  WHERE event_type = 'purchase'
+                    AND ts >= TIMESTAMP '2024-01-01'
+                    AND ts < TIMESTAMP '2024-01-04'
+                  GROUP BY 1),
+       j AS (SELECT spine.hour, epoch_us(spine.hour) AS us, hourly.v
+             FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour),
+       b AS (SELECT hour, us, v,
+                    last_value(v IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN us END
+                               IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pus,
+                    first_value(v IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN us END
+                                IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nus
+             FROM j)
+       SELECT CAST(hour AS TIMESTAMP) AS hour,
+              round(CASE WHEN pus IS NULL THEN nv
+                         WHEN nus IS NULL THEN pv
+                         WHEN nus = pus THEN pv
+                         ELSE pv + (nv - pv)
+                              * (CAST(us - pus AS DOUBLE)
+                                 / CAST(nus - pus AS DOUBLE)) END,
+                    4) AS interp_value
+       FROM b""",
+    doc="linear-interpolation gap-fill: dense hourly spine left-joined "
+    "to sparse hourly means, each gap hour interpolated between its "
+    "bracketing observations (last/first IGNORE-NULLS windows carry "
+    "the bracket value AND its epoch); edges fall back to the "
+    "available side — the numeric resampling sibling of "
+    "locf_hourly_values. Per-series spines partition the windows by "
+    "series key; the global window here rides a 72-row spine",
+)
+def q_interp_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    j = spine.join(hourly, "hour", "left").select(
+        "hour", F.unix_micros(F.col("hour")).alias("us"), "v"
+    )
+    w_back = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = W.orderBy("hour").rowsBetween(W.currentRow, W.unboundedFollowing)
+    marked_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    b = j.select(
+        "hour",
+        "us",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(marked_us, ignorenulls=True).over(w_back).alias("pus"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(marked_us, ignorenulls=True).over(w_fwd).alias("nus"),
+    )
+    interp = (
+        F.when(F.col("pus").isNull(), F.col("nv"))
+        .when(F.col("nus").isNull(), F.col("pv"))
+        .when(F.col("nus") == F.col("pus"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("us") - F.col("pus")).cast("double")
+                / (F.col("nus") - F.col("pus")).cast("double")
+            )
+        )
+    )
+    return b.select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        F.round(interp, 4).alias("interp_value"),
     )
 
 
