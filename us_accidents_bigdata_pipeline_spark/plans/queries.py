@@ -3666,6 +3666,112 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "merkle_bucket_diff_orders",
+    # Digest-first table reconciliation — the 100 TB diff shape: two
+    # table versions reduce to 64 bucket digests each (order-
+    # independent exact-decimal sums of a row hash keyed by a hash
+    # bucket), and only DIFFERING buckets would ever be drilled into.
+    # Same deterministic synthetic mutation as snapshot_diff_orders
+    # (keys %5==0 repriced, keys %7==0 deleted), md5-based so both
+    # engines compute identical digests.
+    """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+       new AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0
+                           THEN round(o_totalprice + 1.0, 2)
+                           ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 7 <> 0),
+       oh AS (SELECT o_orderkey % 64 AS bucket,
+                     CAST(CAST(concat('0x', substring(md5(
+                          CAST(o_orderkey AS VARCHAR) || '|' ||
+                          CAST(o_totalprice AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS DECIMAL(38,0)) AS h
+              FROM old),
+       nh AS (SELECT o_orderkey % 64 AS bucket,
+                     CAST(CAST(concat('0x', substring(md5(
+                          CAST(o_orderkey AS VARCHAR) || '|' ||
+                          CAST(o_totalprice AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS DECIMAL(38,0)) AS h
+              FROM new),
+       od AS (SELECT bucket, sum(h) AS digest,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM oh GROUP BY bucket),
+       nd AS (SELECT bucket, sum(h) AS digest,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM nh GROUP BY bucket)
+       SELECT coalesce(od.bucket, nd.bucket) AS bucket,
+              od.n AS base_rows, nd.n AS new_rows,
+              CAST(coalesce(od.digest, 0) <> coalesce(nd.digest, 0)
+                   AS BOOLEAN) AS differs
+       FROM od FULL OUTER JOIN nd ON od.bucket = nd.bucket""",
+    doc="Merkle-style bucket-digest reconciliation between two table "
+    "versions: per-bucket order-independent digests (exact DECIMAL "
+    "sum of a 60-bit md5 row hash, bucketed by key) compared via one "
+    "full-outer join of two 64-row digest frames — at 100 TB the "
+    "cross-site comparison ships 64 digests, not rows, and only "
+    "differing buckets are drilled (snapshot_diff_orders is the "
+    "drill-down). Fully engine-portable: md5 hex -> 60-bit int on "
+    "both sides; double->string hashing relies on shortest-roundtrip "
+    "formatting, identical here for |x| < 1e7 (TPC-H price domain) — "
+    "hash DECIMAL/string columns directly at larger magnitudes",
+)
+def q_merkle_bucket_diff_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.round(F.col("o_totalprice") + 1.0, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        # 60-bit slice of md5 over "key|price": order-independent
+        # exact-decimal sum -> partition-layout-reproducible digest
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_totalprice").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+        return df.groupBy(
+            (F.col("o_orderkey") % 64).alias("bucket")
+        ).agg(
+            F.sum(row_hash).alias("digest"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    od = digests(old).select(
+        "bucket", F.col("digest").alias("od"), F.col("n").alias("base_rows")
+    )
+    nd = digests(new).select(
+        "bucket", F.col("digest").alias("nd"), F.col("n").alias("new_rows")
+    )
+    return od.join(nd, "bucket", "full_outer").select(
+        "bucket",
+        "base_rows",
+        "new_rows",
+        (
+            F.coalesce(F.col("od"), F.lit(0))
+            != F.coalesce(F.col("nd"), F.lit(0))
+        ).alias("differs"),
+    )
+
+
+@_register(
     "snapshot_diff_orders",
     """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
        new AS (SELECT o_orderkey,
