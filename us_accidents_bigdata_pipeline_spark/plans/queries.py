@@ -3666,6 +3666,63 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_median_price_by_brand",
+    # Exact QUANTITY-weighted median price per brand: sort each
+    # brand's line items by price (unique tie-break), take the first
+    # price where twice the running weight reaches the total. All
+    # comparisons are INTEGER (quantities are integral) — no float
+    # thresholds — and the output is a raw parquet double rounded for
+    # display, so both engines agree exactly.
+    """WITH l AS (SELECT p.p_brand, li.l_extendedprice AS price,
+                         CAST(li.l_quantity AS BIGINT) AS w,
+                         li.l_orderkey, li.l_linenumber
+                  FROM lineitem li JOIN part p
+                    ON li.l_partkey = p.p_partkey),
+       c AS (SELECT p_brand, price,
+                    sum(w) OVER (PARTITION BY p_brand
+                                 ORDER BY price, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(w) OVER (PARTITION BY p_brand) AS tot
+             FROM l)
+       SELECT p_brand, round(min(price), 2) AS weighted_median_price
+       FROM c WHERE 2 * cum >= tot
+       GROUP BY p_brand""",
+    doc="exact weighted median (quantity-weighted price) per brand: "
+    "keyed cumulative-weight window + integer crossing rule "
+    "(2*cum >= tot) — no float thresholds, deterministic tie-break. "
+    "Scales: both windows partition by the brand key (no "
+    "SinglePartition), the part join broadcasts the dimension",
+)
+def q_weighted_median_price_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = W.partitionBy("p_brand").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_tot = W.partitionBy("p_brand")
+    c = l.select(
+        "p_brand",
+        "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("p_brand")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median_price"))
+    )
+
+
+@_register(
     "merkle_bucket_diff_orders",
     # Digest-first table reconciliation — the 100 TB diff shape: two
     # table versions reduce to 64 bucket digests each (order-
