@@ -61,10 +61,22 @@ def test_recorded_names_exist_in_registry():
 
 def test_records_derive_from_artifacts():
     """With the CORRECTNESS_r*.json artifacts committed, the derived
-    record set must be a superset of the frozen fallback — if this
-    fails, the artifact parser regressed and the rotation would
-    re-burn certified slots."""
-    assert _DRIVER_CERTIFIED_FALLBACK <= set(_DRIVER_RECORDS)
+    record set must be a STRICT superset of the frozen r1–r5 fallback,
+    containing names recorded only in r06+ — and the rows must be real
+    parsed driver dicts, not the synthetic ``{"hash_match": True}``
+    stubs. The fallback satisfies a plain subset check trivially, so a
+    subset assertion cannot catch the path-resolution regression this
+    test exists for (it burned two driver windows in rounds 6–7)."""
+    assert _DRIVER_CERTIFIED_FALLBACK < set(_DRIVER_RECORDS), (
+        "artifact loader returned the synthetic fallback — "
+        "CORRECTNESS_r*.json files were not found/parsed"
+    )
+    # bfs_copurchase_hops was first recorded by the driver in r06.
+    assert "bfs_copurchase_hops" in _DRIVER_RECORDS
+    # Real driver rows carry spark_rows/oracle_rows; stubs don't.
+    real = [r for r in _DRIVER_RECORDS.values()
+            if isinstance(r, dict) and "spark_rows" in r]
+    assert len(real) >= 200, f"only {len(real)} parsed driver rows"
 
 
 def test_upgraded_rows_only_names_refront():

@@ -174,8 +174,11 @@ def _load_driver_records() -> dict:
     import json as _json
     import os as _os
 
+    # queries.py lives at <repo>/us_accidents_bigdata_pipeline_spark/plans/
+    # so the repo root (where the driver writes CORRECTNESS_r*.json, next to
+    # __spark_entry__.py) is exactly THREE dirname hops up, not four.
     root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     latest: dict = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
