@@ -351,6 +351,84 @@ def test_embedding_near_dup_lsh_no_false_positives_high_recall(spark):
     assert len(lsh & exact) / len(exact) >= 0.9
 
 
+def test_embedding_near_dup_lsh_degenerate_guard_raises(spark):
+    """At the registered low threshold / default bucket_length the
+    bucket histogram is degenerate (measured per-row fanout ~250 of a
+    500-row corpus): with ``on_degenerate="raise"`` the guard must
+    veto the ~all-pairs candidate join BEFORE running it."""
+    import pytest as _pytest
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        DegenerateLSHBucketsError,
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    with _pytest.raises(DegenerateLSHBucketsError, match="fanout"):
+        embedding_near_dup_pairs(
+            e, method="lsh", on_degenerate="raise"
+        ).collect()
+
+
+def test_embedding_near_dup_lsh_degenerate_guard_fallback_exact(spark):
+    """Default ``on_degenerate="fallback"``: the degenerate regime is
+    redirected to the exact BLAS tier with a RuntimeWarning, so the
+    output is exactly the exact pair set (this is why the registered
+    ``embedding_near_dup_pairs_lsh`` query stays oracled-green)."""
+    import warnings as _warnings
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in embedding_near_dup_pairs(e, method="lsh").collect()
+        }
+    assert lsh == exact
+    assert any(
+        "degenerate LSH buckets" in str(w.message) for w in caught
+    ), "fallback must be loud, not silent"
+
+
+def test_embedding_near_dup_lsh_non_degenerate_runs_lsh_path(spark):
+    """With a fine bucket_length the fanout probe passes (measured
+    ~24 < 64 on this corpus) and the genuine approxSimilarityJoin +
+    exact-verify path runs: no warning, no exception, and — because
+    the verify stage is exact — still zero false positives (recall is
+    NOT asserted here; pruning may drop pairs in this regime)."""
+    import warnings as _warnings
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dup_pairs(e, method="exact").collect()
+    }
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        lsh = {
+            (r.doc_a, r.doc_b)
+            for r in embedding_near_dup_pairs(
+                e, method="lsh", bucket_length=0.02, on_degenerate="raise"
+            ).collect()
+        }
+    assert not any(
+        "degenerate LSH buckets" in str(w.message) for w in caught
+    )
+    assert lsh - exact == set(), "LSH path produced false positives"
+
+
 # ------------------------------------------------------------------- guards
 
 

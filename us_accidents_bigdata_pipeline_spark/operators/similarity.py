@@ -732,6 +732,40 @@ def quantize_embeddings(
     )
 
 
+class DegenerateLSHBucketsError(RuntimeError):
+    """Raised when the LSH bucket histogram shows the candidate join
+    would degenerate to ~all-pairs (per-row bucket fanout above the
+    cap), so running ``approxSimilarityJoin`` would cost O(n²) with
+    none of the pruning that justifies LSH over the exact tier."""
+
+
+def _lsh_bucket_fanout(model, feat: DataFrame, hash_col: str = "_hashes") -> float:
+    """Expected per-row, per-table candidate fanout of an LSH model:
+    Σ c² / Σ c over the (table, bucket) size histogram — the average
+    bucket size weighted by membership, i.e. how many same-bucket rows
+    a random corpus row joins with in one hash table (including
+    itself). ~1–2 means the buckets prune; ~n means one giant bucket
+    and the candidate join is the cartesian product.
+
+    Cost: one ``transform`` + explode + groupBy-count with map-side
+    combine — linear scan, no join. At 100 TB this probe is noise next
+    to the O(n²) join it can veto.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    hashed = model.transform(feat).select(
+        F.posexplode(F.col(hash_col)).alias("_t", "_h")
+    )
+    sizes = hashed.groupBy(
+        "_t", vector_to_array(F.col("_h")).getItem(0).alias("_b")
+    ).count()
+    row = sizes.agg(
+        F.sum(F.col("count") * F.col("count")).alias("sq"),
+        F.sum("count").alias("tot"),
+    ).collect()[0]
+    return float(row["sq"]) / float(row["tot"]) if row["tot"] else 0.0
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.42,
@@ -740,6 +774,8 @@ def embedding_near_dup_pairs(
     method: str = "exact",
     bucket_length: float = 2.0,
     num_hash_tables: int = 8,
+    max_bucket_fanout: float = 64.0,
+    on_degenerate: str = "fallback",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (doc_a, doc_b, cosine)
     with cosine ≥ threshold and doc_a < doc_b — the embedding-space
@@ -767,6 +803,17 @@ def embedding_near_dup_pairs(
     thresholds the candidate radius approaches the typical random-pair
     distance and every bucket collides — measured at threshold 0.42 on
     this corpus the LSH path costs the same as exact.
+
+    The degenerate regime is GUARDED, not assumed away: before the
+    candidate join, a linear-cost probe (:func:`_lsh_bucket_fanout`)
+    measures the per-row bucket fanout from the (table, bucket) size
+    histogram. If it exceeds ``max_bucket_fanout`` the candidate join
+    would be ~all-pairs, so the call either falls back to the exact
+    BLAS tier (``on_degenerate="fallback"``, default — semantics are
+    identical, the output is the exact pair set) or raises
+    :class:`DegenerateLSHBucketsError` (``on_degenerate="raise"``)
+    with the measured fanout so the caller can re-tune
+    ``bucket_length`` / ``num_hash_tables``.
     """
     if method == "blas":
         return _embedding_pairs_blas(df, threshold, id_col, vec_col)
@@ -788,6 +835,27 @@ def embedding_near_dup_pairs(
             seed=42,
         )
         model = lsh.fit(feat)
+        fanout = _lsh_bucket_fanout(model, feat)
+        if fanout > max_bucket_fanout:
+            if on_degenerate == "raise":
+                raise DegenerateLSHBucketsError(
+                    f"LSH buckets are degenerate: per-row bucket fanout "
+                    f"{fanout:.1f} > cap {max_bucket_fanout:.1f} "
+                    f"(bucket_length={bucket_length}, "
+                    f"num_hash_tables={num_hash_tables}) — the candidate "
+                    f"join would be ~all-pairs; re-tune bucket_length or "
+                    f"use method='blas'/'exact'"
+                )
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs: degenerate LSH buckets "
+                f"(fanout {fanout:.1f} > {max_bucket_fanout:.1f}); "
+                f"falling back to the exact BLAS tier",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return _embedding_pairs_blas(df, threshold, id_col, vec_col)
         max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
         joined = model.approxSimilarityJoin(feat, feat, max_dist, distCol="_d")
         cand = joined.filter(

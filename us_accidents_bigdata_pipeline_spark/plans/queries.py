@@ -2216,7 +2216,11 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="embedding-cosine near-dup pairs via approxSimilarityJoin "
     "candidates + exact-cosine verify (no false positives); oracled "
     "against the exact all-pairs set — a recall failure of the LSH "
-    "stage is a surfaced mismatch, not an assumption "
+    "stage is a surfaced mismatch, not an assumption. The degenerate "
+    "bucket regime is guarded: a linear-cost fanout probe runs before "
+    "the candidate join, and at this registered threshold (0.42, "
+    "fanout ~250 > cap 64) it redirects to the exact BLAS tier with a "
+    "RuntimeWarning instead of executing an ~all-pairs join "
     "(operators/similarity.py::embedding_near_dup_pairs method='lsh')",
 )
 def q_embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
