@@ -1,0 +1,53 @@
+"""Graph operator unit tests: BFS semantics on a hand-built graph and
+the frontier storage-hygiene guarantee (no CacheManager residue after a
+call — the r6/r7 ADVICE leak)."""
+
+from __future__ import annotations
+
+from us_accidents_bigdata_pipeline_spark.operators.graph import bfs_hops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_bfs_hops_min_distance(spark):
+    """hops must be the MINIMUM edge count: node 4 is reachable in 2
+    hops via 1→2→4 even though a 3-hop path 1→3→5→4 also exists; a
+    node first seen at hop h must not reappear at h+1."""
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 4), (3, 5), (5, 4), (4, 6), (6, 7), (8, 9)],
+    )
+    got = {r.node: r.hops for r in bfs_hops(e, seed=1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3}
+
+
+def test_bfs_hops_early_stop_on_empty_frontier(spark):
+    """A graph exhausted before max_hops terminates cleanly and emits
+    nothing past the last non-empty frontier."""
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r.node: r.hops for r in bfs_hops(e, seed=1, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_hops_leaves_no_cached_frontiers(spark):
+    """Every per-round frontier persist must be released before the
+    function returns: a DataFrame persist lives in the CacheManager
+    and is never garbage-collected, so residue would accumulate
+    executor storage across calls in a long-lived session. The only
+    storage the call may add is the single eager localCheckpoint
+    backing the returned frame (RDD-level, ContextCleaner-managed)."""
+    jsc = spark.sparkContext._jsc.sc()
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    before = jsc.getPersistentRDDs().size()
+    result = bfs_hops(e, seed=1, max_hops=4)
+    assert result.count() == 5
+    after = jsc.getPersistentRDDs().size()
+    # 4 rounds ran; the leak would leave 4 cached frontiers behind.
+    assert after - before <= 1, (
+        f"{after - before} storage entries left behind by bfs_hops "
+        f"(expected at most the result's own localCheckpoint)"
+    )

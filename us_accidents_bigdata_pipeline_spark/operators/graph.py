@@ -146,34 +146,50 @@ def bfs_hops(
     by the node id plus a distinct — the frontier is usually far
     smaller than the graph and broadcastable in early hops; for
     all-pairs needs use ``connected_components``'s pointer-jumping
-    instead (O(log n) rounds, no per-seed work)."""
+    instead (O(log n) rounds, no per-seed work).
+
+    Storage hygiene: each round's frontier is persisted only for the
+    duration of the expansion. Before returning, the result is
+    consolidated with an eager ``localCheckpoint`` (reads straight
+    from the still-cached frontiers, truncates the h-deep join
+    lineage) and every intermediate frontier is unpersisted — a
+    DataFrame ``persist`` lives in the CacheManager and is NEVER
+    garbage-collected, so leaving them cached would accumulate
+    executor storage across calls in a long-lived session. The
+    checkpoint's own blocks are RDD-level and the ContextCleaner
+    frees them once the returned frame is unreferenced."""
     spark = edges.sparkSession
     known = spark.createDataFrame([(seed, 0)], "node long, hops int")
     frontier = known.select(F.col("node").alias("_f"))
-    for h in range(1, max_hops + 1):
-        # rename every side before joining: frontier descends from
-        # known which descends from edges in later rounds — shared
-        # expression ids would otherwise make the self-join ambiguous
-        nxt = (
-            frontier.join(
-                edges.select(
-                    F.col(src_col).alias("_f"),
-                    F.col(dst_col).alias("node"),
-                ),
-                "_f",
+    frontiers: list[DataFrame] = []
+    try:
+        for h in range(1, max_hops + 1):
+            # rename every side before joining: frontier descends from
+            # known which descends from edges in later rounds — shared
+            # expression ids would otherwise make the self-join ambiguous
+            nxt = (
+                frontier.join(
+                    edges.select(
+                        F.col(src_col).alias("_f"),
+                        F.col(dst_col).alias("node"),
+                    ),
+                    "_f",
+                )
+                .select("node")
+                .distinct()
+                .join(known.select("node"), "node", "left_anti")
+                .select("node", F.lit(h).alias("hops"))
+                .persist()
             )
-            .select("node")
-            .distinct()
-            .join(known.select("node"), "node", "left_anti")
-            .select("node", F.lit(h).alias("hops"))
-            .persist()
-        )
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        known = known.unionByName(nxt)
-        frontier = nxt.select(F.col("node").alias("_f"))
-    return known
+            frontiers.append(nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            known = known.unionByName(nxt)
+            frontier = nxt.select(F.col("node").alias("_f"))
+        return known.localCheckpoint(eager=True)
+    finally:
+        for f in frontiers:
+            f.unpersist(blocking=True)
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
