@@ -99,10 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     for c in dq_report:
         print(f"dq {c['constraint']:>18}: {c['status']}"
               f" ({c['violations']} violations)", flush=True)
-    hard_fail = [c for c in dq_report if c["violations"] > 0
-                 and c["constraint"] == "doc_id_unique"]
+    # EVERY gate constraint is hard, exactly as the module docstring
+    # promises: violating input aborts before any curation compute.
+    hard_fail = [c for c in dq_report if c["violations"] > 0]
     if hard_fail:
-        print("export aborted: duplicate doc_id in input", flush=True)
+        names = ", ".join(c["constraint"] for c in hard_fail)
+        print(f"export aborted: DQ gate failed ({names})", flush=True)
         return 2
     # benchmark set for decontamination: the synthetic fixture carries
     # no external benchmark, so use a held-out slice (every 97th doc)
