@@ -707,6 +707,44 @@ def test_pq_encode_shapes_and_reconstruction(spark):
     assert np.mean(errs) < np.mean(norms), (np.mean(errs), np.mean(norms))
 
 
+def test_pq_encode_arrow_matches_expr_twin(spark):
+    """The Arrow-batched BLAS encode (default) and the pure-JVM
+    struct-min expression form must assign identical codes — the
+    expression twin is the cross-check for the fast path."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = pq_train(emb, m=8, k_codes=16)
+    arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, books, mode="arrow").collect()
+    }
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, books, mode="expr").collect()
+    }
+    assert arrow == expr
+
+
+def test_pq_train_local_is_deterministic_across_layouts(spark):
+    """fit_mode='local' sorts the collected sample lexicographically
+    before the seeded k-means++ fit, so the codebooks are identical
+    regardless of input partitioning."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_train,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    b1 = pq_train(emb, m=8, k_codes=16)
+    b2 = pq_train(emb.repartition(13, "vec_id"), m=8, k_codes=16)
+    assert b1 == b2
+
+
 def test_minhash_estimate_calibration_statistics(spark):
     """The 16-slot estimates must center on the exact Jaccard: mean
     absolute error below 2x the binomial sd at J=0.5 (sqrt(J(1-J)/16)

@@ -2164,8 +2164,11 @@ def q_lsh_ann_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM e, q WHERE e.vec_id <> 1
        ORDER BY cosine DESC, e.vec_id LIMIT 5""",
     doc="product-quantization ANN with exact re-rank: per-subspace "
-    "sampled-KMeans codebooks, map-only encode to m-code words (JVM "
-    "struct-min over codebook literals, no UDF), asymmetric-distance "
+    "k-means++ codebooks fit on the count-capped driver-sized sample "
+    "(FAISS idiom; concurrent-MLlib fit_mode kept for larger samples), "
+    "map-only Arrow-batched BLAS encode to m-code words (einsum argmin "
+    "per batch; JVM struct-min expression twin pinned code-identical "
+    "in tests), asymmetric-distance "
     "prune via a query LUT riding the plan as literals, exact cosine "
     "re-rank on the k*overfetch survivors — the memory-bounded ANN "
     "tier: a 100 TB float corpus becomes an m-bytes/vector code table "
