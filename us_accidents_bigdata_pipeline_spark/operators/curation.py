@@ -114,3 +114,100 @@ def curate_corpus(
         counts, "stage_idx int, stage string, n_docs bigint"
     )
     return s5, funnel
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    tokens_col: str = "n_toks",
+) -> DataFrame:
+    """Greedy token-budget corpus selection: rank documents by
+    (``order_col`` DESC, ``id_col`` ASC) — quality-proxy first,
+    deterministic tiebreak — and keep the longest prefix whose
+    cumulative ``tokens_col`` stays within ``budget``. The operation a
+    trainer runs to pick "the best N-token corpus" from a larger pool.
+
+    Scale shape: the naive form is one GLOBAL-sort window cumsum — a
+    total order over 100 TB. Instead:
+
+    1. one distributed groupBy(``order_col``) pass aggregates token
+       sums per ranking value (cardinality bounded by distinct
+       document lengths/quality levels, thousands not billions);
+    2. the driver walks that histogram (guarded collect) to find the
+       CUTOFF value: every rank strictly above it is fully in-budget,
+       and one partial bin holds the boundary;
+    3. full bins come back as a plain filter (no sort, no shuffle);
+       only the single cutoff bin — bounded by how many docs share one
+       exact rank value — pays a window cumsum, partitioned on the
+       cutoff value.
+
+    The greedy prefix property (token counts are non-negative, so the
+    cumulative sum is monotone) makes this exactly equal to the global
+    window form, which is what the DuckDB oracle runs.
+    """
+    from ..tuning import safe_collect
+
+    bins = (
+        df.groupBy(order_col)
+        .agg(F.sum(tokens_col).alias("_tok"))
+        .orderBy(F.col(order_col).desc())
+    )
+    taken = 0
+    cutoff = None
+    remaining = 0
+    for r in safe_collect(bins, max_rows=1_000_000):
+        t = int(r["_tok"] or 0)
+        if taken + t <= budget:
+            taken += t
+            continue
+        cutoff = r[order_col]
+        remaining = budget - taken
+        break
+    out_cols = [id_col, order_col, tokens_col]
+    if cutoff is None:
+        # the whole corpus fits the budget
+        return df.select(*out_cols)
+    from pyspark.sql import Window as W
+
+    full = df.filter(F.col(order_col) > cutoff).select(*out_cols)
+    w = (
+        W.partitionBy(order_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    part = (
+        df.filter(F.col(order_col) == cutoff)
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= remaining)
+        .select(*out_cols)
+    )
+    return full.unionByName(part)
+
+
+def source_quota_cap(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` documents per
+    ``group_col`` (domain/source), preferring high ``order_col`` with
+    a deterministic ``id_col`` tiebreak — the standard defense against
+    one crawl domain dominating a training mixture.
+
+    One partitioned window (row_number per group) — shuffles once on
+    the group key; no global order, no skew beyond the group sizes
+    themselves."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select(id_col, group_col, order_col)
+    )

@@ -12352,3 +12352,69 @@ def q_lexical_richness_by_source(
             "hapax_rate"
         ),
     )
+
+
+# =====================================================================
+# Token-budget corpus selection — greedy "best N-token corpus" pick:
+# rank by (n_chars DESC, doc_id) and keep the longest prefix whose
+# cumulative whitespace-token count fits the budget. The Spark side
+# avoids the global-sort window: a distributed per-rank-value
+# histogram finds the cutoff, full bins return as a filter, and only
+# the single cutoff bin pays a (partitioned, bin-sized) window cumsum
+# — exactly equal to the oracle's global cumsum by the greedy prefix
+# property (non-negative token counts → monotone cumulative sum).
+# =====================================================================
+
+
+@_register(
+    "token_budget_selection",
+    r"""WITH d AS (SELECT doc_id, n_chars,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_toks
+           FROM documents),
+       c AS (SELECT doc_id, n_chars, n_toks,
+                    SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+             FROM d)
+       SELECT doc_id, n_chars, n_toks FROM c WHERE cum <= 10000""",
+    doc="greedy token-budget corpus selection (keep the best docs by "
+    "length-proxy until a 10K-token budget is spent) — histogram-"
+    "cutoff plan instead of a global-sort window: one groupBy pass, a "
+    "driver walk over the bounded rank histogram, a filter for full "
+    "bins, and a bin-local window cumsum for the one partial bin "
+    "(operators/curation.py::token_budget_select)",
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import token_count
+    from ..operators.curation import token_budget_select
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count("text").cast("long").alias("n_toks")
+    )
+    return token_budget_select(d, budget=10_000)
+
+
+# =====================================================================
+# Per-source frequency capping — at most N docs per source, preferring
+# long docs with a deterministic id tiebreak: the standard defense
+# against one crawl domain dominating a training mixture. One
+# partitioned window; shuffles once on the group key.
+# =====================================================================
+
+
+@_register(
+    "source_quota_cap",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+       SELECT doc_id, source, n_chars FROM r WHERE rn <= 15""",
+    doc="frequency capping: keep at most 15 docs per source by "
+    "(n_chars DESC, doc_id) — one row_number window partitioned on "
+    "the group key (operators/curation.py::source_quota_cap)",
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import source_quota_cap
+
+    return source_quota_cap(_t(spark, sf_dir, "documents"), cap=15)
