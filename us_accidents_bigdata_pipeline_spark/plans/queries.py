@@ -12418,3 +12418,68 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import source_quota_cap
 
     return source_quota_cap(_t(spark, sf_dir, "documents"), cap=15)
+
+
+# =====================================================================
+# Exponential smoothing of the hourly event series — the trainer-side
+# "smoothed throughput" signal. Cross-engine float parity is designed
+# in, not hoped for: α=1/2 makes every kernel weight a power of two,
+# the kernel is TRUNCATED at 16 lags and renormalized (weights
+# 2^(16-j)/(2^17-1), an exact rational), so the numerator is an exact
+# BIGINT dot product in both engines and the single final division
+# produces bit-identical doubles. Warm-up rows (fewer than 17
+# observations) are dropped rather than renormalized per-row. One
+# window pass partitioned on event_type — a single key shuffle.
+# =====================================================================
+
+
+@_register(
+    "ewma_hourly_events",
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2),
+       r AS (SELECT event_type, hour, n,
+                    CAST(row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hour) AS INT) AS i,
+                    """ + " + ".join(
+                        f"lag(n, {j}) OVER (PARTITION BY event_type ORDER BY hour) * {2 ** (16 - j)}"
+                        for j in range(17)
+                    ) + """ AS num
+             FROM h)
+       SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, n,
+              round(CAST(num AS DOUBLE) / 131071.0, 6) AS ewma
+       FROM r WHERE i >= 17""",
+    doc="exponential smoothing (half-life one hour) of hourly event "
+    "counts per type: 16-lag truncated renormalized kernel with "
+    "power-of-two weights — exact-integer numerator in both engines, "
+    "one final double division, bit-identical cross-engine; warm-up "
+    "rows dropped; one event_type-partitioned window pass",
+)
+def q_ewma_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    num = None
+    for j in range(17):
+        term = F.lag("n", j).over(w) * F.lit(2 ** (16 - j))
+        num = term if num is None else num + term
+    return (
+        hourly.select(
+            "event_type",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "n",
+            F.row_number().over(w).alias("_i"),
+            num.alias("_num"),
+        )
+        .filter(F.col("_i") >= 17)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(F.col("_num").cast("double") / F.lit(131071.0), 6).alias(
+                "ewma"
+            ),
+        )
+    )
