@@ -643,3 +643,58 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = fact.join(dim, "event_type").groupBy("event_type").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_token_budget_selection_no_global_sort_window(spark):
+    """The histogram-cutoff design's whole point: the selection must
+    NOT pay a global-order window over the corpus. The only window in
+    the plan is the bin-local cumsum, partitioned on the cutoff value
+    — so every Window node must carry a partition spec, and the full-
+    bin branch is a plain filter (no Sort feeding a partition-less
+    Window)."""
+    plan = plan_of(spark, "token_budget_selection")
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        spec = m.group(0)
+        # a partition-less window renders without "partitionBy" specs;
+        # ours partitions on n_chars
+        assert "n_chars" in spec, f"window without bin partition:\n{plan}"
+    # the union's full-bin side is filter-only: no Exchange between the
+    # scan and the filter branch beyond the one window shuffle
+    assert plan.count("Exchange ") <= 2, plan
+
+
+def test_source_quota_cap_single_shuffle(spark):
+    plan = plan_of(spark, "source_quota_cap")
+    assert plan.count("Exchange ") <= 1, plan
+    assert "row_number" in plan
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    """One event_type-partitioned window pass after the hourly agg —
+    two exchanges total (agg + window repartition on the same key may
+    collapse to one), zero Python in the plan."""
+    plan = plan_of(spark, "ewma_hourly_events")
+    assert plan.count("Exchange ") <= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pq_encode_arrow_is_map_only(spark):
+    """The Arrow encode is a pure scan: ArrowEvalPython (the
+    sanctioned vectorized tier), no shuffle, no join."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode, pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = pq_train(emb, m=8, k_codes=16)
+    plan = (
+        pq_encode(emb, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
