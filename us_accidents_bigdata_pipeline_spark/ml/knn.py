@@ -143,8 +143,16 @@ def knn_predict(
         m = len(Q)
         n_train = len(yt)
         out = np.empty(m, dtype=np.int64)
-        # chunk queries so the reused distance block stays ~64M floats
-        chunk = max(16, min(m, 64_000_000 // max(n_train, 1)))
+        # chunk queries so the reused distance block stays ~4M floats
+        # (16 MB): small enough that (a) the k argmin passes and the
+        # t_sq/scale updates run from LLC instead of re-streaming the
+        # block from DRAM — the scan passes dominate, not the GEMM —
+        # and (b) the per-worker buffer is megabytes, so a cold python
+        # worker doesn't stall zeroing fresh pages (measured on the
+        # 157K-train/100K-test tier: 256 MB blocks cost 179 s on the
+        # first call across 32 workers and 8 s warm; 16 MB blocks run
+        # the same tier at 8 s cold / 6.4 s warm)
+        chunk = max(16, min(m, 4_000_000 // max(n_train, 1)))
         G = np.empty((chunk, n_train), dtype=np.float32)
         topk_idx = np.empty((chunk, kk), dtype=np.int64)
         rows = np.arange(chunk)
