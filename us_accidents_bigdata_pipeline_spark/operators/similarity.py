@@ -1022,7 +1022,7 @@ def _embedding_pairs_blas(
     id_col: str,
     vec_col: str,
     max_broadcast_rows: int = 2_000_000,
-    tile_mem_bytes: int = 256 << 20,
+    tile_mem_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Exact all-pairs cosine via broadcast matrix product.
 
@@ -1038,8 +1038,13 @@ def _embedding_pairs_blas(
     and n=10M that is ~800 GB, a scale-killer no broadcast guard
     catches. The product is therefore TILED over corpus column blocks:
     each tile's intermediate is capped at ``tile_mem_bytes`` (default
-    256 MB) and hits are emitted per tile, so peak executor memory is
-    broadcast + one tile regardless of corpus size. The remaining
+    32 MB — small enough that the threshold/triangle scan passes over
+    the tile run from LLC rather than re-streaming DRAM, and that a
+    cold python worker never stalls zeroing hundreds of fresh MB; the
+    same sizing lesson ml/knn.py's distance block learned, where 256 MB
+    blocks cost 22x on the first call) and hits are emitted per tile,
+    so peak executor memory is broadcast + one tile regardless of
+    corpus size. The remaining
     ceiling is the broadcast itself — ``max_broadcast_rows`` defaults
     to 2M rows (2M × 64 dims × 8 B = 1 GB), the honest bound for this
     path; beyond it use the LSH/banded candidates instead.
