@@ -730,6 +730,25 @@ def test_pq_encode_arrow_matches_expr_twin(spark):
     assert arrow == expr
 
 
+def test_pq_train_mllib_mode_produces_usable_codebooks(spark):
+    """The distributed fit path (for samples beyond driver memory)
+    must stay alive: concurrent MLlib KMeans fits over the persisted
+    sample produce codebooks of the right shape that encode to valid
+    codes."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = pq_train(emb, m=4, k_codes=8, fit_mode="mllib")
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    rows = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+
+
 def test_pq_train_local_is_deterministic_across_layouts(spark):
     """fit_mode='local' sorts the collected sample lexicographically
     before the seeded k-means++ fit, so the codebooks are identical
