@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from us_accidents_bigdata_pipeline_spark.functions import token_count
+from us_accidents_bigdata_pipeline_spark.operators.curation import (
+    source_quota_cap,
+    token_budget_select,
+)
 from us_accidents_bigdata_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_banded_pairs,
@@ -89,6 +94,22 @@ def data_scaling(spark) -> dict:
                 )
                 .agg(F.count("*"), F.sum("value"))
                 .collect()
+            ),
+            # round-8 mixture ops: the budget scales with the corpus so
+            # the cutoff stays mid-distribution (a fixed budget would
+            # degenerate to "select almost nothing" at x8)
+            "token_budget_selection": timed(
+                lambda: token_budget_select(
+                    d.select(
+                        "doc_id",
+                        "n_chars",
+                        token_count("text").cast("long").alias("n_toks"),
+                    ),
+                    budget=100_000 * mult,
+                ).count()
+            ),
+            "source_quota_cap": timed(
+                lambda: source_quota_cap(d, cap=15 * mult).count()
             ),
         }
         d.unpersist(), e.unpersist()
