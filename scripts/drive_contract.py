@@ -40,9 +40,22 @@ def norm(cols, rows):
 
 
 def main():
+    # Env overrides enable layout-robustness sweeps: results must be
+    # identical under any core count / shuffle-partition count / AQE
+    # setting (a dependence on partition layout is a correctness bug —
+    # e.g. a collect-order assumption or a non-deterministic tiebreak).
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(
+            os.environ.get("DRIVE_MASTER", "local[8]")
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("DRIVE_SHUFFLE_PARTITIONS", "8"),
+        )
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("DRIVE_AQE", "true"),
+        )
         .appName("drive_contract")
         .getOrCreate()
     )
