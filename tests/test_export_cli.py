@@ -54,13 +54,26 @@ def test_export_corpus_end_to_end(spark, tmp_path):
     assert report["audit"]["n_null_text"] == 0
     assert report["audit"]["n_tokens"] > 0
 
+    # k-anonymity audit present (fixture has tiny lang x source classes)
+    assert report["k_anonymity"]["k"] == 5
+    assert report["k_anonymity"]["exposed_records"] >= 0
+
     # The export itself: curated parquet + both shard trees readable,
-    # shard counts add back up to the split counts.
+    # shard counts add back up to the split counts, and each split tree
+    # is laid out as shard=K/ partition directories.
     curated = spark.read.parquet(os.path.join(out, "curated"))
     assert curated.count() == report["audit"]["n_docs"]
     for split_name in ("train", "eval"):
-        part = spark.read.parquet(os.path.join(out, "shards", split_name))
+        split_dir = os.path.join(out, "shards", split_name)
+        part = spark.read.parquet(split_dir)
         assert part.count() == report["split"][split_name]
+        shard_dirs = sorted(
+            d for d in os.listdir(split_dir)
+            if os.path.isdir(os.path.join(split_dir, d))
+        )
+        assert len(shard_dirs) == 4 and all(
+            d.startswith("shard=") for d in shard_dirs
+        )
 
 
 def test_export_corpus_dq_gate_aborts_on_null_text(spark, tmp_path):
