@@ -56,6 +56,59 @@ def test_token_budget_select_boundary_doc_included_at_exact_budget(spark):
     assert got == {1, 2}  # cumsum == budget is in
 
 
+def test_token_budget_select_rejects_null_order_col(spark):
+    import pytest
+
+    rows = [(1, 10, 5), (2, None, 5)]
+    with pytest.raises(ValueError, match="NULL values in order_col"):
+        token_budget_select(_docs(spark, rows), budget=7).collect()
+
+
+def test_token_budget_select_pathological_one_length_bucketed(spark):
+    """Every doc shares one exact length — the whole corpus IS the
+    cutoff bin. With cutoff_bin_max_docs forced tiny, the sub-bucketed
+    guard path must still produce exactly the global greedy prefix
+    (doc_id ASC, cumsum <= budget)."""
+    n = 200
+    rows = [(i, 100, 3) for i in range(n)]  # 600 tokens total
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(
+            _docs(spark, rows), budget=100, cutoff_bin_max_docs=10
+        ).collect()
+    )
+    # greedy by id ASC: 33 docs * 3 toks = 99 <= 100; doc 33 would be 102
+    assert got == list(range(33))
+
+
+def test_token_budget_select_bucketed_spans_full_and_partial(spark):
+    """Guard path with a real cutoff: longer docs fully in, oversized
+    same-length cutoff bin split across sub-buckets, still exact."""
+    rows = [(100 + i, 500, 10) for i in range(3)]  # 30 toks, all in
+    rows += [(i, 100, 5) for i in range(50)]  # cutoff bin: 250 toks
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_select(
+            _docs(spark, rows), budget=30 + 52, cutoff_bin_max_docs=5
+        ).collect()
+    )
+    # bin prefix: 10 docs * 5 = 50 <= 52; doc 10 would hit 55
+    assert got == list(range(10)) + [100, 101, 102]
+
+
+def test_token_budget_select_bucketed_rejects_string_id(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", 100, 5) for i in range(40)],
+        "doc_id string, n_chars long, n_toks long",
+    )
+    with pytest.raises(ValueError, match="numeric id"):
+        token_budget_select(
+            df, budget=50, cutoff_bin_max_docs=5
+        ).collect()
+
+
 def test_source_quota_cap_prefers_long_docs_deterministic_ties(spark):
     df = spark.createDataFrame(
         [
@@ -73,3 +126,78 @@ def test_source_quota_cap_prefers_long_docs_deterministic_ties(spark):
         ).collect()
     }
     assert got == {1, 2, 4}
+
+
+def test_epoch_upsample_full_and_boundary_regimes(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        epoch_upsample_assign,
+    )
+
+    rows = [(1, 30, 10), (2, 20, 10), (3, 10, 10)]  # total = 30 toks
+    # budget 75 = 2 full passes (60) + 15 left -> docs 1 (10) is the
+    # boundary prefix at rem=15 (doc 2 would hit 20)
+    got = {
+        r["doc_id"]: r["n_epochs"]
+        for r in epoch_upsample_assign(
+            _docs(spark, rows), budget=75, max_epochs=4
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2}
+
+
+def test_epoch_upsample_caps_at_max_epochs(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        epoch_upsample_assign,
+    )
+
+    rows = [(1, 30, 10), (2, 20, 10)]
+    got = {
+        r["doc_id"]: r["n_epochs"]
+        for r in epoch_upsample_assign(
+            _docs(spark, rows), budget=10**9, max_epochs=3
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3}
+
+
+def test_epoch_upsample_drops_zero_epoch_docs(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        epoch_upsample_assign,
+    )
+
+    rows = [(1, 30, 10), (2, 20, 10), (3, 10, 10)]
+    # budget below one pass: boundary-only regime, only doc 1 fits
+    got = {
+        r["doc_id"]: r["n_epochs"]
+        for r in epoch_upsample_assign(
+            _docs(spark, rows), budget=15, max_epochs=4
+        ).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_source_dedup_quota_report_counts(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        source_dedup_quota_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 100, "xx"),
+            (2, "a", 90, "xx"),   # dup of 1's text
+            (3, "a", 80, "yy"),
+            (4, "b", 70, "zz"),
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in source_dedup_quota_report(df, cap=2).collect()
+    }
+    a = got["a"]
+    assert (a["n_docs"], a["n_unique_texts"], a["n_dup_docs"]) == (3, 2, 1)
+    assert a["dup_per_10k"] == 3333  # floor(1*10000/3)
+    assert (a["n_kept"], a["fill_per_10k"], a["over_quota"]) == (2, 10000, 1)
+    b = got["b"]
+    assert (b["n_docs"], b["n_kept"], b["over_quota"]) == (1, 1, 0)
+    assert b["fill_per_10k"] == 5000

@@ -764,6 +764,23 @@ def test_pq_train_local_is_deterministic_across_layouts(spark):
     assert b1 == b2
 
 
+def test_kmeanspp_lloyd_empty_sample_raises_value_error():
+    """pq_train's local fit path must fail loudly on an empty sample
+    (r8 ADVICE: the old n==0 branch padded with None and died in
+    np.concatenate with an opaque TypeError)."""
+    import numpy as np
+    import pytest
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _kmeanspp_lloyd,
+    )
+
+    with pytest.raises(ValueError, match="empty sample"):
+        _kmeanspp_lloyd(np.empty((0, 4)), k=3, seed=1)
+    # the n < k pad path itself stays intact
+    assert _kmeanspp_lloyd(np.ones((2, 4)), k=3, seed=1).shape == (3, 4)
+
+
 def test_minhash_estimate_calibration_statistics(spark):
     """The 16-slot estimates must center on the exact Jaccard: mean
     absolute error below 2x the binomial sd at J=0.5 (sqrt(J(1-J)/16)
@@ -780,3 +797,85 @@ def test_minhash_estimate_calibration_statistics(spark):
         assert abs(r["estimate"] * 16 - round(r["estimate"] * 16)) < 1e-9
     mae = sum(abs(r["estimate"] - r["jaccard"]) for r in rows) / len(rows)
     assert mae < 0.25, mae
+
+
+def test_ivf_exact_pruned_matches_full_probe(spark):
+    """The certificate is the contract: the pruned search must equal
+    the exact full scan on the real fixture, for several queries."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        ivf_fit_assign,
+        ivf_search,
+        ivf_search_exact_pruned,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    index = ivf_fit_assign(emb, n_cells=8, m_assign=1)
+    index[0].persist().count()
+    try:
+        for qid in (0, 3, 42):
+            exact = [
+                (r["vec_id"], r["dist"])
+                for r in ivf_search(
+                    emb, query_id=qid, k=5, nprobe=8, n_cells=8
+                ).collect()
+            ]
+            pruned = [
+                (r["vec_id"], r["dist"])
+                for r in ivf_search_exact_pruned(
+                    emb, query_id=qid, k=5, nprobe_initial=2,
+                    n_cells=8, index=index,
+                ).collect()
+            ]
+            assert pruned == exact, qid
+    finally:
+        index[0].unpersist()
+
+
+def test_ivf_certified_cells_prunes_separated_clusters():
+    """On well-separated clusters the certificate keeps only the cells
+    whose ball intersects the search radius — pruning is real, not
+    just a full rescan (uniform data degrades honestly; clustered
+    data is where the two-scan shape pays)."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _certified_probe_cells,
+    )
+
+    # query sits in cell 0; cells at centroid distance 0.5, 10, 20, 30
+    # with radius 1 each; kth distance found in the near cell = 0.4
+    cdist = np.array([0.5, 10.0, 20.0, 30.0])
+    radii = {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+    assert _certified_probe_cells(cdist, radii, d_k=0.4) == [0]
+    # a fat faraway cell whose ball reaches back gets kept
+    radii[2] = 19.9
+    assert _certified_probe_cells(cdist, radii, d_k=0.4) == [0, 2]
+    # empty cells (absent from radii) bound by centroid distance alone
+    assert _certified_probe_cells(cdist, {}, d_k=0.6) == [0]
+
+
+def test_ivf_exact_pruned_fallback_when_initial_probe_thin(spark):
+    """k larger than the initial probe's population: the bound can't
+    be formed, so the search must fall back to every non-empty cell
+    and still return the exact top-k."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        ivf_search,
+        ivf_search_exact_pruned,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(40)
+    exact = [
+        (r["vec_id"], r["dist"])
+        for r in ivf_search(
+            emb, query_id=0, k=30, nprobe=8, n_cells=8
+        ).collect()
+    ]
+    pruned = [
+        (r["vec_id"], r["dist"])
+        for r in ivf_search_exact_pruned(
+            emb, query_id=0, k=30, nprobe_initial=1, n_cells=8
+        ).collect()
+    ]
+    assert pruned == exact

@@ -51,3 +51,62 @@ def test_bfs_hops_leaves_no_cached_frontiers(spark):
         f"{after - before} storage entries left behind by bfs_hops "
         f"(expected at most the result's own localCheckpoint)"
     )
+
+
+def test_pagerank_mass_matches_python_integer_reference(spark):
+    """pagerank_mass replays exactly as plain-Python integer math —
+    including the dangling-node term (node 4 has no out-edges), which
+    the registered copurchase query never exercises."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (1, 4)]
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        pagerank_mass,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["mass"]
+        for r in pagerank_mass(df, n_iter=3, scale=10**6).collect()
+    }
+
+    # plain-Python replay of the documented integer recurrence
+    scale = 10**6
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    mass = {v: scale for v in nodes}
+    for _ in range(3):
+        recv = {v: 0 for v in nodes}
+        for s, d in edges:
+            recv[d] += mass[s] // out[s]
+        dang = sum(m for v, m in mass.items() if v not in out)
+        share = dang // n
+        mass = {
+            v: (15 * scale + 85 * (recv[v] + share)) // 100
+            for v in nodes
+        }
+    assert got == mass
+
+
+def test_pagerank_mass_layout_independent(spark):
+    """Integer mass must be bit-identical under any partitioning."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_mass,
+    )
+    from .conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").filter(
+        "l_orderkey < 500"
+    )
+    e = copurchase_edges(li)
+    a = {
+        (r["node"], r["mass"])
+        for r in pagerank_mass(e, n_iter=3).collect()
+    }
+    b = {
+        (r["node"], r["mass"])
+        for r in pagerank_mass(e.repartition(13, "dst"), n_iter=3).collect()
+    }
+    assert a == b and a

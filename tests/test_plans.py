@@ -698,3 +698,50 @@ def test_pq_encode_arrow_is_map_only(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_epoch_upsample_no_global_sort_window(spark):
+    """Epoch assignment composes token_budget_select (histogram
+    cutoff, bin-partitioned window only) with one id-keyed left join —
+    no partition-less window, no global Sort over the corpus."""
+    plan = plan_of(spark, "epoch_upsample_assignment")
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "n_chars" in m.group(0), (
+            f"window without bin partition:\n{plan}"
+        )
+    # any Sort is the window's LOCAL per-partition sort (rendered
+    # "..., false, 0"); a global sort ("..., true, 0") would mean the
+    # histogram-cutoff design regressed to the naive total order
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", false," in line, f"global sort:\n{line}\n{plan}"
+
+
+def test_source_dedup_quota_report_shuffle_bound(spark):
+    """Two per-source hash aggregates + the quota window + a tiny
+    source-keyed join: count(DISTINCT text) expands to a two-level
+    agg, so the budget is 4 exchanges, none of them a global sort."""
+    plan = plan_of(spark, "source_dedup_quota_report")
+    assert plan.count("Exchange ") <= 4, plan
+    assert "row_number" in plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pagerank_mass_no_python_no_cartesian(spark):
+    """Three integer power-iteration rounds: every join an equi-join
+    (edge ⋈ ranks, nodes ⋈ recv), all arithmetic JVM-side."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_mass,
+    )
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").filter(
+        "l_orderkey < 500"
+    )
+    ranks = pagerank_mass(copurchase_edges(li), n_iter=3)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan

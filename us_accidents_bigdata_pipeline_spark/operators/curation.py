@@ -122,6 +122,7 @@ def token_budget_select(
     id_col: str = "doc_id",
     order_col: str = "n_chars",
     tokens_col: str = "n_toks",
+    cutoff_bin_max_docs: int = 2_000_000,
 ) -> DataFrame:
     """Greedy token-budget corpus selection: rank documents by
     (``order_col`` DESC, ``id_col`` ASC) — quality-proxy first,
@@ -133,15 +134,34 @@ def token_budget_select(
     total order over 100 TB. Instead:
 
     1. one distributed groupBy(``order_col``) pass aggregates token
-       sums per ranking value (cardinality bounded by distinct
-       document lengths/quality levels, thousands not billions);
+       sums + doc counts per ranking value (cardinality bounded by
+       distinct document lengths/quality levels, thousands not
+       billions; the guarded collect rejects above 1M distinct rank
+       values — bucket/round the rank column first if yours is
+       continuous);
     2. the driver walks that histogram (guarded collect) to find the
        CUTOFF value: every rank strictly above it is fully in-budget,
        and one partial bin holds the boundary;
     3. full bins come back as a plain filter (no sort, no shuffle);
-       only the single cutoff bin — bounded by how many docs share one
-       exact rank value — pays a window cumsum, partitioned on the
-       cutoff value.
+       only the single cutoff bin pays a window cumsum, partitioned on
+       the cutoff value.
+
+    Skew guard: the cutoff-bin window is single-task (one partition
+    value), fine for real corpora where one exact rank value holds
+    thousands of docs — but a pathological corpus (every doc the same
+    length) would put the whole dataset in that task. When the
+    histogram shows the cutoff bin holds more than
+    ``cutoff_bin_max_docs`` docs, the bin is sub-bucketed into
+    contiguous ``id_col`` ranges (approxQuantile boundaries — numeric
+    ``id_col`` required on that path), each sub-bucket pays its own
+    parallel window, and a second driver walk over the per-bucket token
+    sums supplies exact prefix offsets — still exactly the global
+    greedy prefix.
+
+    NULL ``order_col`` rows are REJECTED (ValueError): a NULL rank has
+    no position in the greedy order, and silently dropping rows from a
+    budget selection is the kind of quiet data loss a curation pipeline
+    must never do. Filter or impute upstream.
 
     The greedy prefix property (token counts are non-negative, so the
     cumulative sum is monotone) makes this exactly equal to the global
@@ -151,19 +171,31 @@ def token_budget_select(
 
     bins = (
         df.groupBy(order_col)
-        .agg(F.sum(tokens_col).alias("_tok"))
+        .agg(
+            F.sum(tokens_col).alias("_tok"),
+            F.count(F.lit(1)).alias("_n"),
+        )
         .orderBy(F.col(order_col).desc())
     )
+    bin_rows = safe_collect(bins, max_rows=1_000_000)
+    if any(r[order_col] is None for r in bin_rows):
+        raise ValueError(
+            f"token_budget_select: NULL values in order_col "
+            f"{order_col!r} have no greedy rank — filter or impute "
+            "them upstream"
+        )
     taken = 0
     cutoff = None
     remaining = 0
-    for r in safe_collect(bins, max_rows=1_000_000):
+    cutoff_bin_docs = 0
+    for r in bin_rows:
         t = int(r["_tok"] or 0)
         if taken + t <= budget:
             taken += t
             continue
         cutoff = r[order_col]
         remaining = budget - taken
+        cutoff_bin_docs = int(r["_n"])
         break
     out_cols = [id_col, order_col, tokens_col]
     if cutoff is None:
@@ -172,18 +204,220 @@ def token_budget_select(
     from pyspark.sql import Window as W
 
     full = df.filter(F.col(order_col) > cutoff).select(*out_cols)
+    bin_df = df.filter(F.col(order_col) == cutoff)
+    if cutoff_bin_docs <= cutoff_bin_max_docs:
+        w = (
+            W.partitionBy(order_col)
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        part = (
+            bin_df.withColumn("_cum", F.sum(tokens_col).over(w))
+            .filter(F.col("_cum") <= remaining)
+            .select(*out_cols)
+        )
+        return full.unionByName(part)
+    part = _cutoff_bin_prefix_bucketed(
+        bin_df, remaining, id_col, tokens_col, out_cols,
+        cutoff_bin_docs, cutoff_bin_max_docs,
+    )
+    return full.unionByName(part)
+
+
+def _cutoff_bin_prefix_bucketed(
+    bin_df: DataFrame,
+    remaining: int,
+    id_col: str,
+    tokens_col: str,
+    out_cols: list,
+    bin_docs: int,
+    max_docs: int,
+) -> DataFrame:
+    """Exact greedy prefix (by ``id_col`` ASC) over a single oversized
+    cutoff bin, without a single-task window: split the bin into
+    contiguous ``id_col`` ranges at approxQuantile boundaries (order-
+    preserving, so range k's ids all precede range k+1's), run one
+    PARALLEL window per range, and add each range's exact token-sum
+    offset (second driver walk over ~n_buckets rows). A row is in the
+    prefix iff offset(bucket) + within-bucket cumsum <= remaining —
+    identical to the global cumsum because the buckets tile the id
+    order."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    id_type = dict(bin_df.dtypes).get(id_col, "")
+    if id_type not in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal",
+    ) and not id_type.startswith("decimal"):
+        raise ValueError(
+            "token_budget_select: cutoff bin holds "
+            f"{bin_docs} docs (> cutoff_bin_max_docs={max_docs}) and "
+            f"id_col {id_col!r} is {id_type or 'unknown'} — the "
+            "sub-bucketed path needs a numeric id for range "
+            "boundaries. Raise cutoff_bin_max_docs or add a numeric "
+            "surrogate id."
+        )
+    n_sub = min(max(2, math.ceil(bin_docs / max_docs)), 512)
+    qs = [i / n_sub for i in range(1, n_sub)]
+    boundaries = bin_df.stat.approxQuantile(id_col, qs, 0.001)
+    # bucket = #boundaries strictly below id — order-preserving even if
+    # approxQuantile returned duplicate/imprecise boundaries
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    bucketed = bin_df.withColumn(
+        "_bkt",
+        F.size(F.filter(barr, lambda b: b < F.col(id_col).cast("double"))),
+    )
+    bucket_sums = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum(tokens_col).alias("_tok"))
+        .orderBy("_bkt")
+        .collect()  # <= 512 rows by construction
+    )
+    offsets = {}
+    acc = 0
+    for r in bucket_sums:
+        offsets[int(r["_bkt"])] = acc
+        acc += int(r["_tok"] or 0)
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_bkt")]
     w = (
-        W.partitionBy(order_col)
+        W.partitionBy("_bkt")
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    part = (
-        df.filter(F.col(order_col) == cutoff)
-        .withColumn("_cum", F.sum(tokens_col).over(w))
+    return (
+        bucketed.withColumn("_cum", F.sum(tokens_col).over(w) + off_expr)
         .filter(F.col("_cum") <= remaining)
         .select(*out_cols)
     )
-    return full.unionByName(part)
+
+
+def epoch_upsample_assign(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    tokens_col: str = "n_toks",
+) -> DataFrame:
+    """Epoch-aware upsampling: assign each document a deterministic
+    REPEAT COUNT (``n_epochs``) so the replayed corpus fills a token
+    ``budget`` — the standard move when the high-quality pool is
+    smaller than the training budget (repeat the good data a few times
+    rather than admit worse data), bounded by ``max_epochs`` (returns
+    diminish and memorization risk grows with repetition).
+
+    Semantics (exactly the greedy prefix over the corpus repeated
+    ``max_epochs`` times, ordered by epoch then quality):
+
+    1. every doc earns ``full = min(budget // total_tokens,
+       max_epochs)`` epochs — whole-corpus passes that fit outright;
+    2. if ``full < max_epochs``, the leftover budget buys ONE extra
+       epoch for the best prefix by (``order_col`` DESC, ``id_col``) —
+       delegated to :func:`token_budget_select` (histogram-cutoff
+       plan, no global sort);
+    3. docs with 0 epochs (budget smaller than one full pass and doc
+       outside the boundary prefix) are dropped.
+
+    Output: (id, order, tokens, n_epochs) — the repeat table a shard
+    writer materializes with deterministic repetition. Scale shape:
+    one scalar agg (total), the token_budget_select histogram walk,
+    and one id-keyed left join — no global sort, one shuffle beyond
+    the selector's own.
+    """
+    total = int(df.agg(F.sum(tokens_col)).first()[0] or 0)
+    out = df.select(id_col, order_col, tokens_col)
+    if total <= 0:
+        # zero-cost corpus: every doc replays to the epoch cap
+        return out.withColumn(
+            "n_epochs", F.lit(max_epochs).cast("int")
+        )
+    full = min(budget // total, max_epochs)
+    if full >= max_epochs:
+        return out.withColumn(
+            "n_epochs", F.lit(max_epochs).cast("int")
+        )
+    rem = budget - full * total
+    boundary = token_budget_select(
+        df, rem, id_col=id_col, order_col=order_col,
+        tokens_col=tokens_col,
+    ).select(id_col, F.lit(1).alias("_extra"))
+    return (
+        out.join(boundary, id_col, "left")
+        .withColumn(
+            "n_epochs",
+            (F.lit(full) + F.coalesce(F.col("_extra"), F.lit(0))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("n_epochs") > 0)
+        .drop("_extra")
+    )
+
+
+def source_dedup_quota_report(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source dedup-rate-vs-quota diagnostics: join the exact-dup
+    profile of each source against what :func:`source_quota_cap` keeps
+    — the readout that tells a mixture owner WHICH sources blow their
+    quota with duplicated content (high dup rate + full quota = the
+    cap is mostly protecting against copies, not diversity).
+
+    Columns per source: ``n_docs``, ``n_unique_texts`` (exact distinct
+    content), ``n_dup_docs`` (= docs minus uniques), ``dup_per_10k``
+    (dup share in basis-points-of-10k, floor integer — exact cross-
+    engine, no float rounding), ``n_kept`` (quota survivor count),
+    ``fill_per_10k`` (kept/cap in the same integer scale),
+    ``over_quota`` (docs beyond the cap).
+
+    Scale shape: two per-source hash aggregates (the dedup profile
+    needs count(DISTINCT text) — Spark expands it to a two-level agg
+    keyed by (source, text), the exact shape of the dedup groupBy
+    itself) plus the quota window, then one join on the tiny
+    source-level frames. Integer ratios keep it hash-exact: float
+    division of counts lands on .xxxx5 half-points (n a power of two)
+    where Spark HALF_UP and DuckDB disagree.
+    """
+    prof = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(text_col).alias("n_unique_texts"),
+    )
+    kept = (
+        source_quota_cap(
+            df, cap=cap, id_col=id_col, group_col=group_col,
+            order_col=order_col,
+        )
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        prof.join(kept, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "n_unique_texts",
+            (F.col("n_docs") - F.col("n_unique_texts")).alias(
+                "n_dup_docs"
+            ),
+            F.expr(
+                "((n_docs - n_unique_texts) * 10000) div n_docs"
+            ).alias("dup_per_10k"),
+            "n_kept",
+            F.expr(f"(n_kept * 10000) div {cap}").alias("fill_per_10k"),
+            F.greatest(
+                F.col("n_docs") - F.lit(cap), F.lit(0).cast("long")
+            ).alias("over_quota"),
+        )
+    )
 
 
 def source_quota_cap(

@@ -109,6 +109,98 @@ def pagerank(
         we.unpersist()
 
 
+def pagerank_mass(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Bounded power iteration in EXACT INTEGER mass — the
+    oracle-checkable tier of the PageRank surface (the float
+    ``pagerank`` above is the production fixed point; its groupBy sums
+    are partition-order-dependent in the last ulps, so no SQL engine
+    can replay them hash-exactly).
+
+    Every node starts with ``scale`` units of mass; each iteration
+    sends ``mass div out_deg`` along every out-edge (integer floor —
+    identical in Spark ``div`` and DuckDB ``//``) and re-bases with
+    damping 0.85 kept as the exact rational 85/100:
+
+        M'(v) = (15*scale + 85*(recv(v) + dangling div n)) div 100
+
+    All-integer arithmetic makes the result BIT-IDENTICAL across
+    engines, partition layouts, and summation orders — a chained-CTE
+    SQL oracle replays the whole iteration exactly. The floor-division
+    mass loss (< out_deg units per node per hop, ~1e-12 relative at the
+    default scale) is deterministic and shared by both engines.
+
+    Scale shape per iteration: identical to ``pagerank`` — one
+    edge⋈rank join partitioned by the source key, one groupBy(dst) with
+    map-side partial sums (LongType — no overflow until
+    n_nodes·scale·85 approaches 2^63; ~10^5 nodes at the default
+    scale, raise/lower ``scale`` for bigger graphs). Bounded n_iter is
+    the point: this is the "3 hops of influence" diagnostic a curation
+    pipeline wants, not the converged fixed point.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ew = e.join(out_deg, "src").persist()
+    ew.count()
+    has_dangling = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("mass"))
+    try:
+        for _ in range(n_iter):
+            recv = (
+                ew.join(ranks, ew.src == ranks.node)
+                .select(
+                    "dst",
+                    F.expr("mass div out_deg").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("recv"))
+            )
+            dang_share = 0
+            if has_dangling:
+                ranks = ranks.localCheckpoint(eager=True)
+                dang = (
+                    ranks.join(
+                        out_deg, ranks.node == out_deg.src, "left_anti"
+                    )
+                    .agg(F.sum("mass"))
+                    .first()[0]
+                    or 0
+                )
+                dang_share = int(dang) // n
+            ranks = nodes.join(
+                recv, nodes.node == recv.dst, "left"
+            ).select(
+                "node",
+                F.expr(
+                    f"(15 * CAST({scale} AS BIGINT) + 85 * "
+                    f"(coalesce(recv, 0L) + {dang_share})) div 100"
+                ).alias("mass"),
+            )
+        return ranks
+    finally:
+        nodes.unpersist()
+        ew.unpersist()
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edge list from lineitem: parts appearing
     in the same order, both directions (symmetric graph → no dangling

@@ -12483,3 +12483,209 @@ def q_ewma_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Round 9 — PageRank promoted to the oracled tier (bounded power
+# iteration in exact integer mass), IVF search promoted via a
+# triangle-inequality exactness certificate, the full-dimension PCA
+# driver-catalog entry restored (r8 ADVICE: the certified 2-d slice
+# variant had replaced it under the same name), and two mixture-tier
+# additions (epoch-aware upsampling, per-source dedup-vs-quota
+# diagnostics).
+# =====================================================================
+
+
+@_register(
+    "pagerank_mass_bounded",
+    # Chained-CTE replay of the exact-integer power iteration: every
+    # engine op is BIGINT floor division / multiplication / addition,
+    # so the masses are bit-identical by construction (no float sums
+    # anywhere). r0 = 10^12 per node; 3 iterations of
+    # M' = (15*scale + 85*recv) // 100 with recv = sum(mass // deg)
+    # over in-edges. The copurchase graph is symmetric -> no dangling
+    # nodes -> no dangling term (operators/graph.py::pagerank_mass
+    # carries it for general graphs).
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey < 2000),
+       e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+               FROM e GROUP BY src),
+       r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS m
+              FROM deg),
+       r1 AS (SELECT e.dst AS node,
+                     CAST((15000000000000 + 85 * CAST(SUM(r0.m // deg.d)
+                           AS BIGINT)) // 100 AS BIGINT) AS m
+              FROM e JOIN r0 ON e.src = r0.node
+                     JOIN deg ON e.src = deg.src
+              GROUP BY e.dst),
+       r2 AS (SELECT e.dst AS node,
+                     CAST((15000000000000 + 85 * CAST(SUM(r1.m // deg.d)
+                           AS BIGINT)) // 100 AS BIGINT) AS m
+              FROM e JOIN r1 ON e.src = r1.node
+                     JOIN deg ON e.src = deg.src
+              GROUP BY e.dst),
+       r3 AS (SELECT e.dst AS node,
+                     CAST((15000000000000 + 85 * CAST(SUM(r2.m // deg.d)
+                           AS BIGINT)) // 100 AS BIGINT) AS m
+              FROM e JOIN r2 ON e.src = r2.node
+                     JOIN deg ON e.src = deg.src
+              GROUP BY e.dst)
+       SELECT node, m AS rank_mass FROM r3
+       ORDER BY rank_mass DESC, node LIMIT 20""",
+    doc="PageRank promoted to the value-oracle tier: 3-step power "
+    "iteration over the part co-purchase graph in EXACT INTEGER mass "
+    "(floor-division contributions, damping 85/100 as a rational) — "
+    "bit-identical across engines/layouts because no float sum ever "
+    "occurs; the float fixed-point production sibling stays "
+    "pagerank_copurchase (operators/graph.py::pagerank_mass)",
+)
+def q_pagerank_mass_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, pagerank_mass
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    ranks = pagerank_mass(copurchase_edges(li), n_iter=3)
+    return (
+        ranks.select("node", F.col("mass").alias("rank_mass"))
+        .orderBy(F.col("rank_mass").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+@_register(
+    "ivf_search_exact_pruned",
+    # The oracle is the plain exact top-k: the probed search carries a
+    # triangle-inequality certificate (kth-distance upper bound from
+    # the initial probe, cells with |q-c| - r_c beyond it provably
+    # hold nothing closer), so the pruned result EQUALS the exact scan
+    # or the hash mismatches — the verified-ANN pattern applied to
+    # IVF. Same elementwise (a-b)^2 fold order as the Spark side.
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 3)
+       SELECT e.vec_id,
+              round(sqrt(list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> (e.v[i] - q.qv[i]) ^ 2))), 4) AS dist
+       FROM e, q WHERE e.vec_id <> 3
+       ORDER BY dist, e.vec_id LIMIT 5""",
+    doc="IVF search with an exactness certificate: initial nprobe=2 "
+    "scan bounds the kth distance, cell radii + the triangle "
+    "inequality certify every unscanned cell, one expanded scan "
+    "returns the PROVABLY exact top-k — two pruned scans total, no "
+    "recall loss to oracle against "
+    "(operators/similarity.py::ivf_search_exact_pruned)",
+)
+def q_ivf_search_exact_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_search_exact_pruned
+
+    return ivf_search_exact_pruned(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=3,
+        k=5,
+        nprobe_initial=2,
+        n_cells=8,
+    )
+
+
+@_register(
+    "pca_embedding_projection_fulldim",
+    None,  # 64-d covariance eigensolve -> rows-only (numpy parity
+    # pinned in tests/test_ml.py); the certified 2-d slice variant is
+    # pca_embedding_projection
+    doc="MLlib PCA k=2 over the FULL 64-d embedding corpus — the r8 "
+    "ADVICE restoration: the driver catalog exercises the 64-d "
+    "covariance/eigensolve path end-to-end again (the same-named "
+    "entry had narrowed to the DuckDB-certifiable 2-d slice); "
+    "uncentered projection + largest-|loading| sign convention "
+    "(ml/pca.py::pca_projection_signed)",
+)
+def q_pca_embedding_projection_fulldim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.pca import pca_projection_signed
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return pca_projection_signed(emb, k=2)
+
+
+@_register(
+    "epoch_upsample_assignment",
+    r"""WITH d AS (SELECT doc_id, n_chars,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_toks
+           FROM documents),
+       t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM d),
+       p AS (SELECT CAST(least(70000 // total, 4) AS BIGINT) AS f,
+                    CAST(70000 - least(70000 // total, 4) * total
+                         AS BIGINT) AS rem
+             FROM t),
+       c AS (SELECT doc_id, n_chars, n_toks,
+                    SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+             FROM d)
+       SELECT c.doc_id, c.n_chars, c.n_toks,
+              CAST(p.f + CASE WHEN p.f < 4 AND c.cum <= p.rem
+                              THEN 1 ELSE 0 END AS INT) AS n_epochs
+       FROM c, p
+       WHERE p.f + CASE WHEN p.f < 4 AND c.cum <= p.rem
+                        THEN 1 ELSE 0 END > 0""",
+    doc="epoch-aware upsampling under a 70K-token budget (epoch cap "
+    "4): whole-corpus passes that fit earn everyone an epoch, the "
+    "leftover buys one extra epoch for the best (n_chars DESC, "
+    "doc_id) prefix via the histogram-cutoff selector — repeat-count "
+    "table for deterministic corpus replay; no global sort "
+    "(operators/curation.py::epoch_upsample_assign)",
+)
+def q_epoch_upsample_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import token_count
+    from ..operators.curation import epoch_upsample_assign
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count("text").cast("long").alias("n_toks")
+    )
+    return epoch_upsample_assign(d, budget=70_000, max_epochs=4)
+
+
+@_register(
+    "source_dedup_quota_report",
+    """WITH prof AS (SELECT source,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(count(DISTINCT text) AS BIGINT)
+                        AS n_unique_texts
+             FROM documents GROUP BY source),
+       r AS (SELECT doc_id, source,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id)
+                        AS rn
+             FROM documents),
+       kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+                FROM r WHERE rn <= 15 GROUP BY source)
+       SELECT p.source, p.n_docs, p.n_unique_texts,
+              p.n_docs - p.n_unique_texts AS n_dup_docs,
+              CAST(((p.n_docs - p.n_unique_texts) * 10000) // p.n_docs
+                   AS BIGINT) AS dup_per_10k,
+              k.n_kept,
+              CAST((k.n_kept * 10000) // 15 AS BIGINT) AS fill_per_10k,
+              greatest(p.n_docs - 15, 0) AS over_quota
+       FROM prof p JOIN kept k ON p.source = k.source""",
+    doc="per-source dedup-rate-vs-quota diagnostics: exact-dup "
+    "profile (count distinct content per source) joined against the "
+    "source_quota_cap survivors — integer basis-point ratios, two "
+    "per-source hash aggregates + the quota window + one tiny join "
+    "(operators/curation.py::source_dedup_quota_report)",
+)
+def q_source_dedup_quota_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import source_dedup_quota_report
+
+    return source_dedup_quota_report(
+        _t(spark, sf_dir, "documents"), cap=15
+    )
