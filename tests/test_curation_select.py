@@ -201,3 +201,49 @@ def test_source_dedup_quota_report_counts(spark):
     b = got["b"]
     assert (b["n_docs"], b["n_kept"], b["over_quota"]) == (1, 1, 0)
     assert b["fill_per_10k"] == 5000
+
+
+def test_mixture_epoch_plan_allocations_sum_to_budget(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    # 3 sources, doc counts 3/2/2 -> budget 100 can't split evenly:
+    # base = floor(100*d/7) = 42/28/28, leftover 2 goes to the two
+    # largest remainders (100*3%7=6 -> a; 100*2%7=4 -> b,c tie by name)
+    rows = []
+    for i in range(3):
+        rows.append((100 + i, "a", 10))
+    for i in range(2):
+        rows.append((200 + i, "b", 40))
+    for i in range(2):
+        rows.append((300 + i, "c", 5))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+    got = {
+        r["source"]: r.asDict()
+        for r in mixture_epoch_plan(df, budget=100, max_epochs=4).collect()
+    }
+    assert sum(v["alloc_toks"] for v in got.values()) == 100
+    assert got["a"]["alloc_toks"] == 43  # 42 + 1 (largest remainder)
+    assert got["b"]["alloc_toks"] == 29  # 28 + 1 (tie, 'b' < 'c')
+    assert got["c"]["alloc_toks"] == 28
+    # epochs: a has 30 toks -> 43//30 = 1; b has 80 -> 0; c has 10 ->
+    # 28//10 = 2 (inside cap)
+    assert got["a"]["n_epochs"] == 1 and got["a"]["residual_toks"] == 13
+    assert got["b"]["n_epochs"] == 0 and got["b"]["residual_toks"] == 29
+    assert got["c"]["n_epochs"] == 2 and got["c"]["residual_toks"] == 8
+
+
+def test_mixture_epoch_plan_epoch_cap(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "doc_id long, source string, n_toks long"
+    )
+    got = {
+        r["source"]: r["n_epochs"]
+        for r in mixture_epoch_plan(df, budget=1000, max_epochs=3).collect()
+    }
+    assert got == {"a": 3, "b": 3}

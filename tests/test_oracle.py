@@ -143,6 +143,7 @@ for _name in (
     "daily_revenue_autocorrelation", # per-day revenue
     "cusum_changepoint_daily_revenue",  # per-day revenue
     "largest_remainder_allocation",  # per-group shares
+    "mixture_epoch_plan",            # per-source apportionment
     "geometric_mean_daily_growth",   # per-day revenue
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins

@@ -183,3 +183,52 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     # plan: top-k must be TakeOrderedAndProject, not a global sort
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curriculum_phases_ordering_and_balance(spark):
+    """Within every shard: phases are contiguous easy->hard tiles
+    (every phase-p doc is <= every phase-p+1 doc under the
+    (order_col, id) order) and tile sizes differ by at most 1."""
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        curriculum_phases,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rows = curriculum_phases(
+        docs, n_shards=16, n_phases=4, seed=42
+    ).collect()
+    assert len(rows) == docs.count()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["n_chars"], r["doc_id"], r["phase"])
+        )
+    for shard, items in by_shard.items():
+        items.sort()
+        phases = [p for _, _, p in items]
+        assert phases == sorted(phases), f"phase order broken in {shard}"
+        from collections import Counter
+
+        sizes = Counter(phases)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (
+            shard, sizes,
+        )
+
+
+def test_curriculum_phases_layout_independent(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        curriculum_phases,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = {
+        (r["doc_id"], r["shard"], r["phase"])
+        for r in curriculum_phases(docs, seed=7).collect()
+    }
+    b = {
+        (r["doc_id"], r["shard"], r["phase"])
+        for r in curriculum_phases(
+            docs.repartition(13, "source"), seed=7
+        ).collect()
+    }
+    assert a == b and a

@@ -358,6 +358,80 @@ def epoch_upsample_assign(
     )
 
 
+def mixture_epoch_plan(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    tokens_col: str = "n_toks",
+) -> DataFrame:
+    """Per-source mixture plan under a global token budget: allocate
+    the budget across sources proportional to their DOC counts (the
+    doc-balanced mixture — every document deserves equal replay mass,
+    so short-doc sources get more tokens per doc), then convert each
+    source's allocation into whole epochs capped at ``max_epochs``.
+
+    The apportionment is the integer largest-remainder method, kept
+    EXACT end-to-end: ``base_s = (budget * docs_s) div total_docs``,
+    remainders ``(budget * docs_s) mod total_docs`` rank the leftover
+    units (ties → source name), so allocations sum to ``budget``
+    exactly and every value is a pure integer both engines agree on —
+    no float shares anywhere (``budget * docs_s`` must stay inside
+    int64; at 10^13-token budgets pre-divide or widen to decimal).
+
+    Output per source: ``n_docs``, ``n_toks`` (source token mass),
+    ``alloc_toks`` (budget share), ``n_epochs`` (whole passes, capped),
+    ``residual_toks`` (allocation the cap or granularity leaves
+    unspent — the signal to re-apportion toward under-capped sources).
+
+    Scale shape: one per-source hash aggregate, then windows over the
+    SOURCE-level frame (tens to thousands of rows at any corpus size
+    — aggregate-sized by construction, like the other apportionment
+    queries)."""
+    from pyspark.sql import Window as W
+
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).alias("n_toks"),
+    )
+    wall = W.partitionBy()
+    rk = W.partitionBy().orderBy(F.col("_rem").desc(), F.col(group_col))
+    return (
+        agg.withColumn("_total_docs", F.sum("n_docs").over(wall))
+        .withColumn(
+            "_base",
+            F.expr(f"(CAST({budget} AS BIGINT) * n_docs) div _total_docs"),
+        )
+        .withColumn(
+            "_rem",
+            F.expr(f"(CAST({budget} AS BIGINT) * n_docs) % _total_docs"),
+        )
+        .withColumn(
+            "_leftover", F.lit(budget) - F.sum("_base").over(wall)
+        )
+        .withColumn("_rk", F.row_number().over(rk))
+        .withColumn(
+            "alloc_toks",
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_leftover"), 1).otherwise(0),
+        )
+        .withColumn(
+            "n_epochs",
+            F.least(
+                F.expr("alloc_toks div n_toks"), F.lit(max_epochs)
+            ).cast("int"),
+        )
+        .withColumn(
+            "residual_toks",
+            F.col("alloc_toks") - F.col("n_epochs") * F.col("n_toks"),
+        )
+        .select(
+            group_col, "n_docs", "n_toks", "alloc_toks", "n_epochs",
+            "residual_toks",
+        )
+    )
+
+
 def source_dedup_quota_report(
     df: DataFrame,
     cap: int,

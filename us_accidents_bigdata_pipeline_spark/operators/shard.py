@@ -100,6 +100,39 @@ def pack_assignment(
     )
 
 
+def curriculum_phases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+    n_shards: int = 16,
+    n_phases: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shard, phase): curriculum-learning phase assignment —
+    within each deterministic training shard, split documents into
+    ``n_phases`` equal tiles ordered easy→hard (``order_col`` ASC,
+    short/simple first; ``id_col`` tiebreak), so a loader can feed
+    phase 1 before phase 2 within every shard and the curriculum
+    survives shard-parallel loading.
+
+    Per-shard ``ntile`` (SQL-standard: first ``n mod b`` tiles take
+    the extra row — identical in every engine) over the md5-derived
+    shard, so the whole assignment is a pure function of
+    (id, order_col, seed): layout-independent and re-runnable. One
+    hash shuffle on the shard key, windows run shard-parallel — no
+    global sort."""
+    from pyspark.sql import Window as W
+
+    key = _shuffle_key(id_col, seed)
+    w = W.partitionBy("shard").orderBy(order_col, id_col)
+    return (
+        df.select(F.col(id_col), F.col(order_col), key.alias("_key"))
+        .withColumn("shard", _shard_of(F.col("_key"), n_shards))
+        .withColumn("phase", F.ntile(n_phases).over(w).cast("int"))
+        .select(id_col, "shard", F.col(order_col), "phase")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -12689,3 +12689,79 @@ def q_source_dedup_quota_report(
     return source_dedup_quota_report(
         _t(spark, sf_dir, "documents"), cap=15
     )
+
+
+@_register(
+    "curriculum_phase_assignment",
+    r"""WITH k AS (SELECT doc_id, n_chars,
+                         md5('42-' || CAST(doc_id AS VARCHAR)) AS key
+                  FROM documents)
+       SELECT doc_id,
+              CAST(strpos('0123456789abcdef', substr(key, 8, 1)) - 1
+                   AS INT) AS shard,
+              n_chars,
+              CAST(ntile(4) OVER (PARTITION BY substr(key, 8, 1)
+                                  ORDER BY n_chars, doc_id)
+                   AS INT) AS phase
+       FROM k""",
+    doc="curriculum-learning phase assignment: within each "
+    "deterministic md5 training shard, ntile(4) over (n_chars ASC, "
+    "doc_id) orders documents easy-to-hard — SQL-standard ntile is "
+    "engine-identical, the whole assignment a pure function of "
+    "(id, length, seed); shard-parallel windows, no global sort "
+    "(operators/shard.py::curriculum_phases)",
+)
+def q_curriculum_phase_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.shard import curriculum_phases
+
+    return curriculum_phases(
+        _t(spark, sf_dir, "documents"), n_shards=16, n_phases=4, seed=42
+    )
+
+
+@_register(
+    "mixture_epoch_plan",
+    r"""WITH d AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CAST(len(string_split_regex(trim(text),
+                       '\s+')) AS BIGINT)) AS BIGINT) AS n_toks
+           FROM documents GROUP BY source),
+       s AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS td
+             FROM d),
+       b AS (SELECT *, (200000 * n_docs) // td AS base,
+                    (200000 * n_docs) % td AS rem
+             FROM s),
+       r AS (SELECT source, n_docs, n_toks, base,
+                    200000 - CAST(sum(base) OVER () AS BIGINT)
+                        AS leftover,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rk
+             FROM b)
+       SELECT source, n_docs, n_toks,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc_toks,
+              CAST(least((base + CASE WHEN rk <= leftover
+                                      THEN 1 ELSE 0 END) // n_toks, 4)
+                   AS INT) AS n_epochs,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   - least((base + CASE WHEN rk <= leftover
+                                        THEN 1 ELSE 0 END)
+                           // n_toks, 4) * n_toks
+                   AS BIGINT) AS residual_toks
+       FROM r""",
+    doc="per-source mixture plan under a 200K-token budget: doc-"
+    "balanced largest-remainder apportionment (pure integer — base "
+    "div + mod-ranked leftover units, allocations sum to the budget "
+    "exactly), whole epochs capped at 4, residual reported — one "
+    "per-source aggregate + windows over the source-level frame "
+    "(operators/curation.py::mixture_epoch_plan)",
+)
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import token_count
+    from ..operators.curation import mixture_epoch_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("long").alias("n_toks")
+    )
+    return mixture_epoch_plan(d, budget=200_000, max_epochs=4)
