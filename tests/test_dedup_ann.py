@@ -879,3 +879,32 @@ def test_ivf_exact_pruned_fallback_when_initial_probe_thin(spark):
         ).collect()
     ]
     assert pruned == exact
+
+
+def test_ivf_exact_pruned_precomputed_radii_index(spark):
+    """The 3-tuple (assigned, model, radii) index form must produce
+    the same exact top-k without re-aggregating the corpus."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        ivf_cell_radii,
+        ivf_fit_assign,
+        ivf_search,
+        ivf_search_exact_pruned,
+    )
+    from .conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, model = ivf_fit_assign(emb, n_cells=8, m_assign=1)
+    radii = ivf_cell_radii(emb, assigned, model.clusterCenters())
+    exact = [
+        (r["vec_id"], r["dist"])
+        for r in ivf_search(
+            emb, query_id=3, k=5, nprobe=8, n_cells=8
+        ).collect()
+    ]
+    pruned = [
+        (r["vec_id"], r["dist"])
+        for r in ivf_search_exact_pruned(
+            emb, query_id=3, k=5, index=(assigned, model, radii)
+        ).collect()
+    ]
+    assert pruned == exact

@@ -480,6 +480,49 @@ def ivf_search(
     )
 
 
+def ivf_cell_radii(
+    df: DataFrame,
+    assigned: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Cell radius metadata for the pruning certificate: max member-to-
+    centroid Euclidean distance per cell — ONE groupBy over the
+    assignment join, n_cells rows collected. Build-time metadata in a
+    real serving index; pass it in ``ivf_search_exact_pruned``'s
+    3-tuple index so repeated queries never re-aggregate the corpus."""
+    centers_arr = {
+        int(i): F.array(*[F.lit(float(x)) for x in c])
+        for i, c in enumerate(centers)
+    }
+    member_d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(i) for i in centers_arr]),
+                        F.array(*centers_arr.values()),
+                    ),
+                    F.col("cell"),
+                ),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return {
+        int(r["cell"]): float(r["r"])
+        for r in assigned.join(df, id_col)
+        .select("cell", member_d.alias("_d"))
+        .groupBy("cell")
+        .agg(F.max("_d").alias("r"))
+        .collect()
+    }
+
+
 def _certified_probe_cells(cdist, radii: dict, d_k: float) -> list:
     """Cells that COULD hold a vector within the certified search
     radius: keep cell ``c`` iff ``|q-c| - r_c <= d_k + 1e-4 + 1e-9``.
@@ -534,14 +577,21 @@ def ivf_search_exact_pruned(
     point, the pruning is the bonus. The DuckDB oracle is the plain
     exact top-k: any bound bug surfaces as a hash mismatch.
 
-    ``index``: optional ``(assignments, model)`` from ``ivf_fit_assign``
-    (m_assign=1 or replicated — the bound holds either way: any
-    assigned cell of a vector witnesses it).
+    ``index``: optional ``(assignments, model)`` or ``(assignments,
+    model, radii)`` — the 3-tuple form (radii from
+    ``ivf_cell_radii``) skips the per-call radius aggregate, the way
+    a real serving index carries its cell metadata (m_assign=1 or
+    replicated — the bound holds either way: any assigned cell of a
+    vector witnesses it).
     """
     import numpy as np
 
+    radii = None
     if index is not None:
-        assigned, model = index
+        if len(index) == 3:
+            assigned, model, radii = index
+        else:
+            assigned, model = index
     else:
         assigned, model = ivf_fit_assign(
             df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=1
@@ -554,38 +604,10 @@ def ivf_search_exact_pruned(
     cdist = np.asarray([float(np.linalg.norm(q - c)) for c in centers])
     order = np.argsort(cdist)
 
-    # cell radii: one groupBy over the assignment join — build-time
-    # metadata in a real index, recomputed here because the registered
-    # query builds fresh (n_cells rows collected)
-    centers_arr = {
-        int(i): F.array(*[F.lit(float(x)) for x in c])
-        for i, c in enumerate(centers)
-    }
-    member_d = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.element_at(
-                    F.map_from_arrays(
-                        F.array(*[F.lit(i) for i in centers_arr]),
-                        F.array(*centers_arr.values()),
-                    ),
-                    F.col("cell"),
-                ),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    if radii is None:
+        radii = ivf_cell_radii(
+            df, assigned, centers, id_col=id_col, vec_col=vec_col
         )
-    )
-    radii = {
-        int(r["cell"]): float(r["r"])
-        for r in assigned.join(df, id_col)
-        .select("cell", member_d.alias("_d"))
-        .groupBy("cell")
-        .agg(F.max("_d").alias("r"))
-        .collect()
-    }
 
     spark = df.sparkSession
 
