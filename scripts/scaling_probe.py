@@ -29,8 +29,17 @@ from pyspark.sql import functions as F
 
 from us_accidents_bigdata_pipeline_spark.functions import token_count
 from us_accidents_bigdata_pipeline_spark.operators.curation import (
+    epoch_upsample_assign,
+    mixture_epoch_plan,
     source_quota_cap,
     token_budget_select,
+)
+from us_accidents_bigdata_pipeline_spark.operators.graph import (
+    copurchase_edges,
+    pagerank_mass,
+)
+from us_accidents_bigdata_pipeline_spark.operators.shard import (
+    curriculum_phases,
 )
 from us_accidents_bigdata_pipeline_spark.operators.dedup import (
     exact_dedup,
@@ -111,8 +120,58 @@ def data_scaling(spark) -> dict:
             "source_quota_cap": timed(
                 lambda: source_quota_cap(d, cap=15 * mult).count()
             ),
+            # round-9 mixture/graph ops, budgets scaled like above
+            "epoch_upsample_assignment": timed(
+                lambda: epoch_upsample_assign(
+                    d.select(
+                        "doc_id",
+                        "n_chars",
+                        token_count("text").cast("long").alias("n_toks"),
+                    ),
+                    budget=700_000 * mult,
+                ).count()
+            ),
+            "mixture_epoch_plan": timed(
+                lambda: mixture_epoch_plan(
+                    d.select(
+                        "source",
+                        token_count("text").cast("long").alias("n_toks"),
+                    ),
+                    budget=2_000_000 * mult,
+                ).count()
+            ),
+            "curriculum_phases": timed(
+                lambda: curriculum_phases(d).count()
+            ),
         }
         d.unpersist(), e.unpersist()
+
+    # graph scaling rides lineitem (the copurchase edge source). BOTH
+    # keys must shift per copy: re-keying only l_orderkey would leave
+    # every copy emitting the same (partkey, partkey) edges, which
+    # copurchase_edges' distinct collapses — the graph has to GROW.
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") < 2000
+    )
+    n_li = li.count()
+    for mult in (1, 4, 8):
+        parts = [
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * n_li * 10)
+            ).withColumn(
+                "l_partkey", F.col("l_partkey") + F.lit(i * 10_000_000)
+            )
+            for i in range(mult)
+        ]
+        lr = parts[0]
+        for p in parts[1:]:
+            lr = lr.union(p)
+        lr = lr.persist()
+        lr.count()
+        out.setdefault(f"x{mult}", {})["pagerank_mass_3iter"] = timed(
+            lambda: pagerank_mass(copurchase_edges(lr), n_iter=3).count()
+        )
+        lr.unpersist()
     return out
 
 
