@@ -73,6 +73,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--train-frac", type=float, default=0.9)
     ap.add_argument("--k-anon", type=int, default=5)
+    ap.add_argument(
+        "--token-budget",
+        type=int,
+        default=0,
+        help="when > 0, select the curated corpus down to (or replay "
+        "it up to) this whitespace-token budget via epoch-aware "
+        "upsampling: every surviving doc carries an n_epochs repeat "
+        "count (operators/curation.py::epoch_upsample_assign), docs "
+        "outside the budget are dropped before the split",
+    )
+    ap.add_argument(
+        "--max-epochs",
+        type=int,
+        default=4,
+        help="epoch cap for --token-budget (repetition beyond a few "
+        "epochs risks memorization)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -120,6 +137,51 @@ def main(argv: list[str] | None = None) -> int:
         print(f"funnel[{idx}] {stage:>15}: {n}", flush=True)
 
     curated = curated.persist()
+
+    # ---- optional: token-budget selection with epoch-aware replay ----
+    budget_report = None
+    if args.token_budget > 0:
+        from us_accidents_bigdata_pipeline_spark.functions import (
+            token_count as _tc,
+        )
+        from us_accidents_bigdata_pipeline_spark.operators.curation import (
+            epoch_upsample_assign,
+        )
+
+        epochs = epoch_upsample_assign(
+            curated.select(
+                "doc_id", "n_chars", _tc("text").cast("long").alias("n_toks")
+            ),
+            budget=args.token_budget,
+            max_epochs=args.max_epochs,
+        ).select("doc_id", "n_epochs", "n_toks")
+        budgeted = curated.join(epochs, "doc_id").persist()
+        stats = budgeted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_epochs") * F.col("n_toks")).alias("replay"),
+        ).first()
+        budget_report = {
+            "budget": args.token_budget,
+            "max_epochs": args.max_epochs,
+            "n_docs_selected": int(stats["n"]),
+            "replay_tokens": int(stats["replay"] or 0),
+        }
+        print(
+            f"token budget {args.token_budget}: "
+            f"{budget_report['n_docs_selected']} docs, "
+            f"{budget_report['replay_tokens']} replay tokens "
+            f"(cap {args.max_epochs} epochs)",
+            flush=True,
+        )
+        funnel_rows.append(
+            (
+                funnel_rows[-1][0] + 1,
+                "token_budget",
+                budget_report["n_docs_selected"],
+            )
+        )
+        curated.unpersist()
+        curated = budgeted.drop("n_toks")
 
     # ---- leakage-safe split: hash of the near-dup canonical id ----
     # (sub-threshold near-dups that survived curation can never
@@ -197,6 +259,8 @@ def main(argv: list[str] | None = None) -> int:
         "shards": args.shards,
         "seed": args.seed,
     }
+    if budget_report is not None:
+        report["token_budget"] = budget_report
     with open(os.path.join(args.out, "export_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["audit"]), flush=True)

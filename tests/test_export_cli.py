@@ -95,3 +95,35 @@ def test_export_corpus_dq_gate_aborts_on_null_text(spark, tmp_path):
     )
     assert rc == 2
     assert not os.path.exists(os.path.join(out, "export_report.json"))
+
+
+def test_export_corpus_token_budget_epochs(spark, tmp_path):
+    """--token-budget selects the curated corpus under a replay budget
+    and every shard row carries its n_epochs repeat count; the audit
+    reflects the post-budget corpus and replay mass respects the cap
+    arithmetic."""
+    out = str(tmp_path / "budget_export")
+    rc = export_main(
+        [
+            "--sf-dir", SF_SMOKE,
+            "--out", out,
+            "--shards", "4",
+            "--token-budget", "40000",
+            "--max-epochs", "3",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "export_report.json")) as f:
+        report = json.load(f)
+    tb = report["token_budget"]
+    assert tb["budget"] == 40000 and tb["max_epochs"] == 3
+    assert 0 < tb["n_docs_selected"] <= report["funnel"][-2]["n_docs"]
+    assert tb["replay_tokens"] <= 40000
+    funnel = sorted(report["funnel"], key=lambda s: s["stage_idx"])
+    assert funnel[-1]["stage"] == "token_budget"
+    assert report["audit"]["n_docs"] == tb["n_docs_selected"]
+    curated = spark.read.parquet(os.path.join(out, "curated"))
+    assert "n_epochs" in curated.columns
+    eps = [r["n_epochs"] for r in curated.select("n_epochs").collect()]
+    assert eps and all(1 <= e <= 3 for e in eps)
