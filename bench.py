@@ -129,6 +129,15 @@ HEADLINE = [
     # correctness-checked in the oracle sweep.
     "point_in_time_state_join",
     "session_overlap_pairs",
+    # round 8/9: mixture + graph tier
+    "token_budget_selection",
+    "source_quota_cap",
+    "ewma_hourly_events",
+    "pagerank_mass_bounded",
+    "epoch_upsample_assignment",
+    "mixture_epoch_plan",
+    "curriculum_phase_assignment",
+    "source_dedup_quota_report",
 ]
 
 
