@@ -144,6 +144,7 @@ for _name in (
     "cusum_changepoint_daily_revenue",  # per-day revenue
     "largest_remainder_allocation",  # per-group shares
     "mixture_epoch_plan",            # per-source apportionment
+    "shard_balance_report",          # 16-row shard aggregate
     "geometric_mean_daily_growth",   # per-day revenue
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins

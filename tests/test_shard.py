@@ -232,3 +232,22 @@ def test_curriculum_phases_layout_independent(spark):
         ).collect()
     }
     assert a == b and a
+
+
+def test_shard_balance_report_exact_shares(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        shard_balance_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(200)], "doc_id long, n_toks long"
+    )
+    rows = shard_balance_report(df, n_shards=16, seed=42).collect()
+    assert sum(r["n_docs"] for r in rows) == 200
+    total = sum(r["n_toks"] for r in rows)
+    assert total == sum(10 + i for i in range(200))
+    for r in rows:
+        assert r["toks_per_10k"] == (r["n_toks"] * 10000) // total
+    # floor shares can undershoot 10000 by at most n_shards - 1
+    s = sum(r["toks_per_10k"] for r in rows)
+    assert 10000 - len(rows) < s <= 10000

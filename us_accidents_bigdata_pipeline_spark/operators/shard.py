@@ -133,6 +133,48 @@ def curriculum_phases(
     )
 
 
+def shard_balance_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_toks",
+    n_shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-shard load report for the deterministic training shards:
+    (shard, n_docs, n_toks, toks_per_10k) — token share in integer
+    basis-points-of-10k (floor; exact cross-engine, no float
+    rounding). The diagnostic a loader owner reads before an epoch: a
+    shard holding 2x its share of tokens is the straggler that
+    stretches every training step.
+
+    One groupBy over the md5 shard key plus a single-partition window
+    over the N_SHARDS-row aggregate (aggregate-sized by construction).
+    """
+    from pyspark.sql import Window as W
+
+    key = _shuffle_key(id_col, seed)
+    per = (
+        df.select(
+            _shard_of(key, n_shards).alias("shard"),
+            F.col(tokens_col),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).alias("n_toks"),
+        )
+    )
+    return (
+        per.withColumn(
+            "_total", F.sum("n_toks").over(W.partitionBy())
+        )
+        .withColumn(
+            "toks_per_10k", F.expr("(n_toks * 10000) div _total")
+        )
+        .select("shard", "n_docs", "n_toks", "toks_per_10k")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -12765,3 +12765,37 @@ def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", token_count("text").cast("long").alias("n_toks")
     )
     return mixture_epoch_plan(d, budget=200_000, max_epochs=4)
+
+
+@_register(
+    "shard_balance_report",
+    r"""WITH k AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_toks,
+                  CAST(strpos('0123456789abcdef',
+                              substr(md5('42-' || CAST(doc_id AS VARCHAR)),
+                                     8, 1)) - 1 AS INT) AS shard
+           FROM documents),
+       p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_toks) AS BIGINT) AS n_toks
+             FROM k GROUP BY shard),
+       t AS (SELECT *, CAST(sum(n_toks) OVER () AS BIGINT) AS total
+             FROM p)
+       SELECT shard, n_docs, n_toks,
+              CAST((n_toks * 10000) // total AS BIGINT) AS toks_per_10k
+       FROM t""",
+    doc="per-shard loader-balance report for the deterministic "
+    "training shards: doc/token counts + token share in integer "
+    "basis-points (the straggler-shard diagnostic a loader owner "
+    "reads before an epoch) — one groupBy on the md5 shard key, one "
+    "window over the 16-row aggregate "
+    "(operators/shard.py::shard_balance_report)",
+)
+def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import token_count
+    from ..operators.shard import shard_balance_report
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_toks")
+    )
+    return shard_balance_report(d, n_shards=16, seed=42)
