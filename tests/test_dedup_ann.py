@@ -908,3 +908,64 @@ def test_ivf_exact_pruned_precomputed_radii_index(spark):
         ).collect()
     ]
     assert pruned == exact
+
+
+def test_ivf_certificate_property_random_geometries():
+    """Property check of the pruning certificate itself (pure math, no
+    Spark): for random point sets, centers, and k, EVERY point the
+    exact top-k under the output ordering (round(dist,4), id) selects
+    must live in a cell _certified_probe_cells keeps, where d_k is the
+    kth distance among the initially-probed cells — the exact claim
+    ivf_search_exact_pruned's second scan relies on. Uniform and
+    clustered geometries, near-tie cases included."""
+    import numpy as np
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _certified_probe_cells,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(200):
+        dim = rng.randint(2, 9)
+        n = rng.randint(20, 120)
+        n_cells = rng.randint(2, 9)
+        k = rng.randint(1, 8)
+        clustered = trial % 2 == 0
+        centers = rng.randn(n_cells, dim) * (4.0 if clustered else 1.0)
+        if clustered:
+            X = centers[rng.randint(n_cells, size=n)] + 0.3 * rng.randn(
+                n, dim
+            )
+        else:
+            X = rng.randn(n, dim)
+        q = X[0]
+        ids = np.arange(n)
+        # corpus excludes the query row, mirroring the operator
+        P, pids = X[1:], ids[1:]
+        assign = np.argmin(
+            ((P[:, None, :] - centers[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        cdist = np.linalg.norm(centers - q, axis=1)
+        radii = {}
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                radii[c] = float(
+                    np.linalg.norm(P[m] - centers[c], axis=1).max()
+                )
+        dists = np.linalg.norm(P - q, axis=1)
+        # exact top-k under the OUTPUT ordering: (round(d,4), id)
+        order = sorted(range(len(P)), key=lambda i: (round(dists[i], 4), pids[i]))
+        exact_sel = order[:k]
+        # initial probe: 2 nearest cells (or fewer)
+        nprobe = min(2, n_cells)
+        first = list(np.argsort(cdist)[:nprobe])
+        in_first = [i for i in range(len(P)) if assign[i] in first]
+        if len(in_first) < k:
+            continue  # operator falls back to all non-empty cells
+        head = sorted(dists[i] for i in in_first)[:k]
+        kept = set(_certified_probe_cells(cdist, radii, float(head[-1])))
+        for i in exact_sel:
+            assert int(assign[i]) in kept, (
+                trial, i, dists[i], head[-1], assign[i], kept,
+            )
