@@ -247,3 +247,35 @@ def test_mixture_epoch_plan_epoch_cap(spark):
         for r in mixture_epoch_plan(df, budget=1000, max_epochs=3).collect()
     }
     assert got == {"a": 3, "b": 3}
+
+
+def test_token_budget_bucketed_random_equivalence(spark):
+    """Randomized sweep: the sub-bucketed guard path must equal the
+    plain Python global greedy (order by n_chars DESC, doc_id; take
+    while cumsum <= budget) on corpora with heavy rank-value ties —
+    the regime the guard exists for."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.choice([50, 100, 100, 100, 200]), rng.randint(1, 9))
+            for i in range(300)
+        ]
+        budget = rng.randint(200, 1200)
+        ref = []
+        cum = 0
+        for doc_id, n_chars, n_toks in sorted(
+            rows, key=lambda r: (-r[1], r[0])
+        ):
+            if cum + n_toks > budget:
+                break
+            cum += n_toks
+            ref.append(doc_id)
+        got = sorted(
+            r["doc_id"]
+            for r in token_budget_select(
+                _docs(spark, rows), budget=budget, cutoff_bin_max_docs=20
+            ).collect()
+        )
+        assert got == sorted(ref), (seed, budget)
