@@ -745,3 +745,29 @@ def test_pagerank_mass_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ivf_exact_pruned_scan_shape(spark):
+    """Both candidate scans are broadcast-semi-join pruned corpus
+    slices: no cartesian, no nested-loop, no Python eval; the cell
+    list rides as a broadcast."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        ivf_cell_radii,
+        ivf_fit_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, model = ivf_fit_assign(emb, n_cells=8, m_assign=1)
+    radii = ivf_cell_radii(emb, assigned, model.clusterCenters())
+    # reproduce the scan frame the operator builds (the operator
+    # itself collects eagerly, so pin the plan of the same shape)
+    from pyspark.sql import functions as F
+
+    cells_df = spark.createDataFrame([(0,), (1,)], "cell int")
+    probed = assigned.join(F.broadcast(cells_df), "cell", "semi")
+    scan = emb.join(probed, "vec_id", "semi").filter(F.col("vec_id") != 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Broadcast" in plan, plan
