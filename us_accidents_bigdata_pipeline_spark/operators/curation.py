@@ -453,17 +453,19 @@ def source_dedup_quota_report(
     ``fill_per_10k`` (kept/cap in the same integer scale),
     ``over_quota`` (docs beyond the cap).
 
-    Scale shape: two per-source hash aggregates (the dedup profile
-    needs count(DISTINCT text) — Spark expands it to a two-level agg
-    keyed by (source, text), the exact shape of the dedup groupBy
-    itself) plus the quota window, then one join on the tiny
-    source-level frames. Integer ratios keep it hash-exact: float
-    division of counts lands on .xxxx5 half-points (n a power of two)
-    where Spark HALF_UP and DuckDB disagree.
+    Scale shape: two per-source hash aggregates plus the quota window,
+    then one join on the tiny source-level frames. The distinct-content
+    count runs on md5(text), NOT the text itself — Spark expands
+    count(DISTINCT x) into a two-level agg keyed by (source, x), and
+    at 100 TB that key must be a 16-byte digest, never the payload
+    (same discipline as the dedup tier's hash-first groupBy; md5 also
+    keeps the DuckDB oracle engine-exact). Integer ratios keep it
+    hash-exact: float division of counts lands on .xxxx5 half-points
+    (n a power of two) where Spark HALF_UP and DuckDB disagree.
     """
     prof = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(text_col).alias("n_unique_texts"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
     )
     kept = (
         source_quota_cap(

@@ -12657,7 +12657,7 @@ def q_epoch_upsample_assignment(
     "source_dedup_quota_report",
     """WITH prof AS (SELECT source,
                     CAST(count(*) AS BIGINT) AS n_docs,
-                    CAST(count(DISTINCT text) AS BIGINT)
+                    CAST(count(DISTINCT md5(text)) AS BIGINT)
                         AS n_unique_texts
              FROM documents GROUP BY source),
        r AS (SELECT doc_id, source,
