@@ -109,6 +109,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "skew_report_lineitem_suppkey": {"nested_loop"},  # 1-row key totals
     "benford_first_digit": {"nested_loop"},        # 1-row grand total
     "part_affinity_lift": {"nested_loop"},         # 1-row basket count
+    "truncated_dim_topk_overlap": {"nested_loop"}, # k query points
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path

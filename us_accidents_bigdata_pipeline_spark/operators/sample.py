@@ -219,3 +219,42 @@ def temperature_mixture_sample(
         .filter(u16 < F.col("_rate") * 65536)
         .drop("_rate")
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    k: int = 5,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Deterministic STRATIFIED k-fold assignment: within each label
+    stratum, rows are ordered by (md5("{seed}-" ∥ key), key) — a
+    content-derived pseudo-random permutation — and dealt round-robin
+    into ``k`` folds, so every (fold, label) cell holds ⌈n_l/k⌉ or
+    ⌊n_l/k⌋ rows: the balance guarantee cross-validation needs, exact
+    by construction rather than in expectation (randomSplit's folds
+    drift several percent per class).
+
+    Engine-portable and layout-independent: membership is a pure
+    function of (key, label, seed) — md5 (not xxhash64) so a DuckDB
+    oracle reproduces the permutation, fold ids and cell counts
+    bit-for-bit (same discipline as ``mixture_sample``).
+
+    Returns ``df`` plus a ``fold`` int column. Plan shape: one
+    row_number window partitioned by label — a single shuffle on the
+    label key; at 100 TB with few labels the windows are wide, so the
+    companion registry query aggregates to (fold, label) counts whose
+    partial aggs keep the shuffle slim. For a skew-free variant at
+    extreme scale, deal on the md5 u32 directly (mod k) and accept
+    ±O(√n) balance instead of ±1.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(f"{seed}-"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(label_col).orderBy(h, F.col(key_col))
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -1425,3 +1425,132 @@ def semantic_dedup_pairs(
         _cell_pairs, schema="doc_a long, doc_b long, cosine double"
     )
     return pairs.distinct()
+
+
+def label_centroid_distances(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    outlier_cos: float = 0.0,
+) -> DataFrame:
+    """Per-label centroid cosine — the SemDeDup/D4-style prototype
+    readout: how close each vector sits to its class prototype, with a
+    fixed-threshold outlier flag (candidates for pruning or relabel
+    audit in a curation pass; the default 0.0 cut flags vectors
+    anti-correlated with their prototype — ~10% of this corpus).
+
+    Emits EVERY row ((label, vec_id, cos_centroid, is_outlier)) rather
+    than a top-k cut: the flag compares the ROUNDED cosine against the
+    threshold, so engine agreement reduces to rounded-value agreement
+    — no selection boundary that a last-ulp centroid difference could
+    flip (the discipline embedding_dim_profile uses for its means).
+
+    Plan shape at 100 TB: posexplode → (label, dim) partial-agg mean
+    (shuffle is |labels|·|dims| rows after map-side combine), centroid
+    table rebuilt as an ordered array and BROADCAST back — the corpus
+    is scanned twice but shuffled never; the scoring pass is a
+    map-only broadcast join + codegen'd dot product.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    exploded = df.select(
+        F.col(label_col), F.posexplode(dvec).alias("dim", "x")
+    )
+    dim_means = exploded.groupBy(label_col, "dim").agg(
+        F.avg("x").alias("m")
+    )
+    centroids = dim_means.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("_cv")
+    )
+    cos = F.round(cosine_similarity(dvec, F.col("_cv")), 4)
+    return (
+        df.join(F.broadcast(centroids), label_col)
+        .select(
+            F.col(label_col),
+            F.col(id_col),
+            cos.alias("cos_centroid"),
+            (cos < F.lit(outlier_cos)).alias("is_outlier"),
+        )
+    )
+
+
+def truncated_topk_overlap(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style retrieval fidelity: for each query vector, the
+    overlap between the top-``k`` neighbor set under FULL-dimension
+    cosine and under the first-``prefix_dims`` PREFIX cosine — the
+    recall@k readout that tells whether truncated embeddings (the 4×
+    cheaper index) are good enough to serve retrieval.
+
+    Per query: (query_id, n_overlap, recall). Both rankings order by
+    (rounded cosine DESC, neighbor id) — per-row dot products of raw
+    floats are engine-exact, and the tie-break makes each top-k SET
+    deterministic, so the intersection size is oracle-checkable.
+
+    Plan shape: queries (id < n_queries) broadcast; ONE corpus scan
+    computes both scores (the prefix dot is a slice of the same
+    array); two ranking windows partitioned by query — shuffle keyed
+    on query_id only, corpus never shuffles its payload.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), dvec.alias("_v"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice("_v", 1, prefix_dims),
+                    F.slice("_qv", 1, prefix_dims),
+                ),
+                4,
+            ).alias("cos_prefix"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    top_full = ranked.filter(F.col("rf") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    top_prefix = ranked.filter(F.col("rp") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    inter = top_full.join(top_prefix, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        q.select("query_id")
+        .join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 2
+            ).alias("recall_at_k"),
+        )
+    )

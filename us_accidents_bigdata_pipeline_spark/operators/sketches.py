@@ -266,3 +266,84 @@ def exact_heavy_hitters(
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= threshold)
     )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min sketch heavy hitters with an ENGINE-PORTABLE hash —
+    the oracled sibling of ``count_min_totals`` (whose JVM sketch uses
+    Spark-private hashing and is therefore rows-only-checkable).
+
+    Token stream → ``depth`` md5-derived bucket rows (bucket_i =
+    first 6 hex digits of md5("{seed}-{i}-" ∥ token) mod ``width``) →
+    per (row, bucket) counts = the d×w sketch table. A token's
+    estimate is min over rows of its bucket's count — the classic CMS
+    guarantee (estimate ≥ true; collisions only ADD) holds per row and
+    survives the min. Emits the ``top_k`` tokens by estimate with the
+    exact count alongside so the one-sided error is visible.
+
+    Determinism: counts are integers and md5 is bit-identical across
+    engines, so the full table, every estimate, and the (est DESC,
+    token ASC) top-k cut are engine-exact — a DuckDB oracle recomputes
+    the whole sketch.
+
+    Plan shape at 100 TB: the sketch table is d·w rows — built by ONE
+    explode + map-side-combined hash agg, then BROADCAST back onto the
+    distinct-token stream; the only corpus-wide shuffle is the slim
+    (token) agg. No driver state, unlike the JVM-sketch path.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+    def bucket(i: int) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"{seed}-{i}-"), F.col("token")))
+        return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % width).cast(
+            "int"
+        )
+
+    rows = toks.select(
+        F.col("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", F.col("rb.row_i"), F.col("rb.bucket"))
+    sketch = rows.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_count", F.col("rb.row_i"), F.col("rb.bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("token"))
+        .limit(top_k)
+        .select("token", "est_count", "exact_count")
+    )

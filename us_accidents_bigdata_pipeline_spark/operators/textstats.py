@@ -493,3 +493,135 @@ def dsir_logweights(
             F.round(F.coalesce(F.col("_lw"), F.lit(0.0)), 4).alias("logweight"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule panel (Rae et al. 2021 §A1.1) as one row per
+    document: the raw statistics, each rule's verdict, and the overall
+    gate. Unlike ``quality_score`` (a blended scalar), this keeps every
+    rule SEPARATE so a curation run can report which rule rejected each
+    document — the audit a production filter needs.
+
+    Rules: word count within [min_words, max_words]; mean word length
+    within [min_word_len, max_word_len]; fraction of words containing
+    an alphabetic character ≥ min_alpha_frac; at least min_stopwords
+    stopword occurrences.
+
+    Flags are computed on UNROUNDED per-row arithmetic (exact integer
+    ratios in IEEE double — engine-identical); the emitted float stats
+    are rounded for display. Token-less documents fail every rule.
+
+    Plan shape: pure column expressions over a single scan — no join,
+    no shuffle, whole-stage codegen end to end; at 100 TB this is a
+    map-only pass that fuses with whatever filter consumes it.
+    """
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    n = F.size(toks)
+    chars = F.length(F.regexp_replace(text_col, r"\s+", ""))
+    # when-guarded (NULL for token-less docs) rather than raw division:
+    # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO otherwise; the
+    # oracle's CASE WHEN len(toks) > 0 mirrors the NULL
+    mean_wl = F.when(n > 0, chars / n)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n > 0, alpha / n)
+    n_stop = stopword_count(text_col)
+    wc_ok = (n >= min_words) & (n <= max_words)
+    wl_ok = (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
+    al_ok = alpha_frac >= min_alpha_frac
+    sw_ok = n_stop >= min_stopwords
+    nonempty = n > 0
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        (nonempty & wc_ok).alias("word_count_ok"),
+        (nonempty & wl_ok).alias("word_len_ok"),
+        (nonempty & al_ok).alias("alpha_ok"),
+        (nonempty & sw_ok).alias("stopword_ok"),
+        (nonempty & wc_ok & wl_ok & al_ok & sw_ok).alias("pass_gopher"),
+    )
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Pointwise mutual information of token PAIRS by document
+    co-occurrence — the phrase-mining / collocation signal:
+
+        pmi(a,b) = ln( df(a,b) · N / (df(a) · df(b)) )
+
+    over DISTINCT (doc, token) incidences, restricted to tokens whose
+    document frequency is ≥ ``min_doc_freq`` (the vocabulary cap that
+    bounds the pair join). Returns the ``top_k`` pairs.
+
+    Ranking is by the RATIO df(a,b)·N/(df(a)·df(b)) — a single IEEE
+    division of exact integers, engine-identical — with (token_a,
+    token_b) tie-break, so the rank-k cut can never flip on a last-ulp
+    ``ln`` difference between engines; the rounded pmi itself is the
+    emitted value (same discipline as ``tfidf_top_terms``).
+
+    Plan shape: explode → distinct (doc, token) → broadcast-semi join
+    against the Zipf-bounded vocabulary → per-doc self-join (a < b,
+    bounded by per-doc distinct-vocab-token count squared) → (a, b)
+    hash agg with map-side combine → broadcast df(a)/df(b) lookups →
+    TakeOrderedAndProject. The corpus text shuffles once, as slim
+    (doc, token) pairs.
+    """
+    dt = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(word_tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    vocab = dfreq.filter(F.col("df_docs") >= min_doc_freq)
+    dtv = dt.join(F.broadcast(vocab.select("token")), "token")
+    n_docs = df.count()
+    a = dtv.select("_d", F.col("token").alias("token_a"))
+    b = dtv.select("_d", F.col("token").alias("token_b"))
+    pair_df = (
+        a.join(b, "_d")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("df_pair"))
+    )
+    fa = vocab.select(
+        F.col("token").alias("token_a"), F.col("df_docs").alias("df_a")
+    )
+    fb = vocab.select(
+        F.col("token").alias("token_b"), F.col("df_docs").alias("df_b")
+    )
+    ratio = (F.col("df_pair") * F.lit(float(n_docs))) / (
+        F.col("df_a") * F.col("df_b")
+    )
+    return (
+        pair_df.join(F.broadcast(fa), "token_a")
+        .join(F.broadcast(fb), "token_b")
+        .withColumn("_ratio", ratio)
+        .orderBy(F.col("_ratio").desc(), "token_a", "token_b")
+        .limit(top_k)
+        .select(
+            "token_a",
+            "token_b",
+            F.col("df_pair"),
+            F.round(F.log("_ratio"), 4).alias("pmi"),
+        )
+    )

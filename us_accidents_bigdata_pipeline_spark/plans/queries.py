@@ -12799,3 +12799,254 @@ def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").cast("long").alias("n_toks")
     )
     return shard_balance_report(d, n_shards=16, seed=42)
+
+
+@_register(
+    "gopher_quality_rules",
+    r"""WITH s AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '') AS toks,
+                CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                     AS DOUBLE) AS chars,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in',
+                                    'is','it'))) AS INT) AS n_stop
+         FROM documents),
+       m AS (SELECT doc_id,
+                    CAST(len(toks) AS INT) AS n_words,
+                    CASE WHEN len(toks) > 0
+                         THEN chars / len(toks) END AS mwl,
+                    CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_filter(toks,
+                                  t -> regexp_matches(t, '[A-Za-z]')))
+                                   AS DOUBLE) / len(toks) END AS af,
+                    n_stop
+             FROM s)
+       SELECT doc_id, n_words,
+              round(mwl, 4) AS mean_word_len,
+              round(af, 4) AS alpha_frac,
+              n_stop AS n_stopwords,
+              coalesce(n_words > 0 AND n_words >= 50
+                       AND n_words <= 100000, FALSE) AS word_count_ok,
+              coalesce(n_words > 0 AND mwl >= 3.0 AND mwl <= 10.0,
+                       FALSE) AS word_len_ok,
+              coalesce(n_words > 0 AND af >= 0.8, FALSE) AS alpha_ok,
+              coalesce(n_words > 0 AND n_stop >= 2, FALSE) AS stopword_ok,
+              coalesce(n_words > 0 AND n_words >= 50 AND n_words <= 100000
+                       AND mwl >= 3.0 AND mwl <= 10.0 AND af >= 0.8
+                       AND n_stop >= 2, FALSE) AS pass_gopher
+       FROM m""",
+    doc="Gopher-style rule PANEL per document (word-count bounds, mean "
+    "word length, alphabetic-word fraction, stopword presence) with "
+    "per-rule verdicts + overall gate — the audit-grade filter readout "
+    "(unlike quality_score's blended scalar); flags compare UNROUNDED "
+    "per-row integer ratios so the gate is engine-exact; map-only "
+    "column expressions, no shuffle "
+    "(operators/textstats.py::gopher_rules)",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_pmi_pairs",
+    r"""WITH dt AS (
+         SELECT DISTINCT doc_id, t AS token
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS t
+               FROM documents)
+         WHERE t <> ''),
+       vf AS (SELECT token, count(*) AS df_docs FROM dt
+              GROUP BY token HAVING count(*) >= 5),
+       dtv AS (SELECT dt.doc_id, dt.token FROM dt JOIN vf USING (token)),
+       pr AS (SELECT a.token AS token_a, b.token AS token_b,
+                     count(*) AS df_pair
+              FROM dtv a JOIN dtv b
+                ON a.doc_id = b.doc_id AND a.token < b.token
+              GROUP BY a.token, b.token),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+       SELECT pr.token_a, pr.token_b,
+              CAST(pr.df_pair AS BIGINT) AS df_pair,
+              round(ln(pr.df_pair * n.nd
+                       / (fa.df_docs * fb.df_docs)), 4) AS pmi
+       FROM pr
+       JOIN vf fa ON fa.token = pr.token_a
+       JOIN vf fb ON fb.token = pr.token_b
+       CROSS JOIN n
+       ORDER BY pr.df_pair * n.nd / (fa.df_docs * fb.df_docs) DESC,
+                pr.token_a, pr.token_b
+       LIMIT 25""",
+    doc="token-pair PMI by document co-occurrence (phrase-mining / "
+    "collocation signal) over a min-doc-freq vocabulary; ranked by the "
+    "exact-integer RATIO (not ln) with lexicographic tie-break so the "
+    "top-k cut never flips on a libm ulp — same discipline as "
+    "tfidf_top_terms (operators/textstats.py::token_pmi)",
+)
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_pmi
+
+    return token_pmi(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "count_min_heavy_hitters",
+    r"""WITH tok AS (
+         SELECT t AS token
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+               FROM documents)
+         WHERE t <> ''),
+       rb AS (SELECT token, r.i AS row_i,
+                     CAST(CAST('0x' || substr(md5('42-'
+                               || CAST(r.i AS VARCHAR) || '-' || token),
+                               1, 6) AS BIGINT) % 16 AS INT) AS bucket
+              FROM tok, range(0, 4) r(i)),
+       sk AS (SELECT row_i, bucket, count(*) AS c
+              FROM rb GROUP BY row_i, bucket),
+       ex AS (SELECT token, count(*) AS exact_count
+              FROM tok GROUP BY token),
+       pb AS (SELECT ex.token, ex.exact_count, r.i AS row_i,
+                     CAST(CAST('0x' || substr(md5('42-'
+                               || CAST(r.i AS VARCHAR) || '-' || ex.token),
+                               1, 6) AS BIGINT) % 16 AS INT) AS bucket
+              FROM ex, range(0, 4) r(i)),
+       est AS (SELECT pb.token, pb.exact_count, min(sk.c) AS est_count
+               FROM pb JOIN sk USING (row_i, bucket)
+               GROUP BY pb.token, pb.exact_count)
+       SELECT token, CAST(est_count AS BIGINT) AS est_count,
+              CAST(exact_count AS BIGINT) AS exact_count
+       FROM est ORDER BY est_count DESC, token LIMIT 20""",
+    doc="Count-Min sketch heavy hitters with an md5 engine-portable "
+    "hash (d=4; w=16 here so the ~30-token synthetic vocab actually "
+    "collides and the min-over-rows estimate differs from exact — "
+    "w=256 default for real vocabularies): the d×w sketch table "
+    "builds in one map-side-"
+    "combined agg and BROADCASTS back onto the distinct-token stream; "
+    "estimate = min over rows — the whole sketch, every estimate and "
+    "the top-k cut are integer-exact, so the oracle recomputes the "
+    "sketch itself (estimate ≥ exact is the visible one-sided error; "
+    "the JVM-sketch sibling count_min_totals stays rows-only) "
+    "(operators/sketches.py::count_min_heavy_hitters)",
+)
+def q_count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sketches import count_min_heavy_hitters
+
+    return count_min_heavy_hitters(_t(spark, sf_dir, "documents"), width=16)
+
+
+@_register(
+    "stratified_kfold_orders",
+    r"""WITH r AS (
+         SELECT o_orderpriority AS label,
+                row_number() OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY md5('42-' || CAST(o_orderkey AS VARCHAR)),
+                           o_orderkey) AS rn
+         FROM orders)
+       SELECT CAST((rn - 1) % 5 AS INT) AS fold, label,
+              CAST(count(*) AS BIGINT) AS n
+       FROM r GROUP BY fold, label""",
+    doc="deterministic stratified k-fold assignment (md5-permuted "
+    "round-robin within each label stratum — every (fold,label) cell "
+    "balanced to ±1 BY CONSTRUCTION, engine/layout-independent unlike "
+    "randomSplit) verified here as the (fold, label) count matrix "
+    "(operators/sample.py::stratified_kfold)",
+)
+def q_stratified_kfold_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sample import stratified_kfold
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("label")
+    )
+    return (
+        stratified_kfold(o, "label", "o_orderkey", k=5)
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "semantic_centroid_outliers",
+    """WITH e AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       m AS (SELECT label, r.i AS dim, avg(v[r.i]) AS m
+             FROM e, range(1, 65) r(i) GROUP BY label, r.i),
+       c AS (SELECT label, list(m ORDER BY dim) AS cv
+             FROM m GROUP BY label),
+       s AS (SELECT e.label, e.vec_id,
+                    round(list_dot_product(e.v, c.cv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(c.cv, c.cv))), 4)
+                        AS cos_centroid
+             FROM e JOIN c USING (label))
+       SELECT label, vec_id, cos_centroid,
+              (cos_centroid < 0.0) AS is_outlier
+       FROM s""",
+    doc="SemDeDup/D4-style prototype readout: cosine of every vector "
+    "to its label centroid with a fixed-threshold outlier flag — "
+    "emits ALL rows and flags on the ROUNDED cosine, so engine "
+    "agreement reduces to rounded-value agreement (no top-k boundary "
+    "a last-ulp centroid sum could flip); centroid = (label, dim) "
+    "partial-agg means rebuilt into a broadcast array, corpus never "
+    "shuffles (operators/similarity.py::label_centroid_distances)",
+)
+def q_semantic_centroid_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import label_centroid_distances
+
+    return label_centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "truncated_dim_topk_overlap",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                         AS cf,
+                     round(list_dot_product(e.v[1:16], q.qv[1:16])
+                           / (sqrt(list_dot_product(e.v[1:16],
+                                                    e.v[1:16]))
+                              * sqrt(list_dot_product(q.qv[1:16],
+                                                      q.qv[1:16]))), 4)
+                         AS cp
+              FROM e, q WHERE e.vec_id <> q.query_id),
+       r AS (SELECT query_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cf DESC, neighbor_id)
+                        AS rf,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cp DESC, neighbor_id)
+                        AS rp
+             FROM sc)
+       SELECT query_id,
+              CAST(count(*) FILTER (WHERE rf <= 10 AND rp <= 10) AS INT)
+                  AS n_overlap,
+              round(count(*) FILTER (WHERE rf <= 10 AND rp <= 10)
+                    / 10.0, 2) AS recall_at_k
+       FROM r GROUP BY query_id""",
+    doc="Matryoshka retrieval-fidelity eval: recall@10 of the first-16-"
+    "dim PREFIX cosine ranking against the full 64-dim ranking per "
+    "query — the go/no-go readout for serving truncated embeddings at "
+    "a quarter of the index cost; both rankings cut on (rounded "
+    "cosine, id) so the sets are engine-exact; one corpus scan "
+    "computes both scores, shuffle keyed on query_id only "
+    "(operators/similarity.py::truncated_topk_overlap)",
+)
+def q_truncated_dim_topk_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import truncated_topk_overlap
+
+    return truncated_topk_overlap(_t(spark, sf_dir, "embeddings"))
