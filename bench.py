@@ -182,6 +182,17 @@ def _write_sidecars(here: str, full: dict) -> None:
     health-weight."""
     with open(os.path.join(here, "BENCH_full_last.json"), "w") as f:
         json.dump(full, f, indent=1)
+    if float(full.get("sf") or 0.0) != 0.1:
+        # BENCH_full.json records the DRIVER's scale (sf0.1) only: a
+        # developer smoke at sf0.01 must not clobber the judged
+        # artifact with incomparable timings (its raw run is still in
+        # BENCH_full_last.json above).
+        print(
+            "BENCH_full.json untouched (run sf is not the driver's "
+            "0.1); raw run in BENCH_full_last.json",
+            file=sys.stderr,
+        )
+        return
     target = os.path.join(here, "BENCH_full.json")
     incumbent = None
     try:

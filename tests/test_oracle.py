@@ -110,6 +110,9 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "benford_first_digit": {"nested_loop"},        # 1-row grand total
     "part_affinity_lift": {"nested_loop"},         # 1-row basket count
     "truncated_dim_topk_overlap": {"nested_loop"}, # k query points
+    "prefix_ndcg_eval": {"nested_loop"},           # k query points
+    # 1-row point-estimate assembly over the bootstrapped aggregate
+    "bootstrap_ci_daily_revenue": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
@@ -147,6 +150,8 @@ for _name in (
     "mixture_epoch_plan",            # per-source apportionment
     "shard_balance_report",          # 16-row shard aggregate
     "geometric_mean_daily_growth",   # per-day revenue
+    "bootstrap_ci_daily_revenue",    # 2399-row daily aggregate + 200 means
+    "seasonal_naive_backtest_revenue",  # per-day revenue
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

@@ -160,3 +160,83 @@ def test_token_pmi_positive_pair_construction(spark):
     top = out[0]
     assert {top.token_a, top.token_b} == {"alpha", "beta"}
     assert abs(top.pmi - round(math.log(40 * 20 / (20 * 20)), 4)) < 1e-9
+
+
+def test_bootstrap_ci_contains_point_and_orders(spark):
+    """CI brackets the point estimate; repartitioning the aggregate
+    changes nothing (md5 resampler is layout-independent)."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        bootstrap_ci_mean,
+    )
+
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    r1 = bootstrap_ci_mean(d, "day", "rev", n_boot=50).first()
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi
+    r2 = bootstrap_ci_mean(d.repartition(9), "day", "rev", n_boot=50).first()
+    assert (r1.ci_lo, r1.ci_hi, r1.point_mean) == (
+        r2.ci_lo,
+        r2.ci_hi,
+        r2.point_mean,
+    )
+
+
+def test_seasonal_naive_perfect_on_periodic_series(spark):
+    """A perfectly 7-periodic series has zero error everywhere."""
+    import datetime
+
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        seasonal_naive_backtest,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), float(100 + (i % 7) * 10))
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = seasonal_naive_backtest(df, "day", "v", season=7).collect()
+    assert out and all(r.mape == 0.0 and r.smape == 0.0 for r in out)
+
+
+def test_dup_ngram_char_fraction_bounds(spark):
+    """Full repetition → fraction 1.0; all-distinct text → 0.0; short
+    docs (< n tokens) report 0.0, not NULL."""
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        dup_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),          # every bigram repeats
+            (2, "one two three four five"),  # all bigrams distinct
+            (3, "single"),                   # too short for a bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dup_ngram_char_fraction(df, n=2, flag_threshold=0.1)
+        .collect()
+    }
+    assert out[1].dup_char_frac == 1.0 and out[1].is_repetitive
+    assert out[2].dup_char_frac == 0.0 and not out[2].is_repetitive
+    assert out[3].dup_char_frac == 0.0 and not out[3].is_repetitive
+
+
+def test_prefix_ndcg_perfect_when_prefix_is_whole_vector(spark):
+    """prefix_dims = full dim ⇒ identical rankings ⇒ NDCG exactly 1."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        prefix_ndcg,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = prefix_ndcg(emb, n_queries=3, k=5, prefix_dims=64).collect()
+    assert len(out) == 3
+    assert all(r.ndcg_at_k == 1.0 for r in out)

@@ -534,3 +534,135 @@ def quantile_normalize(
     return ranked.join(pooled, "_idx").select(
         id_col, group_col, value_col, "norm_value"
     )
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Nonparametric bootstrap CI for the mean of an AGGREGATE frame
+    (e.g. daily revenue) with a fully DETERMINISTIC resampler: replicate
+    ``b``'s ``j``-th draw picks row ``md5("{seed}-{b}-{j}")``-uniform in
+    [0, n) — a pure function of (seed, b, j), so the whole CI is
+    engine-reproducible (no RNG, no layout dependence; the property
+    randomSplit-style resampling can't give).
+
+    Per-replicate means use EXACT decimal sums (one double division at
+    the end — the ols_normal_eq_sums discipline), so every replicate
+    mean is bit-identical across engines and the percentile order
+    statistics follow exactly. Returns ONE row: (n, n_boot, point_mean,
+    ci_lo, ci_hi) at the (alpha/2, 1-alpha/2) percentiles.
+
+    Scale shape: ``df`` is an aggregate (thousands of rows at any SF) —
+    it BROADCASTS; the (b, j) index grid is n_boot·n slim longs built
+    by ``spark.range`` (no data shuffle), and the only aggregation is
+    the (b)-keyed mean with map-side partials. The raw fact table never
+    participates — bootstrap the aggregate, not the corpus.
+    """
+    spark = df.sparkSession
+    n = df.count()
+    d = df.select(
+        (F.row_number().over(W.orderBy(F.col(key_col))) - 1).alias("_i"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    grid = spark.range(int(n_boot) * n).select(
+        (F.col("id") / n).cast("long").alias("_b"),
+        (F.col("id") % n).alias("_j"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.lit(str(seed)),
+                    F.col("_b").cast("string"),
+                    F.col("_j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = grid.select("_b", (u % n).alias("_i"))
+    means = (
+        draws.join(F.broadcast(d), "_i")
+        .groupBy("_b")
+        .agg(
+            (F.sum("_v").cast("double") / F.lit(float(n))).alias("_m")
+        )
+    )
+    lo_k = int((alpha / 2.0) * n_boot)       # zero-based order stat
+    hi_k = n_boot - 1 - lo_k
+    ranked = means.select(
+        "_m",
+        (F.row_number().over(W.orderBy(F.col("_m"), F.col("_b"))) - 1).alias(
+            "_r"
+        ),
+    )
+    point = d.agg(
+        (F.sum("_v").cast("double") / F.lit(float(n))).alias("pm")
+    )
+    return (
+        ranked.filter(F.col("_r").isin(lo_k, hi_k))
+        .agg(
+            F.round(F.min("_m"), 2).alias("ci_lo"),
+            F.round(F.max("_m"), 2).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.lit(n).cast("long").alias("n"),
+            F.lit(n_boot).cast("int").alias("n_boot"),
+            F.round(F.col("pm"), 2).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_t = y_{t-season})
+    over a daily aggregate series: per calendar month, the MAPE and
+    SMAPE of the lag-``season`` forecast — the baseline every revenue
+    forecast must beat, and the standard sanity readout before
+    shipping anything fancier.
+
+    ``df`` must already be the (date, value) aggregate (exact decimal
+    values recommended); rows whose lag has no history (the first
+    ``season`` days) are excluded. Per-row errors are deterministic
+    IEEE arithmetic on exact inputs; the per-month averages round to 4.
+
+    Scale shape: one lag window over the aggregate-sized series (audit-
+    whitelisted single partition — thousands of rows at any SF), one
+    month-keyed agg.
+    """
+    w = W.orderBy(F.col(date_col))
+    fc = df.select(
+        F.col(date_col).alias("_d"),
+        F.col(value_col).cast("double").alias("_y"),
+        F.lag(F.col(value_col).cast("double"), season).over(w).alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    ape = F.abs(F.col("_y") - F.col("_f")) / F.col("_y")
+    sape = (
+        F.lit(2.0)
+        * F.abs(F.col("_y") - F.col("_f"))
+        / (F.col("_y") + F.col("_f"))
+    )
+    return (
+        fc.groupBy(F.date_format("_d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(ape), 4).alias("mape"),
+            F.round(F.avg(sape), 4).alias("smape"),
+        )
+    )

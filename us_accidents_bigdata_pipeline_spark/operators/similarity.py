@@ -1554,3 +1554,70 @@ def truncated_topk_overlap(
             ).alias("recall_at_k"),
         )
     )
+
+
+def prefix_ndcg(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NDCG@k of the truncated-prefix ranking against the full-dim
+    ranking — the position-aware companion to ``truncated_topk_overlap``
+    (recall counts hits; NDCG also penalizes the prefix index for
+    burying them low). Relevance is binary membership in the full-dim
+    top-k; DCG discounts by 1/log2(prefix_rank+1); IDCG is the perfect
+    prefix ordering's value, a constant Σ_{p=1..k} 1/log2(p+1).
+
+    Both rankings cut on (rounded cosine, id) — engine-exact sets; the
+    log2 discount terms differ across libms only in the last ulp, which
+    the round-4 output absorbs. Same single-scan plan shape as
+    ``truncated_topk_overlap``.
+    """
+    import math
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), dvec.alias("_v"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice("_v", 1, prefix_dims),
+                    F.slice("_qv", 1, prefix_dims),
+                ),
+                4,
+            ).alias("cos_prefix"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    idcg = sum(1.0 / math.log2(p + 1) for p in range(1, k + 1))
+    dcg = F.sum(
+        F.when(
+            (F.col("rp") <= k) & (F.col("rf") <= k),
+            F.lit(1.0) / F.log2(F.col("rp") + 1),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(F.round(dcg / F.lit(idcg), 4).alias("ndcg_at_k"))
+    )

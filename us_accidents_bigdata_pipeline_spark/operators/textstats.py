@@ -625,3 +625,63 @@ def token_pmi(
             F.round(F.log("_ratio"), 4).alias("pmi"),
         )
     )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Gopher's duplicate-n-gram rule at the CHARACTER level (Rae et
+    al. 2021 §A1.1): the fraction of a document's n-gram characters
+    that sit inside word n-grams occurring more than once in that
+    document. ``repetition_flag`` covers the top-token and
+    distinct-ratio rules; this is the remaining rep signal — long
+    copy-pasted runs that unigram stats miss.
+
+    frac = Σ_{g: cnt_g>1} cnt_g·len(g) / Σ_g cnt_g·len(g), rounded to
+    4; documents with fewer than ``n`` tokens have no n-grams and
+    report 0.0. The flag compares the ROUNDED fraction (engine-exact).
+
+    Plan shape: per-row gram array (JVM transform over a sequence — no
+    explode until the slim (id, gram) projection), one (id, gram) hash
+    agg with map-side combine, one per-doc agg, left join back to the
+    id spine. Text shuffles only as grams.
+    """
+    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    per_gram = g.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.length("gram")).alias("_tot"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+            .otherwise(F.lit(0))
+        ).alias("_dup"),
+    )
+    frac = F.round(
+        F.coalesce(F.col("_dup") / F.col("_tot"), F.lit(0.0)), 4
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(frac, F.lit(0.0)).alias("dup_char_frac"),
+            (
+                F.coalesce(frac, F.lit(0.0)) > F.lit(flag_threshold)
+            ).alias("is_repetitive"),
+        )
+    )

@@ -13050,3 +13050,179 @@ def q_truncated_dim_topk_overlap(
     from ..operators.similarity import truncated_topk_overlap
 
     return truncated_topk_overlap(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "bootstrap_ci_daily_revenue",
+    r"""WITH d0 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                   FROM orders GROUP BY 1),
+       d AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+                    CAST(rev AS DECIMAL(18,2)) AS v
+             FROM d0),
+       n AS (SELECT count(*) AS n FROM d),
+       grid AS (SELECT b.i AS b, j.i AS j
+                FROM range(0, 200) b(i), (SELECT i FROM d) j(i)),
+       draws AS (SELECT g.b,
+                        CAST('0x' || substr(md5('42-'
+                             || CAST(g.b AS VARCHAR) || '-'
+                             || CAST(g.j AS VARCHAR)), 1, 8) AS BIGINT)
+                          % n.n AS i
+                 FROM grid g, n),
+       means AS (SELECT dr.b,
+                        CAST(sum(d.v) AS DOUBLE)
+                          / (SELECT CAST(n AS DOUBLE) FROM n) AS m
+                 FROM draws dr JOIN d USING (i) GROUP BY dr.b),
+       ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) - 1 AS r
+                  FROM means),
+       ci AS (SELECT round(min(m), 2) AS ci_lo, round(max(m), 2) AS ci_hi
+              FROM ranked WHERE r IN (5, 194)),
+       pt AS (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS pm FROM d)
+       SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+              CAST(200 AS INT) AS n_boot,
+              round(pt.pm, 2) AS point_mean, ci.ci_lo, ci.ci_hi
+       FROM ci, pt""",
+    doc="deterministic bootstrap 95% CI for MEAN DAILY REVENUE: "
+    "replicate b's j-th draw is md5('42-b-j')-uniform — no RNG, no "
+    "layout dependence, every draw a pure function of (seed,b,j); "
+    "replicate means use EXACT decimal sums (one double division at "
+    "the end) so all 200 order statistics are engine-identical and "
+    "the oracle replays the ENTIRE resampling experiment; bootstrap "
+    "runs on the broadcast daily AGGREGATE (the fact table never "
+    "participates) (operators/profile.py::bootstrap_ci_mean)",
+)
+def q_bootstrap_ci_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import bootstrap_ci_mean
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    return bootstrap_ci_mean(d, "day", "revenue", n_boot=200, alpha=0.05)
+
+
+@_register(
+    "seasonal_naive_backtest_revenue",
+    r"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) AS y
+                  FROM orders GROUP BY 1),
+       f AS (SELECT day, y, lag(y, 7) OVER (ORDER BY day) AS fc FROM d)
+       SELECT strftime(day, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n_days,
+              round(avg(abs(y - fc) / y), 4) AS mape,
+              round(avg(2.0 * abs(y - fc) / (y + fc)), 4) AS smape
+       FROM f WHERE fc IS NOT NULL GROUP BY month""",
+    doc="seasonal-naive (lag-7) forecast backtest over daily revenue: "
+    "per-month MAPE/SMAPE — the baseline any forecaster must beat; "
+    "exact-decimal daily sums cast once to double, one lag window "
+    "over the aggregate series, one month-keyed agg "
+    "(operators/profile.py::seasonal_naive_backtest)",
+)
+def q_seasonal_naive_backtest_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import seasonal_naive_backtest
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    return seasonal_naive_backtest(d, "day", "revenue", season=7)
+
+
+@_register(
+    "dup_ngram_char_fraction_docs",
+    r"""WITH t AS (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text),
+                                     '\s+'), x -> x <> '') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id,
+                    toks[i] || ' ' || toks[i+1] AS gram
+             FROM t, UNNEST(generate_series(1,
+                      greatest(len(toks) - 1, 0))) AS u(i)),
+       pg AS (SELECT doc_id, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, gram),
+       pd AS (SELECT doc_id,
+                     sum(cnt * length(gram)) AS tot,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                              ELSE 0 END) AS dup
+              FROM pg GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(round(pd.dup / CAST(pd.tot AS DOUBLE), 4), 0.0)
+                  AS dup_char_frac,
+              coalesce(round(pd.dup / CAST(pd.tot AS DOUBLE), 4) > 0.1,
+                       FALSE) AS is_repetitive
+       FROM documents d LEFT JOIN pd USING (doc_id)""",
+    doc="Gopher's duplicate-n-gram CHARACTER-fraction rule (the rep "
+    "signal unigram stats miss): share of bigram characters inside "
+    "bigrams repeated within the document (n=2 / flag 0.1 on this "
+    "short-doc corpus; Gopher's 2..4-gram tiers are the n parameter), "
+    "flag on the ROUNDED fraction; per-row JVM gram arrays, one "
+    "(doc,gram) + one per-doc agg "
+    "(operators/textstats.py::dup_ngram_char_fraction)",
+)
+def q_dup_ngram_char_fraction_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import dup_ngram_char_fraction
+
+    return dup_ngram_char_fraction(
+        _t(spark, sf_dir, "documents"), n=2, flag_threshold=0.1
+    )
+
+
+@_register(
+    "prefix_ndcg_eval",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                         AS cf,
+                     round(list_dot_product(e.v[1:16], q.qv[1:16])
+                           / (sqrt(list_dot_product(e.v[1:16],
+                                                    e.v[1:16]))
+                              * sqrt(list_dot_product(q.qv[1:16],
+                                                      q.qv[1:16]))), 4)
+                         AS cp
+              FROM e, q WHERE e.vec_id <> q.query_id),
+       r AS (SELECT query_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cf DESC, neighbor_id)
+                        AS rf,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cp DESC, neighbor_id)
+                        AS rp
+             FROM sc)
+       SELECT query_id,
+              round(sum(CASE WHEN rp <= 10 AND rf <= 10
+                             THEN 1.0 / log2(rp + 1) ELSE 0.0 END)
+                    / 4.543559338088346, 4) AS ndcg_at_k
+       FROM r GROUP BY query_id""",
+    doc="NDCG@10 of the 16-dim-prefix ranking vs the full 64-dim "
+    "ranking — the position-aware companion to "
+    "truncated_dim_topk_overlap (recall counts hits, NDCG penalizes "
+    "burying them); IDCG is the embedded constant Σ 1/log2(p+1) so "
+    "both engines normalize identically; rankings cut on (rounded "
+    "cosine, id) (operators/similarity.py::prefix_ndcg)",
+)
+def q_prefix_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import prefix_ndcg
+
+    return prefix_ndcg(_t(spark, sf_dir, "embeddings"))
