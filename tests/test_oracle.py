@@ -111,6 +111,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "part_affinity_lift": {"nested_loop"},         # 1-row basket count
     "truncated_dim_topk_overlap": {"nested_loop"}, # k query points
     "prefix_ndcg_eval": {"nested_loop"},           # k query points
+    "rrf_fused_topk": {"nested_loop"},             # k query points
+    # non-equi pairwise-slope join over the calendar-BOUNDED daily
+    # aggregate (quadratic in days, never in facts)
+    "theil_sen_daily_revenue": {"nested_loop"},
     # 1-row point-estimate assembly over the bootstrapped aggregate
     "bootstrap_ci_daily_revenue": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
@@ -152,6 +156,8 @@ for _name in (
     "geometric_mean_daily_growth",   # per-day revenue
     "bootstrap_ci_daily_revenue",    # 2399-row daily aggregate + 200 means
     "seasonal_naive_backtest_revenue",  # per-day revenue
+    "mann_whitney_value_click_purchase",  # distinct-value aggregate
+    "theil_sen_daily_revenue",       # order stat over bounded day-pairs
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

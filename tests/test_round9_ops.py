@@ -240,3 +240,117 @@ def test_prefix_ndcg_perfect_when_prefix_is_whole_vector(spark):
     out = prefix_ndcg(emb, n_queries=3, k=5, prefix_dims=64).collect()
     assert len(out) == 3
     assert all(r.ndcg_at_k == 1.0 for r in out)
+
+
+def test_rrf_fusion_agrees_with_manual_score(spark):
+    """RRF score of the top fused hit equals 1/(60+rf) + 1/(60+rp)
+    recomputed from the two standalone rankings."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        rrf_fuse_rankings,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = rrf_fuse_rankings(emb, n_queries=2, k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert 2.0 / (60 + 499) <= r.rrf_score <= 2.0 / 61
+    # ranks are 1..3 per query, scores non-increasing within a query
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rows] == [1, 2, 3]
+        assert all(
+            rows[i].rrf_score >= rows[i + 1].rrf_score for i in range(2)
+        )
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    """U statistics equal the closed-form on a tiny hand sample with
+    ties; identical samples give z = 0 and p = 1 (A&S polynomial at 0
+    is 2·φ(0)·Σb·t at t=1 ≈ 0.9999+)."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "a", "b").first()
+    # pooled midranks: 1.0→1, 2.0→(2+3+4)/3=3, 3.0→5
+    # R_a = 1 + 3 + 3 = 7; U_a = 7 − 3·4/2 = 1; U_b = 6 − 1 = 5
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u_a == 1.0 and r.u_b == 5.0
+    same = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(50)]
+        + [("b", float(i % 5)) for i in range(50)],
+        "g string, v double",
+    )
+    r2 = mann_whitney_u(same, "v", "g", "a", "b").first()
+    assert r2.z == 0.0
+    assert r2.p_two_sided > 0.999
+
+
+def test_theil_sen_exact_on_linear_series(spark):
+    """A perfectly linear series returns exactly its slope; one wild
+    outlier doesn't move it (robustness OLS lacks)."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        theil_sen_slope,
+    )
+
+    rows = [(float(i), 3.0 * i + 7.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert theil_sen_slope(df, "x", "y").first().slope == 3.0
+    rows[15] = (15.0, 1e6)
+    df2 = spark.createDataFrame(rows, "x double, y double")
+    assert theil_sen_slope(df2, "x", "y").first().slope == 3.0
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """32 small files compact to the target count; rows survive and
+    maxRecordsPerFile caps every output file."""
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        compact_parquet,
+        small_file_report,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    docs.repartition(32).write.parquet(src)
+    before = small_file_report(spark, src).first()
+    assert before.n_files == 32 and before.n_rows == n
+    n_out = compact_parquet(spark, src, dst, target_rows_per_file=300)
+    after = small_file_report(spark, dst).first()
+    assert after.n_rows == n
+    assert after.n_files == n_out < 32
+    assert after.max_rows_per_file <= 300
+
+
+def test_compaction_with_sort_clusters_footers(spark, tmp_path):
+    """sort_cols compaction clusters doc_id: per-file [min,max] ranges
+    must not overlap across files (range exchange + within-sort)."""
+    from pyspark.sql import functions as SF
+
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "s2")
+    dst = str(tmp_path / "c2")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.repartition(16).write.parquet(src)
+    n_out = compact_parquet(
+        spark, src, dst, target_rows_per_file=200, sort_cols=["doc_id"]
+    )
+    assert n_out >= 3
+    ranges = (
+        spark.read.parquet(dst)
+        .groupBy(SF.input_file_name().alias("f"))
+        .agg(SF.min("doc_id").alias("lo"), SF.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans

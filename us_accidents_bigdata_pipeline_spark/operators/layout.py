@@ -280,3 +280,77 @@ def global_running_sum(
     return ranged.withColumn(
         out_col, _serial_running_sum(persum, off)
     ).drop("_pid")
+
+
+def small_file_report(spark, path: str) -> "DataFrame":
+    """Small-file audit for a parquet table: rows per physical file via
+    ``input_file_name()`` — fully distributed (no driver filesystem
+    walk, works on any Hadoop-compatible FS), the diagnostic that
+    decides whether a table needs compaction. Returns one summary row:
+    (n_files, n_rows, min_rows_per_file, max_rows_per_file,
+    avg_rows_per_file).
+
+    At 100 TB the killer is not data size but FILE COUNT: a table
+    written by 10k tasks × 1k partitions makes 10M files — listing
+    alone stalls the scan, and every file under a few MB wastes a
+    task. This report is one scan + a file-keyed agg (|files| rows
+    after map-side combine).
+    """
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_f"))
+        .groupBy("_f")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("_n").alias("n_rows"),
+        F.min("_n").alias("min_rows_per_file"),
+        F.max("_n").alias("max_rows_per_file"),
+        F.round(F.avg("_n"), 1).alias("avg_rows_per_file"),
+    )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet table: read → coalesce the row set
+    into ``ceil(n / target_rows_per_file)`` output tasks → write with
+    ``maxRecordsPerFile`` as the hard per-file cap. Returns the number
+    of files written.
+
+    With ``sort_cols`` the rewrite uses ``repartitionByRange`` +
+    ``sortWithinPartitions`` — compaction doubles as a clustering pass
+    (min/max footer stats become selective, the zorder_write sibling
+    for simple prefixes). Without, a plain ``repartition`` balances
+    bytes evenly.
+
+    Scale notes: the rewrite is one shuffle of the table — schedule it
+    off-peak and partition-by-partition on a partitioned table (pass
+    the partition directory as ``src``). maxRecordsPerFile bounds the
+    tail: a skewed range partition splits into several capped files
+    rather than one huge one.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    n = df.count()
+    n_out = max(1, math.ceil(n / target_rows_per_file))
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_out)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst)
+    )
+    return spark.read.parquet(dst).select(
+        F.input_file_name()
+    ).distinct().count()

@@ -666,3 +666,148 @@ def seasonal_naive_backtest(
             F.round(F.avg(sape), 4).alias("smape"),
         )
     )
+
+
+def _normal_sf_two_sided(az):
+    """Two-sided normal tail 2·(1−Φ(az)) via Abramowitz–Stegun 7.1.26
+    (|error| < 7.5e-8, far inside the round-4 output): a fixed
+    polynomial in t = 1/(1+0.2316419·az) times the normal pdf. Spelled
+    in one Horner order and mirrored verbatim in the SQL oracles so
+    both engines run the identical expression tree."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(F.lit(-0.5) * az * az) / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+    return F.lit(2.0) * pdf * poly
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two slices — the
+    nonparametric two-sample test a skewed metric (revenue, latency)
+    needs where the t-test's normality assumption fails.
+
+    Formulated WITHOUT ranking individual rows: the pooled sample
+    reduces to a per-DISTINCT-VALUE aggregate (count per group), the
+    prefix-sum window runs over that aggregate, and the rank sum is
+    Σ cnt_a(v)·midrank(v) with midrank(v) = |{<v}| + (ties(v)+1)/2 —
+    the fact slice shuffles once as (value, counts), never sorts
+    row-by-row. Midranks are exact halves and the rank sum stays below
+    2^52, so R₁/U₁/U₂ are engine-exact; only the tie-corrected z and
+    the two-sided normal p take libm steps, rounded to 4. Neither
+    engine ships erf, so p uses the Abramowitz-Stegun 7.1.26
+    polynomial for the normal CDF — the SAME expression tree on both
+    sides, fed the already-ROUNDED z, so engines differ only in
+    exp()'s last ulp.
+
+    Output: one row (n_a, n_b, u_a, u_b, z, p_two_sided).
+    """
+    pooled = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    per_v = pooled.groupBy("_v").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_ca"),
+        F.count(F.lit(1)).alias("_ct"),
+    )
+    wv = W.orderBy(F.col("_v"))
+    cum = per_v.select(
+        "_ca",
+        "_ct",
+        (
+            F.sum("_ct").over(wv)
+            - F.col("_ct")
+            + (F.col("_ct") + 1) / F.lit(2.0)
+        ).alias("_mr"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("_ca") * F.col("_mr")).alias("r_a"),
+        F.sum("_ca").alias("n_a"),
+        F.sum(F.col("_ct") - F.col("_ca")).alias("n_b"),
+        F.sum(
+            F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct")
+        ).alias("tie_sum"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        F.col("n_a")
+        * F.col("n_b")
+        / F.lit(12.0)
+        * (n + 1 - F.col("tie_sum") / (n * (n - 1)))
+    )
+    z = F.round((u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0)) / F.sqrt(var), 4)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (F.col("n_a") * F.col("n_b") - u_a).alias("u_b"),
+        z.alias("z"),
+        F.round(_normal_sf_two_sided(F.abs(z)), 4).alias(
+            "p_two_sided"
+        ),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen estimator over an AGGREGATE series: the median of all
+    pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), xᵢ<xⱼ — the robust trend readout
+    (up to ~29% outliers) that OLS on daily revenue can't give.
+
+    ``df`` must be aggregate-sized (daily/monthly rollups): the n² pair
+    set of a 2,400-day series is ~2.9M slim rows — trivially parallel,
+    but quadratic, so never point this at a fact table; aggregate
+    first. Median = lower-middle order statistic by (slope, i, j) —
+    a deterministic total order (each slope is one IEEE division of
+    exact inputs), engine-exact; the emitted slope rounds to 6.
+
+    Output: one row (n_points, n_pairs, slope).
+    """
+    a = df.select(
+        F.col(x_col).cast("double").alias("_xa"),
+        F.col(y_col).cast("double").alias("_ya"),
+    )
+    b = df.select(
+        F.col(x_col).cast("double").alias("_xb"),
+        F.col(y_col).cast("double").alias("_yb"),
+    )
+    pairs = a.join(b, F.col("_xa") < F.col("_xb")).select(
+        "_xa",
+        "_xb",
+        ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))).alias(
+            "_s"
+        ),
+    )
+    n_pairs = pairs.count()
+    mid = (n_pairs - 1) // 2  # lower middle, zero-based
+    wr = W.orderBy(F.col("_s"), F.col("_xa"), F.col("_xb"))
+    med = (
+        pairs.select("_s", (F.row_number().over(wr) - 1).alias("_r"))
+        .filter(F.col("_r") == mid)
+        .select(F.round("_s", 6).alias("slope"))
+    )
+    n_points = df.count()
+    return med.select(
+        F.lit(n_points).cast("long").alias("n_points"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        "slope",
+    )

@@ -1621,3 +1621,75 @@ def prefix_ndcg(
         ranked.groupBy("query_id")
         .agg(F.round(dcg / F.lit(idcg), 4).alias("ndcg_at_k"))
     )
+
+
+def rrf_fuse_rankings(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    prefix_dims: int = 16,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion of the full-dim and truncated-prefix
+    cosine rankings (Cormack et al. 2009): score(d) = Σ_r 1/(rrf_k +
+    rank_r(d)) — the standard way to combine heterogeneous retrievers
+    (here: the expensive exact ranking and the cheap prefix index)
+    without score calibration. Returns the fused top-``k`` per query.
+
+    Engine-exact: each RRF term is one IEEE division of exact integers
+    and the sum has two terms — bit-identical across engines — so
+    ordering by (score DESC, id) gives deterministic sets with no
+    rounding cut needed; the emitted score rounds to 6.
+
+    Same one-scan/broadcast-query plan shape as the other prefix evals.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), dvec.alias("_v"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice("_v", 1, prefix_dims),
+                    F.slice("_qv", 1, prefix_dims),
+                ),
+                4,
+            ).alias("cos_prefix"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("neighbor_id")
+    )
+    fused = scored.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.lit(1.0) / (F.lit(rrf_k) + F.row_number().over(wf))
+            + F.lit(1.0) / (F.lit(rrf_k) + F.row_number().over(wp))
+        ).alias("_s"),
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= k)
+        .select(
+            "query_id",
+            F.col("_r").alias("fused_rank"),
+            "neighbor_id",
+            F.round("_s", 6).alias("rrf_score"),
+        )
+    )

@@ -13226,3 +13226,161 @@ def q_prefix_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import prefix_ndcg
 
     return prefix_ndcg(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "rrf_fused_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                         AS cf,
+                     round(list_dot_product(e.v[1:16], q.qv[1:16])
+                           / (sqrt(list_dot_product(e.v[1:16],
+                                                    e.v[1:16]))
+                              * sqrt(list_dot_product(q.qv[1:16],
+                                                      q.qv[1:16]))), 4)
+                         AS cp
+              FROM e, q WHERE e.vec_id <> q.query_id),
+       r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cf DESC, neighbor_id)
+                        AS rf,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cp DESC, neighbor_id)
+                        AS rp
+             FROM sc),
+       f AS (SELECT query_id, neighbor_id,
+                    1.0 / (60 + rf) + 1.0 / (60 + rp) AS s
+             FROM r),
+       rk AS (SELECT query_id, neighbor_id, s,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY s DESC,
+                                                      neighbor_id)
+                          AS INT) AS fused_rank
+              FROM f)
+       SELECT query_id, fused_rank, neighbor_id,
+              round(s, 6) AS rrf_score
+       FROM rk WHERE fused_rank <= 5""",
+    doc="reciprocal-rank fusion of the exact full-dim ranking and the "
+    "cheap 16-dim-prefix ranking (Cormack 2009; k=60) — calibration-"
+    "free retriever combination; each RRF term is one IEEE division "
+    "of exact integers so scores are engine-exact and the fused "
+    "top-k cut needs no rounding "
+    "(operators/similarity.py::rrf_fuse_rankings)",
+)
+def q_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rrf_fuse_rankings
+
+    return rrf_fuse_rankings(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "mann_whitney_value_click_purchase",
+    """WITH p AS (SELECT (event_type = 'click') AS ia, value AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL),
+       pv AS (SELECT v, sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca,
+                     count(*) AS ct
+              FROM p GROUP BY v),
+       c AS (SELECT ca, ct,
+                    sum(ct) OVER (ORDER BY v) - ct + (ct + 1) / 2.0
+                        AS mr
+             FROM pv),
+       a AS (SELECT CAST(sum(ca * mr) AS DOUBLE) AS r_a,
+                    CAST(sum(ca) AS BIGINT) AS n_a,
+                    CAST(sum(ct - ca) AS BIGINT) AS n_b,
+                    CAST(sum(ct*ct*ct - ct) AS BIGINT) AS tie_sum
+             FROM c),
+       zc AS (SELECT n_a, n_b,
+                     r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+                     round(((r_a - n_a * (n_a + 1) / 2.0)
+                            - n_a * n_b / 2.0)
+                           / sqrt(n_a * n_b / 12.0
+                                  * (n_a + n_b + 1
+                                     - tie_sum
+                                       / ((n_a + n_b)
+                                          * (n_a + n_b - 1)))), 4) AS z
+              FROM a),
+       pp AS (SELECT *, abs(z) AS az,
+                     1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+              FROM zc)
+       SELECT n_a, n_b, u_a,
+              CAST(n_a * n_b AS DOUBLE) - u_a AS u_b, z,
+              round(2.0 * (exp(-0.5 * az * az)
+                           / sqrt(2.0 * 3.141592653589793))
+                    * (t * (0.319381530
+                            + t * (-0.356563782
+                                   + t * (1.781477937
+                                          + t * (-1.821255978
+                                                 + t * 1.330274429))))),
+                    4) AS p_two_sided
+       FROM pp""",
+    doc="Mann-Whitney U rank-sum test (click vs purchase event values) "
+    "WITHOUT row-ranking: the pooled sample reduces to per-DISTINCT-"
+    "VALUE counts, midranks come from a prefix sum over that "
+    "aggregate, and R1 = Σ cnt_a·midrank is exact halves (< 2^52) — "
+    "engine-exact U statistics; tie-corrected z and the A&S-polynomial "
+    "normal p are the only libm steps, rounded to 4 "
+    "(operators/profile.py::mann_whitney_u)",
+)
+def q_mann_whitney_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
+
+
+@_register(
+    "theil_sen_daily_revenue",
+    r"""WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS x,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS y
+               FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       pr AS (SELECT a.x AS xa, b.x AS xb,
+                     (b.y - a.y) / (b.x - a.x) AS s
+              FROM d a JOIN d b ON a.x < b.x),
+       n AS (SELECT count(*) AS np FROM pr),
+       rk AS (SELECT s, row_number() OVER (ORDER BY s, xa, xb) - 1 AS r
+              FROM pr)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_points,
+              (SELECT CAST(np AS BIGINT) FROM n) AS n_pairs,
+              round(s, 6) AS slope
+       FROM rk, n WHERE r = (np - 1) // 2""",
+    doc="Theil-Sen robust trend of daily revenue: median of all "
+    "pairwise slopes over the calendar-BOUNDED daily aggregate (n² of "
+    "~2,400 days ≈ 2.9M slim pairs at any SF — quadratic in days, "
+    "never in facts); every slope is one IEEE division of exact "
+    "inputs and the median is a (slope, i, j) order statistic — "
+    "engine-exact selection, rounded output "
+    "(operators/profile.py::theil_sen_slope)",
+)
+def q_theil_sen_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import theil_sen_slope
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .alias("x"),
+            "y",
+        )
+    )
+    return theil_sen_slope(d, "x", "y")
