@@ -45,6 +45,16 @@ from us_accidents_bigdata_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_banded_pairs,
 )
+from us_accidents_bigdata_pipeline_spark.operators.sketches import (
+    count_min_heavy_hitters,
+)
+from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+    label_centroid_distances,
+)
+from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+    dup_ngram_char_fraction,
+    gopher_rules,
+)
 from us_accidents_bigdata_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +153,17 @@ def data_scaling(spark) -> dict:
             "curriculum_phases": timed(
                 lambda: curriculum_phases(d).count()
             ),
+            # round-9b text ops: map-only panel, gram-agg fraction,
+            # sketch build+probe — all should ride shuffled bytes
+            "gopher_quality_rules": timed(
+                lambda: gopher_rules(d).count()
+            ),
+            "dup_ngram_char_fraction": timed(
+                lambda: dup_ngram_char_fraction(d, n=2).count()
+            ),
+            "count_min_heavy_hitters": timed(
+                lambda: count_min_heavy_hitters(d, width=16).count()
+            ),
         }
         d.unpersist(), e.unpersist()
 
@@ -150,6 +171,17 @@ def data_scaling(spark) -> dict:
     # keys must shift per copy: re-keying only l_orderkey would leave
     # every copy emitting the same (partkey, partkey) edges, which
     # copurchase_edges' distinct collapses — the graph has to GROW.
+    # round-9b embedding op rides the embeddings table (vec_id rekey;
+    # labels unchanged so per-label strata grow with the data)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for mult in (1, 4, 8):
+        er = replicate(emb, mult, "vec_id").persist()
+        er.count()
+        out.setdefault(f"x{mult}", {})["label_centroid_distances"] = timed(
+            lambda: label_centroid_distances(er).count()
+        )
+        er.unpersist()
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
         F.col("l_orderkey") < 2000
     )

@@ -354,3 +354,38 @@ def test_compaction_with_sort_clusters_footers(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans
+
+
+def test_mann_whitney_randomized_vs_reference(spark):
+    """Randomized equivalence: U statistics match a pure-Python midrank
+    computation on seeded samples with heavy ties."""
+    import random
+
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        mann_whitney_u,
+    )
+
+    rng = random.Random(2024)
+    for trial in range(3):
+        rows = [
+            ("a", float(rng.randint(0, 8))) for _ in range(rng.randint(5, 40))
+        ] + [
+            ("b", float(rng.randint(2, 10))) for _ in range(rng.randint(5, 40))
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = mann_whitney_u(df, "v", "g", "a", "b").first()
+        pooled = sorted(v for _, v in rows)
+        midrank = {}
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j] == pooled[i]:
+                j += 1
+            midrank[pooled[i]] = (i + 1 + j) / 2.0
+            i = j
+        r_a = sum(midrank[v] for g, v in rows if g == "a")
+        n_a = sum(1 for g, _ in rows if g == "a")
+        n_b = len(rows) - n_a
+        u_a = r_a - n_a * (n_a + 1) / 2.0
+        assert (got.n_a, got.n_b) == (n_a, n_b), trial
+        assert got.u_a == u_a and got.u_b == n_a * n_b - u_a, trial
