@@ -811,3 +811,61 @@ def theil_sen_slope(
         F.lit(n_pairs).cast("long").alias("n_pairs"),
         "slope",
     )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Exact trimmed mean per group via a GROUPED-AGG pandas UDF
+    (Series → scalar) — the remaining member of the Arrow UDF family
+    (scalar, grouped-map, co-grouped-map, UDTF, applyInArrow,
+    applyInPandasWithState are exercised elsewhere): drop the lowest
+    and highest ``floor(trim_frac·n)`` values, mean the middle — the
+    outlier-robust location estimate between mean (0% trim) and median
+    (50%).
+
+    The trim count is ``floor(n · trim_frac)`` with the SAME float
+    product the SQL oracle computes (``floor(n*0.1)``), so the
+    surviving MULTISET is engine-identical (ties don't matter — any
+    representative of a tied value leaves the same survivors). Only
+    the final mean differs in summation order; round 4 absorbs it.
+
+    Scale shape: Arrow-batched partial aggregation per group — each
+    group's values stream into one pandas Series (grouped-agg UDFs
+    hold a group in memory: fine for bounded categories; billion-row
+    groups should use the percentile_cont/winsorized formulation
+    instead, `winsorized_mean_price`'s plan).
+    """
+    import math
+
+    # module-scope pandas import (bottom of file) — the GROUPED_AGG
+    # eval type is inferred from the (Series -> float) type hints,
+    # which get_type_hints can only resolve against module globals
+    @F.pandas_udf("double")
+    def _tmean(v: pd.Series) -> float:
+        a = v.dropna().sort_values().to_numpy()
+        k = math.floor(len(a) * trim_frac)
+        core = a[k : len(a) - k] if len(a) > 2 * k else a
+        return round(float(core.mean()), 4) if len(core) else None
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the group size is
+    # a second pandas aggregate, not F.count
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(v.notna().sum())
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            _tmean(F.col(value_col).cast("double")).alias("trimmed_mean"),
+            _n(F.col(value_col).cast("double")).alias("n"),
+        )
+    )
+
+
+import pandas as pd  # noqa: E402  (type-hint resolution for GROUPED_AGG UDFs)

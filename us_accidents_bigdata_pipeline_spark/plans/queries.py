@@ -13384,3 +13384,34 @@ def q_theil_sen_daily_revenue(
         )
     )
     return theil_sen_slope(d, "x", "y")
+
+
+@_register(
+    "trimmed_mean_value_by_type",
+    """WITH r AS (SELECT event_type, value,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY value) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS n
+                 FROM events WHERE value IS NOT NULL)
+       SELECT event_type,
+              round(avg(value), 4) AS trimmed_mean,
+              CAST(min(n) AS BIGINT) AS n
+       FROM r
+       WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+       GROUP BY event_type""",
+    doc="exact 10% trimmed mean per event type via a GROUPED-AGG "
+    "pandas UDF (Series→scalar — completes the Arrow UDF family "
+    "alongside the scalar/grouped-map/co-grouped/UDTF surfaces); the "
+    "trim count floor(n*0.1) uses the same float product both "
+    "engines compute, so the surviving multiset is engine-identical "
+    "and only the final mean's summation order differs (round 4) "
+    "(operators/profile.py::trimmed_mean_by_group)",
+)
+def q_trimmed_mean_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import trimmed_mean_by_group
+
+    return trimmed_mean_by_group(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
