@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
         help="epoch cap for --token-budget (repetition beyond a few "
         "epochs risks memorization)",
     )
+    ap.add_argument(
+        "--compact-curated-rows",
+        type=int,
+        default=0,
+        help="when > 0, rewrite the curated/ output compacted to at "
+        "most this many rows per file (layout.compact_parquet) — the "
+        "small-file management pass a many-task export needs; the "
+        "small-file report is emitted either way",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -246,6 +255,42 @@ def main(argv: list[str] | None = None) -> int:
     )
     curated.unpersist()
     split_docs.unpersist()
+
+    # ---- small-file observability (+ optional compaction) ----
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        compact_parquet,
+        small_file_report,
+    )
+
+    curated_dir = os.path.join(args.out, "curated")
+    if args.compact_curated_rows > 0:
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="compact_", dir=args.out)
+        n_files = compact_parquet(
+            spark, curated_dir, tmp,
+            target_rows_per_file=args.compact_curated_rows,
+        )
+        shutil.rmtree(curated_dir)
+        os.rename(tmp, curated_dir)
+        print(f"compacted curated/ to {n_files} files "
+              f"(<= {args.compact_curated_rows} rows each)", flush=True)
+    files_report = {}
+    for label, path in (
+        ("curated", curated_dir),
+        ("shards_train", os.path.join(args.out, "shards", "train")),
+        ("shards_eval", os.path.join(args.out, "shards", "eval")),
+    ):
+        r = small_file_report(spark, path).first()
+        files_report[label] = {
+            "n_files": int(r["n_files"]),
+            "n_rows": int(r["n_rows"]),
+            "min_rows_per_file": int(r["min_rows_per_file"]),
+            "max_rows_per_file": int(r["max_rows_per_file"]),
+        }
+    print(f"files: {files_report}", flush=True)
+
     report = {
         "dq": dq_report,
         "funnel": [
@@ -258,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
         "audit": {k: int(v) for k, v in audit.items()},
         "shards": args.shards,
         "seed": args.seed,
+        "files": files_report,
     }
     if budget_report is not None:
         report["token_budget"] = budget_report

@@ -14,12 +14,13 @@ import os
 import bench
 
 
-def _run(probe, commit="c1", value=1.0):
+def _run(probe, commit="c1", value=1.0, sf=0.1):
     return {
         "metric": "headline_queries_total",
         "value": value,
         "cpu_probe_miters": probe,
         "git_commit": commit,
+        "sf": sf,
     }
 
 
@@ -85,3 +86,15 @@ def test_git_commit_stamp_resolves():
     assert c == "unknown" or (len(c) == 40 and all(
         ch in "0123456789abcdef" for ch in c
     ))
+
+
+def test_non_driver_sf_never_touches_judged_artifact(tmp_path):
+    """A developer smoke at sf0.01 lands only in BENCH_full_last.json —
+    the judged artifact records the driver's scale (0.1) exclusively
+    (an sf0.01 run clobbered it once; this pins the guard)."""
+    d = str(tmp_path)
+    bench._write_sidecars(d, _run(5.0, "c1", sf=0.1))
+    bench._write_sidecars(d, _run(50.0, "c2", value=9.9, sf=0.01))
+    assert _read(d, "BENCH_full.json")["sf"] == 0.1
+    assert _read(d, "BENCH_full.json")["git_commit"] == "c1"
+    assert _read(d, "BENCH_full_last.json")["sf"] == 0.01

@@ -58,6 +58,15 @@ def test_export_corpus_end_to_end(spark, tmp_path):
     assert report["k_anonymity"]["k"] == 5
     assert report["k_anonymity"]["exposed_records"] >= 0
 
+    # small-file report covers all three output trees and adds up
+    assert set(report["files"]) == {"curated", "shards_train",
+                                    "shards_eval"}
+    assert report["files"]["curated"]["n_rows"] == report["audit"]["n_docs"]
+    assert (
+        report["files"]["shards_train"]["n_rows"]
+        == report["split"]["train"]
+    )
+
     # The export itself: curated parquet + both shard trees readable,
     # shard counts add back up to the split counts, and each split tree
     # is laid out as shard=K/ partition directories.
@@ -127,3 +136,31 @@ def test_export_corpus_token_budget_epochs(spark, tmp_path):
     assert "n_epochs" in curated.columns
     eps = [r["n_epochs"] for r in curated.select("n_epochs").collect()]
     assert eps and all(1 <= e <= 3 for e in eps)
+
+
+def test_export_corpus_compaction_option(spark, tmp_path):
+    """--compact-curated-rows rewrites curated/ under the per-file cap
+    and the report reflects the compacted tree."""
+    import json
+    import os
+
+    out = str(tmp_path / "corpus_export_c")
+    rc = export_main(
+        [
+            "--sf-dir", SF_SMOKE,
+            "--out", out,
+            "--shards", "2",
+            "--compact-curated-rows", "100",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    with open(os.path.join(out, "export_report.json")) as f:
+        report = json.load(f)
+    cur = report["files"]["curated"]
+    assert cur["max_rows_per_file"] <= 100
+    assert (
+        spark.read.parquet(os.path.join(out, "curated")).count()
+        == cur["n_rows"]
+        == report["audit"]["n_docs"]
+    )
