@@ -389,3 +389,50 @@ def test_mann_whitney_randomized_vs_reference(spark):
         u_a = r_a - n_a * (n_a + 1) / 2.0
         assert (got.n_a, got.n_b) == (n_a, n_b), trial
         assert got.u_a == u_a and got.u_b == n_a * n_b - u_a, trial
+
+
+def test_stratified_kfold_property(spark):
+    """Property check: for ANY label multiset and any k, every
+    (label) stratum's fold counts are balanced ±1, every row keeps its
+    original label, and fold ids cover exactly 0..k-1 (for strata with
+    ≥ k rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        stratified_kfold,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        labels=st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=60
+        ),
+        k=st.sampled_from([2, 3, 5]),
+    )
+    def run(labels, k):
+        df = spark.createDataFrame(
+            [(i, lab) for i, lab in enumerate(labels)],
+            "key long, label string",
+        ).repartition(3)
+        out = stratified_kfold(df, "label", "key", k=k).collect()
+        assert len(out) == len(labels)
+        per: dict = {}
+        for r in out:
+            assert 0 <= r.fold < k
+            assert labels[r.key] == r.label
+            per.setdefault(r.label, []).append(r.fold)
+        for lab, folds in per.items():
+            counts = [folds.count(f) for f in range(k)]
+            nz = [c for c in counts if c > 0]
+            assert max(counts) - min(counts) <= 1 or (
+                len(folds) < k and max(nz) - min(nz) <= 1
+            ), (lab, counts)
+            if len(folds) >= k:
+                assert all(c > 0 for c in counts), (lab, counts)
+
+    run()

@@ -333,3 +333,90 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def common_neighbors_link_prediction(
+    edges: DataFrame,
+    top_k: int = 20,
+    max_degree: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link prediction by common-neighbor count (+ Jaccard of
+    neighborhoods) over an undirected graph: the top ``top_k``
+    NON-ADJACENT node pairs ranked by how many neighbors they share —
+    the classic 'customers who bought X also bought Y' candidate
+    generator, and the baseline every fancier link predictor must
+    beat.
+
+    Ranking is (common DESC, u, v) — pure integers, engine-exact cut;
+    Jaccard = common/(deg_u + deg_v − common) is emitted rounded.
+
+    Scale shape: the wedge join through a node fans out degree² rows —
+    on scale-free graphs one hub degenerates the join exactly like a
+    hot shingle in ngram_jaccard_pairs. ``max_degree`` is the same
+    guard: nodes above the cap are dropped from the adjacency BEFORE
+    the wedge join (hubs are near-useless evidence for link prediction
+    anyway — they co-occur with everything), bounding any node's
+    contribution to cap². Degrees and Jaccard are then computed on the
+    capped graph, self-consistently. The candidate anti-join against
+    the edge set and the degree lookups are all key-partitioned
+    hash joins.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    if max_degree is not None:
+        hubs = (
+            adj.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > max_degree)
+            .select("n")
+        )
+        adj = adj.join(F.broadcast(hubs), "n", "left_anti").join(
+            F.broadcast(hubs.select(F.col("n").alias("nbr"))),
+            "nbr",
+            "left_anti",
+        )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select(F.col("n").alias("_mid"), F.col("nbr").alias("x"))
+    b = adj.select(F.col("n").alias("_mid"), F.col("nbr").alias("y"))
+    cand = (
+        a.join(b, "_mid")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            und.select(
+                F.col("u").alias("x"), F.col("v").alias("y")
+            ),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .orderBy(F.col("common").desc(), "x", "y")
+        .limit(top_k)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

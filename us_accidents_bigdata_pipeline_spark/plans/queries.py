@@ -13415,3 +13415,52 @@ def q_trimmed_mean_value_by_type(
     return trimmed_mean_by_group(
         _t(spark, sf_dir, "events"), "event_type", "value"
     )
+
+
+@_register(
+    "link_prediction_copurchase",
+    """WITH e AS (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                         greatest(a.l_partkey, b.l_partkey) AS v
+         FROM lineitem a
+         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey < 2000 AND b.l_orderkey < 2000),
+       adj AS (SELECT u AS n, v AS nbr FROM e
+               UNION ALL SELECT v AS n, u AS nbr FROM e),
+       deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+       cand AS (SELECT a.nbr AS x, b.nbr AS y, count(*) AS common
+                FROM adj a JOIN adj b
+                  ON a.n = b.n AND a.nbr < b.nbr
+                GROUP BY a.nbr, b.nbr),
+       nonadj AS (SELECT c.x, c.y, c.common FROM cand c
+                  LEFT JOIN e ON e.u = c.x AND e.v = c.y
+                  WHERE e.u IS NULL)
+       SELECT x AS part_a, y AS part_b,
+              CAST(common AS BIGINT) AS common,
+              round(common
+                    / CAST(dx.deg + dy.deg - common AS DOUBLE), 4)
+                  AS jaccard
+       FROM nonadj
+       JOIN deg dx ON dx.n = x
+       JOIN deg dy ON dy.n = y
+       ORDER BY common DESC, x, y LIMIT 20""",
+    doc="common-neighbor link prediction on the co-purchase graph "
+    "(bounded order slice, same subgraph as bfs_copurchase_hops): "
+    "top non-adjacent part pairs by shared neighbors + neighborhood "
+    "Jaccard — the 'also bought' candidate generator; integer "
+    "ranking, engine-exact cut. The operator's max_degree guard "
+    "drops hub nodes before the wedge join (degree² fanout — the "
+    "graph analog of the hot-shingle cap) "
+    "(operators/graph.py::common_neighbors_link_prediction)",
+)
+def q_link_prediction_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import (
+        common_neighbors_link_prediction,
+        copurchase_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return common_neighbors_link_prediction(copurchase_edges(li))
