@@ -223,3 +223,56 @@ def k_anonymity_audit(
             F.col("class_size").alias("n_below_k"),
         )
     )
+
+
+def dp_noisy_group_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Laplace-mechanism noisy group counts — the release shape of a
+    differentially-private COUNT(*) GROUP BY (sensitivity 1, scale
+    b = 1/ε), with the inverse-CDF noise u → −b·sign(u−½)·ln(1−2|u−½|).
+
+    **The noise here is SEEDED (md5 of seed+group), not secure
+    randomness — deterministic noise provides NO privacy.** This
+    operator exists to verify the MECHANISM (noise shape, scale,
+    ε accounting, group-keyed plan) cross-engine and in tests; a
+    production release must replace the uniform with a secure RNG
+    draw (one line: the ``u`` expression).
+
+    The md5 uniform is (h48 + 0.5)/2^48 ∈ (0,1) — exactly
+    representable, never 0 or 1, so ln never sees 0; ln is the only
+    libm step and the output rounds to 4.
+
+    Plan shape: one group-keyed count agg, map-only noise expression —
+    the DP overhead is a per-GROUP constant, free at any scale.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    h48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}-"), F.col(group_col).cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    b = 1.0 / epsilon
+    dev = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(dev)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(dev))
+    )
+    return counts.select(
+        F.col(group_col),
+        F.round(F.col("_n") + noise, 4).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

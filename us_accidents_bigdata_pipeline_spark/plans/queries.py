@@ -13464,3 +13464,36 @@ def q_link_prediction_copurchase(
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     return common_neighbors_link_prediction(copurchase_edges(li))
+
+
+@_register(
+    "dp_noisy_priority_counts",
+    """WITH c AS (SELECT o_orderpriority, count(*) AS n
+                 FROM orders GROUP BY o_orderpriority),
+       u AS (SELECT o_orderpriority, n,
+                    (CAST(CAST('0x' || substr(md5('42-'
+                          || o_orderpriority), 1, 12) AS BIGINT)
+                          AS DOUBLE) + 0.5) / 281474976710656.0 AS uu
+             FROM c)
+       SELECT o_orderpriority,
+              round(n + (-1.0) * sign(uu - 0.5)
+                        * ln(1.0 - 2.0 * abs(uu - 0.5)), 4)
+                  AS noisy_count,
+              CAST(1.0 AS DOUBLE) AS epsilon
+       FROM u""",
+    doc="Laplace-mechanism noisy group counts (sensitivity-1 COUNT "
+    "GROUP BY at eps=1): inverse-CDF noise from an md5 uniform in "
+    "(0,1) — SEEDED noise verifies the mechanism cross-engine but "
+    "provides NO privacy (docs say so loudly); production swaps the "
+    "uniform for a secure RNG draw. Map-only noise over the group "
+    "aggregate — DP overhead is per-GROUP constant "
+    "(operators/dq.py::dp_noisy_group_counts)",
+)
+def q_dp_noisy_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dq import dp_noisy_group_counts
+
+    return dp_noisy_group_counts(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", epsilon=1.0
+    )
