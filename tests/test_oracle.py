@@ -117,6 +117,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "theil_sen_daily_revenue": {"nested_loop"},
     # 1-row point-estimate assembly over the bootstrapped aggregate
     "bootstrap_ci_daily_revenue": {"nested_loop"},
+    # 1-row CUPED moment frame (theta, xbar, vy) broadcast back
+    "cuped_order_value_by_segment": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path

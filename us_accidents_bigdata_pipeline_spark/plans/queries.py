@@ -13497,3 +13497,109 @@ def q_dp_noisy_priority_counts(
     return dp_noisy_group_counts(
         _t(spark, sf_dir, "orders"), "o_orderpriority", epsilon=1.0
     )
+
+
+@_register(
+    "wilson_ci_conversion_by_type",
+    """WITH a AS (SELECT event_type,
+                        sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+                            AS k,
+                        count(*) AS n
+                 FROM events GROUP BY event_type)
+       SELECT event_type,
+              CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+              round(k / CAST(n AS DOUBLE), 4) AS rate,
+              round((k / CAST(n AS DOUBLE)
+                     + 1.959963984540054 * 1.959963984540054 / (2.0 * n)
+                     - 1.959963984540054
+                       * sqrt((k / CAST(n AS DOUBLE))
+                              * (1.0 - k / CAST(n AS DOUBLE)) / n
+                              + 1.959963984540054 * 1.959963984540054
+                                / (4.0 * n * n)))
+                    / (1.0 + 1.959963984540054
+                             * 1.959963984540054 / n), 4) AS ci_lo,
+              round((k / CAST(n AS DOUBLE)
+                     + 1.959963984540054 * 1.959963984540054 / (2.0 * n)
+                     + 1.959963984540054
+                       * sqrt((k / CAST(n AS DOUBLE))
+                              * (1.0 - k / CAST(n AS DOUBLE)) / n
+                              + 1.959963984540054 * 1.959963984540054
+                                / (4.0 * n * n)))
+                    / (1.0 + 1.959963984540054
+                             * 1.959963984540054 / n), 4) AS ci_hi
+       FROM a""",
+    doc="Wilson score interval for per-type conversion rate (value > "
+    "100 as the success predicate) — the A/B readout that behaves at "
+    "small n and extreme rates where Wald doesn't; the 95% z is an "
+    "embedded literal so both engines run the identical closed form "
+    "(sqrt is the only libm step) "
+    "(operators/profile.py::wilson_ci_proportion)",
+)
+def q_wilson_ci_conversion_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import wilson_ci_proportion
+
+    return wilson_ci_proportion(
+        _t(spark, sf_dir, "events"), "event_type", F.col("value") > 100.0
+    )
+
+
+@_register(
+    "cuped_order_value_by_segment",
+    """WITH y AS (SELECT o_custkey AS ck, sum(o_totalprice) AS yv
+                 FROM orders WHERE year(o_orderdate) = 1996
+                 GROUP BY o_custkey),
+       x AS (SELECT o_custkey AS ck, sum(o_totalprice) AS xv
+             FROM orders WHERE year(o_orderdate) = 1995
+             GROUP BY o_custkey),
+       m AS (SELECT c.c_mktsegment, y.yv AS yy,
+                    coalesce(x.xv, 0.0) AS xx
+             FROM y JOIN customer c ON c.c_custkey = y.ck
+             LEFT JOIN x ON x.ck = y.ck),
+       mo AS (SELECT covar_pop(xx, yy) / var_pop(xx) AS th,
+                     avg(xx) AS xb, var_pop(yy) AS vy
+              FROM m),
+       a AS (SELECT m.c_mktsegment, m.yy,
+                    m.yy - mo.th * (m.xx - mo.xb) AS ya, mo.vy
+             FROM m, mo),
+       r AS (SELECT round(1.0 - var_pop(ya) / min(vy), 6)
+                 AS var_reduction FROM a)
+       SELECT a.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+              round(avg(a.yy), 4) AS mean_raw,
+              round(avg(a.ya), 4) AS mean_adjusted,
+              r.var_reduction
+       FROM a, r GROUP BY a.c_mktsegment, r.var_reduction""",
+    doc="CUPED variance reduction (Deng 2013) on per-customer 1996 "
+    "order value with 1995 spend as the pre-period covariate: "
+    "adjusted = y − θ(x−x̄), θ = cov/var over the joined population "
+    "(missing history → x=0); per-segment raw vs adjusted means + the "
+    "population variance-reduction share — the experimentation "
+    "operator that shrinks A/B CIs for free; same covar_pop/var_pop "
+    "algebra the grouped_ols oracle certifies, one key-partitioned "
+    "join + one broadcast 1-row moment frame "
+    "(operators/profile.py::cuped_adjustment)",
+)
+def q_cuped_order_value_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import cuped_adjustment
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    y = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .join(F.broadcast(cust), "c_custkey")
+    )
+    x = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    return cuped_adjustment(
+        y, x, "c_custkey", "c_mktsegment", y_col="y", x_col="x"
+    )
