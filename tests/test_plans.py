@@ -771,3 +771,43 @@ def test_ivf_exact_pruned_scan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_cms_sketch_table_broadcasts(spark):
+    """count_min_heavy_hitters: the d×w sketch table must be the
+    BROADCAST side of the probe join (it is constant-size in the
+    corpus); the token stream must never sort globally."""
+    plan = plan_of(spark, "count_min_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # the top-k, not a full sort
+
+
+def test_centroid_distance_broadcasts_centroids(spark):
+    """semantic_centroid_outliers: the |labels|-row centroid table is
+    broadcast; the corpus side carries no shuffle beyond the (label,
+    dim) partial-agg pass."""
+    plan = plan_of(spark, "semantic_centroid_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bootstrap_grid_joins_broadcast_aggregate(spark):
+    """bootstrap_ci_daily_revenue: the daily aggregate is the broadcast
+    side under the (b, j) index grid — the fact table never joins."""
+    plan = plan_of(spark, "bootstrap_ci_daily_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    """Wedge join + anti-join are all key-partitioned: no cartesian,
+    no broadcast nested loop anywhere in the plan."""
+    plan = plan_of(spark, "link_prediction_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gopher_rules_is_map_only(spark):
+    """The rule panel is a pure projection: no Exchange at all."""
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert "Exchange" not in plan, plan
