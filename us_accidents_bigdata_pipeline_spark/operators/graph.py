@@ -420,3 +420,113 @@ def common_neighbors_link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the edge list — positive on
+    social-like graphs (hubs link hubs), negative on dependency/
+    co-purchase graphs (hubs link leaves). One row:
+    (n_nodes, n_edges, assortativity).
+
+    Both edge directions contribute (the undirected convention), so
+    the correlation is symmetric by construction. Degrees come from
+    one group-by; the edge stream joins degree twice on its endpoint
+    keys (both broadcastable — the degree table is |V| slim rows);
+    corr is a single-pass aggregate. No window, no driver loop.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(
+        F.col("u").alias("v"), F.col("deg").alias("deg_v")
+    )
+    j = both.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    return j.agg(
+        (F.count_distinct(F.col("u"))).alias("n_nodes"),
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(
+            F.corr(
+                F.col("deg_u").cast("double"),
+                F.col("deg_v").cast("double"),
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame,
+    top_k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node — cc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)): how close each node's neighborhood is to a
+    clique, the community-structure readout per vertex. Returns the
+    ``top_k`` nodes with deg ≥ 2 by (cc DESC, node).
+
+    tri(v) counts adjacent neighbor PAIRS: the wedge join through v
+    (x < y to count each pair once) semi-joined against the edge set.
+    All integer arithmetic until the final division (one IEEE op of
+    exact ints — engine-exact cut, no rounding needed for the
+    ranking; cc is emitted rounded). Wedge fanout is degree² — cap
+    hubs upstream (common_neighbors_link_prediction's max_degree
+    guard) on scale-free graphs.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("u").alias("n"), F.col("v").alias("nbr")
+    ).unionByName(und.select(F.col("v").alias("n"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select("n", F.col("nbr").alias("x"))
+    b = adj.select("n", F.col("nbr").alias("y"))
+    tri = (
+        a.join(b, "n")
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    cc = F.lit(2.0) * F.col("tri") / (
+        F.col("deg") * (F.col("deg") - 1)
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "n", "left")
+        .withColumn("tri", F.coalesce("tri", F.lit(0)))
+        .withColumn("_cc", cc)
+        .orderBy(F.col("_cc").desc(), "n")
+        .limit(top_k)
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("tri").cast("long").alias("triangles"),
+            F.round("_cc", 4).alias("clustering_coef"),
+        )
+    )

@@ -13603,3 +13603,83 @@ def q_cuped_order_value_by_segment(
     return cuped_adjustment(
         y, x, "c_custkey", "c_mktsegment", y_col="y", x_col="x"
     )
+
+
+@_register(
+    "assortativity_copurchase",
+    """WITH e AS (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                         greatest(a.l_partkey, b.l_partkey) AS v
+         FROM lineitem a
+         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey < 2000 AND b.l_orderkey < 2000),
+       bo AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       d AS (SELECT u, count(*) AS deg FROM bo GROUP BY u)
+       SELECT CAST(count(DISTINCT bo.u) AS BIGINT) AS n_nodes,
+              CAST(count(*) / 2 AS BIGINT) AS n_edges,
+              round(corr(CAST(du.deg AS DOUBLE),
+                         CAST(dv.deg AS DOUBLE)), 4) AS assortativity
+       FROM bo
+       JOIN d du ON du.u = bo.u
+       JOIN d dv ON dv.u = bo.v""",
+    doc="degree assortativity (Newman 2002) of the co-purchase graph "
+    "(bounded slice): Pearson correlation of endpoint degrees over "
+    "both edge directions — hub-to-hub vs hub-to-leaf wiring in one "
+    "number; degree table broadcast onto the edge stream, one corr "
+    "aggregate (operators/graph.py::degree_assortativity)",
+)
+def q_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import copurchase_edges, degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return degree_assortativity(copurchase_edges(li))
+
+
+@_register(
+    "clustering_coef_copurchase",
+    """WITH e AS (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                         greatest(a.l_partkey, b.l_partkey) AS v
+         FROM lineitem a
+         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+         WHERE a.l_orderkey < 2000 AND b.l_orderkey < 2000),
+       adj AS (SELECT u AS n, v AS nbr FROM e
+               UNION ALL SELECT v AS n, u AS nbr FROM e),
+       d AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+       tr AS (SELECT a.n, count(*) AS tri
+              FROM adj a JOIN adj b
+                ON a.n = b.n AND a.nbr < b.nbr
+              JOIN e ON e.u = a.nbr AND e.v = b.nbr
+              GROUP BY a.n),
+       c AS (SELECT d.n AS node, d.deg AS degree,
+                    coalesce(tr.tri, 0) AS triangles,
+                    2.0 * coalesce(tr.tri, 0)
+                        / (d.deg * (d.deg - 1)) AS cc
+             FROM d LEFT JOIN tr ON tr.n = d.n
+             WHERE d.deg >= 2)
+       SELECT node, CAST(degree AS BIGINT) AS degree,
+              CAST(triangles AS BIGINT) AS triangles,
+              round(cc, 4) AS clustering_coef
+       FROM c ORDER BY cc DESC, node LIMIT 20""",
+    doc="local clustering coefficient per node on the co-purchase "
+    "graph (bounded slice): cc = 2·tri/(deg·(deg−1)) — neighborhood "
+    "clique-ness per vertex; wedge join semi-joined against the edge "
+    "set, integer arithmetic until one exact-int IEEE division so the "
+    "(cc DESC, node) cut is engine-exact; degree² wedge fanout is the "
+    "documented hub hazard (cap upstream on scale-free graphs) "
+    "(operators/graph.py::local_clustering_coefficient)",
+)
+def q_clustering_coef_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import (
+        copurchase_edges,
+        local_clustering_coefficient,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return local_clustering_coefficient(copurchase_edges(li))
