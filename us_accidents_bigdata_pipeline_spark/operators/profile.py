@@ -966,3 +966,111 @@ def cuped_adjustment(
         )
         .crossJoin(F.broadcast(reduction))
     )
+
+
+def difference_in_differences(
+    df: DataFrame,
+    treat_expr,
+    period_expr,
+    value_col: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences: the causal-inference
+    workhorse for a natural experiment —
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    ``treat_expr``/``period_expr``: boolean Columns (True = treated /
+    post period). Returns ONE row with the four cell means, cell
+    counts, and the DiD estimate — computed from the UNROUNDED means
+    and rounded once at the end (rounding cells first would compound
+    four half-ulps into the estimate).
+
+    One conditional aggregate pass; no join, no window.
+    """
+    cell = (
+        F.when(treat_expr & period_expr, "treat_post")
+        .when(treat_expr, "treat_pre")
+        .when(period_expr, "ctrl_post")
+        .otherwise("ctrl_pre")
+    )
+    v = F.col(value_col).cast("double")
+    a = df.select(cell.alias("_c"), v.alias("_v")).agg(
+        *[
+            F.avg(F.when(F.col("_c") == c, F.col("_v"))).alias(f"m_{c}")
+            for c in ("treat_pre", "treat_post", "ctrl_pre", "ctrl_post")
+        ],
+        *[
+            F.sum(F.when(F.col("_c") == c, 1).otherwise(0)).alias(f"n_{c}")
+            for c in ("treat_pre", "treat_post", "ctrl_pre", "ctrl_post")
+        ],
+    )
+    did = (
+        (F.col("m_treat_post") - F.col("m_treat_pre"))
+        - (F.col("m_ctrl_post") - F.col("m_ctrl_pre"))
+    )
+    return a.select(
+        *[
+            F.col(f"n_{c}").cast("long").alias(f"n_{c}")
+            for c in ("treat_pre", "treat_post", "ctrl_pre", "ctrl_post")
+        ],
+        *[
+            F.round(F.col(f"m_{c}"), 4).alias(f"mean_{c}")
+            for c in ("treat_pre", "treat_post", "ctrl_pre", "ctrl_post")
+        ],
+        F.round(did, 4).alias("did_estimate"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    key_col: str,
+    expected_frac_a: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a deterministic md5 traffic
+    split: assign each key to variant A iff its md5-u16 falls below
+    ``expected_frac_a``·65536 (the same splitter ``mixture_sample`` /
+    the export CLI use), then chi-square the observed counts against
+    the expected ratio — the guardrail that catches a broken
+    assignment pipe before anyone reads the experiment.
+
+    1-dof chi-square p-value via p = 2(1−Φ(√χ²)) with the same
+    Abramowitz-Stegun polynomial as ``mann_whitney_u`` (neither engine
+    ships a chi-square CDF). χ² itself is exact-integer arithmetic
+    over the two counts divided by exact expectations — engine-exact
+    before the final libm steps, all rounded at 4.
+
+    Output: one row (n_a, n_b, expected_frac_a, chi2, p_value,
+    srm_flag) with the flag on the ROUNDED p at the conventional
+    0.001 guardrail.
+    """
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}-"), F.col(key_col).cast("string"))),
+            9,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    is_a = u16 < F.lit(int(expected_frac_a * 65536))
+    agg = df.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    ea = n * F.lit(expected_frac_a)
+    eb = n * F.lit(1.0 - expected_frac_a)
+    chi2 = (F.col("n_a") - ea) * (F.col("n_a") - ea) / ea + (
+        F.col("n_b") - eb
+    ) * (F.col("n_b") - eb) / eb
+    chi2_r = F.round(chi2, 4)
+    p = F.round(_normal_sf_two_sided(F.sqrt(chi2_r)), 4)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.lit(float(expected_frac_a)).alias("expected_frac_a"),
+        chi2_r.alias("chi2"),
+        p.alias("p_value"),
+        (p < F.lit(0.001)).alias("srm_flag"),
+    )

@@ -13683,3 +13683,124 @@ def q_clustering_coef_copurchase(
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     return local_clustering_coefficient(copurchase_edges(li))
+
+
+@_register(
+    "did_auto_segment_revenue",
+    """WITH m AS (
+         SELECT CASE
+                  WHEN c.c_mktsegment = 'AUTOMOBILE'
+                       AND year(o.o_orderdate) = 1996 THEN 'treat_post'
+                  WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 'treat_pre'
+                  WHEN year(o.o_orderdate) = 1996 THEN 'ctrl_post'
+                  ELSE 'ctrl_pre' END AS c,
+                o.o_totalprice AS v
+         FROM orders o
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE year(o.o_orderdate) IN (1995, 1996))
+       SELECT CAST(sum(CASE WHEN c='treat_pre' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_treat_pre,
+              CAST(sum(CASE WHEN c='treat_post' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_treat_post,
+              CAST(sum(CASE WHEN c='ctrl_pre' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ctrl_pre,
+              CAST(sum(CASE WHEN c='ctrl_post' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ctrl_post,
+              round(avg(CASE WHEN c='treat_pre' THEN v END), 4)
+                  AS mean_treat_pre,
+              round(avg(CASE WHEN c='treat_post' THEN v END), 4)
+                  AS mean_treat_post,
+              round(avg(CASE WHEN c='ctrl_pre' THEN v END), 4)
+                  AS mean_ctrl_pre,
+              round(avg(CASE WHEN c='ctrl_post' THEN v END), 4)
+                  AS mean_ctrl_post,
+              round((avg(CASE WHEN c='treat_post' THEN v END)
+                     - avg(CASE WHEN c='treat_pre' THEN v END))
+                    - (avg(CASE WHEN c='ctrl_post' THEN v END)
+                       - avg(CASE WHEN c='ctrl_pre' THEN v END)), 4)
+                  AS did_estimate
+       FROM m""",
+    doc="two-by-two difference-in-differences (AUTOMOBILE segment as "
+    "treated, 1995→1996 as pre/post): four conditional cell means + "
+    "the DiD estimate from the UNROUNDED means, rounded once — the "
+    "natural-experiment causal readout; one conditional aggregate "
+    "pass over the keyed join, no window "
+    "(operators/profile.py::difference_in_differences)",
+)
+def q_did_auto_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import difference_in_differences
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(
+        F.broadcast(cust),
+        o.o_custkey == cust.c_custkey,
+    )
+    return difference_in_differences(
+        j,
+        F.col("c_mktsegment") == "AUTOMOBILE",
+        F.year("o_orderdate") == 1996,
+        "o_totalprice",
+    )
+
+
+@_register(
+    "srm_check_customer_split",
+    """WITH a AS (
+         SELECT sum(CASE WHEN CAST('0x' || substr(md5('42-'
+                        || CAST(c_custkey AS VARCHAR)), 9, 4) AS BIGINT)
+                        < 32768 THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN CAST('0x' || substr(md5('42-'
+                        || CAST(c_custkey AS VARCHAR)), 9, 4) AS BIGINT)
+                        < 32768 THEN 0 ELSE 1 END) AS n_b
+         FROM customer),
+       c AS (SELECT CAST(n_a AS BIGINT) AS n_a,
+                    CAST(n_b AS BIGINT) AS n_b,
+                    round((n_a - (n_a + n_b) * 0.5)
+                          * (n_a - (n_a + n_b) * 0.5)
+                          / ((n_a + n_b) * 0.5)
+                          + (n_b - (n_a + n_b) * 0.5)
+                          * (n_b - (n_a + n_b) * 0.5)
+                          / ((n_a + n_b) * 0.5), 4) AS chi2
+             FROM a),
+       p AS (SELECT *, sqrt(chi2) AS az,
+                    1.0 / (1.0 + 0.2316419 * sqrt(chi2)) AS t
+             FROM c)
+       SELECT n_a, n_b, CAST(0.5 AS DOUBLE) AS expected_frac_a, chi2,
+              round(2.0 * (exp(-0.5 * az * az)
+                           / sqrt(2.0 * 3.141592653589793))
+                    * (t * (0.319381530
+                            + t * (-0.356563782
+                                   + t * (1.781477937
+                                          + t * (-1.821255978
+                                                 + t * 1.330274429))))),
+                    4) AS p_value,
+              round(2.0 * (exp(-0.5 * az * az)
+                           / sqrt(2.0 * 3.141592653589793))
+                    * (t * (0.319381530
+                            + t * (-0.356563782
+                                   + t * (1.781477937
+                                          + t * (-1.821255978
+                                                 + t * 1.330274429))))),
+                    4) < 0.001 AS srm_flag
+       FROM p""",
+    doc="sample-ratio-mismatch guardrail for the md5 deterministic "
+    "50/50 traffic split (the same u16 splitter mixture_sample and "
+    "the export CLI use): 1-dof chi-square of observed variant counts "
+    "vs expectation, p via the A&S normal polynomial (p = 2(1−Φ(√χ²)) "
+    "— neither engine ships a chi-square CDF), flag on the ROUNDED p "
+    "at the 0.001 convention; exact-integer χ² before the libm steps "
+    "(operators/profile.py::srm_check)",
+)
+def q_srm_check_customer_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import srm_check
+
+    return srm_check(_t(spark, sf_dir, "customer"), "c_custkey")
