@@ -119,6 +119,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "bootstrap_ci_daily_revenue": {"nested_loop"},
     # 1-row CUPED moment frame (theta, xbar, vy) broadcast back
     "cuped_order_value_by_segment": {"nested_loop"},
+    # 9-row decile-index frame broadcast onto the ranked slices
+    "qte_value_click_purchase": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
@@ -160,6 +162,7 @@ for _name in (
     "seasonal_naive_backtest_revenue",  # per-day revenue
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs
+    "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

@@ -1074,3 +1074,139 @@ def srm_check(
         p.alias("p_value"),
         (p < F.lit(0.001)).alias("srm_flag"),
     )
+
+
+def hour_uniformity_tests_bh(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    fdr_q: float = 0.05,
+) -> DataFrame:
+    """Per-group chi-square test of hour-of-day uniformity with
+    Benjamini–Hochberg FDR adjustment across the group family — the
+    multiple-testing discipline a metrics platform needs when it runs
+    one test per segment (per-test p at 0.05 over 100 segments
+    guarantees false alarms; BH caps the expected false-discovery
+    share at ``fdr_q``).
+
+    χ² (23 dof) per group is exact-integer arithmetic over the 24
+    observed/expected counts; its p-value uses the Wilson–Hilferty
+    cube-root normal approximation z = ((χ²/k)^⅓ − (1−2/(9k))) /
+    √(2/(9k)) through the same A&S Φ polynomial as ``mann_whitney_u``
+    (no chi-square CDF in either engine). BH: rank groups by p
+    ascending, p_adj(i) = min_{j≥i} (m/j)·p(j), capped at 1 — the
+    running min computed over the |groups|-row family frame.
+
+    Plan shape: one (group, hour) count agg → one group-keyed χ²
+    reduce → windows over the |groups|-row family (aggregate-sized at
+    any scale). Rejection flags compare ROUNDED p_adj.
+    """
+    counts = (
+        df.select(F.col(group_col), F.hour(ts_col).alias("_h"))
+        .groupBy(group_col, "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_g = counts.groupBy(group_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+        F.count(F.lit(1)).alias("_nbins"),
+    )
+    # uniform expectation e = n/24; chi2 = Σ(c−e)²/e = 24·Σc²/n − n
+    # (missing hours contribute e = (0−e)²/e, which the closed form
+    # absorbs — no need to materialize empty bins)
+    chi2 = F.lit(24.0) * F.col("_ss") / F.col("_n") - F.col("_n")
+    k = 23.0
+    wh_z = (
+        (F.cbrt(chi2 / F.lit(k)) - F.lit(1.0 - 2.0 / (9.0 * k)))
+        / F.sqrt(F.lit(2.0 / (9.0 * k)))
+    )
+    # one-sided upper tail p = 1−Φ(z). The A&S polynomial is valid
+    # for z ≥ 0 only; for z < 0 use the reflection 1−Φ(z) = 1−(1−Φ(−z))
+    p = F.round(
+        F.when(
+            wh_z >= 0, F.lit(0.5) * _normal_sf_two_sided(wh_z)
+        ).otherwise(
+            F.lit(1.0) - F.lit(0.5) * _normal_sf_two_sided(-wh_z)
+        ),
+        4,
+    )
+    fam = per_g.select(
+        F.col(group_col),
+        F.round(chi2, 4).alias("chi2"),
+        p.alias("p_value"),
+    )
+    m = fam.count()
+    wr = W.orderBy(F.col("p_value"), F.col(group_col))
+    wmin = W.orderBy(F.col("p_value").desc(), F.col(group_col).desc())
+    ranked = fam.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_padj_raw", F.lit(float(m)) * F.col("p_value") / F.col("_r")
+    )
+    adjusted = ranked.withColumn(
+        "p_adj",
+        F.round(F.least(F.min("_padj_raw").over(wmin), F.lit(1.0)), 4),
+    )
+    return adjusted.select(
+        F.col(group_col),
+        "chi2",
+        "p_value",
+        "p_adj",
+        (F.col("p_adj") < F.lit(fdr_q)).alias("rejected"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """Quantile treatment effect: the per-decile difference between two
+    slices' value distributions — where in the distribution an
+    intervention moved mass (means hide tail-only effects; QTE shows
+    them).
+
+    Quantiles are EXACT lower order statistics (rank ⌈q·n⌉ by (value,
+    row id tiebreak is unnecessary — the k-th order statistic VALUE is
+    tie-invariant), the ``median_exact`` discipline), so both sides'
+    quantile values and their differences are engine-exact raw parquet
+    values; the emitted delta rounds to 4.
+
+    Plan shape: two group-partitioned rank windows over the slices, a
+    decile-keyed join of two n_quantiles-row frames. At extreme scale
+    swap the rank window for the range-exchange global-rank primitive.
+    """
+    sub = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = W.partitionBy("_is_a").orderBy(F.col("_v"))
+    ranked = sub.select(
+        "_is_a",
+        "_v",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy("_is_a")).alias("_n"),
+    )
+    qs = ranked.crossJoin(
+        df.sparkSession.range(1, n_quantiles).select(
+            F.col("id").cast("int").alias("q")
+        )
+    ).filter(
+        F.col("_rk") == F.ceil(F.col("q") * F.col("_n") / n_quantiles)
+    )
+    a = qs.filter(F.col("_is_a")).select(
+        "q", F.col("_v").alias("value_a")
+    )
+    b = qs.filter(~F.col("_is_a")).select(
+        "q", F.col("_v").alias("value_b")
+    )
+    return (
+        a.join(b, "q")
+        .select(
+            "q",
+            "value_a",
+            "value_b",
+            F.round(F.col("value_a") - F.col("value_b"), 4).alias("qte"),
+        )
+    )

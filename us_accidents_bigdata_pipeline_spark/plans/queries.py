@@ -13804,3 +13804,119 @@ def q_srm_check_customer_split(
     from ..operators.profile import srm_check
 
     return srm_check(_t(spark, sf_dir, "customer"), "c_custkey")
+
+
+@_register(
+    "hour_uniformity_bh_by_type",
+    """WITH h AS (SELECT event_type, extract(hour FROM ts) AS hh,
+                        count(*) AS c
+                 FROM events GROUP BY event_type, hh),
+       g AS (SELECT event_type, sum(c) AS n, sum(c * c) AS ss
+             FROM h GROUP BY event_type),
+       c2 AS (SELECT event_type,
+                     24.0 * ss / n - n AS chi2 FROM g),
+       z AS (SELECT event_type, chi2,
+                    (cbrt(chi2 / 23.0) - (1.0 - 2.0 / (9.0 * 23.0)))
+                      / sqrt(2.0 / (9.0 * 23.0)) AS zz
+             FROM c2),
+       pv AS (SELECT event_type, round(chi2, 4) AS chi2,
+                     round(CASE WHEN zz >= 0
+                           THEN 0.5 * (2.0 * (exp(-0.5 * abs(zz) * abs(zz))
+                                / sqrt(2.0 * 3.141592653589793))
+                                * ((1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                   * (0.319381530
+                                      + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                        * (-0.356563782
+                                           + (1.0 / (1.0 + 0.2316419
+                                                     * abs(zz)))
+                                             * (1.781477937
+                                                + (1.0 / (1.0 + 0.2316419
+                                                          * abs(zz)))
+                                                  * (-1.821255978
+                                                     + (1.0
+                                                        / (1.0 + 0.2316419
+                                                           * abs(zz)))
+                                                       * 1.330274429))))))
+                           ELSE 1.0 - 0.5
+                                * (2.0 * (exp(-0.5 * abs(zz) * abs(zz))
+                                / sqrt(2.0 * 3.141592653589793))
+                                * ((1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                   * (0.319381530
+                                      + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                        * (-0.356563782
+                                           + (1.0 / (1.0 + 0.2316419
+                                                     * abs(zz)))
+                                             * (1.781477937
+                                                + (1.0 / (1.0 + 0.2316419
+                                                          * abs(zz)))
+                                                  * (-1.821255978
+                                                     + (1.0
+                                                        / (1.0 + 0.2316419
+                                                           * abs(zz)))
+                                                       * 1.330274429))))))
+                           END, 4) AS p_value
+              FROM z),
+       r AS (SELECT *, row_number() OVER (ORDER BY p_value, event_type)
+                        AS rk,
+                    count(*) OVER () AS m
+             FROM pv),
+       adj AS (SELECT *,
+                      round(least(min(CAST(m AS DOUBLE) * p_value / rk)
+                                  OVER (ORDER BY p_value DESC,
+                                                 event_type DESC),
+                                  1.0), 4) AS p_adj
+               FROM r)
+       SELECT event_type, chi2, p_value, p_adj,
+              (p_adj < 0.05) AS rejected
+       FROM adj""",
+    doc="per-segment chi-square hour-of-day uniformity test with "
+    "Benjamini-Hochberg FDR adjustment across the family — the "
+    "multiple-testing discipline for one-test-per-segment metric "
+    "platforms; exact-integer chi2 (closed form absorbs empty bins), "
+    "Wilson-Hilferty cube-root z through the A&S normal polynomial "
+    "(reflected for z<0), BH running min over the |segments|-row "
+    "family frame (operators/profile.py::hour_uniformity_tests_bh)",
+)
+def q_hour_uniformity_bh_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import hour_uniformity_tests_bh
+
+    return hour_uniformity_tests_bh(
+        _t(spark, sf_dir, "events"), "event_type"
+    )
+
+
+@_register(
+    "qte_value_click_purchase",
+    """WITH s AS (SELECT (event_type = 'click') AS ia, value AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL),
+       r AS (SELECT ia, v,
+                    row_number() OVER (PARTITION BY ia ORDER BY v)
+                        AS rk,
+                    count(*) OVER (PARTITION BY ia) AS n
+             FROM s),
+       q AS (SELECT CAST(qq.i AS INT) AS q, r.ia, r.v
+             FROM r, range(1, 10) qq(i)
+             WHERE r.rk = CAST(ceil(qq.i * r.n / 10.0) AS BIGINT))
+       SELECT a.q, a.v AS value_a, b.v AS value_b,
+              round(a.v - b.v, 4) AS qte
+       FROM q a JOIN q b ON a.q = b.q AND a.ia AND NOT b.ia""",
+    doc="quantile treatment effect: per-decile difference between the "
+    "click and purchase value distributions — the distributional A/B "
+    "readout that surfaces tail-only effects means hide; deciles are "
+    "EXACT lower order statistics (tie-invariant values, the "
+    "median_exact discipline), so both sides' quantile values are "
+    "raw-parquet-exact (operators/profile.py::quantile_treatment_effect)",
+)
+def q_qte_value_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import quantile_treatment_effect
+
+    return quantile_treatment_effect(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
