@@ -272,8 +272,13 @@ def main(argv: list[str] | None = None) -> int:
             spark, curated_dir, tmp,
             target_rows_per_file=args.compact_curated_rows,
         )
-        shutil.rmtree(curated_dir)
+        # Crash-safe swap: keep the original curated/ until the
+        # compacted tree is in place — a crash between the renames
+        # leaves either the backup or the new dir, never neither.
+        backup = curated_dir + ".pre_compact"
+        os.rename(curated_dir, backup)
         os.rename(tmp, curated_dir)
+        shutil.rmtree(backup)
         print(f"compacted curated/ to {n_files} files "
               f"(<= {args.compact_curated_rows} rows each)", flush=True)
     files_report = {}

@@ -90,7 +90,12 @@ def test_gopher_rules_empty_doc_fails_all(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "the a of and to in is it " * 20)],
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "the a of and to in is it " * 20),
+            (4, None),
+        ],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in gopher_rules(df).collect()}
@@ -101,6 +106,17 @@ def test_gopher_rules_empty_doc_fails_all(spark):
         assert not (
             r.word_count_ok or r.word_len_ok or r.alpha_ok or r.stopword_ok
         )
+    # NULL text: every flag must be a real FALSE (not NULL) — the
+    # coalesce discipline matching the oracle's coalesce(..., FALSE)
+    r4 = rows[4]
+    for flag in (
+        r4.word_count_ok,
+        r4.word_len_ok,
+        r4.alpha_ok,
+        r4.stopword_ok,
+        r4.pass_gopher,
+    ):
+        assert flag is False
     # doc 3: 160 stopword tokens — passes count/alpha/stopword, word
     # length 2.44 fails the [3, 10] band, so the gate rejects it
     assert rows[3].word_count_ok and rows[3].stopword_ok

@@ -652,11 +652,19 @@ def seasonal_naive_backtest(
         F.col(value_col).cast("double").alias("_y"),
         F.lag(F.col(value_col).cast("double"), season).over(w).alias("_f"),
     ).filter(F.col("_f").isNotNull())
-    ape = F.abs(F.col("_y") - F.col("_f")) / F.col("_y")
-    sape = (
+    # Zero guards mirror the oracle's CASE WHEN (ANSI divide-by-zero
+    # discipline): a zero-valued day would be NULL under Spark but
+    # +/-inf under DuckDB's IEEE default — make both engines emit
+    # NULL (which avg() skips) so the readout stays engine-identical.
+    ape = F.when(
+        F.col("_y") != 0,
+        F.abs(F.col("_y") - F.col("_f")) / F.col("_y"),
+    )
+    sape = F.when(
+        (F.col("_y") + F.col("_f")) != 0,
         F.lit(2.0)
         * F.abs(F.col("_y") - F.col("_f"))
-        / (F.col("_y") + F.col("_f"))
+        / (F.col("_y") + F.col("_f")),
     )
     return (
         fc.groupBy(F.date_format("_d", "yyyy-MM").alias("month"))
@@ -751,7 +759,18 @@ def mann_whitney_u(
         / F.lit(12.0)
         * (n + 1 - F.col("tie_sum") / (n * (n - 1)))
     )
-    z = F.round((u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0)) / F.sqrt(var), 4)
+    # var = 0 when every pooled value ties (or a group is empty):
+    # unguarded, Spark yields NULL but DuckDB's IEEE default yields
+    # ±inf — CASE WHEN on both sides keeps the degenerate case NULL
+    # under both engines (same ANSI discipline as the MAPE guards).
+    z = F.round(
+        F.when(
+            var > 0,
+            (u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0))
+            / F.sqrt(var),
+        ),
+        4,
+    )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -844,12 +863,17 @@ def trimmed_mean_by_group(
     # module-scope pandas import (bottom of file) — the GROUPED_AGG
     # eval type is inferred from the (Series -> float) type hints,
     # which get_type_hints can only resolve against module globals
+    # the UDF returns the UNROUNDED mean; F.round (HALF_UP, matching
+    # DuckDB's half-away round) is applied in the select below —
+    # Python's round() is half-even, which would silently break the
+    # repo's rounding discipline even though binary doubles can't
+    # represent an exact decimal tie
     @F.pandas_udf("double")
     def _tmean(v: pd.Series) -> float:
         a = v.dropna().sort_values().to_numpy()
         k = math.floor(len(a) * trim_frac)
         core = a[k : len(a) - k] if len(a) > 2 * k else a
-        return round(float(core.mean()), 4) if len(core) else None
+        return float(core.mean()) if len(core) else None
 
     # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates
     # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the group size is
@@ -862,8 +886,13 @@ def trimmed_mean_by_group(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(group_col)
         .agg(
-            _tmean(F.col(value_col).cast("double")).alias("trimmed_mean"),
+            _tmean(F.col(value_col).cast("double")).alias("_tm"),
             _n(F.col(value_col).cast("double")).alias("n"),
+        )
+        .select(
+            F.col(group_col),
+            F.round(F.col("_tm"), 4).alias("trimmed_mean"),
+            "n",
         )
     )
 
@@ -1109,7 +1138,6 @@ def hour_uniformity_tests_bh(
     per_g = counts.groupBy(group_col).agg(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
-        F.count(F.lit(1)).alias("_nbins"),
     )
     # uniform expectation e = n/24; chi2 = Σ(c−e)²/e = 24·Σc²/n − n
     # (missing hours contribute e = (0−e)²/e, which the closed form
@@ -1135,11 +1163,17 @@ def hour_uniformity_tests_bh(
         F.round(chi2, 4).alias("chi2"),
         p.alias("p_value"),
     )
-    m = fam.count()
+    # BH family size m = count(*) OVER () on the family frame itself
+    # (the oracle's count(*) OVER ()) — NOT a separate fam.count()
+    # job, which would recompute the whole chi-square pipeline.
     wr = W.orderBy(F.col("p_value"), F.col(group_col))
     wmin = W.orderBy(F.col("p_value").desc(), F.col(group_col).desc())
+    wall = W.partitionBy()
     ranked = fam.withColumn("_r", F.row_number().over(wr)).withColumn(
-        "_padj_raw", F.lit(float(m)) * F.col("p_value") / F.col("_r")
+        "_padj_raw",
+        F.count(F.lit(1)).over(wall).cast("double")
+        * F.col("p_value")
+        / F.col("_r"),
     )
     adjusted = ranked.withColumn(
         "p_adj",

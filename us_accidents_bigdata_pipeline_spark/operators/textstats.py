@@ -540,17 +540,24 @@ def gopher_rules(
     al_ok = alpha_frac >= min_alpha_frac
     sw_ok = n_stop >= min_stopwords
     nonempty = n > 0
+    # coalesce(..., FALSE) on every flag: a NULL text row makes each
+    # conjunct NULL (size(split(NULL)) is NULL and NULL & NULL = NULL)
+    # while the oracle coalesces every flag to FALSE — mirror it so a
+    # NULL document FAILS the gate under both engines.
+    _f = F.lit(False)
     return df.select(
         F.col(id_col),
         n.alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         F.round(alpha_frac, 4).alias("alpha_frac"),
         n_stop.alias("n_stopwords"),
-        (nonempty & wc_ok).alias("word_count_ok"),
-        (nonempty & wl_ok).alias("word_len_ok"),
-        (nonempty & al_ok).alias("alpha_ok"),
-        (nonempty & sw_ok).alias("stopword_ok"),
-        (nonempty & wc_ok & wl_ok & al_ok & sw_ok).alias("pass_gopher"),
+        F.coalesce(nonempty & wc_ok, _f).alias("word_count_ok"),
+        F.coalesce(nonempty & wl_ok, _f).alias("word_len_ok"),
+        F.coalesce(nonempty & al_ok, _f).alias("alpha_ok"),
+        F.coalesce(nonempty & sw_ok, _f).alias("stopword_ok"),
+        F.coalesce(
+            nonempty & wc_ok & wl_ok & al_ok & sw_ok, _f
+        ).alias("pass_gopher"),
     )
 
 

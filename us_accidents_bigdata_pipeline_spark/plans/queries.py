@@ -10914,8 +10914,11 @@ def q_arrow_udf_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inverted-index build (the search-engine artifact BM25 serves from):
 # token → document-frequency + SORTED posting list of doc_ids, for
 # the 20 highest-df tokens (deterministic tie-break). Posting lists
-# are arrays built with sort_array(collect_set(...)) — engine-exact
-# because membership and order are both deterministic.
+# are space-joined STRINGS (array_join over the sorted doc_id list):
+# membership and order are both deterministic, and a flat string —
+# unlike array<string> — survives the driver's pandas-based
+# canonicalizer, which cannot hash list-typed cells (the one red row
+# in CORRECTNESS_r09).
 # Scales: one tokenize + distinct pass, one hash agg per token; the
 # top-k cut runs on the |vocab|-row aggregate.
 # =====================================================================
@@ -10928,7 +10931,8 @@ def q_arrow_udf_price_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS token
                     FROM documents),
        t AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
-                    list_sort(list(doc_id)) AS postings
+                    array_to_string(list_sort(list(doc_id)), ' ')
+                        AS postings
              FROM tok WHERE token <> '' GROUP BY 1)
        SELECT token, df, postings
        FROM t ORDER BY df DESC, token LIMIT 20""",
@@ -10952,7 +10956,9 @@ def q_inverted_index_postings(
     )
     t = tok.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.sort_array(F.collect_list("doc_id")), " "
+        ).alias("postings"),
     )
     return t.orderBy(F.desc("df"), "token").limit(20)
 
@@ -13118,8 +13124,11 @@ def q_bootstrap_ci_daily_revenue(
        f AS (SELECT day, y, lag(y, 7) OVER (ORDER BY day) AS fc FROM d)
        SELECT strftime(day, '%Y-%m') AS month,
               CAST(count(*) AS BIGINT) AS n_days,
-              round(avg(abs(y - fc) / y), 4) AS mape,
-              round(avg(2.0 * abs(y - fc) / (y + fc)), 4) AS smape
+              round(avg(CASE WHEN y <> 0
+                        THEN abs(y - fc) / y END), 4) AS mape,
+              round(avg(CASE WHEN y + fc <> 0
+                        THEN 2.0 * abs(y - fc) / (y + fc) END), 4)
+                  AS smape
        FROM f WHERE fc IS NOT NULL GROUP BY month""",
     doc="seasonal-naive (lag-7) forecast backtest over daily revenue: "
     "per-month MAPE/SMAPE — the baseline any forecaster must beat; "
@@ -13296,16 +13305,18 @@ def q_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(sum(ct - ca) AS BIGINT) AS n_b,
                     CAST(sum(ct*ct*ct - ct) AS BIGINT) AS tie_sum
              FROM c),
+       av AS (SELECT *, n_a * n_b / 12.0
+                        * (n_a + n_b + 1
+                           - tie_sum / ((n_a + n_b)
+                                        * (n_a + n_b - 1))) AS var
+              FROM a),
        zc AS (SELECT n_a, n_b,
                      r_a - n_a * (n_a + 1) / 2.0 AS u_a,
-                     round(((r_a - n_a * (n_a + 1) / 2.0)
-                            - n_a * n_b / 2.0)
-                           / sqrt(n_a * n_b / 12.0
-                                  * (n_a + n_b + 1
-                                     - tie_sum
-                                       / ((n_a + n_b)
-                                          * (n_a + n_b - 1)))), 4) AS z
-              FROM a),
+                     round(CASE WHEN var > 0 THEN
+                           ((r_a - n_a * (n_a + 1) / 2.0)
+                            - n_a * n_b / 2.0) / sqrt(var) END,
+                           4) AS z
+              FROM av),
        pp AS (SELECT *, abs(z) AS az,
                      1.0 / (1.0 + 0.2316419 * abs(z)) AS t
               FROM zc)
