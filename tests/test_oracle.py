@@ -121,6 +121,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "cuped_order_value_by_segment": {"nested_loop"},
     # 9-row decile-index frame broadcast onto the ranked slices
     "qte_value_click_purchase": {"nested_loop"},
+    # B<=20-row bin aggregate: the j<=k range frame and the j<=i<=k
+    # membership join are non-equi joins over at most B^2/B^3 slim
+    # rows — never the fact table
+    "isotonic_calibration_value_purchase": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
@@ -163,6 +167,8 @@ for _name in (
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs
     "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
+    "msprt_guardrail_click_purchase",  # |days|-row daily aggregate
+    "isotonic_calibration_value_purchase",  # B<=20-row bin aggregate
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

@@ -603,6 +603,63 @@ def test_audit_flags_single_partition_window(spark):
     assert "single_partition_window" not in audit_plan(keyed_w)
 
 
+def test_audit_flags_low_cardinality_keyed_window(spark):
+    """QTE's r9 hazard shape: a rank window partitioned by a BOOLEAN
+    key funnels the whole input through two tasks, but the exchange is
+    keyed so the SinglePartition check never fires. The auditor must
+    flag it from the key's defining expression (comparison → 2-value
+    domain), and must stay quiet on genuinely keyed windows and on
+    the _pid-partitioned range-exchange formulation."""
+    from pyspark.sql import Window as W
+
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = spark.range(0, 100).withColumn(
+        "_is_a", F.col("id") % 2 == 0
+    ).withColumn("v", F.col("id") * 3 % 7)
+    # the exact shape quantile_treatment_effect had before round 10
+    old_qte = df.withColumn(
+        "rk", F.row_number().over(W.partitionBy("_is_a").orderBy("v"))
+    )
+    assert "low_cardinality_keyed_window" in audit_plan(old_qte)
+    # two-branch CASE key: same 2-value domain, same flag
+    case_key = df.withColumn(
+        "_b",
+        F.when(F.col("id") < 50, F.lit("lo")).otherwise(F.lit("hi")),
+    ).withColumn(
+        "rk", F.row_number().over(W.partitionBy("_b").orderBy("v"))
+    )
+    assert "low_cardinality_keyed_window" in audit_plan(case_key)
+    # a real key (modulo domain not declared in the plan): quiet
+    keyed = df.withColumn("k", F.col("id") % 17).withColumn(
+        "rk", F.row_number().over(W.partitionBy("k").orderBy("v"))
+    )
+    assert "low_cardinality_keyed_window" not in audit_plan(keyed)
+    # the sanctioned replacement: global_row_number's _pid window
+    from us_accidents_bigdata_pipeline_spark.operators.layout import (
+        global_row_number,
+    )
+
+    fixed = global_row_number(
+        df.select("_is_a", "v", "id"), ["_is_a", "v", "id"]
+    )
+    assert "low_cardinality_keyed_window" not in audit_plan(fixed)
+
+
+def test_qte_plan_has_no_boolean_keyed_window(spark):
+    """The registered QTE query must keep the range-exchange shape:
+    auditor-clean of both window hazards, with the 18-row target-rank
+    frame broadcast (no crossJoin fanout of the fact slice)."""
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = REGISTRY["qte_value_click_purchase"].builder(spark, SF_ORACLE)
+    flags = set(audit_plan(df))
+    assert "low_cardinality_keyed_window" not in flags, flags
+    assert "single_partition_window" not in flags, flags
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_audit_no_false_positive_deep_scalar_exchange(spark):
     """A keyed window over a join whose OTHER branch contains a
     scalar-aggregate SinglePartition exchange must NOT be flagged —
@@ -805,6 +862,16 @@ def test_link_prediction_no_cartesian(spark):
     plan = plan_of(spark, "link_prediction_copurchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_clustering_coef_wedge_stays_key_partitioned(spark):
+    """Hub-capped wedge join: no cartesian / nested-loop anywhere, and
+    the hub anti-joins run as broadcast joins (the hub list is a tiny
+    aggregate)."""
+    plan = plan_of(spark, "clustering_coef_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
 
 
 def test_gopher_rules_is_map_only(spark):

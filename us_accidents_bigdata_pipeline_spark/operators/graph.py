@@ -472,6 +472,7 @@ def degree_assortativity(
 def local_clustering_coefficient(
     edges: DataFrame,
     top_k: int = 20,
+    max_degree: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -484,9 +485,16 @@ def local_clustering_coefficient(
     (x < y to count each pair once) semi-joined against the edge set.
     All integer arithmetic until the final division (one IEEE op of
     exact ints — engine-exact cut, no rounding needed for the
-    ranking; cc is emitted rounded). Wedge fanout is degree² — cap
-    hubs upstream (common_neighbors_link_prediction's max_degree
-    guard) on scale-free graphs.
+    ranking; cc is emitted rounded).
+
+    Scale shape: wedge fanout is degree² — on a scale-free graph one
+    hub degenerates the join. ``max_degree`` is the same guard
+    ``common_neighbors_link_prediction`` carries: nodes whose degree
+    exceeds the cap are removed from the graph BEFORE the wedge join
+    (their own cc is meaningless at that fanout, and a hub's clique-
+    ness is ~0 by construction), and degrees/triangles are recomputed
+    on the hub-free subgraph, self-consistently. The hub list is a
+    tiny aggregate, broadcast into the anti-joins.
     """
     und = (
         edges.select(
@@ -496,6 +504,25 @@ def local_clustering_coefficient(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if max_degree is not None:
+        full_adj = und.select(F.col("u").alias("n")).unionByName(
+            und.select(F.col("v").alias("n"))
+        )
+        hubs = (
+            full_adj.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > max_degree)
+            .select("n")
+        )
+        und = und.join(
+            F.broadcast(hubs.select(F.col("n").alias("u"))),
+            "u",
+            "left_anti",
+        ).join(
+            F.broadcast(hubs.select(F.col("n").alias("v"))),
+            "v",
+            "left_anti",
+        )
     adj = und.select(
         F.col("u").alias("n"), F.col("v").alias("nbr")
     ).unionByName(und.select(F.col("v").alias("n"), F.col("u").alias("nbr")))

@@ -1207,28 +1207,50 @@ def quantile_treatment_effect(
     quantile values and their differences are engine-exact raw parquet
     values; the emitted delta rounds to 4.
 
-    Plan shape: two group-partitioned rank windows over the slices, a
-    decile-keyed join of two n_quantiles-row frames. At extreme scale
-    swap the rank window for the range-exchange global-rank primitive.
+    Plan shape (the 100×-safe formulation): ranks come from
+    ``layout.global_row_number`` over (group, value) — a sampled
+    range exchange + per-partition row_number + broadcast prefix
+    offsets — NOT a ``partitionBy(group)`` rank window, which would
+    funnel the whole fact slice through two tasks (the
+    low-cardinality-keyed twin of the single-partition window). The
+    2·(n_quantiles−1) target ranks are computed FIRST from the
+    two-row group-count aggregate (offset into the same global rank
+    space) and broadcast-joined against the ranked frame — no
+    ×n_quantiles crossJoin of fact rows ever exists.
     """
+    from .layout import global_row_number
+
     sub = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).alias("_is_a"),
         F.col(value_col).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    w = W.partitionBy("_is_a").orderBy(F.col("_v"))
-    ranked = sub.select(
-        "_is_a",
-        "_v",
-        F.row_number().over(w).alias("_rk"),
-        F.count(F.lit(1)).over(W.partitionBy("_is_a")).alias("_n"),
+    # global rank over (group, value): group-b rows (False) sort
+    # first, so per-group rank = global rank − offset(group)
+    ranked = global_row_number(sub, ["_is_a", "_v"], out_col="_grn")
+    cnt = sub.groupBy("_is_a").agg(F.count(F.lit(1)).alias("_n"))
+    # exclusive prefix offset per group via a tiny 2×2 self-join
+    # (sum of counts of groups that sort earlier) — no window needed
+    other = cnt.select(
+        F.col("_is_a").alias("_o_is_a"), F.col("_n").alias("_o_n")
     )
-    qs = ranked.crossJoin(
+    offs = (
+        cnt.join(other, F.col("_o_is_a") < F.col("_is_a"), "left")
+        .groupBy("_is_a", "_n")
+        .agg(F.coalesce(F.sum("_o_n"), F.lit(0)).alias("_off"))
+    )
+    targets = offs.crossJoin(
         df.sparkSession.range(1, n_quantiles).select(
             F.col("id").cast("int").alias("q")
         )
-    ).filter(
-        F.col("_rk") == F.ceil(F.col("q") * F.col("_n") / n_quantiles)
+    ).select(
+        "_is_a",
+        "q",
+        (
+            F.col("_off")
+            + F.ceil(F.col("q") * F.col("_n") / n_quantiles)
+        ).alias("_grn"),
     )
+    qs = ranked.join(F.broadcast(targets), ["_is_a", "_grn"])
     a = qs.filter(F.col("_is_a")).select(
         "q", F.col("_v").alias("value_a")
     )
@@ -1243,4 +1265,214 @@ def quantile_treatment_effect(
             "value_b",
             F.round(F.col("value_a") - F.col("value_b"), 4).alias("qte"),
         )
+    )
+
+
+def msprt_sequential_readout(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    sigma2: float = 2500.0,
+    tau2: float = 25.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture-SPRT always-valid sequential test (Johari, Koomen,
+    Pekelis, Walsh 2017, "Peeking at A/B tests") over the daily
+    aggregate of a two-arm metric — the guardrail that makes DAILY
+    monitoring of an experiment statistically sound: unlike the fixed-
+    horizon z-test (whose per-look α explodes under repeated peeking),
+    the mSPRT p-value is valid at EVERY day simultaneously.
+
+    Known-variance normal mixture form. After day t the cumulative
+    per-arm counts/sums give θ̂_t (difference of cumulative means) with
+    effective sample size n_t = n_a·n_b/(n_a+n_b); with plug-in
+    observation variance ``sigma2`` and mixture variance ``tau2``:
+
+        log Λ_t = ½·ln(σ²/(σ² + n_t·τ²))
+                  + τ²·n_t²·θ̂_t² / (2σ²(σ² + n_t·τ²))
+
+    and the always-valid p is p_t = min(1, exp(−max_{s≤t} log Λ_s)),
+    rejecting when p_t ≤ α. ``sigma2`` is the pre-registered plug-in
+    (historical variance), a LITERAL in the plan so both engines use
+    the identical constant — the standard practice for metric
+    guardrails (variance drifts far slower than means).
+
+    Determinism: daily sums are EXACT decimals cumulated by the
+    window (one correctly-rounded decimal→double conversion per day);
+    counts are exact ints; θ̂/n_t are then fixed IEEE expressions. The
+    only libm steps are ln/exp: log Λ rounds to 6 BEFORE the running
+    max (engine-exact extremum), and p is exp() of that already-
+    rounded max, rounded to 4 — the ``mann_whitney_u`` discipline.
+
+    Scale shape: one group-keyed daily aggregate over the fact slice,
+    then two cumulative windows over the |days|-row aggregate frame
+    (audit-whitelisted single partition — thousands of rows at any
+    SF). The fact table shuffles once, by day.
+    """
+    zero = F.lit("0").cast("decimal(18,2)")
+    sub = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.to_date(F.col(date_col)).alias("day"),
+        (F.col(group_col) == group_a).alias("_ia"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    daily = sub.groupBy("day").agg(
+        F.sum(F.when(F.col("_ia"), 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(~F.col("_ia"), 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(F.col("_ia"), F.col("_v")).otherwise(zero)).alias("_sa"),
+        F.sum(F.when(~F.col("_ia"), F.col("_v")).otherwise(zero)).alias("_sb"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("_na").over(w).alias("_cna"),
+        F.sum("_nb").over(w).alias("_cnb"),
+        F.sum("_sa").over(w).alias("_csa"),
+        F.sum("_sb").over(w).alias("_csb"),
+    ).filter((F.col("_cna") > 0) & (F.col("_cnb") > 0))
+    theta = (
+        F.col("_csa").cast("double") / F.col("_cna")
+        - F.col("_csb").cast("double") / F.col("_cnb")
+    )
+    neff = (
+        F.col("_cna").cast("double")
+        * F.col("_cnb")
+        / (F.col("_cna") + F.col("_cnb"))
+    )
+    s2 = F.lit(float(sigma2))
+    t2 = F.lit(float(tau2))
+    denom = s2 + neff * t2
+    llog = F.round(
+        F.lit(0.5) * F.log(s2 / denom)
+        + t2 * neff * neff * theta * theta / (F.lit(2.0) * s2 * denom),
+        6,
+    )
+    staged = cum.select(
+        "day",
+        F.col("_cna").cast("long").alias("n_a"),
+        F.col("_cnb").cast("long").alias("n_b"),
+        F.round(theta, 4).alias("theta"),
+        llog.alias("log_lambda"),
+    )
+    wmax = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    p = F.round(
+        F.least(
+            F.lit(1.0), F.exp(-F.max("log_lambda").over(wmax))
+        ),
+        4,
+    )
+    return staged.select(
+        "day",
+        "n_a",
+        "n_b",
+        "theta",
+        "log_lambda",
+        p.alias("p_always_valid"),
+        (p <= F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def isotonic_calibration_bins(
+    df: DataFrame,
+    score_col,
+    label_expr,
+    n_bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Isotonic calibration of a classifier-style score against a
+    boolean outcome, via the max-min characterization of isotonic
+    regression over fixed score bins — the calibration step every
+    learned quality filter needs before its scores can be thresholded
+    as probabilities (Zadrozny & Elkan 2002; pool-adjacent-violators
+    gives the same fit, but PAVA is inherently sequential — the
+    max-min form is pure joins/aggregates over the bin frame):
+
+        iso(i) = max_{j≤i} min_{k≥i} rate(j..k)
+
+    where rate(j..k) is the pooled positive rate of bins j..k
+    (weighted by bin counts). Scores are bucketed by fixed width over
+    [lo, hi) (floor arithmetic — engine-exact assignment); the output
+    is one row per non-empty bin: raw rate, calibrated (monotone)
+    rate, and count.
+
+    Determinism: bin rates are exact-integer ratios; the pooled rate
+    for (j,k) is one IEEE division of exact cumulative ints, so the
+    min/max lattice is engine-exact; only the emitted rounds differ
+    in display. The j≤i≤k triple join runs over the B-row bin
+    aggregate (B³ combinations at B=20 is 8000 slim rows — driver-
+    free, and independent of fact size).
+
+    Scale shape: one fact-table pass (bin hash-agg with map-side
+    combine), then everything else on the B-row frame. The fact table
+    never feeds a window and never joins anything.
+    """
+    width = (hi - lo) / float(n_bins)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width)
+        ),
+    ).cast("int")
+    bins = (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & (F.col(score_col) >= lo)
+            & (F.col(score_col) < hi)
+        )
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(label_expr, 1).otherwise(0)).alias("pos"),
+        )
+    )
+    # pooled rate over a contiguous bin range needs cumulative (n,
+    # pos); the bin frame is B rows, so the window is aggregate-sized
+    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wb).alias("_cn"),
+        F.sum("pos").over(wb).alias("_cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_cnj"),
+        (F.col("_cp") - F.col("pos")).alias("_cpj"),
+    )
+    k = cum.select(
+        F.col("bin").alias("_k"),
+        F.col("_cn").alias("_cnk"),
+        F.col("_cp").alias("_cpk"),
+    )
+    # all (j, k) range rates, j <= k — B² slim rows
+    ranges = j.join(k, F.col("_j") <= F.col("_k")).select(
+        "_j",
+        "_k",
+        (
+            (F.col("_cpk") - F.col("_cpj")).cast("double")
+            / (F.col("_cnk") - F.col("_cnj"))
+        ).alias("_rate"),
+    )
+    i_frame = bins.select(F.col("bin").alias("_i"), "n", "pos")
+    inner = (
+        i_frame.join(
+            ranges,
+            (F.col("_j") <= F.col("_i")) & (F.col("_k") >= F.col("_i")),
+        )
+        .groupBy("_i", "n", "pos", "_j")
+        .agg(F.min("_rate").alias("_minr"))
+        .groupBy("_i", "n", "pos")
+        .agg(F.max("_minr").alias("_iso"))
+    )
+    return inner.select(
+        F.col("_i").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("pos").cast("double") / F.col("n"), 4
+        ).alias("raw_rate"),
+        F.round(F.col("_iso"), 4).alias("calibrated_rate"),
     )

@@ -356,6 +356,18 @@ def _nearest_cells_expr(centers, vec_col: str, m: int):
     return F.slice(F.array_sort(F.array(*structs)), 1, m)
 
 
+class _LocalCentroids:
+    """Driver-side centroid holder exposing the one method the IVF
+    callers use (``clusterCenters``), so the local numpy fit and the
+    MLlib KMeansModel are interchangeable as ``index`` members."""
+
+    def __init__(self, centers):
+        self._centers = centers
+
+    def clusterCenters(self):
+        return self._centers
+
+
 def ivf_fit_assign(
     df: DataFrame,
     n_cells: int = 16,
@@ -364,6 +376,7 @@ def ivf_fit_assign(
     fit_sample_rows: int = 100_000,
     seed: int = 42,
     m_assign: int = 1,
+    fit_mode: str = "local",
 ):
     """IVF coarse quantization, returning (assignments, model).
 
@@ -374,20 +387,53 @@ def ivf_fit_assign(
     assignment pass is a single map-only projection (centroids ride
     the plan as literals — see ``_nearest_cells_expr``).
 
+    ``fit_mode="local"`` (default, the ``pq_train`` discipline): the
+    count-capped sample — driver-sized by construction — is collected
+    once, sorted lexicographically, and the coarse quantizer is fit
+    with seeded numpy k-means++ + Lloyd, then the centroids are
+    themselves lex-sorted. The fit is therefore BYTE-IDENTICAL on any
+    cluster/partition layout — which is what lets a fixed-nprobe
+    probe's recall be pinned (and even oracled, via the containment
+    flag) instead of drifting with partitioning, as MLlib's
+    k-means|| init does. ``fit_mode="mllib"`` keeps the distributed
+    fit for samples beyond driver memory.
+
     ``m_assign`` is cell REPLICATION: each vector is stored in its m
     nearest cells (m rows per vector), trading m× index size for
     recall — the standard fix for neighbors that straddle a cell
     boundary (measured on the sf0.01 corpus: nprobe=2 recall@5 goes
     0.78 → 0.95 at n_cells=4 with m=2).
     """
-    from pyspark.ml.clustering import KMeans
-
     from .sample import count_targeted_sample
 
-    feat = _to_ml_vector(df, vec_col, "_features")
-    fit_df = count_targeted_sample(feat, fit_sample_rows, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell")
-    model = km.fit(fit_df)
+    if fit_mode == "local":
+        import numpy as np
+
+        from ..tuning import safe_to_pandas
+
+        sample = count_targeted_sample(
+            df.select(F.col(vec_col).cast("array<double>").alias("_v")),
+            fit_sample_rows,
+            seed=seed,
+        )
+        pdf = safe_to_pandas(sample, max_rows=max(fit_sample_rows, 1))
+        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        X = X[np.lexsort(X.T[::-1])]
+        centers = _kmeanspp_lloyd(X, n_cells, seed)
+        centers = centers[np.lexsort(centers.T[::-1])]
+        model = _LocalCentroids([np.asarray(c) for c in centers])
+    elif fit_mode == "mllib":
+        from pyspark.ml.clustering import KMeans
+
+        feat = _to_ml_vector(df, vec_col, "_features")
+        fit_df = count_targeted_sample(feat, fit_sample_rows, seed=seed)
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="_features",
+            predictionCol="cell",
+        )
+        model = km.fit(fit_df)
+    else:
+        raise ValueError(f"ivf_fit_assign: unknown fit_mode {fit_mode!r}")
     cells = _nearest_cells_expr(model.clusterCenters(), vec_col, m_assign)
     assigned = df.select(
         F.col(id_col), F.explode(cells).alias("_dc")
@@ -652,6 +698,121 @@ def ivf_search_exact_pruned(
         )
         .orderBy(F.col("dist"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_probe_containment_check(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nprobe_initial: int = 2,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_rows: int = 100_000,
+    index=None,
+) -> DataFrame:
+    """The IVF pruning certificate, checked against an INDEPENDENT
+    brute-force scan: the exact Euclidean top-k (computed by scanning
+    EVERY vector, no index involvement) annotated with whether each
+    true neighbor lies inside the triangle-inequality-certified probe
+    set that ``ivf_search_exact_pruned`` would scan.
+
+    By the certificate (see ``_certified_probe_cells``), every true
+    top-k member MUST be in the certified set — ``in_certified_probe``
+    is provably TRUE for all k rows, fit-independent, so the value
+    oracle asserts TRUE constants (the ``lsh_ann_candidates`` pattern,
+    but backed by a proof instead of a collision probability). A
+    FALSE row is a certificate bug — a cell wrongly excluded while
+    holding a true neighbor — surfacing as a value mismatch instead
+    of hiding behind a rows-only check.
+
+    Scale shape: the independent exact scan is the brute-force
+    reference (one pass, map-side top-k); the certificate side reuses
+    the pruned search's machinery — initial nprobe scan for the d_k
+    bound (broadcast-semi slice), one n_cells-row driver-side bound
+    pass, and a broadcast membership join of the certified assignment
+    slice onto k rows.
+    """
+    import numpy as np
+
+    if index is not None:
+        if len(index) == 3:
+            assigned, model, radii = index
+        else:
+            assigned, model = index
+            radii = None
+    else:
+        assigned, model = ivf_fit_assign(
+            df, n_cells, id_col, vec_col, fit_sample_rows, m_assign=1
+        )
+        radii = None
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("dist"),
+            F.lit(False).alias("in_certified_probe"),
+        ).limit(0)
+    q = np.asarray(qrow[0], dtype=np.float64)
+    centers = model.clusterCenters()
+    cdist = np.asarray([float(np.linalg.norm(q - c)) for c in centers])
+    if radii is None:
+        radii = ivf_cell_radii(
+            df, assigned, centers, id_col=id_col, vec_col=vec_col
+        )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            qlit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    spark = df.sparkSession
+    order = np.argsort(cdist)
+    first_cells = spark.createDataFrame(
+        [(int(c),) for c in order[:nprobe_initial]], "cell int"
+    )
+    head = (
+        df.join(
+            assigned.join(F.broadcast(first_cells), "cell", "semi"),
+            id_col,
+            "semi",
+        )
+        .filter(F.col(id_col) != query_id)
+        .select(F.sqrt(d2).alias("_dist"))
+        .orderBy("_dist")
+        .limit(k)
+        .collect()
+    )
+    if len(head) >= k:
+        cells = _certified_probe_cells(
+            cdist, radii, float(head[-1]["_dist"])
+        )
+    else:
+        cells = sorted(radii)
+    cells_df = spark.createDataFrame([(c,) for c in cells], "cell int")
+    certified_ids = (
+        assigned.join(F.broadcast(cells_df), "cell", "semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_in", F.lit(True))
+    )
+    exact = (
+        df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(F.sqrt(d2), 4).alias("dist"))
+        .orderBy(F.col("dist"), F.col(id_col))
+        .limit(k)
+    )
+    return exact.join(F.broadcast(certified_ids), id_col, "left").select(
+        F.col(id_col),
+        "dist",
+        F.coalesce(F.col("_in"), F.lit(False)).alias(
+            "in_certified_probe"
+        ),
     )
 
 
@@ -1345,7 +1506,7 @@ def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.42,
     n_cells: int = 8,
-    m_assign: int = 2,
+    m_assign: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -1361,9 +1522,16 @@ def semantic_dedup_pairs(
     random projections (data-independent), and this one buckets by
     LEARNED cluster structure — the published-at-scale recipe (SemDeDup
     ran on LAION/CommonCrawl embeddings with k-means shards exactly
-    like this). With ``m_assign`` > 1 each vector joins its m nearest
-    cells, so pairs straddling one cell boundary are still compared;
-    recall vs the exact tier is pinned in tests/test_dedup_ann.py.
+    like this; the sample-collect local k-means fit in
+    ``ivf_fit_assign`` IS that recipe, and is layout-independent).
+    With ``m_assign`` > 1 each vector joins its m nearest cells, so
+    pairs straddling cell boundaries are still compared; measured on
+    the sf0.01 corpus under the local fit: recall vs the exact tier
+    0.47 / 0.74 / 0.97 at m = 1 / 2 / 3 (near-uniform embeddings —
+    the hard regime), pinned in tests/test_dedup_ann.py. Default
+    m=3: pair work scales with m²/k, so the recall buy costs ~2×
+    over m=2 — the right default when dedup misses cost training
+    tokens.
 
     Plan shape: sampled KMeans fit (bounded), map-only cell
     assignment (centroids ride the plan as literals), then ONE

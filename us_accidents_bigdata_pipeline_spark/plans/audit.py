@@ -28,6 +28,16 @@ Flags:
   ``layout.global_running_sum``'s range-exchange formulation. Like
   ``nested_loop``, the auditor cannot see cardinalities, so callers
   whitelist the aggregate-frame queries explicitly.
+- ``low_cardinality_keyed_window``: a ``Window`` whose feeding
+  Exchange hash-partitions on a single column whose DEFINITION in the
+  plan text declares a tiny domain — a boolean comparison
+  (``(x = lit) AS _k``) or a short two-branch CASE. Structurally the
+  same scale-killer as ``single_partition_window`` (the whole input
+  funnels through |domain| tasks) but invisible to that check because
+  the exchange is keyed, not SinglePartition — the shape that hid
+  quantile_treatment_effect's 2-task rank window from the r9 audit.
+  Same whitelist discipline: a keyed window over an aggregate-sized
+  frame is fine; over a fact slice it is not.
 """
 
 from __future__ import annotations
@@ -53,6 +63,8 @@ def audit_plan(df: DataFrame) -> list[str]:
     ]
     if _window_over_single_partition(plan):
         flags.append("single_partition_window")
+    if _window_over_low_cardinality_key(plan):
+        flags.append("low_cardinality_keyed_window")
     return flags
 
 
@@ -68,6 +80,98 @@ def _tree_depth(line: str) -> int:
     return -1
 
 
+def _chain_exchange_of(lines: list[str], i: int) -> str | None:
+    """The Exchange line on the Window-at-``lines[i]``'s OWN direct
+    single-child chain, or None. Same walk as
+    ``_window_over_single_partition`` (see its docstring for why
+    marker co-occurrence and first-Exchange-below are both wrong)."""
+    expect = _tree_depth(lines[i]) + 3
+    for below in lines[i + 1 :]:
+        d = _tree_depth(below)
+        if d != expect:
+            break
+        if below[d : d + 2] == ":-":
+            break
+        if "Exchange" in below:
+            return below
+        expect = d + 3
+    return None
+
+
+def _defining_expr(plan: str, col_token: str) -> str | None:
+    """The expression text that defines ``col_token`` (``name#id``) in
+    the plan — the paren-balanced segment preceding its first
+    `` AS name#id`` alias. The executed plan's toString shows no
+    column types, so the defining Project expression is the only
+    place a column's domain is visible."""
+    marker = " AS " + col_token
+    for line in plan.splitlines():
+        idx = line.find(marker)
+        if idx == -1:
+            continue
+        j = idx - 1
+        if j >= 0 and line[j] == ")":
+            depth = 0
+            while j >= 0:
+                if line[j] == ")":
+                    depth += 1
+                elif line[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        return line[j : idx]
+                j -= 1
+            return None
+        # unparenthesized (CASE ... END, function-less literals):
+        # take back to the enclosing comma/bracket
+        k = max(line.rfind(",", 0, idx), line.rfind("[", 0, idx))
+        return line[k + 1 : idx].strip()
+    return None
+
+
+def _declares_tiny_domain(plan: str, col_token: str) -> bool:
+    """True when ``col_token`` is DEFINED by an expression whose
+    domain is declaredly tiny: a boolean comparison / IN / isnull
+    (two values + NULL), or a CASE of at most two WHEN branches whose
+    result arms are all literals (no ``#`` column refs)."""
+    import re
+
+    expr = _defining_expr(plan, col_token)
+    if not expr:
+        return False
+    if " = " in expr or " IN " in expr or expr.startswith("isnull("):
+        return True
+    if expr.startswith("CASE WHEN") and expr.count("WHEN") <= 2:
+        arms = re.findall(
+            r"(?:THEN|ELSE) (.*?)(?= WHEN | ELSE | END)", expr
+        )
+        if arms and all("#" not in a for a in arms):
+            return True
+    return False
+
+
+def _window_over_low_cardinality_key(plan: str) -> bool:
+    """True when some Window's own feeding Exchange hash-partitions on
+    exactly one column whose definition declares a tiny domain (see
+    ``_declares_tiny_domain``) — the keyed twin of the
+    single-partition window: every input row funnels through |domain|
+    tasks no matter how many executors exist."""
+    import re
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" not in line or "WindowGroupLimit" in line:
+            continue
+        ex = _chain_exchange_of(lines, i)
+        if ex is None:
+            continue
+        m = re.search(
+            r"hashpartitioning\((\w+#\d+)(?:,\s*\d+)?\)", ex
+        )
+        if m and _declares_tiny_domain(plan, m.group(1)):
+            return True
+    return False
+
+
 def _window_over_single_partition(plan: str) -> bool:
     """True when some Window node's OWN input chain repartitions to
     SinglePartition. Plain marker co-occurrence false-positives
@@ -80,28 +184,13 @@ def _window_over_single_partition(plan: str) -> bool:
     Exchange on that chain is the window's partitioning. Stop at a
     branching node (a join/union child appears at the same depth as a
     sibling or with a ``:-`` marker) — past one, an Exchange belongs
-    to someone else."""
+    to someone else. (Chain walk factored into
+    ``_chain_exchange_of``, shared with the low-cardinality check.)"""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Window" not in line or "WindowGroupLimit" in line:
             continue
-        expect = _tree_depth(line) + 3
-        for below in lines[i + 1 :]:
-            d = _tree_depth(below)
-            if d != expect:
-                # sibling/ancestor (d < expect) ends the subtree; a
-                # deeper line without passing through the chain means
-                # our direct child branched — either way, stop.
-                break
-            if below[d : d + 2] == ":-":
-                # first child of a multi-child node: the chain ends —
-                # the window inherits partitioning from a join, whose
-                # exchanges (even an Exchange right here) are its own
-                # business, not the window's.
-                break
-            if "Exchange" in below:
-                if "SinglePartition" in below:
-                    return True
-                break
-            expect = d + 3
+        ex = _chain_exchange_of(lines, i)
+        if ex is not None and "SinglePartition" in ex:
+            return True
     return False

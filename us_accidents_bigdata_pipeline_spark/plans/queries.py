@@ -2298,22 +2298,44 @@ def q_ivf_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ivf_search",
-    None,  # KMeans-cell-dependent → rows-only; exact in-probe scan,
-    # recall vs the full exact scan asserted in tests
-    doc="IVF probe search: rank centroids driver-side, scan only the "
-    "nprobe nearest cells; corpus replicated into its 2 nearest cells "
-    "for boundary recall (operators/similarity.py::ivf_search)",
+    # Containment certificate as a VALUE oracle (promoted from
+    # rows-only in r10): the output is the exact top-5 computed by an
+    # INDEPENDENT brute-force scan, annotated with membership in the
+    # triangle-inequality-certified probe set. The certificate proves
+    # every true neighbor is inside that set — fit-INdependent — so
+    # the oracle asserts TRUE constants (the lsh_ann_candidates
+    # pattern, backed by a proof instead of a collision probability);
+    # a certificate bug shows up as a FALSE flag = hash mismatch. The
+    # raw fixed-nprobe approximate search stays available as
+    # operators/similarity.py::ivf_search with its recall pins in
+    # tests/test_dedup_ann.py (un-oracle-able by nature: a miss is
+    # silent and the corpus is near-uniform).
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(sqrt(list_sum(list_transform(
+                        generate_series(1, len(e.v)),
+                        i -> (e.v[i] - q.qv[i]) ^ 2))), 4) AS dist,
+              TRUE AS in_certified_probe
+       FROM e, q WHERE e.vec_id <> 0
+       ORDER BY dist, e.vec_id LIMIT 5""",
+    doc="IVF probe containment certificate: independent exact top-5 "
+    "(brute scan, same (a-b)^2 fold both engines) flagged with "
+    "membership in the certified probe set — provably all TRUE by "
+    "the triangle-inequality bound, so the flag is a standing "
+    "certificate check, not a recall gamble "
+    "(operators/similarity.py::ivf_probe_containment_check)",
 )
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_search
+    from ..operators.similarity import ivf_probe_containment_check
 
-    return ivf_search(
+    return ivf_probe_containment_check(
         _t(spark, sf_dir, "embeddings"),
         query_id=0,
         k=5,
-        nprobe=2,
+        nprobe_initial=2,
         n_cells=8,
-        m_assign=2,
     )
 
 
@@ -7236,9 +7258,11 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-false-positive + recall + exact-cosine-parity contracts are
     # pinned in tests/test_dedup_ann.py::test_semantic_dedup_*
     doc="SemDeDup-style semantic near-dup pairs (similarity.py::"
-    "semantic_dedup_pairs): sampled-fit KMeans clusters the embedding "
-    "space, pairs are exact-cosine-compared only WITHIN a cell "
-    "(m_assign=2 boundary replication). The learned-bucket member of "
+    "semantic_dedup_pairs): sampled-fit local KMeans (layout-"
+    "independent) clusters the embedding space, pairs are exact-"
+    "cosine-compared only WITHIN a cell "
+    "(m_assign=3 boundary replication, measured recall 0.97). The "
+    "learned-bucket member of "
     "the embedding-dedup tier: total flops ≈ n²/k vs the exact "
     "tier's n², scored as one Arrow-batched BLAS product per cell "
     "(the published SemDeDup kernel; 7x the per-pair expression "
@@ -13651,13 +13675,21 @@ def q_assortativity_copurchase(
 
 @_register(
     "clustering_coef_copurchase",
-    """WITH e AS (
+    """WITH e0 AS (
          SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
                          greatest(a.l_partkey, b.l_partkey) AS v
          FROM lineitem a
          JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                         AND a.l_partkey <> b.l_partkey
          WHERE a.l_orderkey < 2000 AND b.l_orderkey < 2000),
+       hubs AS (SELECT n FROM (
+                  SELECT n, count(*) AS d FROM (
+                    SELECT u AS n FROM e0
+                    UNION ALL SELECT v AS n FROM e0) GROUP BY n)
+                WHERE d > 40),
+       e AS (SELECT u, v FROM e0
+             WHERE u NOT IN (SELECT n FROM hubs)
+               AND v NOT IN (SELECT n FROM hubs)),
        adj AS (SELECT u AS n, v AS nbr FROM e
                UNION ALL SELECT v AS n, u AS nbr FROM e),
        d AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
@@ -13680,8 +13712,10 @@ def q_assortativity_copurchase(
     "graph (bounded slice): cc = 2·tri/(deg·(deg−1)) — neighborhood "
     "clique-ness per vertex; wedge join semi-joined against the edge "
     "set, integer arithmetic until one exact-int IEEE division so the "
-    "(cc DESC, node) cut is engine-exact; degree² wedge fanout is the "
-    "documented hub hazard (cap upstream on scale-free graphs) "
+    "(cc DESC, node) cut is engine-exact; max_degree=40 hub guard "
+    "bounds the degree² wedge fanout (hubs removed from the subgraph "
+    "BEFORE the wedge, degrees recomputed self-consistently — the "
+    "guard BINDS on this slice: max raw degree 54) "
     "(operators/graph.py::local_clustering_coefficient)",
 )
 def q_clustering_coef_copurchase(
@@ -13693,7 +13727,9 @@ def q_clustering_coef_copurchase(
     )
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
-    return local_clustering_coefficient(copurchase_edges(li))
+    return local_clustering_coefficient(
+        copurchase_edges(li), max_degree=40
+    )
 
 
 @_register(
@@ -13930,4 +13966,149 @@ def q_qte_value_click_purchase(
     return quantile_treatment_effect(
         _t(spark, sf_dir, "events"), "value", "event_type",
         "click", "purchase",
+    )
+
+
+# =====================================================================
+# Sequential-testing guardrail: mixture SPRT (Johari et al. 2017)
+# over the daily click-vs-purchase value aggregate — the always-valid
+# companion to the Wilson/SRM tier: a per-day p-value that stays
+# valid under DAILY PEEKING. Exact decimal cumulative sums; log Λ
+# rounds to 6 BEFORE the running max so the extremum (and therefore
+# the p sequence and reject flags) is engine-exact; p = exp of the
+# already-rounded max, rounded to 4 (the mann_whitney discipline).
+# Windows run over the |days|-row aggregate only.
+# =====================================================================
+
+
+@_register(
+    "msprt_guardrail_click_purchase",
+    """WITH s AS (SELECT CAST(ts AS DATE) AS day,
+                        (event_type = 'click') AS ia,
+                        CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL),
+       d AS (SELECT day,
+                    sum(CASE WHEN ia THEN 1 ELSE 0 END) AS na,
+                    sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS nb,
+                    sum(CASE WHEN ia THEN v
+                             ELSE CAST('0' AS DECIMAL(18,2)) END) AS sa,
+                    sum(CASE WHEN NOT ia THEN v
+                             ELSE CAST('0' AS DECIMAL(18,2)) END) AS sb
+             FROM s GROUP BY 1),
+       c AS (SELECT day,
+                    sum(na) OVER w AS cna, sum(nb) OVER w AS cnb,
+                    sum(sa) OVER w AS csa, sum(sb) OVER w AS csb
+             FROM d
+             WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+       t AS (SELECT day, cna, cnb,
+                    CAST(CAST(csa AS VARCHAR) AS DOUBLE) / cna
+                    - CAST(CAST(csb AS VARCHAR) AS DOUBLE) / cnb
+                        AS theta,
+                    CAST(cna AS DOUBLE) * cnb / (cna + cnb) AS neff
+             FROM c WHERE cna > 0 AND cnb > 0),
+       l AS (SELECT day, cna, cnb, theta,
+                    round(0.5 * ln(2500.0 / (2500.0 + neff * 25.0))
+                          + 25.0 * neff * neff * theta * theta
+                            / (2.0 * 2500.0
+                               * (2500.0 + neff * 25.0)), 6)
+                        AS log_lambda
+             FROM t),
+       m AS (SELECT *, max(log_lambda)
+                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        AS mx
+             FROM l)
+       SELECT day, CAST(cna AS BIGINT) AS n_a,
+              CAST(cnb AS BIGINT) AS n_b,
+              round(theta, 4) AS theta, log_lambda,
+              round(least(1.0, exp(-mx)), 4) AS p_always_valid,
+              (round(least(1.0, exp(-mx)), 4) <= 0.05) AS reject
+       FROM m""",
+    doc="mSPRT always-valid sequential test over daily click-vs-"
+    "purchase values: cumulative exact-decimal sums -> theta and "
+    "effective n per day, known-variance mixture log-likelihood "
+    "ratio (sigma2=2500, tau2=25 as shared literals), running max of "
+    "the ROUNDED log Lambda, always-valid p = exp(-max) capped at 1 "
+    "- the peeking-proof guardrail the Wilson/SRM tier needs "
+    "(operators/profile.py::msprt_sequential_readout)",
+)
+def q_msprt_guardrail_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import msprt_sequential_readout
+
+    return msprt_sequential_readout(
+        _t(spark, sf_dir, "events"), "ts", "value", "event_type",
+        "click", "purchase",
+    )
+
+
+# =====================================================================
+# Isotonic calibration over score bins via the max-min (minimax)
+# characterization — iso(i) = max_{j<=i} min_{k>=i} rate(j..k) — the
+# join/aggregate formulation of pool-adjacent-violators (PAVA is
+# sequential; the minimax form is order-free and engine-exact: every
+# pooled rate is ONE IEEE division of exact cumulative integers).
+# The B-row bin aggregate is the only thing the B^2 range frame and
+# B^3 membership join ever touch; the fact table contributes one
+# hash-aggregate pass.
+# =====================================================================
+
+
+@_register(
+    "isotonic_calibration_value_purchase",
+    """WITH f AS (SELECT least(19, CAST(floor(value / 25.0) AS INT))
+                      AS bin,
+                      (event_type = 'purchase') AS ispos
+               FROM events
+               WHERE value IS NOT NULL
+                 AND value >= 0.0 AND value < 500.0),
+       bins AS (SELECT bin, count(*) AS n,
+                       sum(CASE WHEN ispos THEN 1 ELSE 0 END) AS npos
+                FROM f GROUP BY 1),
+       cum AS (SELECT bin, n, npos,
+                      sum(n) OVER w AS cn, sum(npos) OVER w AS cp
+               FROM bins
+               WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+       jj AS (SELECT bin AS j, cn - n AS cnj, cp - npos AS cpj
+              FROM cum),
+       kk AS (SELECT bin AS k, cn AS cnk, cp AS cpk FROM cum),
+       r AS (SELECT jj.j, kk.k,
+                    CAST(kk.cpk - jj.cpj AS DOUBLE)
+                    / CAST(kk.cnk - jj.cnj AS DOUBLE) AS rate
+             FROM jj JOIN kk ON jj.j <= kk.k),
+       innermin AS (SELECT b.bin, b.n, b.npos, r.j,
+                           min(r.rate) AS minr
+                    FROM bins b
+                    JOIN r ON r.j <= b.bin AND r.k >= b.bin
+                    GROUP BY 1, 2, 3, 4),
+       iso AS (SELECT bin, n, npos, max(minr) AS iso
+               FROM innermin GROUP BY 1, 2, 3)
+       SELECT bin, CAST(n AS BIGINT) AS n,
+              round(CAST(npos AS DOUBLE) / n, 4) AS raw_rate,
+              round(iso, 4) AS calibrated_rate
+       FROM iso""",
+    doc="isotonic calibration of the event-value 'score' against the "
+    "purchase outcome over 20 fixed-width bins: minimax form of "
+    "isotonic regression (max over j<=i of min over k>=i of the "
+    "pooled j..k rate) — the calibration step a learned quality "
+    "filter needs before thresholding scores as probabilities; all "
+    "pooled rates are single IEEE divisions of exact cumulative "
+    "integers, so the min/max lattice is engine-exact "
+    "(operators/profile.py::isotonic_calibration_bins)",
+)
+def q_isotonic_calibration_value_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import isotonic_calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    return isotonic_calibration_bins(
+        ev,
+        "value",
+        F.col("event_type") == F.lit("purchase"),
+        n_bins=20,
+        lo=0.0,
+        hi=500.0,
     )
