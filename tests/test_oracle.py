@@ -125,6 +125,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # membership join are non-equi joins over at most B^2/B^3 slim
     # rows — never the fact table
     "isotonic_calibration_value_purchase": {"nested_loop"},
+    # 1-row pe-numerator frame broadcast onto the 1-row totals
+    "cohens_kappa_filter_agreement": {"nested_loop"},
+    # 1-row normalizer broadcast onto the |classes|-row frame
+    "class_balanced_weights_orderstatus": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
@@ -169,6 +173,7 @@ for _name in (
     "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
     "msprt_guardrail_click_purchase",  # |days|-row daily aggregate
     "isotonic_calibration_value_purchase",  # B<=20-row bin aggregate
+    "token_coverage_curve",          # |vocab|-row frequency aggregate
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

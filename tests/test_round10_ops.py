@@ -118,3 +118,123 @@ def test_isotonic_already_monotone_is_identity(spark):
         ).collect()
     }
     assert out == {0: 0.1, 1: 0.4, 2: 0.9}
+
+
+def test_cohens_kappa_perfect_and_independent(spark):
+    """kappa = 1 for identical raters; ~0 for independent ones; NULL
+    when both raters are constant (chance correction undefined)."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, i % 2 == 0, i % 3 == 0) for i in range(120)],
+        "i long, a boolean, b boolean, c boolean",
+    )
+    perfect = cohens_kappa(df, "a", "b").head()
+    assert perfect.kappa == 1.0 and perfect.p_observed == 1.0
+    # a (period 2) vs c (period 3) over 120 rows are exactly
+    # independent: kappa is 0 by construction
+    indep = cohens_kappa(df, "a", "c").head()
+    assert indep.kappa == 0.0
+    const = df.select("i", F.lit(True).alias("x"), F.lit(True).alias("y"))
+    degenerate = cohens_kappa(const, "x", "y").head()
+    assert degenerate.kappa is None
+    assert degenerate.p_observed == 1.0
+
+
+def test_ece_perfectly_calibrated_score_is_zero(spark):
+    """A score equal to the bin's true rate (by construction) gives
+    ECE 0; a maximally wrong score gives ECE near 1."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        expected_calibration_error,
+    )
+
+    rows = []
+    # bin [0.2, 0.25): score 0.2, rate 0.2 exactly (1 of 5)
+    for i in range(20):
+        rows.append((0.2, i % 5 == 0))
+    # bin [0.8, 0.85): score 0.8, rate 0.8 exactly (4 of 5)
+    for i in range(20):
+        rows.append((0.8, i % 5 != 0))
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = expected_calibration_error(df, "score", F.col("label")).head()
+    assert r.ece == 0.0 and r.mce == 0.0 and r.n == 40
+    wrong = spark.createDataFrame(
+        [(0.95, False)] * 30, "score double, label boolean"
+    )
+    r2 = expected_calibration_error(wrong, "score", F.col("label")).head()
+    assert r2.ece == 0.95
+
+
+def test_mde_shrinks_with_sample_size(spark):
+    """MDE must scale as 1/sqrt(n): a segment with 4x the rows at the
+    same variance has exactly half the MDE."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        mde_readout,
+    )
+
+    rows = [("small", float(v)) for v in (10, 20) * 50]
+    rows += [("big", float(v)) for v in (10, 20) * 200]
+    df = spark.createDataFrame(rows, "seg string, v double")
+    out = {r.seg: r for r in mde_readout(df, "seg", "v").collect()}
+    assert out["small"].sd == out["big"].sd == 5.0
+    assert abs(out["small"].mde_abs - 2 * out["big"].mde_abs) < 1e-3
+
+
+def test_split_leakage_entity_split_is_clean_row_split_leaks(spark):
+    """Hash-splitting on the ENTITY key leaks nothing; hash-splitting
+    on the ROW key leaks every multi-row entity whose rows straddle
+    the cut."""
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        split_leakage_report,
+    )
+
+    rows = [(i, i // 4) for i in range(400)]  # 4 rows per entity
+    df = spark.createDataFrame(rows, "row_id long, entity long")
+    by_entity = F.when(
+        F.col("entity") % 5 == 0, F.lit("eval")
+    ).otherwise(F.lit("train"))
+    clean = split_leakage_report(df, "entity", by_entity).collect()
+    assert all(not r.leaked for r in clean)
+    assert {r.splits for r in clean} == {"eval", "train"}
+    by_row = F.when(
+        F.col("row_id") % 5 == 0, F.lit("eval")
+    ).otherwise(F.lit("train"))
+    leaky = {
+        r.splits: r for r in split_leakage_report(df, "entity", by_row).collect()
+    }
+    assert "eval+train" in leaky and leaky["eval+train"].leaked
+    # row_id%5 hits every entity of 4 consecutive ids at least... not
+    # all: entities whose 4 rows all miss %5==0 stay train-only
+    assert "train" in leaky and not leaky["train"].leaked
+
+
+def test_token_coverage_monotone_and_bounded(spark):
+    """Coverage must be non-decreasing in K and end at <= 1; a corpus
+    of one repeated token covers 1.0 at K=10 (only k<=vocab rows
+    emitted)."""
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        token_coverage_curve,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = token_coverage_curve(docs).collect()
+    cov = [r.coverage for r in sorted(out, key=lambda r: r.k)]
+    assert all(a <= b for a, b in zip(cov, cov[1:]))
+    assert 0 < cov[0] <= cov[-1] <= 1.0
+
+
+def test_class_balanced_weights_normalized_and_ordered(spark):
+    """Rarer classes get strictly larger weights; the weighted row
+    count equals N (the loss-scale-preserving normalization)."""
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        class_balanced_weights,
+    )
+
+    rows = [("common",)] * 900 + [("rare",)] * 100
+    df = spark.createDataFrame(rows, "cls string")
+    out = {r.cls: r for r in class_balanced_weights(df, "cls").collect()}
+    assert out["rare"].weight > out["common"].weight
+    total = sum(r.weight * r.n for r in out.values())
+    assert abs(total - 1000) < 0.01

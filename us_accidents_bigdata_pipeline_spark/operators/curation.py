@@ -521,3 +521,44 @@ def source_quota_cap(
         .filter(F.col("_rn") <= cap)
         .select(id_col, group_col, order_col)
     )
+
+
+def class_balanced_weights(
+    df: DataFrame,
+    class_col: str,
+    beta: float = 0.999,
+) -> DataFrame:
+    """Class-balanced loss weights from the effective number of
+    samples (Cui et al. 2019, "Class-Balanced Loss Based on Effective
+    Number of Samples"): w_c ∝ (1 − β)/(1 − β^{n_c}) — the reweighting
+    a skewed label distribution needs during training; β → 1
+    approaches inverse-frequency, β = 0 is uniform.
+
+    Weights are normalized so Σ_c w_c·n_c equals the total row count
+    (the convention that keeps the expected loss scale unchanged).
+    ``pow(β, n)`` is the one libm step — computed identically from
+    exact integer n on both engines and rounded at 6 (underflow to 0
+    for huge classes is the correct limit: w → 1−β).
+
+    One class-keyed count aggregate, then a 1-row normalizer
+    broadcast back over the |classes|-row frame. Output per class:
+    (class, n, weight) with Σ w·n = N.
+    """
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
+    b = F.lit(float(beta))
+    raw = (F.lit(1.0) - b) / (
+        F.lit(1.0) - F.pow(b, F.col("n").cast("double"))
+    )
+    withraw = counts.select(F.col(class_col), "n", raw.alias("_w"))
+    norm = withraw.agg(
+        F.sum(F.col("_w") * F.col("n")).alias("_z"),
+        F.sum("n").alias("_tot"),
+    )
+    return withraw.crossJoin(F.broadcast(norm)).select(
+        F.col(class_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("_w") * F.col("_tot").cast("double") / F.col("_z"),
+            6,
+        ).alias("weight"),
+    )

@@ -1476,3 +1476,194 @@ def isotonic_calibration_bins(
         ).alias("raw_rate"),
         F.round(F.col("_iso"), 4).alias("calibrated_rate"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col,
+    rater_b_col,
+) -> DataFrame:
+    """Cohen's kappa between two categorical "raters" — the
+    chance-corrected inter-annotator agreement every labeled-data QA
+    pass reports (Cohen 1960): κ = (p_o − p_e)/(1 − p_e), with p_o
+    the observed agreement and p_e the agreement expected from the
+    raters' marginal distributions alone. For training-data curation
+    the raters are typically two FILTERS (a rule panel vs a learned
+    scorer): κ near 0 says the second filter adds an independent
+    signal; κ near 1 says it is redundant.
+
+    ``rater_a_col``/``rater_b_col``: Column expressions (cast to
+    string internally so heterogeneous label types compare sanely).
+
+    Determinism: the contingency and marginal tables are exact
+    integer aggregates; p_o and p_e are two IEEE divisions of exact
+    ints, κ one more — rounded at 4. κ is NULL when p_e = 1 (both
+    raters constant — chance correction undefined).
+
+    Scale shape: one pass to the |A|×|B| contingency aggregate; the
+    marginal product joins run on category-sized frames.
+    """
+    cont = (
+        df.select(
+            F.col(rater_a_col).cast("string").alias("_a")
+            if isinstance(rater_a_col, str)
+            else rater_a_col.cast("string").alias("_a"),
+            F.col(rater_b_col).cast("string").alias("_b")
+            if isinstance(rater_b_col, str)
+            else rater_b_col.cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    totals = cont.agg(
+        F.sum("_n").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    row_m = cont.groupBy(F.col("_a").alias("_cat")).agg(
+        F.sum("_n").alias("_ra")
+    )
+    col_m = cont.groupBy(F.col("_b").alias("_cat")).agg(
+        F.sum("_n").alias("_rb")
+    )
+    pe_num = (
+        row_m.join(col_m, "_cat")
+        .agg(F.sum(F.col("_ra") * F.col("_rb")).alias("_pe_num"))
+    )
+    po = F.col("_agree").cast("double") / F.col("n")
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(po, 4).alias("p_observed"),
+            F.round(pe, 4).alias("p_expected"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 4
+            ).alias("kappa"),
+        )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_expr,
+    n_bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Expected calibration error of a probability-like score against
+    a boolean outcome (Naeini et al. 2015; Guo et al. 2017) — the
+    one-number companion to ``isotonic_calibration_bins``:
+
+        ECE = Σ_b (n_b/N) · |rate_b − conf_b|,
+        MCE = max_b |rate_b − conf_b|
+
+    over fixed-width score bins, where rate_b is the empirical
+    positive rate and conf_b the mean score in the bin.
+
+    Determinism: counts are exact ints; the score sum per bin is an
+    exact DECIMAL cumulated by the aggregate and converted to double
+    ONCE per bin — rate/conf are then single IEEE divisions, and the
+    weighted fold runs over the B-row frame in deterministic bin
+    order via an exact integer-weighted sum. Rounded at 6.
+
+    Scale shape: one fact-pass bin aggregate; everything else on B
+    rows. One output row: (n, n_bins_used, ece, mce).
+    """
+    width = (hi - lo) / float(n_bins)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width)
+        ),
+    ).cast("int")
+    bins = (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & (F.col(score_col) >= lo)
+            & (F.col(score_col) < hi)
+        )
+        .groupBy(b.alias("_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(label_expr, 1).otherwise(0)).alias("_pos"),
+            F.sum(
+                F.col(score_col).cast("decimal(18,6)")
+            ).alias("_ssum"),
+        )
+    )
+    gap = F.abs(
+        F.col("_pos").cast("double") / F.col("_n")
+        - F.col("_ssum").cast("double") / F.col("_n")
+    )
+    return bins.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        F.round(
+            F.sum(gap * F.col("_n")) / F.sum("_n"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+def mde_readout(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect per segment — the experiment-design
+    readout that answers "how long must this test run": for a two-arm
+    test splitting each segment's n evenly, the smallest true mean
+    shift detectable at significance α (two-sided) with the given
+    power is
+
+        MDE = (z_{1−α/2} + z_{power}) · sqrt(2σ²/(n/2))
+
+    with both normal quantiles embedded as LITERALS (95% / 80% by
+    default) so the engines share the identical constants — the same
+    discipline as ``wilson_ci_proportion``.
+
+    σ² is the segment's population variance computed from EXACT
+    decimal sums (Σv, Σv² cumulated as decimals, converted once each
+    to double): var = (Σv² − (Σv)²/n)/n is then a fixed IEEE
+    expression — engine-identical, immune to float-summation order.
+
+    One group-keyed aggregate over the fact slice; closed-form row
+    arithmetic after. Output per segment: n, mean, sd, mde_abs,
+    mde_rel (rounded 4/6).
+    """
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(
+            (F.col("_v") * F.col("_v")).cast("decimal(38,4)")
+        ).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    mean = s1 / n
+    zsum = F.lit(float(z_alpha) + float(z_power))
+    mde = zsum * F.sqrt(F.lit(4.0) * var / n)
+    return agg.select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("sd"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(
+            F.when(mean != 0, mde / mean), 6
+        ).alias("mde_rel"),
+    )

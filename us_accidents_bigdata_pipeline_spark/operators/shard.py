@@ -194,3 +194,49 @@ def write_training_shards(
         .drop("_key")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def split_leakage_report(
+    rows: DataFrame,
+    entity_col: str,
+    split_col,
+) -> DataFrame:
+    """Entity-level train/eval leakage audit — the check that catches
+    the classic split mistake: assigning ROWS to splits when the unit
+    of generalization is an ENTITY (user, customer, document source).
+    A row-level hash split puts some of almost every multi-row
+    entity's data on BOTH sides, so eval measures memorization, not
+    generalization; the fix is hashing the ENTITY key
+    (``shard_assignment``'s md5-on-id discipline applied to the
+    entity, not the row).
+
+    Output: one row per split-membership pattern an entity exhibits
+    (the sorted distinct-split set, as a string), with entity counts
+    — plus the 'LEAKED' aggregate rows a dashboard alerts on:
+    entities present in more than one split.
+
+    Determinism: membership sets are sorted concatenations of exact
+    distinct values; counts exact. One (entity, split) distinct pass
+    (slim rows), one entity-keyed agg, one pattern-keyed agg — the
+    fact table shuffles twice as narrow keys, never wide rows.
+    """
+    es = rows.select(
+        F.col(entity_col).alias("_e"),
+        (split_col if not isinstance(split_col, str) else F.col(split_col))
+        .cast("string")
+        .alias("_s"),
+    ).distinct()
+    per_entity = es.groupBy("_e").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("_s")), "+"
+        ).alias("splits"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return (
+        per_entity.groupBy("splits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.max(F.col("_k") > 1).alias("leaked"),
+        )
+        .orderBy("splits")
+    )

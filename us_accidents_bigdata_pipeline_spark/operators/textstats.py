@@ -692,3 +692,55 @@ def dup_ngram_char_fraction(
             ).alias("is_repetitive"),
         )
     )
+
+
+def token_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple = (5, 10, 20, 30, 100, 1000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size
+    K, the fraction of the corpus's total token MASS covered by the K
+    most frequent tokens — the readout that sizes a tokenizer's
+    vocabulary (coverage@K ≈ 1 − OOV rate under a top-K vocab) and
+    quantifies how Zipfian the corpus is.
+
+    Ranking is (count DESC, token) — exact integers with a
+    deterministic tie-break, so the K cuts are engine-exact; coverage
+    is one IEEE division of exact cumulative integers per K, rounded
+    at 6.
+
+    Scale shape: the corpus tokenizes once into a (token, count) hash
+    aggregate with map-side combine; the rank window and cumulative
+    sum run over the |vocab|-row aggregate (audit-whitelisted single
+    partition — vocabulary-sized at any corpus scale), and the K cut
+    is a tiny IN filter. Output: (k, distinct_tokens, coverage).
+    """
+    from pyspark.sql import Window as W
+
+    freq = (
+        df.select(F.explode(word_tokens(text_col)).alias("_t"))
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = W.orderBy(F.col("_c").desc(), F.col("_t"))
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    ranked = freq.select(
+        F.row_number().over(w).alias("_r"),
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_nvocab"),
+    )
+    return (
+        ranked.filter(F.col("_r").isin(*[int(k) for k in ks]))
+        .select(
+            F.col("_r").cast("int").alias("k"),
+            F.col("_nvocab").cast("long").alias("distinct_tokens"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("_tot"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -14112,3 +14112,256 @@ def q_isotonic_calibration_value_purchase(
         lo=0.0,
         hi=500.0,
     )
+
+
+# =====================================================================
+# Labeled-data QA tier (round 10): inter-filter agreement, score
+# calibration error, experiment sizing, split-leakage audit,
+# vocabulary coverage, class-balance reweighting — the operational
+# readouts a training-data platform runs around its filters and
+# splits. All closed-form over exact-integer / exact-decimal
+# aggregates; libm steps (pow) follow the round-after discipline.
+# =====================================================================
+
+
+@_register(
+    "cohens_kappa_filter_agreement",
+    r"""WITH s AS (SELECT
+         (len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t <> '')) >= 50) AS ra,
+         (len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','it')))
+          >= 4) AS rb
+       FROM documents),
+       c AS (SELECT ra, rb, count(*) AS n FROM s GROUP BY 1, 2),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                    sum(CASE WHEN ra = rb THEN n ELSE 0 END) AS agree
+             FROM c),
+       rm AS (SELECT ra AS cat, sum(n) AS r FROM c GROUP BY 1),
+       cm AS (SELECT rb AS cat, sum(n) AS cc FROM c GROUP BY 1),
+       pe AS (SELECT sum(rm.r * cm.cc) AS pen
+              FROM rm JOIN cm ON rm.cat = cm.cat),
+       x AS (SELECT t.n,
+                    CAST(agree AS DOUBLE) / t.n AS po,
+                    CAST(pen AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) * t.n) AS pex
+             FROM t, pe)
+       SELECT n, round(po, 4) AS p_observed,
+              round(pex, 4) AS p_expected,
+              round(CASE WHEN pex < 1.0
+                         THEN (po - pex) / (1.0 - pex) END, 4)
+                  AS kappa
+       FROM x""",
+    doc="Cohen's kappa between two document FILTERS (word-count rule "
+    "vs stopword rule) — chance-corrected agreement, the labeled-"
+    "data QA readout that says whether a second filter adds "
+    "independent signal (kappa~0) or is redundant (kappa~1); exact "
+    "integer contingency + marginals, two IEEE divisions "
+    "(operators/profile.py::cohens_kappa)",
+)
+def q_cohens_kappa_filter_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import cohens_kappa
+    from ..operators.textstats import stopword_count
+    from ..functions import word_tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        (
+            F.size(F.filter(word_tokens("text"), lambda t: t != ""))
+            >= 50
+        ).alias("_ra"),
+        (stopword_count("text") >= 4).alias("_rb"),
+    )
+    return cohens_kappa(d, "_ra", "_rb")
+
+
+@_register(
+    "ece_value_purchase",
+    """WITH s AS (SELECT value / 500.0 AS score,
+                        (event_type = 'purchase') AS pos
+                 FROM events
+                 WHERE value IS NOT NULL
+                   AND value / 500.0 >= 0.0 AND value / 500.0 < 1.0),
+       b AS (SELECT least(19, CAST(floor(score / 0.05) AS INT))
+                        AS bin,
+                    count(*) AS n,
+                    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS npos,
+                    sum(CAST(score AS DECIMAL(18,6))) AS ssum
+             FROM s GROUP BY 1),
+       g AS (SELECT n, abs(CAST(npos AS DOUBLE) / n
+                           - CAST(CAST(ssum AS VARCHAR) AS DOUBLE)
+                             / n) AS gap
+             FROM b)
+       SELECT CAST(sum(n) AS BIGINT) AS n,
+              CAST(count(*) AS INT) AS n_bins_used,
+              round(sum(gap * n) / sum(n), 6) AS ece,
+              round(max(gap), 6) AS mce
+       FROM g""",
+    doc="expected calibration error of the scaled event value as a "
+    "purchase-probability score: per-bin |rate - mean score| "
+    "weighted by bin mass (+ max-bin MCE) — the one-number "
+    "calibration readout beside the isotonic fit; per-bin score "
+    "sums are exact decimals (value/500 is 5-decimal-exact), "
+    "converted once per bin (operators/profile.py::"
+    "expected_calibration_error)",
+)
+def q_ece_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import expected_calibration_error
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        "event_type",
+    )
+    return expected_calibration_error(
+        ev,
+        "score",
+        F.col("event_type") == F.lit("purchase"),
+        n_bins=20,
+        lo=0.0,
+        hi=1.0,
+    )
+
+
+@_register(
+    "mde_by_event_type",
+    """WITH d AS (SELECT event_type,
+                        CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events WHERE value IS NOT NULL),
+       a AS (SELECT event_type, count(*) AS n,
+                    sum(v) AS s1,
+                    sum(CAST(CAST(v AS DECIMAL(19,2))
+                             * CAST(v AS DECIMAL(19,2))
+                             AS DECIMAL(38,4))) AS s2
+             FROM d GROUP BY 1),
+       x AS (SELECT event_type, n,
+                    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+             FROM a),
+       y AS (SELECT event_type, n, s1d / n AS mean,
+                    (s2d - s1d * s1d / n) / n AS var
+             FROM x)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              round(mean, 4) AS mean,
+              round(sqrt(var), 4) AS sd,
+              round(2.8016 * sqrt(4.0 * var / n), 4) AS mde_abs,
+              round(CASE WHEN mean <> 0 THEN
+                    2.8016 * sqrt(4.0 * var / n) / mean END, 6)
+                  AS mde_rel
+       FROM y""",
+    doc="minimum detectable effect per event-type segment: "
+    "MDE = (z_0.975 + z_0.8)*sqrt(4 sigma^2 / n) for an even two-arm "
+    "split — the test-sizing readout; variance from EXACT decimal "
+    "sums (sum v, sum v^2) converted once each, so the closed form "
+    "is engine-identical; quantile sum 2.8016 is a shared literal "
+    "(operators/profile.py::mde_readout)",
+)
+def q_mde_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import mde_readout
+
+    # 1.96 + 0.8416 sums to exactly the double the SQL literal 2.8016
+    # parses to (verified) — both engines share one constant
+    return mde_readout(
+        _t(spark, sf_dir, "events"), "event_type", "value",
+        z_alpha=1.96, z_power=0.8416,
+    )
+
+
+@_register(
+    "split_leakage_orders",
+    """WITH s AS (SELECT o_custkey AS e,
+                   CASE WHEN strpos('0123456789abcdef',
+                             substr(md5('42-' ||
+                                   CAST(o_orderkey AS VARCHAR)),
+                                    8, 1)) - 1 = 0
+                        THEN 'eval' ELSE 'train' END AS sp
+                 FROM orders),
+       es AS (SELECT DISTINCT e, sp FROM s),
+       pe AS (SELECT e,
+                     array_to_string(list_sort(list(sp)), '+')
+                         AS splits,
+                     count(*) AS k
+              FROM es GROUP BY e)
+       SELECT splits, CAST(count(*) AS BIGINT) AS n_entities,
+              bool_or(k > 1) AS leaked
+       FROM pe GROUP BY splits ORDER BY splits""",
+    doc="entity-level split-leakage audit: orders hash-split at ROW "
+    "level (md5 of o_orderkey, 1/16 eval — the classic mistake), "
+    "entities = customers; reports per split-membership pattern how "
+    "many customers land train-only / eval-only / BOTH (leaked) — "
+    "the check that catches eval measuring memorization; md5 16-way "
+    "assignment equals the 8th hex digit, engine-exact "
+    "(operators/shard.py::split_leakage_report)",
+)
+def q_split_leakage_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.shard import split_leakage_report
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.md5(
+        F.concat(F.lit("42-"), F.col("o_orderkey").cast("string"))
+    )
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 16
+    split = F.when(shard == 0, F.lit("eval")).otherwise(F.lit("train"))
+    return split_leakage_report(o, "o_custkey", split)
+
+
+@_register(
+    "token_coverage_curve",
+    r"""WITH f AS (SELECT token, count(*) AS c
+                  FROM (SELECT unnest(string_split_regex(trim(text),
+                                      '\s+')) AS token
+                        FROM documents)
+                  WHERE token <> '' GROUP BY 1),
+       r AS (SELECT row_number() OVER (ORDER BY c DESC, token) AS r,
+                    sum(c) OVER (ORDER BY c DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(c) OVER () AS tot,
+                    count(*) OVER () AS nv
+             FROM f)
+       SELECT CAST(r AS INT) AS k, CAST(nv AS BIGINT)
+                  AS distinct_tokens,
+              round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+       FROM r WHERE r IN (5, 10, 20, 30, 100, 1000) ORDER BY k""",
+    doc="vocabulary coverage curve: token-mass fraction covered by "
+    "the top-K tokens for K in (5,10,20,30,100,1000) — the tokenizer-"
+    "vocab sizing readout (coverage@K ~ 1 - OOV under a top-K "
+    "vocab); (count DESC, token) ranking is exact-integer with "
+    "deterministic tie-break (operators/textstats.py::"
+    "token_coverage_curve)",
+)
+def q_token_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import token_coverage_curve
+
+    return token_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "class_balanced_weights_orderstatus",
+    """WITH c AS (SELECT o_orderstatus, count(*) AS n
+                 FROM orders GROUP BY 1),
+       w AS (SELECT o_orderstatus, n,
+                    (1.0 - 0.999)
+                    / (1.0 - pow(0.999, CAST(n AS DOUBLE))) AS wr
+             FROM c),
+       z AS (SELECT sum(wr * n) AS z, sum(n) AS tot FROM w)
+       SELECT w.o_orderstatus, CAST(w.n AS BIGINT) AS n,
+              round(w.wr * CAST(z.tot AS DOUBLE) / z.z, 6) AS weight
+       FROM w, z""",
+    doc="class-balanced loss weights from the effective number of "
+    "samples (Cui et al. 2019) over the skewed order-status label "
+    "(P is ~2%): w ~ (1-beta)/(1-beta^n), normalized so "
+    "sum(w*n) = N; pow is the single libm step on exact integer n, "
+    "rounded at 6 (operators/curation.py::class_balanced_weights)",
+)
+def q_class_balanced_weights_orderstatus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import class_balanced_weights
+
+    return class_balanced_weights(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", beta=0.999
+    )
