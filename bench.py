@@ -138,6 +138,14 @@ HEADLINE = [
     "mixture_epoch_plan",
     "curriculum_phase_assignment",
     "source_dedup_quota_report",
+    # round 10: experimentation guardrails + labeled-data QA tier
+    "msprt_guardrail_click_purchase",
+    "isotonic_calibration_value_purchase",
+    "qte_value_click_purchase",
+    "split_leakage_orders",
+    "token_coverage_curve",
+    "clustering_coef_copurchase",
+    "cohens_kappa_filter_agreement",
 ]
 
 

@@ -238,3 +238,45 @@ def test_class_balanced_weights_normalized_and_ordered(spark):
     assert out["rare"].weight > out["common"].weight
     total = sum(r.weight * r.n for r in out.values())
     assert abs(total - 1000) < 0.01
+
+
+def test_l_diversity_flags_homogeneous_class_only(spark):
+    """A class where every member shares the sensitive value is
+    flagged; a mixed class is not — regardless of class SIZE (the
+    leak k-anonymity cannot see)."""
+    from us_accidents_bigdata_pipeline_spark.operators.dq import (
+        l_diversity_audit,
+    )
+
+    rows = [("q1", "all_same")] * 10 + [
+        ("q2", "x"),
+        ("q2", "y"),
+        ("q2", "x"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = l_diversity_audit(df, ["qi"], "sens", l=2).collect()
+    assert len(out) == 1
+    assert out[0].qi == "q1" and out[0].class_size == 10
+    assert out[0].n_sensitive_values == 1
+
+
+def test_source_overlap_identical_sources_jaccard_one(spark):
+    """Two sources with identical text share every shingle (jaccard
+    1.0); a disjoint source pairs with neither (no row — zero-overlap
+    pairs are absent by construction)."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        source_overlap_jaccard,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "mirror_a", text),
+        (2, "mirror_b", text),
+        (3, "unique_c", "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_overlap_jaccard(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("mirror_a", "mirror_b")
+    assert r.jaccard == 1.0 and r.n_a == r.n_b == r.n_common == 4

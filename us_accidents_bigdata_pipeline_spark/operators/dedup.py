@@ -1292,3 +1292,64 @@ def contamination_fraction(
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("frac"),
     )
+
+
+def source_overlap_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source shingle overlap: Jaccard similarity of the word
+    n-gram SETS of every source pair — the corpus-governance readout
+    that finds sources mirroring each other (syndicated feeds, crawl
+    duplicates at the FEED level) before per-document dedup even
+    runs; dropping a 0.9-Jaccard source is one decision instead of a
+    million pair deletions.
+
+    Jaccard = |A∩B| / (|A| + |B| − |A∩B|) on distinct shingle sets;
+    intersections come from the shingle-keyed self-join of the
+    (source, shingle) incidence — a shingle shared by s sources fans
+    out s(s−1)/2 pairs, bounded by the SOURCE count (tiny), never by
+    corpus size. Exact-integer division for the emitted jaccard;
+    ordering (jaccard DESC is a ratio of exact ints → engine-exact;
+    pair tie-break).
+
+    Scale shape: per-doc shingling (one posexplode + lead window keyed
+    by doc), doc→source projection, distinct (source, shingle)
+    aggregate — the corpus's only big shuffle; the pair join and the
+    per-source size lookups run on source-cardinality frames
+    (broadcast).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    src = df.select(F.col(id_col), F.col(source_col).alias("_s"))
+    ss = sh.join(src, id_col).select("_s", "shingle").distinct()
+    per = ss.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    a = ss.select(F.col("_s").alias("source_a"), "shingle")
+    b = ss.select(F.col("_s").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pa = per.select(F.col("_s").alias("source_a"), F.col("_n").alias("n_a"))
+    pb = per.select(F.col("_s").alias("source_b"), F.col("_n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+    )

@@ -225,6 +225,43 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the leak ``k_anonymity_audit`` cannot see:
+    a class can hold >= k records yet expose the sensitive attribute
+    anyway when every member SHARES the value (the homogeneity attack,
+    Machanavajjhala et al. 2007). Reports every equivalence class over
+    the quasi-identifiers whose number of DISTINCT sensitive values is
+    below ``l``, with its size — empty result = the release is
+    l-diverse.
+
+    Scale: one exact distinct-count aggregation on the QI tuple (two
+    hash aggs under the hood); violating classes are reported whole
+    because homogeneous classes are the finding, not a sample.
+    """
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).alias(
+                "n_sensitive_values"
+            ),
+        )
+        .filter(F.col("n_sensitive_values") < l)
+        .select(
+            *quasi_identifiers,
+            F.col("class_size").cast("long").alias("class_size"),
+            F.col("n_sensitive_values")
+            .cast("long")
+            .alias("n_sensitive_values"),
+        )
+    )
+
+
 def dp_noisy_group_counts(
     df: DataFrame,
     group_col: str,

@@ -14365,3 +14365,72 @@ def q_class_balanced_weights_orderstatus(
     return class_balanced_weights(
         _t(spark, sf_dir, "orders"), "o_orderstatus", beta=0.999
     )
+
+
+@_register(
+    "l_diversity_audit_customers",
+    """SELECT c_nationkey, c_mktsegment,
+              CAST(count(*) AS BIGINT) AS class_size,
+              CAST(count(DISTINCT (c_acctbal < 0)) AS BIGINT)
+                  AS n_sensitive_values
+       FROM customer GROUP BY 1, 2
+       HAVING count(DISTINCT (c_acctbal < 0)) < 2""",
+    doc="l-diversity audit over (nation, segment) quasi-identifiers "
+    "with account-balance sign as the sensitive attribute: classes "
+    "whose members all share one sensitive value — the homogeneity "
+    "leak k-anonymity cannot see (Machanavajjhala et al. 2007); one "
+    "exact distinct-count aggregate "
+    "(operators/dq.py::l_diversity_audit)",
+)
+def q_l_diversity_audit_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dq import l_diversity_audit
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "_neg", F.col("c_acctbal") < 0
+    )
+    return l_diversity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "_neg", l=2
+    )
+
+
+@_register(
+    "source_overlap_jaccard_docs",
+    r"""WITH t AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT source,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS shingle
+              FROM t, UNNEST(generate_series(1,
+                       greatest(len(toks) - 2, 0))) AS u(i)),
+       per AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                        count(*) AS n_common
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT i.source_a, i.source_b,
+              CAST(pa.n AS BIGINT) AS n_a,
+              CAST(pb.n AS BIGINT) AS n_b,
+              CAST(i.n_common AS BIGINT) AS n_common,
+              round(CAST(i.n_common AS DOUBLE)
+                    / (pa.n + pb.n - i.n_common), 6) AS jaccard
+       FROM inter i
+       JOIN per pa ON pa.source = i.source_a
+       JOIN per pb ON pb.source = i.source_b
+       ORDER BY jaccard DESC, source_a, source_b""",
+    doc="cross-source 3-gram shingle overlap: Jaccard of every source "
+    "pair's distinct shingle sets — the corpus-governance readout "
+    "that finds feed-level mirrors before per-document dedup; "
+    "shingle-keyed self-join fans out by SOURCE count (bounded), "
+    "never corpus size; exact-integer jaccard "
+    "(operators/dedup.py::source_overlap_jaccard)",
+)
+def q_source_overlap_jaccard_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import source_overlap_jaccard
+
+    return source_overlap_jaccard(_t(spark, sf_dir, "documents"))
