@@ -169,6 +169,7 @@ for _name in (
     "bootstrap_ci_daily_revenue",    # 2399-row daily aggregate + 200 means
     "seasonal_naive_backtest_revenue",  # per-day revenue
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
+    "energy_distance_click_purchase",  # distinct-value aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs
     "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
     "msprt_guardrail_click_purchase",  # |days|-row daily aggregate

@@ -280,3 +280,34 @@ def test_source_overlap_identical_sources_jaccard_one(spark):
     r = out[0]
     assert (r.source_a, r.source_b) == ("mirror_a", "mirror_b")
     assert r.jaccard == 1.0 and r.n_a == r.n_b == r.n_common == 4
+
+
+def test_energy_distance_zero_iff_identical_and_detects_shift(spark):
+    """Identical samples give D = 0 exactly; a pure location shift and
+    a pure VARIANCE change (equal means) both give D > 0 — the
+    tail/variance sensitivity KS's sup-gap lacks is the point."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        energy_distance_two_sample,
+    )
+
+    same = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(same, "g string, v double")
+    r = energy_distance_two_sample(df, "v", "g", "a", "b").head()
+    assert r.energy_distance == 0.0 and r.n_a == r.n_b == 100
+    shift = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) + 50.0) for v in range(100)
+    ]
+    r2 = energy_distance_two_sample(
+        spark.createDataFrame(shift, "g string, v double"), "v", "g", "a", "b"
+    ).head()
+    assert r2.energy_distance > 1.0
+    # equal means (49.5), different spread: b concentrated at the mean
+    spread = [("a", float(v)) for v in range(100)] + [
+        ("b", 49.5)
+    ] * 100
+    r3 = energy_distance_two_sample(
+        spark.createDataFrame(spread, "g string, v double"), "v", "g", "a", "b"
+    ).head()
+    assert r3.energy_distance > 0.0

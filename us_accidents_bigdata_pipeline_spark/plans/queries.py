@@ -14434,3 +14434,77 @@ def q_source_overlap_jaccard_docs(
     from ..operators.dedup import source_overlap_jaccard
 
     return source_overlap_jaccard(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "energy_distance_click_purchase",
+    """WITH p AS (SELECT (event_type = 'click') AS ia,
+                        CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL),
+       pv AS (SELECT v,
+                     CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b
+              FROM p GROUP BY v),
+       pre AS (SELECT v, a, b,
+                      coalesce(sum(a) OVER w, 0) AS ca,
+                      coalesce(sum(b) OVER w, 0) AS cb,
+                      coalesce(sum(CAST(v * a AS DECIMAL(38,2)))
+                               OVER w,
+                               CAST('0' AS DECIMAL(38,2))) AS sa,
+                      coalesce(sum(CAST(v * b AS DECIMAL(38,2)))
+                               OVER w,
+                               CAST('0' AS DECIMAL(38,2))) AS sb
+               FROM pv
+               WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING)),
+       ag AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                     CAST(sum(b) AS BIGINT) AS n_b,
+                     sum(CAST(CAST(b AS DECIMAL(18,0))
+                              * CAST(v*ca - sa AS DECIMAL(19,2))
+                              AS DECIMAL(38,2))
+                         + CAST(CAST(a AS DECIMAL(18,0))
+                                * CAST(v*cb - sb AS DECIMAL(19,2))
+                                AS DECIMAL(38,2))) AS sxy,
+                     sum(CAST(CAST(a AS DECIMAL(18,0))
+                              * CAST(v*ca - sa AS DECIMAL(19,2))
+                              AS DECIMAL(38,2))) AS sxx,
+                     sum(CAST(CAST(b AS DECIMAL(18,0))
+                              * CAST(v*cb - sb AS DECIMAL(19,2))
+                              AS DECIMAL(38,2))) AS syy
+              FROM pre),
+       x AS (SELECT n_a, n_b,
+                    CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * n_b) AS e_xy,
+                    2.0 * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * n_a) AS e_xx,
+                    2.0 * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_b AS DOUBLE) * n_b) AS e_yy
+             FROM ag)
+       SELECT n_a, n_b,
+              round(e_xy, 6) AS e_xy,
+              round(e_xx, 6) AS e_xx,
+              round(e_yy, 6) AS e_yy,
+              round(sqrt(greatest(2.0 * e_xy - e_xx - e_yy, 0.0)), 6)
+                  AS energy_distance
+       FROM x""",
+    doc="exact two-sample energy distance (Szekely-Rizzo) between "
+    "click and purchase value distributions — the whole-distribution "
+    "drift statistic KS's sup-gap misses in tails; mean pairwise "
+    "|x-y| via the sorted-prefix identity over the per-distinct-"
+    "value aggregate, ALL in exact decimal arithmetic (no float "
+    "summation anywhere), three final IEEE divisions "
+    "(operators/profile.py::energy_distance_two_sample)",
+)
+def q_energy_distance_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import energy_distance_two_sample
+
+    return energy_distance_two_sample(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
