@@ -311,3 +311,64 @@ def test_energy_distance_zero_iff_identical_and_detects_shift(spark):
         spark.createDataFrame(spread, "g string, v double"), "v", "g", "a", "b"
     ).head()
     assert r3.energy_distance > 0.0
+
+
+def test_embedding_dim_moments_detects_dead_dim(spark):
+    """A constant-zero dimension reports std 0 and zero_frac 1; a live
+    dimension reports its exact moments."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        embedding_dim_moments,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(1, 5)]  # dim0: 1..4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in embedding_dim_moments(df).collect()}
+    assert out[1].std == 0.0 and out[1].zero_frac == 1.0
+    assert out[0].mean == 2.5 and out[0].zero_frac == 0.0
+    # population std of 1..4 = sqrt(1.25)
+    assert abs(out[0].std - 1.118034) < 1e-6
+
+
+def test_cmh_recovers_common_odds_ratio(spark):
+    """Two strata engineered with the SAME within-stratum odds ratio
+    (4.0) but opposite marginals: the crude pooled OR is confounded,
+    CMH recovers ~4."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        cmh_odds_ratio,
+    )
+
+    rows = []
+    # stratum s1: a=40 b=10 c=20 d=20 -> OR = (40*20)/(10*20) = 4
+    rows += [("s1", True, True)] * 40 + [("s1", True, False)] * 10
+    rows += [("s1", False, True)] * 20 + [("s1", False, False)] * 20
+    # stratum s2: a=8 b=20 c=10 d=100 -> OR = (8*100)/(20*10) = 4
+    rows += [("s2", True, True)] * 8 + [("s2", True, False)] * 20
+    rows += [("s2", False, True)] * 10 + [("s2", False, False)] * 100
+    df = spark.createDataFrame(rows, "k string, e boolean, o boolean")
+    r = cmh_odds_ratio(df, "k", F.col("e"), F.col("o")).head()
+    assert r.n_strata == 2 and r.n == 228
+    assert abs(r.or_mh - 4.0) < 0.35  # MH pools toward the common OR
+
+
+def test_overdispersion_flags_bursty_counts(spark):
+    """Constant daily counts give dispersion 0 (under-dispersed);
+    bursty counts (0 or 100) give dispersion >> 1.5."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        overdispersion_check,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for d in range(10):
+        ts = base + dt.timedelta(days=d)
+        rows += [("steady", ts)] * 10
+        if d % 2 == 0:
+            rows += [("bursty", ts)] * 100
+        else:
+            rows += [("bursty", ts)] * 1
+    df = spark.createDataFrame(rows, "seg string, ts timestamp")
+    out = {r.seg: r for r in overdispersion_check(df, "seg").collect()}
+    assert out["steady"].dispersion == 0.0
+    assert not out["steady"].overdispersed
+    assert out["bursty"].dispersion > 10
+    assert out["bursty"].overdispersed

@@ -1777,3 +1777,167 @@ def energy_distance_two_sample(
             F.sqrt(F.greatest(d2, F.lit(0.0))), 6
         ).alias("energy_distance"),
     )
+
+
+def embedding_dim_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION moments of an embedding column — the embedding
+    QA audit that catches dead dimensions (std ~ 0), scale drift
+    between model versions (per-dim mean/std shifts), and stuck-at-
+    zero components (zero_frac), none of which per-ROW norms can see.
+
+    Cross-row sums use the ``pca_2d_exact`` discipline: each float32
+    component (exact in double) is cast once to DECIMAL(13,10), so
+    Σx and Σx² are EXACT decimal aggregates converted to double via
+    one correctly-rounded conversion each; mean and population std
+    are then fixed IEEE expressions — engine-identical regardless of
+    partition/summation order. min/max/zero-count are order-free.
+
+    Scale shape: one posexplode pass (rows × dim slim pairs) into a
+    dim-keyed hash agg with map-side combine — |dims| output rows, no
+    window, no join.
+    """
+    d = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_xf")
+    ).select(
+        "dim",
+        F.col("_xf").cast("double").alias("_xd"),
+    )
+    x = F.col("_xd").cast("decimal(13,10)")
+    agg = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
+        F.min("_xd").alias("_mn"),
+        F.max("_xd").alias("_mx"),
+        F.sum(F.when(F.col("_xd") == 0.0, 1).otherwise(0)).alias("_z"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        F.round(F.col("_mn"), 6).alias("min"),
+        F.round(F.col("_mx"), 6).alias("max"),
+        F.round(F.col("_z").cast("double") / n, 6).alias("zero_frac"),
+    )
+
+
+def cmh_odds_ratio(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_expr,
+    outcome_expr,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted effect readout (Mantel & Haenszel 1959): per
+    stratum k with 2×2 cells (a=exposed·outcome, b=exposed·no,
+    c=unexposed·outcome, d=unexposed·no, n=a+b+c+d),
+
+        OR_MH = Σ_k (a_k·d_k / n_k) / Σ_k (b_k·c_k / n_k)
+
+    — the stratified answer to Simpson's paradox that a crude pooled
+    2×2 gets wrong.
+
+    Determinism: cells are exact integers; each stratum's a·d/n is
+    ONE IEEE division of exact ints; the cross-stratum sums run as a
+    cumulative window in STRATUM ORDER (a sequential fold, like the
+    within-array HOF folds — both engines add in the identical
+    order), so the final ratio is engine-identical before its round.
+    The strata frame is category-sized; the window is the
+    audit-whitelisted aggregate-frame kind.
+
+    Output one row: (n_strata, n, or_mh, log_or_mh).
+    """
+    cells = (
+        df.select(
+            F.col(stratum_col).alias("_k"),
+            exposure_expr.alias("_e"),
+            outcome_expr.alias("_o"),
+        )
+        .groupBy("_k")
+        .agg(
+            F.sum(F.when(F.col("_e") & F.col("_o"), 1).otherwise(0)).alias("_a"),
+            F.sum(F.when(F.col("_e") & ~F.col("_o"), 1).otherwise(0)).alias("_b"),
+            F.sum(F.when(~F.col("_e") & F.col("_o"), 1).otherwise(0)).alias("_c"),
+            F.sum(F.when(~F.col("_e") & ~F.col("_o"), 1).otherwise(0)).alias("_d"),
+        )
+    )
+    nk = F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")
+    w = W.orderBy("_k").rowsBetween(W.unboundedPreceding, 0)
+    run = cells.select(
+        "_k",
+        nk.alias("_n"),
+        F.sum(
+            F.col("_a").cast("double") * F.col("_d") / nk
+        ).over(w).alias("_num"),
+        F.sum(
+            F.col("_b").cast("double") * F.col("_c") / nk
+        ).over(w).alias("_den"),
+        F.sum(F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d"))
+        .over(w)
+        .alias("_tot"),
+        F.row_number()
+        .over(W.orderBy(F.col("_k").desc()))
+        .alias("_rev"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_ns"),
+    )
+    last = run.filter(F.col("_rev") == 1)
+    orr = F.when(F.col("_den") > 0, F.col("_num") / F.col("_den"))
+    return last.select(
+        F.col("_ns").cast("int").alias("n_strata"),
+        F.col("_tot").cast("long").alias("n"),
+        F.round(orr, 6).alias("or_mh"),
+        F.round(F.log(orr), 6).alias("log_or_mh"),
+    )
+
+
+def overdispersion_check(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Overdispersion (variance-to-mean ratio) of DAILY event counts
+    per segment — the check that says whether a count metric is
+    Poisson-like (dispersion ≈ 1, so Poisson/normal intervals are
+    valid) or clumped (dispersion ≫ 1: bursts, bots, batch effects —
+    every CI built on the Poisson assumption is too narrow).
+
+    All arithmetic is exact integers until the closed form: per-day
+    counts are exact, Σc and Σc² are exact integer aggregates, so
+    mean, population variance, and the dispersion index are fixed
+    IEEE expressions — engine-identical. One (group, day) count agg,
+    one group agg. Output per group: (group, n_days, mean_daily,
+    var_daily, dispersion, overdispersed).
+    """
+    daily = (
+        df.select(F.col(group_col), F.to_date(F.col(ts_col)).alias("_d"))
+        .groupBy(group_col, "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_c").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    n = F.col("n_days").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    disp = F.when(mean > 0, var / mean)
+    return agg.select(
+        F.col(group_col),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(disp, 4).alias("dispersion"),
+        (disp > F.lit(float(threshold))).alias("overdispersed"),
+    )

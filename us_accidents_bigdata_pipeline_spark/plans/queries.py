@@ -14508,3 +14508,138 @@ def q_energy_distance_click_purchase(
         _t(spark, sf_dir, "events"), "value", "event_type",
         "click", "purchase",
     )
+
+
+@_register(
+    "embedding_dim_moments_docs",
+    """WITH d AS (SELECT CAST(u.i - 1 AS INT) AS dim,
+                        CAST(e.embedding[u.i] AS DOUBLE) AS xd
+                 FROM embeddings e,
+                      UNNEST(generate_series(1, len(e.embedding)))
+                          AS u(i)),
+       a AS (SELECT dim, count(*) AS n,
+                    sum(CAST(xd AS DECIMAL(13,10))) AS s1,
+                    sum(CAST(CAST(xd AS DECIMAL(13,10))
+                             * CAST(xd AS DECIMAL(13,10))
+                             AS DECIMAL(26,20))) AS s2,
+                    min(xd) AS mn, max(xd) AS mx,
+                    sum(CASE WHEN xd = 0.0 THEN 1 ELSE 0 END) AS z
+             FROM d GROUP BY 1),
+       x AS (SELECT dim, n,
+                    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                    mn, mx, z
+             FROM a)
+       SELECT dim, CAST(n AS BIGINT) AS n,
+              round(s1d / n, 6) AS mean,
+              round(sqrt(greatest((s2d - s1d * s1d / n) / n, 0.0)), 6)
+                  AS std,
+              round(mn, 6) AS min, round(mx, 6) AS max,
+              round(CAST(z AS DOUBLE) / n, 6) AS zero_frac
+       FROM x""",
+    doc="per-dimension embedding moments (mean/std/min/max/zero "
+    "fraction) — the embedding QA audit for dead dims and scale "
+    "drift; cross-row sums use the pca_2d_exact DECIMAL(13,10) "
+    "discipline (exact decimal aggregates, one correctly-rounded "
+    "conversion each), so the moments are summation-order-free "
+    "(operators/profile.py::embedding_dim_moments)",
+)
+def q_embedding_dim_moments_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import embedding_dim_moments
+
+    return embedding_dim_moments(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "cmh_odds_ratio_priority_value",
+    """WITH j AS (SELECT c.c_mktsegment AS k,
+                        (o.o_orderpriority = '1-URGENT') AS e,
+                        (o.o_totalprice > 200000) AS oc
+                 FROM orders o
+                 JOIN customer c ON c.c_custkey = o.o_custkey),
+       cells AS (SELECT k,
+                   sum(CASE WHEN e AND oc THEN 1 ELSE 0 END) AS aa,
+                   sum(CASE WHEN e AND NOT oc THEN 1 ELSE 0 END) AS bb,
+                   sum(CASE WHEN NOT e AND oc THEN 1 ELSE 0 END) AS cc,
+                   sum(CASE WHEN NOT e AND NOT oc THEN 1 ELSE 0 END)
+                       AS dd
+                 FROM j GROUP BY k),
+       run AS (SELECT k,
+                 sum(CAST(aa AS DOUBLE) * dd / (aa + bb + cc + dd))
+                     OVER w AS num,
+                 sum(CAST(bb AS DOUBLE) * cc / (aa + bb + cc + dd))
+                     OVER w AS den,
+                 sum(aa + bb + cc + dd) OVER w AS tot,
+                 row_number() OVER (ORDER BY k DESC) AS rev,
+                 count(*) OVER () AS ns
+               FROM cells
+               WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING))
+       SELECT CAST(ns AS INT) AS n_strata, CAST(tot AS BIGINT) AS n,
+              round(CASE WHEN den > 0 THEN num / den END, 6)
+                  AS or_mh,
+              round(CASE WHEN den > 0 THEN ln(num / den) END, 6)
+                  AS log_or_mh
+       FROM run WHERE rev = 1""",
+    doc="Cochran-Mantel-Haenszel pooled odds ratio of urgent priority "
+    "vs high order value, stratified by market segment — the "
+    "Simpson's-paradox-proof effect readout; per-stratum a*d/n terms "
+    "are IEEE divisions of exact ints summed in STRATUM ORDER (a "
+    "sequential window fold, identical on both engines) "
+    "(operators/profile.py::cmh_odds_ratio)",
+)
+def q_cmh_odds_ratio_priority_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import cmh_odds_ratio
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice"),
+    )
+    return cmh_odds_ratio(
+        j,
+        "c_mktsegment",
+        F.col("o_orderpriority") == F.lit("1-URGENT"),
+        F.col("o_totalprice") > F.lit(200000),
+    )
+
+
+@_register(
+    "overdispersion_event_types",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+       a AS (SELECT event_type, count(*) AS n_days,
+                    sum(c) AS s1, sum(c * c) AS s2
+             FROM d GROUP BY 1),
+       x AS (SELECT event_type, n_days,
+                    CAST(s1 AS DOUBLE) / n_days AS mean,
+                    (CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n_days) / n_days
+                        AS var
+             FROM a)
+       SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              round(mean, 4) AS mean_daily,
+              round(var, 4) AS var_daily,
+              round(CASE WHEN mean > 0 THEN var / mean END, 4)
+                  AS dispersion,
+              (CASE WHEN mean > 0 THEN var / mean END > 1.5)
+                  AS overdispersed
+       FROM x""",
+    doc="daily-count overdispersion (variance-to-mean dispersion "
+    "index) per event type — flags clumped/bursty counts whose "
+    "Poisson-assumption CIs are invalid; exact integer sums end to "
+    "end, closed-form IEEE at the edge "
+    "(operators/profile.py::overdispersion_check)",
+)
+def q_overdispersion_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import overdispersion_check
+
+    return overdispersion_check(_t(spark, sf_dir, "events"), "event_type")
