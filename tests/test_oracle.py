@@ -129,6 +129,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "cohens_kappa_filter_agreement": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
+    # 1-row q-hat order statistic broadcast onto the test slice
+    "conformal_interval_daily_revenue": {"nested_loop"},
     # Python UDTFs are row-evaluated by design (BatchEvalPythonUDTF);
     # the query exists to check the LATERAL surface — the JVM
     # explode/slice formulation is the at-scale trigram path
@@ -171,6 +173,7 @@ for _name in (
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
     "energy_distance_click_purchase",  # distinct-value aggregate
     "cmh_odds_ratio_priority_value",   # |segments|-row 2x2 cells frame
+    "conformal_interval_daily_revenue",  # per-day revenue aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs
     "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
     "msprt_guardrail_click_purchase",  # |days|-row daily aggregate

@@ -372,3 +372,28 @@ def test_overdispersion_flags_bursty_counts(spark):
     assert not out["steady"].overdispersed
     assert out["bursty"].dispersion > 10
     assert out["bursty"].overdispersed
+
+
+def test_conformal_coverage_guarantee_on_exchangeable_series(spark):
+    """On an exchangeable (seasonal, trendless) series the held-out
+    coverage must be >= 1 - alpha (the split-conformal guarantee);
+    q_hat equals the calibration |residual| order statistic."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        split_conformal_interval,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # 84 days: exact weekly pattern + deterministic small wiggle
+    for d in range(84):
+        ts = base + dt.timedelta(days=d)
+        wiggle = (d * 13 % 7) - 3.0
+        v = 100.0 + 10.0 * (d % 7) + wiggle
+        rows.append((ts, v))
+    df = spark.createDataFrame(rows, "dt timestamp, v double")
+    r = split_conformal_interval(
+        df, "dt", "v", season=7, calib_frac=0.5, alpha=0.1
+    ).head()
+    assert r.n_calib + r.n_test == 84 - 7
+    assert r.coverage >= 0.9
+    assert r.q_hat >= 0

@@ -1941,3 +1941,96 @@ def overdispersion_check(
         F.round(disp, 4).alias("dispersion"),
         (disp > F.lit(float(threshold))).alias("overdispersed"),
     )
+
+
+def split_conformal_interval(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    season: int = 7,
+    calib_frac: float = 0.5,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval around the seasonal-naive
+    forecaster (Vovk et al.; Lei et al. 2018) — the
+    distribution-free uncertainty readout: take |residual| scores on
+    a CALIBRATION prefix of the series, use their ⌈(n+1)(1−α)⌉-th
+    order statistic as the interval half-width q̂, and report the
+    EMPIRICAL COVERAGE of ŷ ± q̂ on the held-out suffix. Under
+    exchangeability the true coverage is ≥ 1−α — the guarantee every
+    learned forecaster's intervals should be checked against.
+
+    Determinism: the calendar split point is ⌊n·calib_frac⌋ by day
+    rank (exact ints); scores are |y − y_lag| on exact decimal daily
+    values (one IEEE subtraction each); q̂ is an exact order
+    statistic by (score, day) rank — engine-exact; coverage is an
+    exact-integer ratio.
+
+    Scale shape: one day-keyed aggregate off the fact slice, then
+    three windows over the |days|-row aggregate frame
+    (audit-whitelisted). Output one row: (n_calib, n_test, q_hat,
+    coverage, target_coverage).
+    """
+    daily = df.groupBy(
+        F.to_date(F.col(date_col)).alias("_d")
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_y")
+    )
+    w = W.orderBy("_d")
+    fc = daily.select(
+        "_d",
+        F.col("_y").cast("double").alias("_yd"),
+        F.lag(F.col("_y").cast("double"), season).over(w).alias("_f"),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_n"),
+    ).filter(F.col("_f").isNotNull())
+    scored = fc.select(
+        "_d",
+        (F.abs(F.col("_yd") - F.col("_f"))).alias("_s"),
+        (
+            F.col("_r")
+            <= F.floor(F.col("_n") * F.lit(float(calib_frac)))
+        ).alias("_is_calib"),
+    )
+    calib = scored.filter(F.col("_is_calib"))
+    wq = W.orderBy(F.col("_s"), F.col("_d"))
+    ranked = calib.select(
+        "_s",
+        F.row_number().over(wq).alias("_rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("_nc"),
+    )
+    # conformal rank ⌈(n+1)(1−α)⌉, capped at n (small-n degenerate)
+    target_rk = F.least(
+        F.col("_nc"),
+        F.ceil(
+            (F.col("_nc") + 1) * F.lit(1.0 - float(alpha))
+        ).cast("int"),
+    )
+    qhat = ranked.filter(F.col("_rk") == target_rk).select(
+        F.col("_s").alias("_q")
+    )
+    test = scored.filter(~F.col("_is_calib"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum(
+                F.when(F.col("_s") <= F.col("_q"), 1).otherwise(0)
+            ).alias("_cov"),
+            F.max("_q").alias("_qv"),
+        )
+        .crossJoin(
+            F.broadcast(
+                calib.agg(F.count(F.lit(1)).alias("_ncal"))
+            )
+        )
+        .select(
+            F.col("_ncal").cast("long").alias("n_calib"),
+            F.col("_nt").cast("long").alias("n_test"),
+            F.round(F.col("_qv"), 2).alias("q_hat"),
+            F.round(
+                F.col("_cov").cast("double") / F.col("_nt"), 4
+            ).alias("coverage"),
+            F.lit(1.0 - float(alpha)).alias("target_coverage"),
+        )
+    )

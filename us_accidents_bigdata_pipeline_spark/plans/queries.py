@@ -14643,3 +14643,56 @@ def q_overdispersion_event_types(
     from ..operators.profile import overdispersion_check
 
     return overdispersion_check(_t(spark, sf_dir, "events"), "event_type")
+
+
+@_register(
+    "conformal_interval_daily_revenue",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS y
+                     FROM orders GROUP BY 1),
+       fc AS (SELECT d, CAST(y AS DOUBLE) AS yd,
+                     lag(CAST(y AS DOUBLE), 7) OVER (ORDER BY d)
+                         AS f,
+                     row_number() OVER (ORDER BY d) AS r,
+                     count(*) OVER () AS n
+              FROM daily),
+       sc AS (SELECT d, abs(yd - f) AS s,
+                     (r <= floor(n * 0.5)) AS is_calib
+              FROM fc WHERE f IS NOT NULL),
+       cal AS (SELECT s,
+                      row_number() OVER (ORDER BY s, d) AS rk,
+                      count(*) OVER () AS nc
+               FROM sc WHERE is_calib),
+       q AS (SELECT s AS qv FROM cal
+             WHERE rk = least(nc, CAST(ceil((nc + 1) * 0.9)
+                                       AS INT))),
+       t AS (SELECT count(*) AS nt,
+                    sum(CASE WHEN sc.s <= q.qv THEN 1 ELSE 0 END)
+                        AS cov,
+                    max(q.qv) AS qv
+             FROM sc, q WHERE NOT is_calib)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc
+               WHERE is_calib) AS n_calib,
+              CAST(nt AS BIGINT) AS n_test,
+              round(qv, 2) AS q_hat,
+              round(CAST(cov AS DOUBLE) / nt, 4) AS coverage,
+              CAST(0.9 AS DOUBLE) AS target_coverage
+       FROM t""",
+    doc="split-conformal prediction interval around the lag-7 "
+    "seasonal-naive revenue forecast: calibration-prefix |residual| "
+    "order statistic as the distribution-free half-width, empirical "
+    "held-out coverage vs the 1-alpha guarantee — the uncertainty-"
+    "calibration check for any forecaster; exact order statistics "
+    "and integer ratios throughout "
+    "(operators/profile.py::split_conformal_interval)",
+)
+def q_conformal_interval_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import split_conformal_interval
+
+    return split_conformal_interval(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice",
+        season=7, calib_frac=0.5, alpha=0.1,
+    )
