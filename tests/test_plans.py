@@ -878,3 +878,44 @@ def test_gopher_rules_is_map_only(spark):
     """The rule panel is a pure projection: no Exchange at all."""
     plan = plan_of(spark, "gopher_quality_rules")
     assert "Exchange" not in plan, plan
+
+
+def test_energy_distance_no_fact_window(spark):
+    """The fact slice reduces to the per-distinct-value aggregate
+    BEFORE any window: the plan's only exchanges are the value-keyed
+    hash agg and the aggregate-frame window — no cartesian, no
+    nested loop, no Python."""
+    plan = plan_of(spark, "energy_distance_click_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_source_overlap_shingle_join_key_partitioned(spark):
+    """The cross-source pair join is keyed on shingle (fanout bounded
+    by source count) and the per-source size lookups broadcast — no
+    cartesian anywhere."""
+    plan = plan_of(spark, "source_overlap_jaccard_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_split_leakage_no_wide_shuffle(spark):
+    """Leakage audit shuffles slim (entity, split) pairs only: no
+    nested loop, no Python eval, no single-partition window."""
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = REGISTRY["split_leakage_orders"].builder(spark, SF_ORACLE)
+    assert audit_plan(df) == []
+
+
+def test_embedding_dim_moments_single_agg(spark):
+    """Per-dim moments: one dim-keyed hash aggregate (with map-side
+    partial) off the posexplode — no window, no join."""
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = REGISTRY["embedding_dim_moments_docs"].builder(spark, SF_ORACLE)
+    assert audit_plan(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
