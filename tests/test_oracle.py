@@ -172,6 +172,7 @@ for _name in (
     "seasonal_naive_backtest_revenue",  # per-day revenue
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
     "energy_distance_click_purchase",  # distinct-value aggregate
+    "wasserstein_click_purchase",      # distinct-value aggregate
     "cmh_odds_ratio_priority_value",   # |segments|-row 2x2 cells frame
     "conformal_interval_daily_revenue",  # per-day revenue aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs

@@ -397,3 +397,27 @@ def test_conformal_coverage_guarantee_on_exchangeable_series(spark):
     assert r.n_calib + r.n_test == 84 - 7
     assert r.coverage >= 0.9
     assert r.q_hat >= 0
+
+
+def test_wasserstein_matches_closed_forms(spark):
+    """W1 of identical samples is 0; W1 of a pure +c location shift is
+    exactly c; W1 between uniform{0..9} and the constant 4.5 is the
+    mean absolute deviation 2.5."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        wasserstein_1d,
+    )
+
+    def w1(rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        return wasserstein_1d(df, "v", "g", "a", "b").head()
+
+    same = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    assert w1(same).wasserstein_1 == 0.0
+    shift = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v) + 3.0) for v in range(10)
+    ]
+    assert w1(shift).wasserstein_1 == 3.0
+    const = [("a", float(v)) for v in range(10)] + [("b", 4.5)] * 10
+    assert w1(const).wasserstein_1 == 2.5

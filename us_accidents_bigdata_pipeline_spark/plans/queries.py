@@ -14696,3 +14696,52 @@ def q_conformal_interval_daily_revenue(
         _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice",
         season=7, calib_frac=0.5, alpha=0.1,
     )
+
+
+@_register(
+    "wasserstein_click_purchase",
+    """WITH p AS (SELECT (event_type = 'click') AS ia,
+                        CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                   AND value IS NOT NULL),
+       pv AS (SELECT v,
+                     CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS a,
+                     CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END)
+                          AS BIGINT) AS b
+              FROM p GROUP BY v),
+       pre AS (SELECT v,
+                      sum(a) OVER wc AS ca, sum(b) OVER wc AS cb,
+                      sum(a) OVER () AS na, sum(b) OVER () AS nb,
+                      lead(v) OVER (ORDER BY v) AS vn
+               FROM pv
+               WINDOW wc AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+       ag AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+                     sum(CASE WHEN vn IS NOT NULL THEN
+                         CAST(CAST(abs(ca * nb - cb * na)
+                                   AS DECIMAL(18,0))
+                              * CAST(vn - v AS DECIMAL(19,2))
+                              AS DECIMAL(38,2)) END) AS w
+              FROM pre)
+       SELECT CAST(n_a AS BIGINT) AS n_a,
+              CAST(n_b AS BIGINT) AS n_b,
+              round(CAST(CAST(w AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * n_b), 4)
+                  AS wasserstein_1
+       FROM ag""",
+    doc="exact 1-D Wasserstein-1 (earth-mover) distance between click "
+    "and purchase value distributions — the units-of-the-metric "
+    "distribution-shift readout; |F_a - F_b| kept as exact integers "
+    "(|ca*nb - cb*na|), value gaps exact decimals, ONE final IEEE "
+    "division (operators/profile.py::wasserstein_1d)",
+)
+def q_wasserstein_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
