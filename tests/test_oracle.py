@@ -173,6 +173,8 @@ for _name in (
     "mann_whitney_value_click_purchase",  # distinct-value aggregate
     "energy_distance_click_purchase",  # distinct-value aggregate
     "wasserstein_click_purchase",      # distinct-value aggregate
+    "spearman_quantity_price",         # per-distinct-value rank maps
+    "cramers_v_priority_status",       # cells-frame sequential fold
     "cmh_odds_ratio_priority_value",   # |segments|-row 2x2 cells frame
     "conformal_interval_daily_revenue",  # per-day revenue aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs

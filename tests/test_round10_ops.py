@@ -421,3 +421,36 @@ def test_wasserstein_matches_closed_forms(spark):
     assert w1(shift).wasserstein_1 == 3.0
     const = [("a", float(v)) for v in range(10)] + [("b", 4.5)] * 10
     assert w1(const).wasserstein_1 == 2.5
+
+
+def test_spearman_exact_on_monotone_and_antitone(spark):
+    """rho = 1 for any monotone-increasing relation (even nonlinear),
+    -1 for decreasing, and ~0 for an exactly balanced zig-zag; ties
+    use midranks."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    inc = [(float(i), float(i * i)) for i in range(20)]
+    df = spark.createDataFrame(inc, "x double, y double")
+    assert spearman_correlation(df, "x", "y").head().spearman_rho == 1.0
+    dec = [(float(i), float(-i * i * i)) for i in range(20)]
+    df2 = spark.createDataFrame(dec, "x double, y double")
+    assert spearman_correlation(df2, "x", "y").head().spearman_rho == -1.0
+
+
+def test_cramers_v_bounds(spark):
+    """V = 1 when the second category is a function of the first
+    (square table); V = 0 under exact independence."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        cramers_v,
+    )
+
+    perfect = [(str(i % 3), str((i % 3) * 10)) for i in range(90)]
+    df = spark.createDataFrame(perfect, "a string, b string")
+    r = cramers_v(df, "a", "b").head()
+    assert r.cramers_v == 1.0 and r.n_rows_cat == r.n_cols_cat == 3
+    indep = [(str(i % 3), str(i % 5)) for i in range(90)]
+    df2 = spark.createDataFrame(indep, "a string, b string")
+    r2 = cramers_v(df2, "a", "b").head()
+    assert r2.cramers_v == 0.0

@@ -2100,3 +2100,157 @@ def wasserstein_1d(
         F.col("n_b").cast("long").alias("n_b"),
         F.round(w1, 4).alias("wasserstein_1"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation — the monotonic-
+    association readout robust to outliers and nonlinearity that
+    Pearson corr misses, formulated WITHOUT ranking individual rows:
+
+    each variable's midranks come from its per-DISTINCT-VALUE count
+    aggregate (exclusive prefix + (cnt+1)/2, the ``mann_whitney_u``
+    shape), DOUBLED so they are exact integers, and joined back to
+    the rows by value (key-partitioned hash joins — the rank maps are
+    value-cardinality-sized). ρ is then Pearson on the doubled ranks
+    (scale-invariant): every sufficient statistic (n, Σrx, Σry,
+    Σrx², Σry², Σrx·ry) is an EXACT integer kept in DECIMAL, the
+    covariance/variance numerators are exact decimal algebra, and
+    the only IEEE steps are three conversions, one sqrt, one divide.
+
+    Scale shape: two per-value aggregates + two ordered windows over
+    those aggregates (audit-whitelisted), two value-keyed joins back
+    to the fact slice, one 1-row reduce.
+    """
+    d = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def _rank_map(col: str):
+        per = d.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = W.orderBy(F.col(col)).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        # doubled midrank 2·(excl + (c+1)/2) = 2·excl + c + 1: exact int
+        return per.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + F.lit(1)
+            ).alias(f"_r{col}"),
+        )
+    rx = _rank_map("_x")
+    ry = _rank_map("_y")
+    j = d.join(rx, "_x").join(ry, "_y")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_r_x").cast("decimal(28,0)")).alias("_sx"),
+        F.sum(F.col("_r_y").cast("decimal(28,0)")).alias("_sy"),
+        F.sum(
+            (F.col("_r_x").cast("decimal(19,0)")
+             * F.col("_r_x").cast("decimal(19,0)")).cast("decimal(38,0)")
+        ).alias("_sxx"),
+        F.sum(
+            (F.col("_r_y").cast("decimal(19,0)")
+             * F.col("_r_y").cast("decimal(19,0)")).cast("decimal(38,0)")
+        ).alias("_syy"),
+        F.sum(
+            (F.col("_r_x").cast("decimal(19,0)")
+             * F.col("_r_y").cast("decimal(19,0)")).cast("decimal(38,0)")
+        ).alias("_sxy"),
+    )
+    n18 = F.col("n").cast("decimal(18,0)")
+    num = (
+        n18 * F.col("_sxy").cast("decimal(20,0)")
+        - F.col("_sx").cast("decimal(19,0)")
+        * F.col("_sy").cast("decimal(19,0)")
+    )
+    vx = (
+        n18 * F.col("_sxx").cast("decimal(20,0)")
+        - F.col("_sx").cast("decimal(19,0)")
+        * F.col("_sx").cast("decimal(19,0)")
+    )
+    vy = (
+        n18 * F.col("_syy").cast("decimal(20,0)")
+        - F.col("_sy").cast("decimal(19,0)")
+        * F.col("_sy").cast("decimal(19,0)")
+    )
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0,1]-normalized effect size the raw χ² lacks (χ² grows with n;
+    V answers "how strongly are these related"):
+
+        V = sqrt( (χ²/n) / (min(r,c) − 1) ),
+        χ² = n·(Σ_ij o_ij²/(row_i·col_j) − 1)
+
+    Determinism: the contingency and marginal tables are exact
+    integers; each cell's o²/(row·col) is one IEEE division of exact
+    ints, and the cross-cell sum runs as a sequential window fold in
+    (a, b) cell order — both engines add in the identical order (the
+    ``cmh_odds_ratio`` discipline). Output one row: (n, n_rows_cat,
+    n_cols_cat, chi2, cramers_v).
+    """
+    cont = (
+        df.select(
+            F.col(a_col).cast("string").alias("_a"),
+            F.col(b_col).cast("string").alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    rm = cont.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cm = cont.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    cells = cont.join(F.broadcast(rm), "_a").join(
+        F.broadcast(cm), "_b"
+    )
+    term = (
+        F.col("_o").cast("double")
+        * F.col("_o")
+        / (F.col("_ra").cast("double") * F.col("_cb"))
+    )
+    w = W.orderBy("_a", "_b").rowsBetween(W.unboundedPreceding, 0)
+    run = cells.select(
+        "_a",
+        "_b",
+        F.sum(term).over(w).alias("_s"),
+        F.sum("_o").over(w).alias("_n"),
+        F.size(F.collect_set("_a").over(W.partitionBy())).alias("_nr"),
+        F.size(F.collect_set("_b").over(W.partitionBy())).alias("_nc"),
+        F.row_number()
+        .over(W.orderBy(F.col("_a").desc(), F.col("_b").desc()))
+        .alias("_rev"),
+    )
+    last = run.filter(F.col("_rev") == 1)
+    n = F.col("_n").cast("double")
+    chi2 = n * (F.col("_s") - F.lit(1.0))
+    k = F.least(F.col("_nr"), F.col("_nc")) - F.lit(1)
+    v = F.when(
+        k > 0, F.sqrt(F.greatest(chi2 / n / k, F.lit(0.0)))
+    )
+    return last.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_nr").cast("int").alias("n_rows_cat"),
+        F.col("_nc").cast("int").alias("n_cols_cat"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )

@@ -14745,3 +14745,120 @@ def q_wasserstein_click_purchase(
         _t(spark, sf_dir, "events"), "value", "event_type",
         "click", "purchase",
     )
+
+
+@_register(
+    "spearman_quantity_price",
+    """WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                        CAST(l_extendedprice AS DOUBLE) AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL
+                   AND l_extendedprice IS NOT NULL),
+       px AS (SELECT x, count(*) AS c FROM d GROUP BY x),
+       rxm AS (SELECT x,
+                 2 * coalesce(sum(c) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + c + 1 AS rx
+               FROM px),
+       py AS (SELECT y, count(*) AS c FROM d GROUP BY y),
+       rym AS (SELECT y,
+                 2 * coalesce(sum(c) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + c + 1 AS ry
+               FROM py),
+       j AS (SELECT rx, ry FROM d
+             JOIN rxm USING (x) JOIN rym USING (y)),
+       a AS (SELECT count(*) AS n,
+               sum(CAST(rx AS DECIMAL(28,0))) AS sx,
+               sum(CAST(ry AS DECIMAL(28,0))) AS sy,
+               sum(CAST(CAST(rx AS DECIMAL(19,0))
+                        * CAST(rx AS DECIMAL(19,0))
+                        AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(CAST(ry AS DECIMAL(19,0))
+                        * CAST(ry AS DECIMAL(19,0))
+                        AS DECIMAL(38,0))) AS syy,
+               sum(CAST(CAST(rx AS DECIMAL(19,0))
+                        * CAST(ry AS DECIMAL(19,0))
+                        AS DECIMAL(38,0))) AS sxy
+             FROM j),
+       z AS (SELECT n,
+               CAST(n AS DECIMAL(18,0))
+                 * CAST(sxy AS DECIMAL(20,0))
+                 - CAST(sx AS DECIMAL(19,0))
+                   * CAST(sy AS DECIMAL(19,0)) AS num,
+               CAST(n AS DECIMAL(18,0))
+                 * CAST(sxx AS DECIMAL(20,0))
+                 - CAST(sx AS DECIMAL(19,0))
+                   * CAST(sx AS DECIMAL(19,0)) AS vx,
+               CAST(n AS DECIMAL(18,0))
+                 * CAST(syy AS DECIMAL(20,0))
+                 - CAST(sy AS DECIMAL(19,0))
+                   * CAST(sy AS DECIMAL(19,0)) AS vy
+             FROM a)
+       SELECT CAST(n AS BIGINT) AS n,
+              round(CASE WHEN vx > 0 AND vy > 0 THEN
+                    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                    / sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(vy AS VARCHAR) AS DOUBLE))
+                    END, 6) AS spearman_rho
+       FROM z""",
+    doc="tie-corrected Spearman rank correlation of line quantity vs "
+    "extended price WITHOUT row ranking: doubled midranks (exact "
+    "ints) from per-distinct-value prefix sums, joined back by "
+    "value; all Pearson sufficient statistics in exact DECIMAL, one "
+    "sqrt + one divide at the edge "
+    "(operators/profile.py::spearman_correlation)",
+)
+def q_spearman_quantity_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import spearman_correlation
+
+    return spearman_correlation(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+@_register(
+    "cramers_v_priority_status",
+    """WITH cont AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                           CAST(o_orderstatus AS VARCHAR) AS b,
+                           count(*) AS o
+                    FROM orders GROUP BY 1, 2),
+       rm AS (SELECT a, sum(o) AS ra FROM cont GROUP BY 1),
+       cm AS (SELECT b, sum(o) AS cb FROM cont GROUP BY 1),
+       cells AS (SELECT c.a, c.b, c.o, rm.ra, cm.cb
+                 FROM cont c JOIN rm USING (a) JOIN cm USING (b)),
+       run AS (SELECT a, b,
+                 sum(CAST(o AS DOUBLE) * o
+                     / (CAST(ra AS DOUBLE) * cb)) OVER w AS s,
+                 sum(o) OVER w AS n,
+                 row_number() OVER (ORDER BY a DESC, b DESC) AS rev
+               FROM cells
+               WINDOW w AS (ORDER BY a, b ROWS UNBOUNDED PRECEDING)),
+       last AS (SELECT * FROM run WHERE rev = 1),
+       dims AS (SELECT (SELECT count(*) FROM rm) AS nr,
+                       (SELECT count(*) FROM cm) AS nc)
+       SELECT CAST(l.n AS BIGINT) AS n,
+              CAST(d.nr AS INT) AS n_rows_cat,
+              CAST(d.nc AS INT) AS n_cols_cat,
+              round(CAST(l.n AS DOUBLE) * (l.s - 1.0), 4) AS chi2,
+              round(CASE WHEN least(d.nr, d.nc) - 1 > 0 THEN
+                    sqrt(greatest(CAST(l.n AS DOUBLE) * (l.s - 1.0)
+                                  / l.n / (least(d.nr, d.nc) - 1),
+                                  0.0)) END, 6) AS cramers_v
+       FROM last l, dims d""",
+    doc="Cramer's V association between order priority and order "
+    "status: [0,1]-normalized chi-square effect size; exact integer "
+    "contingency + marginals, per-cell o^2/(row*col) IEEE divisions "
+    "summed in CELL ORDER (sequential window fold, both engines add "
+    "identically) (operators/profile.py::cramers_v)",
+)
+def q_cramers_v_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import cramers_v
+
+    return cramers_v(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
