@@ -454,3 +454,31 @@ def test_cramers_v_bounds(spark):
     df2 = spark.createDataFrame(indep, "a string, b string")
     r2 = cramers_v(df2, "a", "b").head()
     assert r2.cramers_v == 0.0
+
+
+def test_k_center_greedy_radius_sequence_and_coverage(spark):
+    """On three well-separated clusters, the first three picks land
+    in three DIFFERENT clusters (that is the 2-approximation's whole
+    point) and the winning distances never increase."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        k_center_greedy,
+    )
+
+    rows = []
+    vid = 0
+    for cx, cluster in ((0.0, "a"), (100.0, "b"), (200.0, "c")):
+        for i in range(10):
+            rows.append((vid, [cx + i * 0.1, 0.0]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(
+        k_center_greedy(df, k=4, start_id=0).collect(),
+        key=lambda r: r.sel_order,
+    )
+    cluster_of = lambda v: v // 10
+    first_three = {cluster_of(r.vec_id) for r in out[:3]}
+    assert first_three == {0, 1, 2}
+    dms = [r.d_min for r in out[1:]]
+    assert all(a >= b for a, b in zip(dms, dms[1:]))
+    # the 4th pick's distance collapses to within-cluster scale
+    assert out[3].d_min < 1.0 and out[1].d_min > 100.0

@@ -1861,3 +1861,73 @@ def rrf_fuse_rankings(
             F.round("_s", 6).alias("rrf_score"),
         )
     )
+
+
+def k_center_greedy(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int = 0,
+) -> DataFrame:
+    """Gonzalez k-center greedy selection — the classic 2-approximate
+    diverse-coreset picker (Gonzalez 1985; the "farthest-point
+    sampling" used for diverse training-subset selection and seeding):
+    start from ``start_id``, then repeatedly take the point FARTHEST
+    from its nearest already-chosen center. Returns the k selections
+    with their selection order and the distance that won them (the
+    non-increasing radius sequence — reading it tells you when extra
+    centers stop buying coverage).
+
+    Deterministic end to end: distances are the same elementwise
+    (a−b)² fold both engines run, and each argmax breaks ties by
+    smallest id — so a fixed start point gives a FIXED selection,
+    which is what makes the whole greedy trajectory value-oracle-able
+    (k chained CTE rounds in SQL).
+
+    Scale shape: k−1 rounds, each ONE map-only pass over the corpus
+    (chosen centers ride the plan as literals — n_centers ≤ k tiny)
+    into a TakeOrderedAndProject(1); nothing shuffles, the driver
+    holds k vectors. The k-job sequential structure is inherent to
+    the greedy (each pick depends on the last) — at 100 TB each pass
+    is an embarrassingly-parallel scan.
+    """
+    import numpy as np
+
+    qrow = (
+        df.filter(F.col(id_col) == start_id).select(vec_col).head()
+    )
+    if qrow is None:
+        raise ValueError(f"k_center_greedy: start id {start_id} not found")
+    centers = [np.asarray(qrow[0], dtype=np.float64)]
+    chosen = [(0, int(start_id), 0.0)]
+    chosen_ids = {int(start_id)}
+    for i in range(1, k):
+        dists = [
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for c in centers
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            df.filter(~F.col(id_col).isin(*chosen_ids))
+            .select(F.col(id_col), F.col(vec_col), dmin.alias("_dm"))
+            .orderBy(F.desc("_dm"), F.col(id_col))
+            .limit(1)
+            .head()
+        )
+        centers.append(np.asarray(pick[vec_col], dtype=np.float64))
+        chosen.append((i, int(pick[id_col]), round(float(pick["_dm"]), 4)))
+        chosen_ids.add(int(pick[id_col]))
+    return df.sparkSession.createDataFrame(
+        chosen, "sel_order int, vec_id long, d_min double"
+    )

@@ -14862,3 +14862,68 @@ def q_cramers_v_priority_status(
     return cramers_v(
         _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
     )
+
+
+def _kcenter_sql(k: int = 5) -> str:
+    """Build the k-round Gonzalez greedy oracle: round i picks the
+    argmax-of-min-distance row given rounds 0..i-1, each as a chained
+    CTE; mechanical but long, so generated."""
+    dist = (
+        "sqrt(list_sum(list_transform(generate_series(1, len(e.v)),"
+        " i -> (e.v[i] - {c}[i]) ^ 2)))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT v AS v0 FROM e WHERE vec_id = 0)",
+    ]
+    for i in range(1, k):
+        froms = ["e", "c0"] + [f"p{j}" for j in range(1, i)]
+        dists = [dist.format(c="c0.v0")] + [
+            dist.format(c=f"p{j}.v") for j in range(1, i)
+        ]
+        dm = dists[0] if len(dists) == 1 else (
+            "least(" + ", ".join(dists) + ")"
+        )
+        excl = ["e.vec_id <> 0"] + [
+            f"e.vec_id <> p{j}.vec_id" for j in range(1, i)
+        ]
+        ctes.append(
+            f"p{i} AS (SELECT e.vec_id, e.v, {dm} AS dm"
+            f" FROM {', '.join(froms)}"
+            f" WHERE {' AND '.join(excl)}"
+            f" ORDER BY dm DESC, e.vec_id LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(0 AS INT) AS sel_order,"
+        " CAST(0 AS BIGINT) AS vec_id, CAST(0.0 AS DOUBLE) AS d_min"
+    ] + [
+        f"SELECT CAST({i} AS INT), CAST(p{i}.vec_id AS BIGINT),"
+        f" round(p{i}.dm, 4) FROM p{i}"
+        for i in range(1, k)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+@_register(
+    "k_center_greedy_embeddings",
+    _kcenter_sql(5),
+    doc="Gonzalez k-center greedy (farthest-point) selection of 5 "
+    "diverse embeddings from a fixed start: deterministic argmax-of-"
+    "min-distance rounds (same (a-b)^2 fold both engines, smallest-"
+    "id tie-break) make the whole greedy trajectory value-exact; the "
+    "oracle replays all 4 rounds as chained CTEs — the diverse-"
+    "coreset / farthest-point-sampling primitive "
+    "(operators/similarity.py::k_center_greedy)",
+)
+def q_k_center_greedy_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import k_center_greedy
+
+    return k_center_greedy(
+        _t(spark, sf_dir, "embeddings"), k=5, start_id=0
+    )
