@@ -482,3 +482,20 @@ def test_k_center_greedy_radius_sequence_and_coverage(spark):
     assert all(a >= b for a, b in zip(dms, dms[1:]))
     # the 4th pick's distance collapses to within-cluster scale
     assert out[3].d_min < 1.0 and out[1].d_min > 100.0
+
+
+def test_two_sample_stats_null_on_missing_group(spark):
+    """Energy distance and Wasserstein emit NULL (not NaN/inf) when
+    one group is absent — the ANSI guard discipline."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        energy_distance_two_sample,
+        wasserstein_1d,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(5)], "g string, v double"
+    )
+    e = energy_distance_two_sample(df, "v", "g", "a", "b").head()
+    assert e.n_b == 0 and e.e_xy is None and e.energy_distance is None
+    w = wasserstein_1d(df, "v", "g", "a", "b").head()
+    assert w.n_b == 0 and w.wasserstein_1 is None

@@ -1763,9 +1763,16 @@ def energy_distance_two_sample(
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    e_xy = F.col("_sxy").cast("double") / (na * nb)
-    e_xx = F.lit(2.0) * F.col("_sxx").cast("double") / (na * na)
-    e_yy = F.lit(2.0) * F.col("_syy").cast("double") / (nb * nb)
+    # empty-group guard: 0/0 would be IEEE NaN on both engines — emit
+    # NULL instead (the mann_whitney var=0 discipline)
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    e_xy = F.when(both, F.col("_sxy").cast("double") / (na * nb))
+    e_xx = F.when(
+        both, F.lit(2.0) * F.col("_sxx").cast("double") / (na * na)
+    )
+    e_yy = F.when(
+        both, F.lit(2.0) * F.col("_syy").cast("double") / (nb * nb)
+    )
     d2 = F.lit(2.0) * e_xy - e_xx - e_yy
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
@@ -1773,8 +1780,10 @@ def energy_distance_two_sample(
         F.round(e_xy, 6).alias("e_xy"),
         F.round(e_xx, 6).alias("e_xx"),
         F.round(e_yy, 6).alias("e_yy"),
+        # greatest() ignores NULLs on both engines, so the guard must
+        # wrap the sqrt too or an absent group reads as distance 0
         F.round(
-            F.sqrt(F.greatest(d2, F.lit(0.0))), 6
+            F.when(both, F.sqrt(F.greatest(d2, F.lit(0.0)))), 6
         ).alias("energy_distance"),
     )
 
@@ -2092,8 +2101,13 @@ def wasserstein_1d(
         F.max("_nb").alias("n_b"),
         F.sum(F.when(F.col("_vn").isNotNull(), term)).alias("_w"),
     )
-    w1 = F.col("_w").cast("double") / (
-        F.col("n_a").cast("double") * F.col("n_b")
+    # guard the one-sided/empty case: with a group absent the ratio
+    # is 0/0 (IEEE NaN under both engines) — emit NULL instead, the
+    # ANSI discipline the other two-sample stats follow
+    w1 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("_w").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b")),
     )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),

@@ -14477,19 +14477,23 @@ def q_source_overlap_jaccard_docs(
                               AS DECIMAL(38,2))) AS syy
               FROM pre),
        x AS (SELECT n_a, n_b,
-                    CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) * n_b) AS e_xy,
-                    2.0 * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) * n_a) AS e_xx,
-                    2.0 * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
-                    / (CAST(n_b AS DOUBLE) * n_b) AS e_yy
+                    CASE WHEN n_a > 0 AND n_b > 0 THEN
+                      CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * n_b) END AS e_xy,
+                    CASE WHEN n_a > 0 AND n_b > 0 THEN
+                      2.0 * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * n_a) END AS e_xx,
+                    CASE WHEN n_a > 0 AND n_b > 0 THEN
+                      2.0 * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * n_b) END AS e_yy
              FROM ag)
        SELECT n_a, n_b,
               round(e_xy, 6) AS e_xy,
               round(e_xx, 6) AS e_xx,
               round(e_yy, 6) AS e_yy,
-              round(sqrt(greatest(2.0 * e_xy - e_xx - e_yy, 0.0)), 6)
-                  AS energy_distance
+              round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                    sqrt(greatest(2.0 * e_xy - e_xx - e_yy, 0.0))
+                    END, 6) AS energy_distance
        FROM x""",
     doc="exact two-sample energy distance (Szekely-Rizzo) between "
     "click and purchase value distributions — the whole-distribution "
@@ -14726,8 +14730,9 @@ def q_conformal_interval_daily_revenue(
               FROM pre)
        SELECT CAST(n_a AS BIGINT) AS n_a,
               CAST(n_b AS BIGINT) AS n_b,
-              round(CAST(CAST(w AS VARCHAR) AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) * n_b), 4)
+              round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                    CAST(CAST(w AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * n_b) END, 4)
                   AS wasserstein_1
        FROM ag""",
     doc="exact 1-D Wasserstein-1 (earth-mover) distance between click "
