@@ -274,8 +274,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         # Crash-safe swap: keep the original curated/ until the
         # compacted tree is in place — a crash between the renames
-        # leaves either the backup or the new dir, never neither.
+        # leaves either the backup or the new dir, never neither. A
+        # leftover backup from a previously crashed run must be
+        # cleared first or the rename onto it fails (ENOTEMPTY) and
+        # every rerun would be stuck.
         backup = curated_dir + ".pre_compact"
+        shutil.rmtree(backup, ignore_errors=True)
         os.rename(curated_dir, backup)
         os.rename(tmp, curated_dir)
         shutil.rmtree(backup)

@@ -175,6 +175,7 @@ for _name in (
     "wasserstein_click_purchase",      # distinct-value aggregate
     "spearman_quantity_price",         # per-distinct-value rank maps
     "cramers_v_priority_status",       # cells-frame sequential fold
+    "class_balanced_weights_orderstatus",  # |classes|-row fold
     "cmh_odds_ratio_priority_value",   # |segments|-row 2x2 cells frame
     "conformal_interval_daily_revenue",  # per-day revenue aggregate
     "theil_sen_daily_revenue",       # order stat over bounded day-pairs

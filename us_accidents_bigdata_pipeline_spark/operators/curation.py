@@ -544,16 +544,29 @@ def class_balanced_weights(
     broadcast back over the |classes|-row frame. Output per class:
     (class, n, weight) with Σ w·n = N.
     """
+    from pyspark.sql import Window as W
+
     counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
     b = F.lit(float(beta))
     raw = (F.lit(1.0) - b) / (
         F.lit(1.0) - F.pow(b, F.col("n").cast("double"))
     )
     withraw = counts.select(F.col(class_col), "n", raw.alias("_w"))
-    norm = withraw.agg(
-        F.sum(F.col("_w") * F.col("n")).alias("_z"),
-        F.sum("n").alias("_tot"),
+    # the normalizer Σw·n is a FLOAT sum: fold it in class order (a
+    # sequential window, both engines add identically) rather than a
+    # plain aggregate whose addition order is partition-dependent —
+    # the cramers_v/cmh discipline
+    wf = W.orderBy(F.col(class_col)).rowsBetween(
+        W.unboundedPreceding, 0
     )
+    run = withraw.select(
+        F.sum(F.col("_w") * F.col("n")).over(wf).alias("_z"),
+        F.sum("n").over(wf).alias("_tot"),
+        F.row_number()
+        .over(W.orderBy(F.col(class_col).desc()))
+        .alias("_rev"),
+    )
+    norm = run.filter(F.col("_rev") == 1).select("_z", "_tot")
     return withraw.crossJoin(F.broadcast(norm)).select(
         F.col(class_col),
         F.col("n").cast("long").alias("n"),

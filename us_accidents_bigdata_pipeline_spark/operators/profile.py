@@ -1374,6 +1374,45 @@ def msprt_sequential_readout(
     )
 
 
+def _score_bins(
+    df: DataFrame,
+    score_col: str,
+    label_expr,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    with_score_sum: bool = False,
+) -> DataFrame:
+    """Shared fixed-width score-bin aggregate for the calibration
+    readouts: (bin, n, pos[, _ssum]) over scores in [lo, hi), the
+    top bin closed via least(). One place defines the bin-edge
+    semantics so isotonic and ECE can never silently diverge."""
+    width = (hi - lo) / float(n_bins)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width)
+        ),
+    ).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(label_expr, 1).otherwise(0)).alias("pos"),
+    ]
+    if with_score_sum:
+        aggs.append(
+            F.sum(F.col(score_col).cast("decimal(18,6)")).alias("_ssum")
+        )
+    return (
+        df.filter(
+            F.col(score_col).isNotNull()
+            & (F.col(score_col) >= lo)
+            & (F.col(score_col) < hi)
+        )
+        .groupBy(b.alias("bin"))
+        .agg(*aggs)
+    )
+
+
 def isotonic_calibration_bins(
     df: DataFrame,
     score_col,
@@ -1409,25 +1448,7 @@ def isotonic_calibration_bins(
     combine), then everything else on the B-row frame. The fact table
     never feeds a window and never joins anything.
     """
-    width = (hi - lo) / float(n_bins)
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.floor(
-            (F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width)
-        ),
-    ).cast("int")
-    bins = (
-        df.filter(
-            F.col(score_col).isNotNull()
-            & (F.col(score_col) >= lo)
-            & (F.col(score_col) < hi)
-        )
-        .groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(label_expr, 1).otherwise(0)).alias("pos"),
-        )
-    )
+    bins = _score_bins(df, score_col, label_expr, n_bins, lo, hi)
     # pooled rate over a contiguous bin range needs cumulative (n,
     # pos); the bin frame is B rows, so the window is aggregate-sized
     wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
@@ -1575,27 +1596,13 @@ def expected_calibration_error(
     Scale shape: one fact-pass bin aggregate; everything else on B
     rows. One output row: (n, n_bins_used, ece, mce).
     """
-    width = (hi - lo) / float(n_bins)
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.floor(
-            (F.col(score_col).cast("double") - F.lit(lo)) / F.lit(width)
-        ),
-    ).cast("int")
-    bins = (
-        df.filter(
-            F.col(score_col).isNotNull()
-            & (F.col(score_col) >= lo)
-            & (F.col(score_col) < hi)
-        )
-        .groupBy(b.alias("_bin"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.when(label_expr, 1).otherwise(0)).alias("_pos"),
-            F.sum(
-                F.col(score_col).cast("decimal(18,6)")
-            ).alias("_ssum"),
-        )
+    bins = _score_bins(
+        df, score_col, label_expr, n_bins, lo, hi, with_score_sum=True
+    ).select(
+        F.col("bin").alias("_bin"),
+        F.col("n").alias("_n"),
+        F.col("pos").alias("_pos"),
+        "_ssum",
     )
     gap = F.abs(
         F.col("_pos").cast("double") / F.col("_n")
@@ -1653,7 +1660,11 @@ def mde_readout(
     n = F.col("n").cast("double")
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
-    var = (s2 - s1 * s1 / n) / n
+    # greatest(..., 0): the closed form can round to a tiny NEGATIVE
+    # for constant segments (measured ~-4e-19 on single-value
+    # 2-decimal segments) — unguarded, DuckDB's sqrt RAISES while
+    # Spark emits NaN; clamp on both sides
+    var = F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0))
     mean = s1 / n
     zsum = F.lit(float(z_alpha) + float(z_power))
     mde = zsum * F.sqrt(F.lit(4.0) * var / n)
@@ -1899,11 +1910,18 @@ def cmh_odds_ratio(
     )
     last = run.filter(F.col("_rev") == 1)
     orr = F.when(F.col("_den") > 0, F.col("_num") / F.col("_den"))
+    # ln(0) guard: an OR of exactly 0 (no exposed-outcome cell in any
+    # stratum) RAISES in DuckDB while Spark's log returns NULL —
+    # CASE WHEN num > 0 on both sides
+    log_or = F.when(
+        (F.col("_den") > 0) & (F.col("_num") > 0),
+        F.log(F.col("_num") / F.col("_den")),
+    )
     return last.select(
         F.col("_ns").cast("int").alias("n_strata"),
         F.col("_tot").cast("long").alias("n"),
         F.round(orr, 6).alias("or_mh"),
-        F.round(F.log(orr), 6).alias("log_or_mh"),
+        F.round(log_or, 6).alias("log_or_mh"),
     )
 
 
@@ -2178,19 +2196,23 @@ def spearman_correlation(
              * F.col("_r_y").cast("decimal(19,0)")).cast("decimal(38,0)")
         ).alias("_sxy"),
     )
-    n18 = F.col("n").cast("decimal(18,0)")
+    # bounded casts sized for n up to ~1.3e9 rows: Σr² ≤ 4n³ needs 28
+    # digits there, n needs 10 — product precision 38 (DuckDB's cap);
+    # Σr ≤ 2n² needs 19, squared = 38. Beyond ~1.3e9 rows the
+    # cross-products leave decimal range — pre-aggregate first.
+    n10 = F.col("n").cast("decimal(10,0)")
     num = (
-        n18 * F.col("_sxy").cast("decimal(20,0)")
+        n10 * F.col("_sxy").cast("decimal(28,0)")
         - F.col("_sx").cast("decimal(19,0)")
         * F.col("_sy").cast("decimal(19,0)")
     )
     vx = (
-        n18 * F.col("_sxx").cast("decimal(20,0)")
+        n10 * F.col("_sxx").cast("decimal(28,0)")
         - F.col("_sx").cast("decimal(19,0)")
         * F.col("_sx").cast("decimal(19,0)")
     )
     vy = (
-        n18 * F.col("_syy").cast("decimal(20,0)")
+        n10 * F.col("_syy").cast("decimal(28,0)")
         - F.col("_sy").cast("decimal(19,0)")
         * F.col("_sy").cast("decimal(19,0)")
     )
@@ -2224,8 +2246,14 @@ def cramers_v(
     ``cmh_odds_ratio`` discipline). Output one row: (n, n_rows_cat,
     n_cols_cat, chi2, cramers_v).
     """
+    # NULL categories are excluded by contract (and the marginal
+    # joins would silently drop them on the Spark side anyway while a
+    # SQL oracle's GROUP BY keeps them — an engine-divergence trap)
     cont = (
-        df.select(
+        df.filter(
+            F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+        )
+        .select(
             F.col(a_col).cast("string").alias("_a"),
             F.col(b_col).cast("string").alias("_b"),
         )

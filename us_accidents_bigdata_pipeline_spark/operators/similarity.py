@@ -391,12 +391,16 @@ def ivf_fit_assign(
     count-capped sample — driver-sized by construction — is collected
     once, sorted lexicographically, and the coarse quantizer is fit
     with seeded numpy k-means++ + Lloyd, then the centroids are
-    themselves lex-sorted. The fit is therefore BYTE-IDENTICAL on any
-    cluster/partition layout — which is what lets a fixed-nprobe
-    probe's recall be pinned (and even oracled, via the containment
-    flag) instead of drifting with partitioning, as MLlib's
-    k-means|| init does. ``fit_mode="mllib"`` keeps the distributed
-    fit for samples beyond driver memory.
+    themselves lex-sorted. Whenever the sample IS the whole corpus
+    (n ≤ ``fit_sample_rows`` — the regime every catalog fixture and
+    recall pin runs in), the fit is BYTE-IDENTICAL on any
+    cluster/partition layout; beyond the cap, sample MEMBERSHIP is
+    partition-layout-dependent like any seeded Bernoulli sample (the
+    lex-sort normalizes order, not membership), so the fit is
+    deterministic per layout but can drift across layouts — still
+    strictly better than MLlib's k-means|| init, which drifts even at
+    fixed membership. ``fit_mode="mllib"`` keeps the distributed fit
+    for samples beyond driver memory.
 
     ``m_assign`` is cell REPLICATION: each vector is stored in its m
     nearest cells (m rows per vector), trading m× index size for
@@ -1918,15 +1922,27 @@ def k_center_greedy(
             for c in centers
         ]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        # the round happens IN SPARK (F.round, HALF_UP — matching the
+        # oracle's round) while the argmax orders by the UNROUNDED
+        # distance; Python's round() is half-even and would break the
+        # rounding discipline on exact binary ties
         pick = (
             df.filter(~F.col(id_col).isin(*chosen_ids))
-            .select(F.col(id_col), F.col(vec_col), dmin.alias("_dm"))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                dmin.alias("_dm"),
+                F.round(dmin, 4).alias("_dm_r"),
+            )
             .orderBy(F.desc("_dm"), F.col(id_col))
             .limit(1)
             .head()
         )
+        if pick is None:
+            # corpus exhausted before k selections: return what exists
+            break
         centers.append(np.asarray(pick[vec_col], dtype=np.float64))
-        chosen.append((i, int(pick[id_col]), round(float(pick["_dm"]), 4)))
+        chosen.append((i, int(pick[id_col]), float(pick["_dm_r"])))
         chosen_ids.add(int(pick[id_col]))
     return df.sparkSession.createDataFrame(
         chosen, "sel_order int, vec_id long, d_min double"

@@ -14239,7 +14239,7 @@ def q_ece_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
              FROM a),
        y AS (SELECT event_type, n, s1d / n AS mean,
-                    (s2d - s1d * s1d / n) / n AS var
+                    greatest((s2d - s1d * s1d / n) / n, 0.0) AS var
              FROM x)
        SELECT event_type, CAST(n AS BIGINT) AS n,
               round(mean, 4) AS mean,
@@ -14347,7 +14347,14 @@ def q_token_coverage_curve(
                     (1.0 - 0.999)
                     / (1.0 - pow(0.999, CAST(n AS DOUBLE))) AS wr
              FROM c),
-       z AS (SELECT sum(wr * n) AS z, sum(n) AS tot FROM w)
+       run AS (SELECT sum(wr * n) OVER wf AS z,
+                      sum(n) OVER wf AS tot,
+                      row_number() OVER (ORDER BY o_orderstatus DESC)
+                          AS rev
+               FROM w
+               WINDOW wf AS (ORDER BY o_orderstatus
+                             ROWS UNBOUNDED PRECEDING)),
+       z AS (SELECT z, tot FROM run WHERE rev = 1)
        SELECT w.o_orderstatus, CAST(w.n AS BIGINT) AS n,
               round(w.wr * CAST(z.tot AS DOUBLE) / z.z, 6) AS weight
        FROM w, z""",
@@ -14583,7 +14590,8 @@ def q_embedding_dim_moments_docs(
        SELECT CAST(ns AS INT) AS n_strata, CAST(tot AS BIGINT) AS n,
               round(CASE WHEN den > 0 THEN num / den END, 6)
                   AS or_mh,
-              round(CASE WHEN den > 0 THEN ln(num / den) END, 6)
+              round(CASE WHEN den > 0 AND num > 0
+                         THEN ln(num / den) END, 6)
                   AS log_or_mh
        FROM run WHERE rev = 1""",
     doc="Cochran-Mantel-Haenszel pooled odds ratio of urgent priority "
@@ -14787,16 +14795,16 @@ def q_wasserstein_click_purchase(
                         AS DECIMAL(38,0))) AS sxy
              FROM j),
        z AS (SELECT n,
-               CAST(n AS DECIMAL(18,0))
-                 * CAST(sxy AS DECIMAL(20,0))
+               CAST(n AS DECIMAL(10,0))
+                 * CAST(sxy AS DECIMAL(28,0))
                  - CAST(sx AS DECIMAL(19,0))
                    * CAST(sy AS DECIMAL(19,0)) AS num,
-               CAST(n AS DECIMAL(18,0))
-                 * CAST(sxx AS DECIMAL(20,0))
+               CAST(n AS DECIMAL(10,0))
+                 * CAST(sxx AS DECIMAL(28,0))
                  - CAST(sx AS DECIMAL(19,0))
                    * CAST(sx AS DECIMAL(19,0)) AS vx,
-               CAST(n AS DECIMAL(18,0))
-                 * CAST(syy AS DECIMAL(20,0))
+               CAST(n AS DECIMAL(10,0))
+                 * CAST(syy AS DECIMAL(28,0))
                  - CAST(sy AS DECIMAL(19,0))
                    * CAST(sy AS DECIMAL(19,0)) AS vy
              FROM a)
@@ -14829,7 +14837,10 @@ def q_spearman_quantity_price(
     """WITH cont AS (SELECT CAST(o_orderpriority AS VARCHAR) AS a,
                            CAST(o_orderstatus AS VARCHAR) AS b,
                            count(*) AS o
-                    FROM orders GROUP BY 1, 2),
+                    FROM orders
+                    WHERE o_orderpriority IS NOT NULL
+                      AND o_orderstatus IS NOT NULL
+                    GROUP BY 1, 2),
        rm AS (SELECT a, sum(o) AS ra FROM cont GROUP BY 1),
        cm AS (SELECT b, sum(o) AS cb FROM cont GROUP BY 1),
        cells AS (SELECT c.a, c.b, c.o, rm.ra, cm.cb
