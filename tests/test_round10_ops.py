@@ -499,3 +499,99 @@ def test_two_sample_stats_null_on_missing_group(spark):
     assert e.n_b == 0 and e.e_xy is None and e.energy_distance is None
     w = wasserstein_1d(df, "v", "g", "a", "b").head()
     assert w.n_b == 0 and w.wasserstein_1 is None
+
+
+def test_isotonic_properties_random(spark):
+    """Property sweep: for random bin data the calibrated curve is
+    non-decreasing and preserves the total positive mass
+    (Σ n_b·iso_b = Σ pos_b — isotonic regression is a projection
+    that conserves the weighted sum)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        isotonic_calibration_bins,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rates=st.lists(
+            st.integers(min_value=0, max_value=8),
+            min_size=3,
+            max_size=6,
+        )
+    )
+    def run(rates):
+        rows = []
+        width = 100.0 / len(rates)
+        for b, npos in enumerate(rates):
+            score = b * width + 1.0
+            for i in range(8):
+                rows.append((score, i < npos))
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        out = sorted(
+            isotonic_calibration_bins(
+                df, "score", F.col("label"), n_bins=len(rates),
+                lo=0.0, hi=100.0,
+            ).collect(),
+            key=lambda r: r.bin,
+        )
+        cal = [r.calibrated_rate for r in out]
+        assert all(a <= b + 1e-9 for a, b in zip(cal, cal[1:])), cal
+        mass = sum(r.n * r.calibrated_rate for r in out)
+        assert abs(mass - sum(rates)) < 1e-2
+
+    run()
+
+
+def test_wasserstein_energy_properties_random(spark):
+    """Property sweep: both two-sample distances are symmetric in the
+    groups, nonnegative, and zero on identical multisets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        energy_distance_two_sample,
+        wasserstein_1d,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        xs=st.lists(
+            st.integers(min_value=0, max_value=50),
+            min_size=3,
+            max_size=12,
+        ),
+        ys=st.lists(
+            st.integers(min_value=0, max_value=50),
+            min_size=3,
+            max_size=12,
+        ),
+    )
+    def run(xs, ys):
+        rows = [("a", float(v)) for v in xs] + [
+            ("b", float(v)) for v in ys
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        w_ab = wasserstein_1d(df, "v", "g", "a", "b").head().wasserstein_1
+        w_ba = wasserstein_1d(df, "v", "g", "b", "a").head().wasserstein_1
+        assert w_ab == w_ba >= 0.0
+        e_ab = energy_distance_two_sample(
+            df, "v", "g", "a", "b"
+        ).head().energy_distance
+        e_ba = energy_distance_two_sample(
+            df, "v", "g", "b", "a"
+        ).head().energy_distance
+        assert e_ab == e_ba >= 0.0
+        if sorted(xs) == sorted(ys):
+            assert w_ab == 0.0 and e_ab == 0.0
+
+    run()

@@ -2122,9 +2122,11 @@ def wasserstein_1d(
     # guard the one-sided/empty case: with a group absent the ratio
     # is 0/0 (IEEE NaN under both engines) — emit NULL instead, the
     # ANSI discipline the other two-sample stats follow
+    # coalesce(_w, 0): a single distinct pooled value has no gaps, so
+    # the conditional sum is NULL — the true distance is 0
     w1 = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0),
-        F.col("_w").cast("double")
+        F.coalesce(F.col("_w").cast("double"), F.lit(0.0))
         / (F.col("n_a").cast("double") * F.col("n_b")),
     )
     return agg.select(

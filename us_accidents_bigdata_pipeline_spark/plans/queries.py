@@ -14739,7 +14739,7 @@ def q_conformal_interval_daily_revenue(
        SELECT CAST(n_a AS BIGINT) AS n_a,
               CAST(n_b AS BIGINT) AS n_b,
               round(CASE WHEN n_a > 0 AND n_b > 0 THEN
-                    CAST(CAST(w AS VARCHAR) AS DOUBLE)
+                    coalesce(CAST(CAST(w AS VARCHAR) AS DOUBLE), 0.0)
                     / (CAST(n_a AS DOUBLE) * n_b) END, 4)
                   AS wasserstein_1
        FROM ag""",
