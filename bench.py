@@ -149,6 +149,20 @@ HEADLINE = [
 ]
 
 
+_PROBE_READINGS: list[float] = []
+
+
+def _probe_miters(iters: int) -> float:
+    """Single-thread CPU speed probe: million add-iterations per
+    second of a plain Python loop (~25-40 idle on this host, <10
+    under heavy co-tenancy / CPU-credit throttling)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i
+    return (iters / 1e6) / (time.perf_counter() - t0)
+
+
 def _git_commit(here: str) -> str:
     """Current HEAD hash, stamped into every bench payload so a reader
     can tell which code produced which numbers. Best-effort: bench must
@@ -269,10 +283,17 @@ def main() -> None:
     # measures ambient contention; the minimum is the engine's cost.
     times: dict[str, float] = {}
     total = 0.0
+    _n_benched = 0
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
+        # mini health probe every 10 queries (~0.2 s each): the final
+        # health stamp is the MIN over the run, so a mid-run throttle
+        # dip cannot hide behind a healthy end-of-run reading
+        if _n_benched % 10 == 0:
+            _PROBE_READINGS.append(_probe_miters(5_000_000))
+        _n_benched += 1
         # Adaptive repeats: every query gets 2 samples (one absorbs
         # plan-compile/cache cold-start); only queries slow enough for
         # host-contention noise to matter (>2 s) pay a third. Keeps the
@@ -481,12 +502,15 @@ def main() -> None:
     # (r5: the same pipeline measured 86K and 10K rows/s fit hours
     # apart). A 20M-iteration Python loop calibrates the host: ~25-40
     # Miter/s idle, <10 under heavy co-tenancy — so every BENCH
-    # artifact carries its own "was the box healthy" reading.
-    _t0 = time.perf_counter()
-    _x = 0
-    for _i in range(20_000_000):
-        _x += _i
-    cpu_probe_miters = round(20.0 / (time.perf_counter() - _t0), 1)
+    # artifact carries its own "was the box healthy" reading. The
+    # recorded stamp is the MINIMUM of the end probe and the mini
+    # probes taken during the query loop: a single end-of-run reading
+    # is blind to a mid-run throttle dip (observed r10: a run whose
+    # pipeline measured 6x slow still ended with probe 24.3 because
+    # the CPU-credit throttle lifted before the probe ran).
+    cpu_probe_end = _probe_miters(20_000_000)
+    readings = _PROBE_READINGS + [cpu_probe_end]
+    cpu_probe_miters = round(min(readings), 1)
     full = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -496,6 +520,8 @@ def main() -> None:
         "pipeline": pipeline_stats,
         "loadavg": loadavg,
         "cpu_probe_miters": cpu_probe_miters,
+        "cpu_probe_end_miters": round(cpu_probe_end, 1),
+        "cpu_probe_n_readings": len(readings),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full["git_commit"] = _git_commit(here)
