@@ -253,6 +253,9 @@ def _write_sidecars(here: str, full: dict) -> None:
 
 
 def main() -> None:
+    # a second main() in one process must not fold the previous run's
+    # probe readings into this artifact's min-health stamp
+    _PROBE_READINGS.clear()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

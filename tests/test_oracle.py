@@ -67,6 +67,7 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 # sweep so every catalog query's plan is linted on every run.
 _AUDIT_ALLOW: dict[str, set[str]] = {
     "idle_customer_balance": {"nested_loop"},      # 1-row global avg
+    "token_coverage_curve": {"nested_loop"},       # 1-row corpus totals
     "chi2_event_type_bucket": {"nested_loop"},     # 1-row grand total
     "above_nation_avg_balance": {"nested_loop"},   # decorrelated scalar
     "knn_cosine_topk": {"nested_loop"},            # 1 query point
@@ -182,7 +183,6 @@ for _name in (
     "hour_uniformity_bh_by_type",    # |segments|-row BH family frame
     "msprt_guardrail_click_purchase",  # |days|-row daily aggregate
     "isotonic_calibration_value_purchase",  # B<=20-row bin aggregate
-    "token_coverage_curve",          # |vocab|-row frequency aggregate
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows

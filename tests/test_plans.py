@@ -919,3 +919,20 @@ def test_embedding_dim_moments_single_agg(spark):
     assert audit_plan(df) == []
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_token_coverage_head_is_top_k_not_full_vocab_window(spark):
+    """Coverage curve takes the vocabulary HEAD via
+    TakeOrderedAndProject (map-side partial top-K per partition) and
+    windows only those <= max(ks) rows; the full |vocab| aggregate —
+    Heaps-law-sized at open-web scale — must never funnel through a
+    single-partition sort window. Totals ride a 1-row broadcast."""
+    from us_accidents_bigdata_pipeline_spark.plans.audit import audit_plan
+
+    df = REGISTRY["token_coverage_curve"].builder(spark, SF_ORACLE)
+    # exactly the 1-row totals broadcast; in particular NO
+    # single_partition_window — the head window sits on
+    # TakeOrderedAndProject's already-single-partition output
+    assert audit_plan(df) == ["nested_loop"]
+    plan = plan_of(spark, "token_coverage_curve")
+    assert "TakeOrderedAndProject" in plan, plan

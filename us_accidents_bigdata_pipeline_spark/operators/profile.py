@@ -2108,12 +2108,15 @@ def wasserstein_1d(
         F.lead("_v").over(wl).alias("_vn"),
     )
     gap = F.col("_vn") - F.col("_v")  # exact decimal
+    # products in DECIMAL, not long: ca·n_b can pass 2^63 at ~3e9 rows
+    # per group, where long silently wraps (ANSI off) while the DuckDB
+    # oracle's HUGEINT does not. decimal(19,0)·decimal(19,0) → exact
+    # decimal(38,0), good to n_a,n_b ≈ 1e19 rows per group.
+    _dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     cdf_gap = F.abs(
-        F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")
-    )  # exact long
-    term = (
-        cdf_gap.cast("decimal(18,0)") * gap.cast("decimal(19,2)")
-    ).cast("decimal(38,2)")
+        _dec("_ca") * _dec("_nb") - _dec("_cb") * _dec("_na")
+    )  # exact decimal(38,0)
+    term = (cdf_gap * gap.cast("decimal(19,2)")).cast("decimal(38,2)")
     agg = pre.agg(
         F.max("_na").alias("n_a"),
         F.max("_nb").alias("n_b"),

@@ -1944,6 +1944,9 @@ def k_center_greedy(
         centers.append(np.asarray(pick[vec_col], dtype=np.float64))
         chosen.append((i, int(pick[id_col]), float(pick["_dm_r"])))
         chosen_ids.add(int(pick[id_col]))
+    # schema follows id_col — a caller passing id_col="doc_id" gets a
+    # doc_id output column, not a mislabeled vec_id. Ids are coerced to
+    # Python int above, so long is the one supported id type (documented).
     return df.sparkSession.createDataFrame(
-        chosen, "sel_order int, vec_id long, d_min double"
+        chosen, f"sel_order int, {id_col} long, d_min double"
     )

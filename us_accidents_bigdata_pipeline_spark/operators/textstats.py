@@ -711,10 +711,17 @@ def token_coverage_curve(
     at 6.
 
     Scale shape: the corpus tokenizes once into a (token, count) hash
-    aggregate with map-side combine; the rank window and cumulative
-    sum run over the |vocab|-row aggregate (audit-whitelisted single
-    partition — vocabulary-sized at any corpus scale), and the K cut
-    is a tiny IN filter. Output: (k, distinct_tokens, coverage).
+    aggregate with map-side combine; the query then needs only two
+    global scalars (total mass, vocab size — a 1-row aggregate) plus
+    the top max(ks) tokens, taken via ``orderBy(...).limit`` — a
+    TakeOrderedAndProject, i.e. a map-side partial top-K per
+    partition, NEVER a full-vocabulary sort. The rank/cumulative
+    window runs over that ≤ max(ks)-row head only, and the scalars
+    ride in on a broadcast 1-row cross join. An open-web corpus's
+    distinct-token count grows ~Heaps-law with corpus size, so the
+    old full-|vocab| single-partition window was the one plan shape
+    here that would NOT survive 100 TB; this one does.
+    Output: (k, distinct_tokens, coverage).
     """
     from pyspark.sql import Window as W
 
@@ -724,17 +731,21 @@ def token_coverage_curve(
         .groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    kmax = max(int(k) for k in ks)
+    totals = freq.agg(
+        F.sum("_c").alias("_tot"),
+        F.count(F.lit(1)).alias("_nvocab"),
+    )
+    head = freq.orderBy(F.col("_c").desc(), F.col("_t")).limit(kmax)
     w = W.orderBy(F.col("_c").desc(), F.col("_t"))
     wcum = w.rowsBetween(W.unboundedPreceding, 0)
-    wall = W.partitionBy()
-    ranked = freq.select(
+    ranked = head.select(
         F.row_number().over(w).alias("_r"),
         F.sum("_c").over(wcum).alias("_cum"),
-        F.sum("_c").over(wall).alias("_tot"),
-        F.count(F.lit(1)).over(wall).alias("_nvocab"),
     )
     return (
         ranked.filter(F.col("_r").isin(*[int(k) for k in ks]))
+        .crossJoin(F.broadcast(totals))
         .select(
             F.col("_r").cast("int").alias("k"),
             F.col("_nvocab").cast("long").alias("distinct_tokens"),

@@ -128,18 +128,68 @@ def _defining_expr(plan: str, col_token: str) -> str | None:
     return None
 
 
+def _top_level_find(expr: str, token: str) -> int:
+    """Index of the first occurrence of ``token`` at parenthesis depth
+    0 in ``expr``, or -1. Depth-0 is what makes the expression itself
+    boolean-valued — an ``=``/``IN`` buried inside a wider expression
+    (``CASE WHEN x = 1 THEN y ...``, ``hash(a = b)``) does NOT make
+    the defined column two-valued."""
+    depth = 0
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and expr.startswith(token, i):
+            return i
+        i += 1
+    return -1
+
+
 def _declares_tiny_domain(plan: str, col_token: str) -> bool:
     """True when ``col_token`` is DEFINED by an expression whose
-    domain is declaredly tiny: a boolean comparison / IN / isnull
-    (two values + NULL), or a CASE of at most two WHEN branches whose
-    result arms are all literals (no ``#`` column refs)."""
+    domain is declaredly tiny: a TOP-LEVEL boolean comparison /
+    bounded IN / isnull (two values + NULL), or a CASE of at most two
+    WHEN branches whose result arms are all literals (no ``#`` column
+    refs). Top-level means at parenthesis depth 0 after stripping the
+    outer wrapper — so equalities/INs nested inside a wider
+    non-boolean expression no longer misclassify a genuinely wide key
+    as tiny (false positives only cost whitelist churn, but this check
+    has to age well)."""
     import re
 
     expr = _defining_expr(plan, col_token)
     if not expr:
         return False
-    if " = " in expr or " IN " in expr or expr.startswith("isnull("):
+    expr = expr.strip()
+    # strip balanced outer paren pairs: "(x#1 = 5)" → "x#1 = 5", but
+    # NOT "(a) = (b)" whose outer parens are not one wrapper
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        wraps = True
+        for i, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(expr) - 1:
+                    wraps = False
+                    break
+        if not wraps or depth != 0:
+            break
+        expr = expr[1:-1].strip()
+    if _top_level_find(expr, " = ") >= 0 or expr.startswith("isnull("):
         return True
+    in_at = _top_level_find(expr, " IN ")
+    if in_at >= 0:
+        # bound the IN list: a top-level IN is boolean regardless, but
+        # keep the declared-tiny claim conservative (≤ 8 literals)
+        tail = expr[in_at + 4 :].strip()
+        if tail.startswith("(") and tail.count(",") <= 7:
+            return True
+        return False
     if expr.startswith("CASE WHEN") and expr.count("WHEN") <= 2:
         arms = re.findall(
             r"(?:THEN|ELSE) (.*?)(?= WHEN | ELSE | END)", expr
