@@ -407,8 +407,11 @@ def test_extract_patches_matches_numpy(spark):
     f = img.astype(np.float64)
     for pid, (r0, c0) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
         blk = f[r0 : r0 + 4, c0 : c0 + 4, :]
-        assert abs(out[(1, pid)][0] - round(float(blk.mean()), 6)) < 1e-9
-        assert abs(out[(1, pid)][1] - round(float(blk.std()), 6)) < 1e-9
+        # raw doubles (no internal rounding): the exact-integer
+        # identity agrees with np.mean/np.std to float accumulation
+        # noise only
+        assert abs(out[(1, pid)][0] - float(blk.mean())) < 1e-9
+        assert abs(out[(1, pid)][1] - float(blk.std())) < 1e-9
 
 
 def test_dynamic_schema_udtf_analyze(spark):

@@ -205,11 +205,20 @@ def extract_patches(
     std), patch_id in row-major grid order. Map-only ``mapInPandas``;
     the patch reshape is one strided view + two vectorized reductions
     per image — no Python-level pixel loops.
+
+    Numerics contract: mean/std come from the EXACT integer identity
+    (mean = Σx/n, var = (n·Σx² − (Σx)²)/n²) over int64 pixel sums —
+    the sums fit 2⁵³ exactly, so the only IEEE steps are one division
+    and one correctly-rounded sqrt. That makes the raw doubles
+    bit-identical to any engine computing the same identity (SQL
+    included), which is what lets the query layer value-oracle this
+    against DuckDB; population std (ddof=0), no internal rounding.
     """
     out_schema = f"{id_col} long, patch_id int, mean double, std double"
     n_px = width * height * 3
     rows_p, cols_p = height // patch, width // patch
     n_patches = rows_p * cols_p
+    n = patch * patch * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -223,7 +232,7 @@ def extract_patches(
                 img = (
                     np.frombuffer(p, dtype=np.uint8)
                     .reshape(height, width, 3)
-                    .astype(np.float64)
+                    .astype(np.int64)
                 )
                 blocks = (
                     img[: rows_p * patch, : cols_p * patch]
@@ -231,10 +240,12 @@ def extract_patches(
                     .transpose(0, 2, 1, 3, 4)
                     .reshape(n_patches, -1)
                 )
+                s1 = blocks.sum(axis=1)
+                s2 = (blocks * blocks).sum(axis=1)
                 ids.extend([mid] * n_patches)
                 pids.extend(range(n_patches))
-                means.extend(np.round(blocks.mean(axis=1), 6))
-                stds.extend(np.round(blocks.std(axis=1), 6))
+                means.extend(s1 / n)
+                stds.extend(np.sqrt((n * s2 - s1 * s1) / (n * n)))
             yield pd.DataFrame(
                 {id_col: ids, "patch_id": pids, "mean": means, "std": stds}
             )

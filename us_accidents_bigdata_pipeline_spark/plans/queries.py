@@ -1593,9 +1593,18 @@ def q_minhash_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "fingerprint_dedup",
-    None,  # xxhash64 values are engine-specific → rows-only
+    r"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents
+       GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""",
     doc="64-bit normalized-content fingerprints "
-    "(operators/textstats.py::fingerprint64)",
+    "(operators/textstats.py::fingerprint64). The GROUPING runs on the "
+    "production xxhash64 fingerprint; the ORACLED output is the "
+    "hash-agnostic dedup structure (keeper doc_id, multiplicity) — "
+    "identical under any collision-free fingerprint, so DuckDB "
+    "reproduces it by grouping on an md5 of the same normalization "
+    "(fp values themselves stay engine-internal; fingerprint_dedup_md5 "
+    "is the twin that exposes them)",
 )
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import fingerprint64
@@ -1605,6 +1614,7 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", fingerprint64("text").alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
     )
 
 
@@ -2867,9 +2877,21 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_decode_features",
-    None,  # digest-based fake decode → rows-only (real codec stubbed)
+    r"""WITH d AS (SELECT doc_id,
+                         sha256(coalesce(text, '')) AS h,
+                         CAST(coalesce(octet_length(encode(text)), 0)
+                              AS INTEGER) AS n_bytes
+                  FROM documents)
+       SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS dim_i,
+              CAST(CAST(concat('0x', substr(h, 2 * i + 1, 2)) AS INTEGER)
+                   AS DOUBLE) / 256.0 AS feature
+       FROM d, UNNEST(range(0, 16)) AS u(i)""",
     doc="mapInPandas decode plumbing: binary → feature vector "
-    "(operators/multimodal.py::decode_image_features, fake codec)",
+    "(operators/multimodal.py::decode_image_features, fake codec). "
+    "The digest-fake features are deterministic byte math "
+    "(sha256 byte i / 256 — exact dyadic doubles), so posexploding "
+    "the vector makes the whole plumbing value-oracle-able: DuckDB "
+    "recomputes each lane from its sha256 hex",
 )
 def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image_features
@@ -2877,7 +2899,12 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return decode_image_features(d, id_col="doc_id", dim=16, fake=True)
+    feats = decode_image_features(d, id_col="doc_id", dim=16, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("dim_i", "feature"),
+    )
 
 
 @_register(
@@ -5311,12 +5338,28 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "multimodal_patch_features",
-    None,
+    r"""WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS h
+                  FROM documents),
+       px AS (SELECT doc_id,
+                     ((i // 3) // 32) AS r, ((i // 3) % 32) AS c,
+                     CAST(concat('0x', substr(h, 2 * (i % 32) + 1, 2))
+                          AS INTEGER) AS b
+              FROM d, UNNEST(range(0, 3072)) AS u(i)),
+       s AS (SELECT doc_id,
+                    CAST((r // 16) * 2 + (c // 16) AS INTEGER) AS patch_id,
+                    sum(b) AS sx, sum(b * b) AS sx2
+             FROM px GROUP BY doc_id, patch_id)
+       SELECT doc_id AS media_id, patch_id,
+              CAST(sx AS DOUBLE) / 768 AS mean,
+              sqrt(CAST(768 * sx2 - sx * sx AS DOUBLE) / 589824) AS std
+       FROM s""",
     doc="ViT-style patch-grid features: fake-resize documents' binary "
     "payloads to 32x32 RGB, then 16x16 non-overlapping patches with "
     "per-patch mean/std — real numpy math over raw pixel buffers "
-    "(no codec), map-only mapInPandas; rows-only check, numerics "
-    "pinned against plain numpy in tests "
+    "(no codec), map-only mapInPandas. Value-oracled: the fake resize "
+    "is a cyclic sha256-digest tiling and the patch stats use the "
+    "exact integer identity, so DuckDB rebuilds every pixel from the "
+    "digest hex and lands on bit-identical doubles "
     "(operators/multimodal.py::extract_patches)",
 )
 def q_multimodal_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
