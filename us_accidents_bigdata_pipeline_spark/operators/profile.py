@@ -699,12 +699,46 @@ def _normal_sf_two_sided(az):
     return F.lit(2.0) * pdf * poly
 
 
+def _guard_value_cardinality(
+    d: DataFrame, cols: list[str], max_distinct: int | None, op: str
+) -> None:
+    """CARDINALITY CONTRACT of the per-distinct-value window family
+    (``mann_whitney_u`` / ``energy_distance_two_sample`` /
+    ``wasserstein_1d`` / ``spearman_correlation``): their ordered
+    windows run over the per-DISTINCT-VALUE aggregate, which is safe
+    exactly because business metrics quantize (currency to
+    decimal(18,2), counts, timestamps to a grain) — a truly CONTINUOUS
+    column makes that aggregate O(n) rows through one task. This guard
+    makes the contract explicit: one cheap ``approx_count_distinct``
+    job over the (already cast/quantized) analysis columns, raising
+    with remediation guidance when any exceeds ``max_distinct``.
+    ``max_distinct=None`` skips the pre-check (and its Spark job)
+    entirely for callers that know their domain."""
+    if max_distinct is None:
+        return
+    row = d.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    for c in cols:
+        nd = int(row[c])
+        if nd > int(max_distinct):
+            raise ValueError(
+                f"{op}: ~{nd:,} distinct values in {c!r} exceed "
+                f"max_distinct={max_distinct:,}; the per-distinct-value "
+                "window would funnel that many rows through one task. "
+                "Quantize the column first (round to a coarser decimal "
+                "scale, or bin via equi_depth_histogram) or pass a "
+                "larger / None max_distinct explicitly."
+            )
+
+
 def mann_whitney_u(
     df: DataFrame,
     value_col: str,
     group_col: str,
     group_a,
     group_b,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) test between two slices — the
     nonparametric two-sample test a skewed metric (revenue, latency)
@@ -724,11 +758,16 @@ def mann_whitney_u(
     exp()'s last ulp.
 
     Output: one row (n_a, n_b, u_a, u_b, z, p_two_sided).
+
+    Cardinality contract: see ``_guard_value_cardinality`` — the
+    window input is value-cardinality-sized, guarded by the
+    ``max_distinct`` pre-check (None skips it).
     """
     pooled = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).alias("_is_a"),
         F.col(value_col).cast("double").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    _guard_value_cardinality(pooled, ["_v"], max_distinct, "mann_whitney_u")
     per_v = pooled.groupBy("_v").agg(
         F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("_ca"),
         F.count(F.lit(1)).alias("_ct"),
@@ -1686,6 +1725,7 @@ def energy_distance_two_sample(
     group_col: str,
     group_a,
     group_b,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact two-sample energy distance (Székely & Rizzo 2004) between
     two slices' 1-D value distributions:
@@ -1716,11 +1756,18 @@ def energy_distance_two_sample(
     (audit-whitelisted single partition — value-cardinality-sized),
     one 1-row reduce. Output: (n_a, n_b, e_xy, e_xx, e_yy,
     energy_distance).
+
+    Cardinality contract: see ``_guard_value_cardinality`` — the
+    window input is value-cardinality-sized, guarded by the
+    ``max_distinct`` pre-check (None skips it).
     """
     pooled = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).alias("_ia"),
         F.col(value_col).cast("decimal(18,2)").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    _guard_value_cardinality(
+        pooled, ["_v"], max_distinct, "energy_distance_two_sample"
+    )
     per_v = pooled.groupBy("_v").agg(
         F.sum(F.when(F.col("_ia"), 1).otherwise(0)).alias("_a"),
         F.sum(F.when(~F.col("_ia"), 1).otherwise(0)).alias("_b"),
@@ -2069,6 +2116,7 @@ def wasserstein_1d(
     group_col: str,
     group_a,
     group_b,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact 1-D Wasserstein-1 (earth-mover) distance between two
     slices' value distributions — THE distribution-shift metric of ML
@@ -2087,11 +2135,16 @@ def wasserstein_1d(
     Scale shape: the ``mann_whitney_u``/``energy_distance`` shape —
     one per-distinct-value aggregate off the fact slice, one ordered
     window over that aggregate (audit-whitelisted), one 1-row reduce.
+
+    Cardinality contract: see ``_guard_value_cardinality`` — the
+    window input is value-cardinality-sized, guarded by the
+    ``max_distinct`` pre-check (None skips it).
     """
     pooled = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         (F.col(group_col) == group_a).alias("_ia"),
         F.col(value_col).cast("decimal(18,2)").alias("_v"),
     ).filter(F.col("_v").isNotNull())
+    _guard_value_cardinality(pooled, ["_v"], max_distinct, "wasserstein_1d")
     per_v = pooled.groupBy("_v").agg(
         F.sum(F.when(F.col("_ia"), 1).otherwise(0)).alias("_a"),
         F.sum(F.when(~F.col("_ia"), 1).otherwise(0)).alias("_b"),
@@ -2143,6 +2196,7 @@ def spearman_correlation(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Tie-corrected Spearman rank correlation — the monotonic-
     association readout robust to outliers and nonlinearity that
@@ -2161,11 +2215,18 @@ def spearman_correlation(
     Scale shape: two per-value aggregates + two ordered windows over
     those aggregates (audit-whitelisted), two value-keyed joins back
     to the fact slice, one 1-row reduce.
+
+    Cardinality contract: see ``_guard_value_cardinality`` — the
+    window input is value-cardinality-sized, guarded by the
+    ``max_distinct`` pre-check (None skips it).
     """
     d = df.select(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    _guard_value_cardinality(
+        d, ["_x", "_y"], max_distinct, "spearman_correlation"
+    )
 
     def _rank_map(col: str):
         per = d.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
