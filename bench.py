@@ -146,6 +146,9 @@ HEADLINE = [
     "token_coverage_curve",
     "clustering_coef_copurchase",
     "cohens_kappa_filter_agreement",
+    # round 11: index/banding planner tier
+    "lsh_banding_planner_docs",
+    "ivf_assignment_drift",
 ]
 
 

@@ -68,6 +68,9 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 _AUDIT_ALLOW: dict[str, set[str]] = {
     "idle_customer_balance": {"nested_loop"},      # 1-row global avg
     "token_coverage_curve": {"nested_loop"},       # 1-row corpus totals
+    # 6-row literal (b,r) grid frame: its rank window and the
+    # grid x |buckets|-histogram cross join are both aggregate-sized
+    "lsh_banding_planner_docs": {"nested_loop", "single_partition_window"},
     "chi2_event_type_bucket": {"nested_loop"},     # 1-row grand total
     "above_nation_avg_balance": {"nested_loop"},   # decorrelated scalar
     "knn_cosine_topk": {"nested_loop"},            # 1 query point
@@ -186,6 +189,7 @@ for _name in (
     "lorenz_curve_deciles",          # per-customer deciles
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows
+    "ivf_assignment_drift",          # <=k-row cell-occupancy frame
 ):
     _AUDIT_ALLOW.setdefault(_name, set()).add("single_partition_window")
 

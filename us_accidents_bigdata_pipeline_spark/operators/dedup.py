@@ -577,6 +577,102 @@ def minhash_estimate_calibration(
     )
 
 
+def lsh_banding_planner(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_floor: float = 0.3,
+    target_threshold: float = 0.7,
+    grid: tuple = ((128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32)),
+) -> DataFrame:
+    """LSH banding parameter planner — the closed-form S-curve readout
+    that picks (bands b, rows-per-band r) BEFORE committing a 100 TB
+    MinHash pass: for each grid point, the collision probability of a
+    pair with Jaccard j is p(j) = 1 − (1 − j^r)^b (Leskovec/Rajaraman/
+    Ullman ch.3), the curve's ~50% crossover sits at (1/b)^(1/r), and
+    the expected candidate mass comes from the OBSERVED Jaccard
+    histogram of the corpus's near-dup pairs (exact shingle-set
+    Jaccard, the ``minhash_estimate_calibration`` join) — splitting
+    expected collisions into true (j ≥ target) and false
+    (j < target) bands. ``recommended`` marks the grid point whose
+    crossover lands closest to the target threshold.
+
+    The observable pair population is floored at ``jaccard_floor``
+    (pairs below it never co-occur on enough shingles to join) — the
+    false-candidate mass is therefore a LOWER bound; the sub-floor
+    tail is exactly the mass banding is designed to never surface.
+
+    Cross-engine exactness: Jaccard is one correctly-rounded division
+    of exact integers; buckets use floor(j·100)/100 (exact double
+    steps, no round-half ties); every probability is the same literal
+    pow() expression tree both engines evaluate on identical doubles,
+    displayed at round 6/4. Grid b, r are powers of two so 1/b and
+    1/r are dyadic-exact.
+
+    Scale shape: one shingle equi-join for the pair histogram (the
+    calibration shape, candidate-bounded), then everything downstream
+    is the |buckets|-row histogram cross the |grid|-row plan frame —
+    aggregate-sized; the corpus itself is touched once.
+
+    Output: one row per (grid point × observed bucket): (b, r,
+    s_curve_threshold, p_at_target, recommended, j_bucket, n_pairs,
+    p_collide, expected_candidates, counts_toward_false).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    hist = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= float(jaccard_floor))
+        .select((F.floor(jac * 100) / 100.0).alias("j_bucket"))
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    spark = df.sparkSession
+    gdf = spark.createDataFrame(list(grid), "b int, r int")
+    t0 = float(target_threshold)
+    thr = F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6)
+    p_at = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(t0), F.col("r")), F.col("b")),
+        6,
+    )
+    wrec = W.orderBy(F.round(F.abs(thr - F.lit(t0)), 6), F.col("b"))
+    gplan = gdf.select(
+        "b",
+        "r",
+        thr.alias("s_curve_threshold"),
+        p_at.alias("p_at_target"),
+        (F.row_number().over(wrec) == 1).alias("recommended"),
+    )
+    p_collide = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("j_bucket"), F.col("r")), F.col("b")
+    )
+    return gplan.crossJoin(F.broadcast(hist)).select(
+        "b",
+        "r",
+        "s_curve_threshold",
+        "p_at_target",
+        "recommended",
+        "j_bucket",
+        "n_pairs",
+        F.round(p_collide, 6).alias("p_collide"),
+        F.round(F.col("n_pairs") * p_collide, 4).alias("expected_candidates"),
+        (F.col("j_bucket") < F.lit(t0)).alias("counts_toward_false"),
+    )
+
+
 def minhash_lsh_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

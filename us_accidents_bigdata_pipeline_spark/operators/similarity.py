@@ -1867,6 +1867,78 @@ def rrf_fuse_rankings(
     )
 
 
+def ivf_assignment_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """IVF index assignment drift between two corpus snapshots — the
+    index-maintenance signal a 100 TB ANN deployment re-clusters on:
+    when new data stops landing where the trained centroids expect,
+    recall decays and cells skew. Snapshot A/B here are the even/odd
+    ``id_col`` halves (a deterministic stand-in for before/after
+    ingest batches); centroids are the first ``k`` vectors by id (a
+    fixed, engine-reproducible codebook — the drift READOUT is the
+    same whatever codebook a production fit supplies).
+
+    Each row is assigned to its nearest centroid by the same exact
+    (a−b)² fold both engines run, ties broken by smallest cell id;
+    per-cell occupancy histograms of the two snapshots are
+    Laplace-smoothed ((n+1)/(N+k) — no empty-cell log poles) and
+    compared by PSI terms (pa−pb)·ln(pa/pb), the population-stability
+    drift score. Σ psi_term ≳ 0.2 is the classic "re-fit the index"
+    alarm.
+
+    Scale shape: centroids ride the plan as ≤k literal arrays (one
+    driver-side bounded collect); assignment is one map-only pass —
+    a k-struct array_min per row, NO join, NO shuffle of payloads;
+    the cell histogram is one k-row aggregate; the share/PSI windows
+    run over that ≤k-row frame (audit-whitelisted). Output: one row
+    per occupied cell (cell, n_a, n_b, share_a, share_b, psi_term).
+    """
+    crows = (
+        df.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_assignment_drift: no centroid rows found")
+    v = F.col(vec_col).cast("array<double>")
+    cands = []
+    for r in crows:
+        clit = F.array(*[F.lit(float(x)) for x in r[vec_col]])
+        d2 = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(
+            F.struct(d2.alias("d"), F.lit(int(r[id_col])).alias("c"))
+        )
+    assigned = df.select(
+        F.array_min(F.array(*cands)).getField("c").alias("cell"),
+        (F.col(id_col) % 2 == 0).alias("_is_a"),
+    )
+    cells = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    wall = W.partitionBy()
+    kk = F.lit(int(k))
+    pa = (F.col("n_a") + 1) / (F.sum("n_a").over(wall) + kk)
+    pb = (F.col("n_b") + 1) / (F.sum("n_b").over(wall) + kk)
+    return cells.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
 def k_center_greedy(
     df: DataFrame,
     k: int = 5,

@@ -14986,3 +14986,105 @@ def q_k_center_greedy_embeddings(
     return k_center_greedy(
         _t(spark, sf_dir, "embeddings"), k=5, start_id=0
     )
+
+
+@_register(
+    "lsh_banding_planner_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       hist AS (SELECT floor(100 * (CAST(p.n_common AS DOUBLE)
+                              / (sa.n_sh + sb.n_sh - p.n_common))) / 100.0
+                           AS j_bucket,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+                       JOIN sizes sb ON p.doc_b = sb.doc_id
+                WHERE CAST(p.n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - p.n_common) >= 0.3
+                GROUP BY 1),
+       grid AS (SELECT * FROM (VALUES (128, 1), (64, 2), (32, 4),
+                                      (16, 8), (8, 16), (4, 32))
+                     AS g(b, r)),
+       gplan AS (SELECT CAST(b AS INTEGER) AS b, CAST(r AS INTEGER) AS r,
+                        round(pow(1.0 / b, 1.0 / r), 6) AS s_curve_threshold,
+                        round(1 - pow(1 - pow(0.7, r), b), 6) AS p_at_target,
+                        (row_number() OVER (
+                            ORDER BY round(abs(round(pow(1.0 / b, 1.0 / r), 6)
+                                              - 0.7), 6), b) = 1)
+                            AS recommended
+                 FROM grid)
+       SELECT g.b, g.r, g.s_curve_threshold, g.p_at_target, g.recommended,
+              h.j_bucket, h.n_pairs,
+              round(1 - pow(1 - pow(h.j_bucket, g.r), g.b), 6) AS p_collide,
+              round(h.n_pairs * (1 - pow(1 - pow(h.j_bucket, g.r), g.b)), 4)
+                  AS expected_candidates,
+              (h.j_bucket < 0.7) AS counts_toward_false
+       FROM gplan g CROSS JOIN hist h""",
+    doc="LSH banding parameter planner: closed-form S-curve readout "
+    "per (bands, rows) grid point — collision probability "
+    "1-(1-t^r)^b at the target threshold, the ~50% crossover "
+    "(1/b)^(1/r), and expected true/false candidate mass from the "
+    "corpus's OBSERVED exact-Jaccard pair histogram; 'recommended' "
+    "marks the grid point whose crossover lands nearest the target "
+    "(operators/dedup.py::lsh_banding_planner)",
+)
+def q_lsh_banding_planner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_banding_planner
+
+    return lsh_banding_planner(
+        _t(spark, sf_dir, "documents"),
+        jaccard_floor=0.3,
+        target_threshold=0.7,
+    )
+
+
+@_register(
+    "ivf_assignment_drift",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, c.cell,
+                    list_sum(list_transform(generate_series(1, len(e.v)),
+                             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+                        AS d2
+             FROM e CROSS JOIN c),
+       a AS (SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) AS rk
+             FROM d),
+       cells AS (SELECT cell,
+                        sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                            AS n_a,
+                        sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+                            AS n_b
+                 FROM a WHERE rk = 1 GROUP BY cell),
+       tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cells)
+       SELECT CAST(cell AS INTEGER) AS cell,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              round((n_a + 1) / CAST(ta + 8 AS DOUBLE), 6) AS share_a,
+              round((n_b + 1) / CAST(tb + 8 AS DOUBLE), 6) AS share_b,
+              round(((n_a + 1) / CAST(ta + 8 AS DOUBLE)
+                     - (n_b + 1) / CAST(tb + 8 AS DOUBLE))
+                    * ln(((n_a + 1) / CAST(ta + 8 AS DOUBLE))
+                         / ((n_b + 1) / CAST(tb + 8 AS DOUBLE))), 6)
+                  AS psi_term
+       FROM cells, tot""",
+    doc="IVF assignment drift between two corpus snapshots (even/odd "
+    "id halves): nearest-centroid occupancy histograms under a fixed "
+    "first-k codebook, Laplace-smoothed, compared by per-cell PSI "
+    "terms — the re-cluster alarm of a production ANN index "
+    "(operators/similarity.py::ivf_assignment_drift)",
+)
+def q_ivf_assignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assignment_drift
+
+    return ivf_assignment_drift(_t(spark, sf_dir, "embeddings"), k=8)
