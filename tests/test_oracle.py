@@ -71,6 +71,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # 6-row literal (b,r) grid frame: its rank window and the
     # grid x |buckets|-histogram cross join are both aggregate-sized
     "lsh_banding_planner_docs": {"nested_loop", "single_partition_window"},
+    "padding_waste_planner_docs": {"nested_loop"},  # 3-row strategy grid
     "chi2_event_type_bucket": {"nested_loop"},     # 1-row grand total
     "above_nation_avg_balance": {"nested_loop"},   # decorrelated scalar
     "knn_cosine_topk": {"nested_loop"},            # 1 query point

@@ -240,3 +240,75 @@ def split_leakage_report(
         )
         .orderBy("splits")
     )
+
+
+def padding_waste_planner(
+    df: DataFrame,
+    text_col: str = "text",
+    strategies: tuple = (
+        ("pow2_16_128", (16, 32, 64, 128)),
+        ("pow2_32_128", (32, 64, 128)),
+        ("fixed_128", (128,)),
+    ),
+) -> DataFrame:
+    """Length-bucketed batching planner — the padding-waste readout
+    that sizes a training loader's bucket boundaries BEFORE a 100 TB
+    tokenization pass: for each candidate strategy (a sorted tuple of
+    context-length boundaries), every document lands in the smallest
+    boundary that fits its token count (documents longer than the
+    largest boundary are TRUNCATED to it), and the per-(strategy,
+    bucket) report shows document count, kept-token mass, pad mass
+    (bucket width − length), truncated-token mass, and packing
+    efficiency kept/(kept+pad). Compare against ``pack_assignment``
+    (concat-then-chunk, zero padding) to price the padding a
+    bucketed-batching loader actually pays.
+
+    All sums are exact integers (whitespace token counts); efficiency
+    is one division, rounded at 6 — fully value-oracle-able.
+
+    Scale shape: one map-only token count over the corpus, a
+    |strategies|-row literal broadcast (tiny fanout), then a
+    (strategy, bucket)-keyed aggregate with map-side partial —
+    aggregate-sized output, corpus touched once.
+    """
+    from ..functions import token_count
+
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [(name, list(map(int, bounds))) for name, bounds in strategies],
+        "strategy string, bounds array<int>",
+    )
+    lens = df.select(token_count(text_col).cast("long").alias("_len"))
+    j = lens.crossJoin(F.broadcast(sdf))
+    fit = F.array_min(F.filter("bounds", lambda b: b >= F.col("_len")))
+    bucket = F.coalesce(fit, F.array_max("bounds")).cast("long")
+    kept = F.least(F.col("_len"), bucket)
+    return (
+        j.select(
+            "strategy",
+            bucket.alias("bucket"),
+            kept.alias("_kept"),
+            (bucket - kept).alias("_pad"),
+            (F.col("_len") - kept).alias("_trunc"),
+        )
+        .groupBy("strategy", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_kept").cast("long").alias("tokens_kept"),
+            F.sum("_pad").cast("long").alias("tokens_pad"),
+            F.sum("_trunc").cast("long").alias("tokens_truncated"),
+        )
+        .select(
+            "strategy",
+            "bucket",
+            "n_docs",
+            "tokens_kept",
+            "tokens_pad",
+            "tokens_truncated",
+            F.round(
+                F.col("tokens_kept")
+                / (F.col("tokens_kept") + F.col("tokens_pad")).cast("double"),
+                6,
+            ).alias("efficiency"),
+        )
+    )

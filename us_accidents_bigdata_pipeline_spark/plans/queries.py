@@ -15088,3 +15088,43 @@ def q_ivf_assignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_assignment_drift
 
     return ivf_assignment_drift(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@_register(
+    "padding_waste_planner_docs",
+    r"""WITH s AS (SELECT * FROM (VALUES ('pow2_16_128', [16, 32, 64, 128]),
+                                        ('pow2_32_128', [32, 64, 128]),
+                                        ('fixed_128', [128]))
+                       AS v(strategy, bounds)),
+       l AS (SELECT CAST(len(string_split_regex(trim(text), '\s+'))
+                         AS BIGINT) AS len
+             FROM documents),
+       j AS (SELECT strategy,
+                    CAST(coalesce(list_min(list_filter(bounds,
+                                                       b -> b >= len)),
+                                  list_max(bounds)) AS BIGINT) AS bucket,
+                    len
+             FROM l CROSS JOIN s),
+       g AS (SELECT strategy, bucket,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(least(len, bucket)) AS BIGINT) AS tokens_kept,
+                    CAST(sum(bucket - least(len, bucket)) AS BIGINT)
+                        AS tokens_pad,
+                    CAST(sum(len - least(len, bucket)) AS BIGINT)
+                        AS tokens_truncated
+             FROM j GROUP BY 1, 2)
+       SELECT strategy, bucket, n_docs, tokens_kept, tokens_pad,
+              tokens_truncated,
+              round(tokens_kept / CAST(tokens_kept + tokens_pad AS DOUBLE), 6)
+                  AS efficiency
+       FROM g""",
+    doc="length-bucketed batching planner: per (strategy, bucket) "
+    "document count, kept/pad/truncated token mass and packing "
+    "efficiency for candidate context-length boundary grids — the "
+    "padding-waste readout that sizes a training loader's buckets "
+    "(operators/shard.py::padding_waste_planner)",
+)
+def q_padding_waste_planner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shard import padding_waste_planner
+
+    return padding_waste_planner(_t(spark, sf_dir, "documents"))
