@@ -1449,3 +1449,74 @@ def source_overlap_jaccard(
         )
         .orderBy(F.desc("jaccard"), "source_a", "source_b")
     )
+
+
+def dup_cluster_length_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Duplicate-cluster size vs document length — the curation
+    diagnostic behind the FineWeb/RefinedWeb observation that heavily
+    duplicated web content skews short (templates, boilerplate, spam):
+    documents are clustered by normalized-content fingerprint
+    (``textstats.fingerprint64``; with ``prefix_tokens`` set, the
+    fingerprint covers only the first k tokens — the template-lead-in
+    variant that catches boilerplate openings on an otherwise
+    dup-free corpus), cluster sizes are bucketed
+    (1 / 2 / 3-5 / 6+), and each bucket reports cluster count, doc
+    count, and mean tokens/chars per document — exact integer sums,
+    two IEEE divisions rounded at 4.
+
+    Scale shape: one fingerprint-keyed aggregate over (hash, token
+    count, char count) slim rows — payloads never shuffle — then a
+    4-row bucket aggregate. Both shuffles carry one row per distinct
+    content / bucket thanks to partial aggregation.
+    """
+    from ..functions import token_count, word_tokens
+    from .textstats import fingerprint64
+
+    if prefix_tokens is None:
+        key = fingerprint64(text_col)
+    else:
+        key = fingerprint64(
+            F.array_join(
+                F.slice(word_tokens(text_col), 1, int(prefix_tokens)), " "
+            )
+        )
+    clusters = (
+        df.select(
+            key.alias("_fp"),
+            token_count(text_col).cast("long").alias("_tok"),
+            F.length(text_col).cast("long").alias("_chr"),
+        )
+        .groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_tok").alias("_st"),
+            F.sum("_chr").alias("_sc"),
+        )
+    )
+    bucket = (
+        F.when(F.col("_n") == 1, "1")
+        .when(F.col("_n") == 2, "2")
+        .when(F.col("_n") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        clusters.select(
+            bucket.alias("cluster_size_bucket"), "_n", "_st", "_sc"
+        )
+        .groupBy("cluster_size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("_st") / F.sum("_n").cast("double"), 4
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum("_sc") / F.sum("_n").cast("double"), 4
+            ).alias("avg_chars"),
+        )
+    )

@@ -755,3 +755,63 @@ def token_coverage_curve(
         )
         .orderBy("k")
     )
+
+
+def script_mix_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group Unicode-script composition — the multilingual
+    governance readout a web-scale corpus needs before language
+    routing: for each group, the character mass in Latin letters,
+    digits, whitespace, ASCII punctuation, CJK, Cyrillic, and
+    everything else, as exact counts plus round-6 fractions of the
+    group's total characters.
+
+    Counts come from ``length(x) − length(regexp_replace(x, cls,
+    ''))`` with explicit code-point ranges (no engine-specific \\\\p
+    classes), so every number is an exact integer both engines agree
+    on; the only IEEE step is the final share division.
+
+    Scale shape: map-only per-document class counts (regexp engines
+    run JVM-side), one group-keyed aggregate with map-side partial.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_all = F.length(t)
+
+    def cls(pattern: str) -> Column:
+        return n_all - F.length(F.regexp_replace(t, pattern, ""))
+
+    classes = {
+        "latin": "[A-Za-z]",
+        "digit": "[0-9]",
+        "space": "[ \\t\\n\\r]",
+        "punct": "[!-/:-@\\[-`{-~]",
+        # \x{...} escapes parse identically in Java regex (Spark) and
+        # RE2 (DuckDB); \uXXXX would not survive RE2
+        "cjk": "[\\x{4e00}-\\x{9fff}]",
+        "cyrillic": "[\\x{0400}-\\x{04ff}]",
+    }
+    sums = [
+        F.sum(cls(p)).cast("long").alias(f"n_{name}")
+        for name, p in classes.items()
+    ]
+    agg = df.groupBy(group_col).agg(
+        F.sum(n_all).cast("long").alias("n_chars"), *sums
+    )
+    known = None
+    for name in classes:
+        c = F.col(f"n_{name}")
+        known = c if known is None else known + c
+    tot = F.col("n_chars").cast("double")
+    return agg.select(
+        group_col,
+        "n_chars",
+        *[F.col(f"n_{name}") for name in classes],
+        (F.col("n_chars") - known).cast("long").alias("n_other"),
+        *[
+            F.round(F.col(f"n_{name}") / tot, 6).alias(f"frac_{name}")
+            for name in classes
+        ],
+    )

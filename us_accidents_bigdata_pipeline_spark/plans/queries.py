@@ -15128,3 +15128,96 @@ def q_padding_waste_planner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.shard import padding_waste_planner
 
     return padding_waste_planner(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "script_mix_profile_docs",
+    r"""WITH c AS (
+         SELECT source, coalesce(text, '') AS t FROM documents),
+       p AS (
+         SELECT source,
+                length(t) AS n_all,
+                length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+                    AS c_latin,
+                length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                    AS c_digit,
+                length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g'))
+                    AS c_space,
+                length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]',
+                                                  '', 'g')) AS c_punct,
+                length(t) - length(regexp_replace(t,
+                    '[\x{4e00}-\x{9fff}]', '', 'g')) AS c_cjk,
+                length(t) - length(regexp_replace(t,
+                    '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyr
+         FROM c)
+       SELECT source,
+              CAST(sum(n_all) AS BIGINT) AS n_chars,
+              CAST(sum(c_latin) AS BIGINT) AS n_latin,
+              CAST(sum(c_digit) AS BIGINT) AS n_digit,
+              CAST(sum(c_space) AS BIGINT) AS n_space,
+              CAST(sum(c_punct) AS BIGINT) AS n_punct,
+              CAST(sum(c_cjk) AS BIGINT) AS n_cjk,
+              CAST(sum(c_cyr) AS BIGINT) AS n_cyrillic,
+              CAST(sum(n_all) - (sum(c_latin) + sum(c_digit) + sum(c_space)
+                   + sum(c_punct) + sum(c_cjk) + sum(c_cyr)) AS BIGINT)
+                  AS n_other,
+              round(sum(c_latin) / CAST(sum(n_all) AS DOUBLE), 6)
+                  AS frac_latin,
+              round(sum(c_digit) / CAST(sum(n_all) AS DOUBLE), 6)
+                  AS frac_digit,
+              round(sum(c_space) / CAST(sum(n_all) AS DOUBLE), 6)
+                  AS frac_space,
+              round(sum(c_punct) / CAST(sum(n_all) AS DOUBLE), 6)
+                  AS frac_punct,
+              round(sum(c_cjk) / CAST(sum(n_all) AS DOUBLE), 6) AS frac_cjk,
+              round(sum(c_cyr) / CAST(sum(n_all) AS DOUBLE), 6)
+                  AS frac_cyrillic
+       FROM p GROUP BY source""",
+    doc="per-source Unicode-script composition (Latin/digit/space/"
+    "punct/CJK/Cyrillic/other character mass + fractions) — the "
+    "multilingual governance readout before language routing; exact "
+    "integer counts via length-difference regex, map-only + one "
+    "keyed aggregate (operators/textstats.py::script_mix_profile)",
+)
+def q_script_mix_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import script_mix_profile
+
+    return script_mix_profile(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dup_cluster_length_profile_docs",
+    r"""WITH pre AS (
+         SELECT text,
+                array_to_string(string_split_regex(trim(text), '\s+')[1:3],
+                                ' ') AS lead3
+         FROM documents),
+       cl AS (
+         SELECT md5(lower(regexp_replace(trim(lead3), '\s+', ' ', 'g')))
+                    AS fp,
+                count(*) AS n,
+                sum(len(string_split_regex(trim(text), '\s+'))) AS st,
+                sum(length(text)) AS sc
+         FROM pre GROUP BY 1)
+       SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+                   WHEN n <= 5 THEN '3-5' ELSE '6+' END
+                  AS cluster_size_bucket,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(n) AS BIGINT) AS n_docs,
+              round(sum(st) / CAST(sum(n) AS DOUBLE), 4) AS avg_tokens,
+              round(sum(sc) / CAST(sum(n) AS DOUBLE), 4) AS avg_chars
+       FROM cl GROUP BY 1""",
+    doc="duplicate-cluster size vs document length: lead-3-token "
+    "prefix-fingerprint clusters bucketed by size (1/2/3-5/6+) with mean "
+    "tokens/chars per doc — the 'duplicated content skews short' "
+    "curation diagnostic "
+    "(operators/dedup.py::dup_cluster_length_profile)",
+)
+def q_dup_cluster_length_profile_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import dup_cluster_length_profile
+
+    return dup_cluster_length_profile(
+        _t(spark, sf_dir, "documents"), prefix_tokens=3
+    )
