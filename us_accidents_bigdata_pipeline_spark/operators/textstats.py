@@ -815,3 +815,112 @@ def script_mix_profile(
             for name in classes
         ],
     )
+
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Per-source n-gram novelty — the inverse-boilerplate readout:
+    what fraction of a source's distinct-per-doc n-grams appear in NO
+    other document of the corpus. Template/boilerplate-heavy sources
+    score low (their grams recur across docs); fresh prose scores
+    high. All counts are exact integers; novelty is one division,
+    rounded at 6.
+
+    Scale shape: distinct (doc, gram) pairs once (the dedup tier's
+    shingle frame); gram document-counts via one gram-keyed aggregate
+    with map-side partial; one gram-keyed join back (slim rows — the
+    doc payload never rides it); doc→source lookup joined on the doc
+    key; final source-keyed aggregate. Zipf guarantees the gram-count
+    frame concentrates mass in few hot grams, but the join stays
+    hash-partitioned on gram — no broadcast of vocabulary-sized
+    state.
+    """
+    from ..operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(df, id_col, text_col, n)
+    gram_docs = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_ndocs")
+    )
+    per_doc = (
+        sh.join(gram_docs, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_grams"),
+            F.sum(F.when(F.col("_ndocs") == 1, 1).otherwise(0)).alias(
+                "_unseen"
+            ),
+        )
+    )
+    return (
+        per_doc.join(df.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_grams").cast("long").alias("grams_total"),
+            F.sum("_unseen").cast("long").alias("grams_unique_to_doc"),
+            F.round(
+                F.sum("_unseen") / F.sum("_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def zipf_slope_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source Zipf slope — the log-log OLS fit of token frequency
+    on frequency rank, the corpus-naturalness diagnostic (natural
+    language sits near −1; machine-generated/templated text flattens
+    or steepens it; Piantadosi 2014). Rank is (count DESC, token) —
+    deterministic ties — and the slope is the closed-form OLS
+    cov(ln r, ln f)/var(ln r) over the source's vocabulary.
+
+    The log terms are IEEE doubles summed per source (same class as
+    ``token_kl_by_source``'s KL sum — term magnitudes keep the
+    accumulated float noise ~1e-12, far inside the round-4 display);
+    the rank window is keyed by source over the per-source vocabulary
+    aggregate (value-cardinality-sized, the whitelisted family).
+    Output: (source, vocab_size, zipf_slope).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(
+            F.col(group_col), F.explode(word_tokens(text_col)).alias("_t")
+        )
+        .filter(F.col("_t") != "")
+        .groupBy(group_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col("_t")
+    )
+    ranked = freq.select(
+        group_col,
+        F.log(F.row_number().over(w).cast("double")).alias("_lr"),
+        F.log(F.col("_c").cast("double")).alias("_lf"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_lr").alias("_sr"),
+        F.sum("_lf").alias("_sf"),
+        F.sum(F.col("_lr") * F.col("_lr")).alias("_srr"),
+        F.sum(F.col("_lr") * F.col("_lf")).alias("_srf"),
+    )
+    n = F.col("_n").cast("double")
+    den = n * F.col("_srr") - F.col("_sr") * F.col("_sr")
+    slope = (n * F.col("_srf") - F.col("_sr") * F.col("_sf")) / den
+    return agg.select(
+        group_col,
+        F.col("_n").cast("long").alias("vocab_size"),
+        # vocab_size 1 → zero rank variance → slope undefined: NULL,
+        # not NaN (the ANSI discipline the two-sample stats follow)
+        F.round(F.when(den != 0.0, slope), 4).alias("zipf_slope"),
+    )

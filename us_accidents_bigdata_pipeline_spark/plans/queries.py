@@ -15221,3 +15221,68 @@ def q_dup_cluster_length_profile_docs(
     return dup_cluster_length_profile(
         _t(spark, sf_dir, "documents"), prefix_tokens=3
     )
+
+
+@_register(
+    "ngram_novelty_by_source_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       gd AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY 1),
+       pd AS (SELECT sh.doc_id, count(*) AS grams,
+                     sum(CASE WHEN gd.ndocs = 1 THEN 1 ELSE 0 END) AS unseen
+              FROM sh JOIN gd USING (shingle) GROUP BY 1),
+       j AS (SELECT d.source, pd.grams, pd.unseen
+             FROM pd JOIN documents d USING (doc_id))
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(grams) AS BIGINT) AS grams_total,
+              CAST(sum(unseen) AS BIGINT) AS grams_unique_to_doc,
+              round(sum(unseen) / CAST(sum(grams) AS DOUBLE), 6) AS novelty
+       FROM j GROUP BY source""",
+    doc="per-source n-gram novelty: fraction of distinct-per-doc "
+    "trigrams that appear in no other document — the inverse-"
+    "boilerplate readout; exact integer counts, slim gram-keyed "
+    "shuffles (operators/textstats.py::ngram_novelty_by_source)",
+)
+def q_ngram_novelty_by_source_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import ngram_novelty_by_source
+
+    return ngram_novelty_by_source(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "zipf_slope_by_source_docs",
+    r"""WITH toks AS (SELECT source,
+                            unnest(string_split_regex(trim(text), '\s+'))
+                                AS t
+                     FROM documents),
+       f AS (SELECT source, t, count(*) AS c FROM toks
+             WHERE t <> '' GROUP BY 1, 2),
+       r AS (SELECT source,
+                    ln(CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY c DESC, t)
+                            AS DOUBLE)) AS lr,
+                    ln(CAST(c AS DOUBLE)) AS lf
+             FROM f),
+       a AS (SELECT source, count(*) AS n, sum(lr) AS sr, sum(lf) AS sf,
+                    sum(lr * lr) AS srr, sum(lr * lf) AS srf
+             FROM r GROUP BY 1)
+       SELECT source, CAST(n AS BIGINT) AS vocab_size,
+              round(CASE WHEN n * srr - sr * sr <> 0
+                         THEN (n * srf - sr * sf) / (n * srr - sr * sr)
+                         END, 4) AS zipf_slope
+       FROM a""",
+    doc="per-source Zipf slope: log-log OLS of token frequency on "
+    "rank (count DESC, token ties) — the corpus-naturalness "
+    "diagnostic, ~-1 for natural language "
+    "(operators/textstats.py::zipf_slope_by_source)",
+)
+def q_zipf_slope_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import zipf_slope_by_source
+
+    return zipf_slope_by_source(_t(spark, sf_dir, "documents"))
