@@ -2022,3 +2022,107 @@ def k_center_greedy(
     return df.sparkSession.createDataFrame(
         chosen, f"sel_order int, {id_col} long, d_min double"
     )
+
+
+def mmr_rerank_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware top-k every RAG retrieval stack runs
+    after ANN: greedily pick the item maximizing
+    ``lam*rel(d) − (1−lam)*max_{s∈S} sim(d, s)`` where rel is cosine
+    similarity to the query and S the already-selected set; ties break
+    by smallest id. Returns (sel_order, id, mmr_score) with the raw
+    (unrounded, engine-exact) objective value at pick time.
+
+    Scale shape: the DISTRIBUTED stage is the pool retrieval — a
+    map-side partial top-``pool`` by relevance (TakeOrderedAndProject,
+    no global sort); the greedy then runs driver-local over the
+    collected ≤``pool`` rows (bounded by construction — MMR is a
+    post-retrieval re-ranker, its input is never corpus-sized).
+    Every dot/norm is the same sequential left fold both engines run
+    (k_center discipline), so the whole greedy trajectory is
+    value-oracle-able via chained SQL CTEs.
+    """
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"mmr_rerank_topk: query id {query_id} not found")
+    qv = [float(x) for x in qrow[0]]
+    v = F.col(vec_col).cast("array<double>")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qn = _seq_norm(qv)
+    rel = dot / (nrm * F.lit(qn))
+    cands = (
+        df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), v.alias("_v"), rel.alias("_rel"))
+        .orderBy(F.desc("_rel"), F.col(id_col))
+        .limit(int(pool))
+        .collect()
+    )
+
+    def _dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    pool_rows = [
+        (int(r[id_col]), [float(x) for x in r["_v"]], float(r["_rel"]))
+        for r in cands
+    ]
+    norms = {i: _seq_norm(vec) for i, vec, _ in pool_rows}
+    chosen: list = []
+    chosen_ids: set = set()
+    rows: list = []
+    for order in range(min(int(k), len(pool_rows))):
+        best = None
+        for i, vec, r in pool_rows:
+            if i in chosen_ids:
+                continue
+            if chosen:
+                msim = max(
+                    _dot(vec, svec) / (norms[i] * norms[si])
+                    for si, svec in chosen
+                )
+                score = lam * r - (1.0 - lam) * msim
+            else:
+                score = lam * r
+            if best is None or score > best[0] or (
+                score == best[0] and i < best[1]
+            ):
+                best = (score, i, vec)
+        chosen_ids.add(best[1])
+        chosen.append((best[1], best[2]))
+        rows.append((order, best[1], best[0]))
+    return df.sparkSession.createDataFrame(
+        rows, f"sel_order int, {id_col} long, mmr_score double"
+    )
+
+
+def _seq_norm(vec: list) -> float:
+    """Euclidean norm via the sequential left fold (matches the
+    engines' list_sum / F.aggregate order exactly)."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return math.sqrt(s)

@@ -15286,3 +15286,76 @@ def q_zipf_slope_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import zipf_slope_by_source
 
     return zipf_slope_by_source(_t(spark, sf_dir, "documents"))
+
+
+def _mmr_sql(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
+    """Chained-CTE oracle for mmr_rerank_topk (the k_center pattern):
+    pool = map-side top-``pool`` by relevance, then k greedy rounds
+    each picking argmax of lam*rel − (1−lam)*max-sim-to-selected with
+    smallest-id ties. Cosines are the same sequential list_sum fold
+    the Spark/driver side runs."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, len({a})),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(generate_series(1, len({a})),"
+        " i -> {a}[i] * {a}[i])))"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"({dot.format(a=a, b=b)}"
+            f" / ({nrm.format(a=a)} * {nrm.format(a=b)}))"
+        )
+
+    mu = 1.0 - lam
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"pool AS (SELECT e.vec_id, e.v, {cos('e.v', 'q.qv')} AS rel"
+        f" FROM e, q WHERE e.vec_id <> 0"
+        f" ORDER BY rel DESC, e.vec_id LIMIT {pool})",
+        f"p0 AS (SELECT vec_id, v, rel, {lam} * rel AS score FROM pool"
+        f" ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        froms = ["pool c"] + [f"p{j}" for j in range(i)]
+        sims = [cos("c.v", f"p{j}.v") for j in range(i)]
+        msim = sims[0] if len(sims) == 1 else (
+            "greatest(" + ", ".join(sims) + ")"
+        )
+        excl = [f"c.vec_id <> p{j}.vec_id" for j in range(i)]
+        ctes.append(
+            f"p{i} AS (SELECT c.vec_id, c.v, c.rel,"
+            f" {lam} * c.rel - {mu} * {msim} AS score"
+            f" FROM {', '.join(froms)}"
+            f" WHERE {' AND '.join(excl)}"
+            f" ORDER BY score DESC, c.vec_id LIMIT 1)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS INT) AS sel_order,"
+        f" CAST(p{i}.vec_id AS BIGINT) AS vec_id,"
+        f" p{i}.score AS mmr_score FROM p{i}"
+        for i in range(k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@_register(
+    "mmr_rerank_topk",
+    _mmr_sql(5, 12, 0.7),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998): top-12 relevance pool via TakeOrderedAndProject, then 5 "
+    "greedy diversity-aware picks (lam=0.7) with deterministic "
+    "smallest-id ties — the RAG post-retrieval re-ranker; the whole "
+    "greedy trajectory replays as chained CTEs "
+    "(operators/similarity.py::mmr_rerank_topk)",
+)
+def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank_topk
+
+    return mmr_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, pool=12, lam=0.7
+    )
