@@ -56,3 +56,77 @@ def test_guard_passthrough_quantized_and_none(spark):
         cont, "value", "grp", "true", "false", max_distinct=None
     ).first()
     assert out is not None
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    """On a pool with two near-identical top-relevance vectors, pure
+    top-k takes both; MMR must skip the near-duplicate."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        mmr_rerank_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.99, 0.14, 0.0, 0.0]),          # top rel
+        (2, [0.891, 0.126, 0.0, 0.0]),        # colinear dup of 1 (sim=1)
+        (3, [0.5, 0.86, 0.0, 0.0]),           # relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank_topk(df, query_id=0, k=3, pool=3, lam=0.3)
+    picks = [r.vec_id for r in out.orderBy("sel_order").collect()]
+    # pure top-k by relevance would be [1, 2, 3]; MMR demotes the
+    # exact duplicate behind the diverse pick
+    assert picks == [1, 3, 2]
+
+
+def test_padding_waste_planner_math(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        padding_waste_planner,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a " * 200,)], "text string"
+    )  # 3 tokens and 200 tokens
+    out = {
+        (r.strategy, r.bucket): r
+        for r in padding_waste_planner(df).collect()
+    }
+    r = out[("pow2_16_128", 16)]
+    assert (r.n_docs, r.tokens_kept, r.tokens_pad) == (1, 3, 13)
+    r = out[("pow2_16_128", 128)]  # 200 tokens truncated to 128
+    assert (r.tokens_kept, r.tokens_pad, r.tokens_truncated) == (128, 0, 72)
+
+
+def test_script_mix_fractions(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        script_mix_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "abc 123 !?"), ("s2", "тест 漢字")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in script_mix_profile(df).collect()}
+    r1 = out["s1"]
+    assert (r1.n_latin, r1.n_digit, r1.n_space, r1.n_punct) == (3, 3, 2, 2)
+    assert r1.n_other == 0
+    r2 = out["s2"]
+    assert (r2.n_cyrillic, r2.n_cjk, r2.n_space) == (4, 2, 1)
+
+
+def test_ngram_novelty_bounds(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        ngram_novelty_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "one two three four"),     # shares nothing
+            (2, "s", "alpha beta gamma delta"),  # shares nothing
+            (3, "t", "one two three four"),      # exact dup of 1
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in ngram_novelty_by_source(df).collect()}
+    assert out["t"].novelty == 0.0          # every gram recurs in doc 1
+    assert out["s"].grams_unique_to_doc == 2  # doc 2's grams only
