@@ -72,6 +72,7 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # grid x |buckets|-histogram cross join are both aggregate-sized
     "lsh_banding_planner_docs": {"nested_loop", "single_partition_window"},
     "padding_waste_planner_docs": {"nested_loop"},  # 3-row strategy grid
+    "ivf_recall_curve": {"nested_loop"},  # 3 query points broadcast
     "chi2_event_type_bucket": {"nested_loop"},     # 1-row grand total
     "above_nation_avg_balance": {"nested_loop"},   # decorrelated scalar
     "knn_cosine_topk": {"nested_loop"},            # 1 query point

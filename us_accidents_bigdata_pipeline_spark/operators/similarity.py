@@ -2126,3 +2126,164 @@ def _seq_norm(vec: list) -> float:
     for x in vec:
         s += x * x
     return math.sqrt(s)
+
+
+def ivf_recall_curve(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_queries: int = 3,
+    k: int = 10,
+    nprobes: tuple = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF recall-vs-nprobe curve — the accuracy/cost trade-off readout
+    every ANN deployment tunes: for each query and each probe budget,
+    the recall@k of IVF search (scan only the ``nprobe`` cells whose
+    centroids sit nearest the query) against the exact top-k. Read
+    with ``ivf_probe_containment_check`` (the per-query certificate)
+    and ``ivf_assignment_drift`` (the when-to-refit alarm); the
+    codebook here is the same fixed first-``n_cells`` convention, so
+    every distance is the engines' shared exact (a−b)² fold and the
+    whole curve is value-oracle-able.
+
+    Queries are ids ``n_cells .. n_cells+n_queries-1`` (disjoint from
+    the codebook). Ties break by id everywhere, so the top-k SETS are
+    deterministic and the overlap count exact.
+
+    Scale shape: one map-only assignment pass (centroids as literals,
+    k-struct array_min); queries broadcast (≤n_queries fanout of slim
+    (id, cell, d2) rows — payload vectors never shuffle); ranking
+    windows keyed on query / (query, nprobe); the nprobe grid is a
+    |nprobes|-row literal explode. Output: (query_id, nprobe,
+    n_retrieved, n_overlap, recall).
+    """
+    crows = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_recall_curve: no codebook rows found")
+    v = F.col(vec_col).cast("array<double>")
+
+    def _d2(other):
+        return F.aggregate(
+            F.zip_with(v, other, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cands = [
+        F.struct(
+            _d2(F.array(*[F.lit(float(x)) for x in r[vec_col]])).alias("d"),
+            F.lit(int(r[id_col])).alias("c"),
+        )
+        for r in crows
+    ]
+    assigned = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_min(F.array(*cands)).getField("c").alias("_cell"),
+    )
+    q = assigned.filter(
+        (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_queries)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+    )
+    # probe order of each cell for each query: centroid-to-query
+    # distances over the (n_queries x n_cells) literal-sized frame
+    qv = F.col("_qv").cast("array<double>")
+    probe_cands = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(r[id_col])).alias("c"),
+        )
+        for r in crows
+    ]
+    probes = q.select(
+        "query_id",
+        F.posexplode(
+            F.transform(
+                F.array_sort(F.array(*probe_cands)),
+                lambda s: s.getField("c"),
+            )
+        ).alias("_probe_pos", "cell"),
+    ).select(
+        "query_id", "cell", (F.col("_probe_pos") + 1).alias("probe_rank")
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_cell").alias("cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_d2"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("_d2"), F.col("neighbor_id")
+    )
+    exact = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(wq).alias("_r")
+        )
+        .filter(F.col("_r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    grid = F.explode(
+        F.array(*[F.lit(int(p)) for p in nprobes])
+    ).alias("nprobe")
+    cand = (
+        scored.join(probes, ["query_id", "cell"])
+        .select("query_id", "neighbor_id", "_d2", "probe_rank", grid)
+        .filter(F.col("probe_rank") <= F.col("nprobe"))
+    )
+    wqp = W.partitionBy("query_id", "nprobe").orderBy(
+        F.col("_d2"), F.col("neighbor_id")
+    )
+    retrieved = cand.groupBy("query_id", "nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    )
+    approx = cand.select(
+        "query_id",
+        "nprobe",
+        "neighbor_id",
+        F.row_number().over(wqp).alias("_r"),
+    ).filter(F.col("_r") <= k)
+    overlap = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id", "nprobe"
+    ).agg(F.count(F.lit(1)).alias("_n_overlap"))
+    # left join so a zero-overlap probe budget still reports its row
+    return (
+        retrieved.join(overlap, ["query_id", "nprobe"], "left")
+        .select(
+            "query_id",
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_retrieved",
+            F.coalesce("_n_overlap", F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce("_n_overlap", F.lit(0)) / F.lit(float(k)), 2
+            ).alias("recall"),
+        )
+        .orderBy("query_id", "nprobe")
+    )

@@ -15359,3 +15359,80 @@ def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank_topk(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=5, pool=12, lam=0.7
     )
+
+
+@_register(
+    "ivf_recall_curve",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, e.v, c.cell,
+                    list_sum(list_transform(generate_series(1, len(e.v)),
+                             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))
+                        AS d2
+             FROM e CROSS JOIN c),
+       a AS (SELECT vec_id, v, cell FROM (
+               SELECT vec_id, v, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell) AS rk
+               FROM d) WHERE rk = 1),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             WHERE vec_id >= 8 AND vec_id < 11),
+       pr AS (SELECT query_id, cell, row_number() OVER (
+                        PARTITION BY query_id ORDER BY dq, cell)
+                        AS probe_rank
+              FROM (SELECT q.query_id, c.cell,
+                           list_sum(list_transform(
+                               generate_series(1, len(q.qv)),
+                               i -> (q.qv[i] - c.cv[i])
+                                    * (q.qv[i] - c.cv[i]))) AS dq
+                    FROM q CROSS JOIN c)),
+       sc AS (SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+                     list_sum(list_transform(generate_series(1, len(a.v)),
+                              i -> (a.v[i] - q.qv[i])
+                                   * (a.v[i] - q.qv[i]))) AS d2
+              FROM a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+       ex AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, neighbor_id) AS r
+                FROM sc) WHERE r <= 10),
+       g AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       cand AS (SELECT sc.query_id, g.nprobe, sc.neighbor_id, sc.d2
+                FROM sc JOIN pr ON sc.query_id = pr.query_id
+                                AND sc.cell = pr.cell
+                     CROSS JOIN g
+                WHERE pr.probe_rank <= g.nprobe),
+       retr AS (SELECT query_id, nprobe,
+                       CAST(count(*) AS BIGINT) AS n_retrieved
+                FROM cand GROUP BY 1, 2),
+       ap AS (SELECT query_id, nprobe, neighbor_id FROM (
+                SELECT query_id, nprobe, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id, nprobe
+                                          ORDER BY d2, neighbor_id) AS r
+                FROM cand) WHERE r <= 10),
+       ov AS (SELECT ap.query_id, ap.nprobe, count(*) AS n_overlap
+              FROM ap JOIN ex ON ap.query_id = ex.query_id
+                             AND ap.neighbor_id = ex.neighbor_id
+              GROUP BY 1, 2)
+       SELECT r.query_id, CAST(r.nprobe AS INTEGER) AS nprobe,
+              r.n_retrieved,
+              CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+              round(coalesce(ov.n_overlap, 0) / 10.0, 2) AS recall
+       FROM retr r LEFT JOIN ov ON r.query_id = ov.query_id
+                               AND r.nprobe = ov.nprobe""",
+    doc="IVF recall-vs-nprobe curve: recall@10 of probing the 1/2/4/8 "
+    "nearest cells against exact top-10, per query, under the fixed "
+    "first-8 codebook — the accuracy/cost tuning readout of an ANN "
+    "index (operators/similarity.py::ivf_recall_curve)",
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_recall_curve
+
+    return ivf_recall_curve(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=8,
+        n_queries=3,
+        k=10,
+        nprobes=(1, 2, 4, 8),
+    )
