@@ -192,6 +192,7 @@ for _name in (
     "psi_price_drift",               # decile bins
     "ks_statistic_price_periods",    # 1-row assembly windows
     "ivf_assignment_drift",          # <=k-row cell-occupancy frame
+    "domain_reweight_step_docs",     # |domains|-row weight frame
 ):
     _AUDIT_ALLOW.setdefault(_name, set()).add("single_partition_window")
 

@@ -575,3 +575,58 @@ def class_balanced_weights(
             6,
         ).alias("weight"),
     )
+
+
+def domain_reweight_step(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient domain-weight update
+    (Xie et al. 2023, simplified): starting from token-share weights
+    w_s, each domain's weight multiplies by exp(eta·loss_s) and
+    renormalizes — domains with higher proxy loss (here 1 − mean
+    quality score, the rule-based stand-in for a reference-model
+    excess loss) gain mixture share for the next training round.
+
+    Output per domain: (group, n_docs, n_tokens, proxy_loss,
+    weight_old, weight_new) — weight columns round-6, always summing
+    to ~1 each.
+
+    Scale shape: one map-only quality/token pass, one group-keyed
+    aggregate, then all arithmetic on the |domains|-row frame (the
+    normalization windows are aggregate-sized, audit-whitelisted).
+    exp() is libm on both engines fed identical doubles — same class
+    as the oracled A&S normal-CDF path.
+    """
+    from pyspark.sql import Window
+
+    from ..functions import token_count
+    from ..operators.textstats import quality_score
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.sum(quality_score(F.col(text_col))).alias("_qsum"),
+    )
+    wall = Window.partitionBy()
+    loss = F.lit(1.0) - F.col("_qsum") / F.col("n_docs")
+    w_old = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    upd = per.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        loss.alias("_loss"),
+        w_old.alias("_w_old"),
+        (w_old * F.exp(F.lit(float(eta)) * loss)).alias("_w_upd"),
+    )
+    z = F.sum("_w_upd").over(Window.partitionBy())
+    return upd.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("_loss", 6).alias("proxy_loss"),
+        F.round("_w_old", 6).alias("weight_old"),
+        F.round(F.col("_w_upd") / z, 6).alias("weight_new"),
+    )

@@ -15436,3 +15436,51 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobes=(1, 2, 4, 8),
     )
+
+
+@_register(
+    "domain_reweight_step_docs",
+    r"""WITH s AS (
+         SELECT source,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                    AS toks,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t IN ('the','a','of','and','to','in','is','it')))
+                    AS DOUBLE) AS sw,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    AS chars
+         FROM documents),
+       per AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
+                sum(round(0.4 * least(toks / 50.0, 1.0)
+                    + 0.3 * least((sw / toks) / 0.05, 1.0)
+                    + 0.3 * (CASE WHEN chars / toks BETWEEN 2.0 AND 12.0
+                                  THEN 1.0 ELSE 0.3 END), 4)) AS qsum
+         FROM s GROUP BY source),
+       t AS (SELECT sum(n_tokens) AS tot FROM per),
+       u AS (SELECT per.source, per.n_docs, per.n_tokens,
+                    1.0 - per.qsum / per.n_docs AS loss,
+                    per.n_tokens / CAST(t.tot AS DOUBLE) AS w_old,
+                    per.n_tokens / CAST(t.tot AS DOUBLE)
+                        * exp(1.0 * (1.0 - per.qsum / per.n_docs)) AS w_upd
+             FROM per, t),
+       z AS (SELECT sum(w_upd) AS z FROM u)
+       SELECT u.source, u.n_docs, u.n_tokens,
+              round(u.loss, 6) AS proxy_loss,
+              round(u.w_old, 6) AS weight_old,
+              round(u.w_upd / z.z, 6) AS weight_new
+       FROM u, z""",
+    doc="one DoReMi-style exponentiated-gradient domain-weight update "
+    "(Xie et al. 2023, simplified): token-share weights scaled by "
+    "exp(eta * proxy loss) and renormalized — proxy loss is 1 minus "
+    "the rule-based mean quality "
+    "(operators/curation.py::domain_reweight_step)",
+)
+def q_domain_reweight_step_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.curation import domain_reweight_step
+
+    return domain_reweight_step(_t(spark, sf_dir, "documents"), eta=1.0)
