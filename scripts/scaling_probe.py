@@ -66,23 +66,36 @@ OPS: dict[str, tuple[str, ...]] = {
 # table -> integer key columns shifted per replica (disjoint copies)
 KEY_SHIFT: dict[str, tuple[str, ...]] = {
     "events": ("event_id", "user_id"),
-    "lineitem": ("l_orderkey",),
+    # l_partkey must shift too: with only the orderkey re-keyed, every
+    # replica emits the SAME (partkey, partkey) co-purchase edges and
+    # copurchase_edges' distinct collapses them — the graph has to GROW
+    "lineitem": ("l_orderkey", "l_partkey"),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
 }
 
+# offsets used per key column when the scaled tables were built, so
+# probe-specific builders can address individual replicas
+_OFFS: dict[str, int] = {}
+
 
 def _build_scaled(spark, tables: set) -> None:
     os.makedirs(SCALED, exist_ok=True)
+    meta = os.path.join(SCALED, "_offsets.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            _OFFS.update({k: int(v) for k, v in json.load(fh).items()})
     for name in sorted(tables):
         out = f"{SCALED}/{name}.parquet"
         if os.path.exists(out):
             continue
         df = _t(spark, BASE, name)
         keys = KEY_SHIFT.get(name, ())
-        offs = {
-            c: df.agg(F.max(c)).first()[0] + 1 for c in keys
-        }
+        offs = {}
+        for kc in keys:
+            mx = df.agg(F.max(kc)).first()[0]
+            offs[kc] = int(mx) + 1 if mx is not None else 1
+        _OFFS.update(offs)
         rep = spark.range(FACTOR).withColumnRenamed("id", "_rep")
         scaled = df.crossJoin(F.broadcast(rep))
         for c in keys:
@@ -93,21 +106,26 @@ def _build_scaled(spark, tables: set) -> None:
             # suffix every token with the replica id so replicas are
             # DISJOINT in shingle space — otherwise each doc gains
             # FACTOR-1 exact twins and the near-dup pair set grows
-            # ~FACTOR^2, measuring data semantics instead of plan shape
+            # ~FACTOR^2, measuring data semantics instead of plan shape.
+            # Replica 0 keeps the PRISTINE base text: the x1 slice of
+            # the scaled corpus must match what the base run tokenizes
             toks = F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")
+            suffixed = F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.concat(
+                        t, F.lit("r"), F.col("_rep").cast("string")
+                    ),
+                ),
+                " ",
+            )
             scaled = scaled.withColumn(
                 "text",
-                F.array_join(
-                    F.transform(
-                        toks,
-                        lambda t: F.concat(
-                            t, F.lit("r"), F.col("_rep").cast("string")
-                        ),
-                    ),
-                    " ",
-                ),
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(suffixed),
             )
         scaled.drop("_rep").write.mode("overwrite").parquet(out)
+        with open(meta, "w") as fh:
+            json.dump(_OFFS, fh)
         print(f"built {out}", flush=True)
 
 
@@ -119,9 +137,36 @@ def _probe_miters(iters: int = 20_000_000) -> float:
     return (iters / 1e6) / (time.perf_counter() - t0)
 
 
+def _cc_scaled(spark, sf_dir: str):
+    """clustering_coef_copurchase's registry builder filters
+    l_orderkey < 2000, which would exclude every key-shifted replica —
+    the scaled run would silently time the BASE subgraph. This probe
+    builder takes the same 2000-orderkey block from EACH replica
+    (modulo the build offset), so the hub-capped wedge count really
+    sees a FACTOR× graph."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        copurchase_edges,
+        local_clustering_coefficient,
+    )
+
+    off = int(_OFFS["l_orderkey"])
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % off) < 2000
+    )
+    return local_clustering_coefficient(copurchase_edges(li), max_degree=40)
+
+
+# probe-specific builders used ONLY for the scaled run, where the
+# registry builder's literal filters would defeat the replication
+_SCALED_BUILDERS = {"clustering_coef_copurchase": _cc_scaled}
+
+
 def _run(spark, name: str, sf_dir: str) -> float:
+    builder = REGISTRY[name].builder
+    if sf_dir == SCALED and name in _SCALED_BUILDERS:
+        builder = _SCALED_BUILDERS[name]
     t0 = time.perf_counter()
-    REGISTRY[name].builder(spark, sf_dir).count()
+    builder(spark, sf_dir).count()
     return time.perf_counter() - t0
 
 

@@ -936,3 +936,12 @@ def test_token_coverage_head_is_top_k_not_full_vocab_window(spark):
     assert audit_plan(df) == ["nested_loop"]
     plan = plan_of(spark, "token_coverage_curve")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_recall_curve_topk_uses_window_group_limit(spark):
+    """Both per-query top-k rank filters must compile to
+    WindowGroupLimit (map-side partial per-group limit): the reduce
+    task then sees <= k rows per group per map partition instead of
+    the whole corpus through n_queries window partitions."""
+    plan = plan_of(spark, "ivf_recall_curve")
+    assert plan.count("WindowGroupLimit") >= 4, plan

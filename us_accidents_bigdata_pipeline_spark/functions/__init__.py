@@ -7,6 +7,7 @@ from .columns import (
     word_tokens,
     dot_product,
     l2_norm,
+    sq_dist,
     cosine_similarity,
     haversine_km,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "word_tokens",
     "dot_product",
     "l2_norm",
+    "sq_dist",
     "cosine_similarity",
     "haversine_km",
 ]

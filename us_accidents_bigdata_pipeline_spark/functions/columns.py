@@ -82,6 +82,24 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance of two array<numeric> columns — THE shared
+    sequential (x−y)² left fold. Every IVF/k-center/kNN-exact oracle
+    replays this exact fold as DuckDB ``list_sum(list_transform(...))``,
+    so all engine-side users must route through this one definition:
+    a cast or fold-order tweak in a private copy silently breaks
+    value-oracle parity."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        ca,
+        cb,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def l2_norm(a: Column | str) -> Column:
     """Euclidean norm of an array<numeric> column."""
     return F.sqrt(dot_product(a, a))

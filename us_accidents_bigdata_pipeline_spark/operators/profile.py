@@ -721,9 +721,14 @@ def _guard_value_cardinality(
     ).first()
     for c in cols:
         nd = int(row[c])
-        if nd > int(max_distinct):
+        # HLL++ estimates carry ~2-5% relative error: compare against
+        # the bound with 10% slack so a legitimately-quantized column
+        # sitting near the limit cannot flip between pass and raise on
+        # a small append. The bound protects plan SHAPE, not an exact
+        # budget — +10% through one task changes nothing.
+        if nd > int(max_distinct) * 1.1:
             raise ValueError(
-                f"{op}: ~{nd:,} distinct values in {c!r} exceed "
+                f"{op}: approx_count_distinct ~{nd:,} values in {c!r} exceed "
                 f"max_distinct={max_distinct:,}; the per-distinct-value "
                 "window would funnel that many rows through one task. "
                 "Quantize the column first (round to a coarser decimal "
@@ -2164,7 +2169,12 @@ def wasserstein_1d(
     # products in DECIMAL, not long: ca·n_b can pass 2^63 at ~3e9 rows
     # per group, where long silently wraps (ANSI off) while the DuckDB
     # oracle's HUGEINT does not. decimal(19,0)·decimal(19,0) → exact
-    # decimal(38,0), good to n_a,n_b ≈ 1e19 rows per group.
+    # decimal(38,0) for the gap products themselves; the BINDING bound
+    # is the term product decimal(38,2): exact while
+    # n_a·n_b·(value range) < 10^36 (e.g. two 10^15-row groups over a
+    # 10^4-wide range). Past that, ANSI-off overflows terms to NULL
+    # and F.sum would silently skip them — run with ANSI on at that
+    # scale to fail loudly instead.
     _dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     cdf_gap = F.abs(
         _dec("_ca") * _dec("_nb") - _dec("_cb") * _dec("_na")

@@ -1905,18 +1905,18 @@ def ivf_assignment_drift(
     )
     if not crows:
         raise ValueError("ivf_assignment_drift: no centroid rows found")
-    v = F.col(vec_col).cast("array<double>")
-    cands = []
-    for r in crows:
-        clit = F.array(*[F.lit(float(x)) for x in r[vec_col]])
-        d2 = F.aggregate(
-            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    from ..functions import sq_dist
+
+    cands = [
+        F.struct(
+            sq_dist(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+            ).alias("d"),
+            F.lit(int(r[id_col])).alias("c"),
         )
-        cands.append(
-            F.struct(d2.alias("d"), F.lit(int(r[id_col])).alias("c"))
-        )
+        for r in crows
+    ]
     assigned = df.select(
         F.array_min(F.array(*cands)).getField("c").alias("cell"),
         (F.col(id_col) % 2 == 0).alias("_is_a"),
@@ -2050,28 +2050,27 @@ def mmr_rerank_topk(
     (k_center discipline), so the whole greedy trajectory is
     value-oracle-able via chained SQL CTEs.
     """
+    from ..functions import dot_product, l2_norm
+
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
     if qrow is None:
         raise ValueError(f"mmr_rerank_topk: query id {query_id} not found")
     qv = [float(x) for x in qrow[0]]
+    qn = _seq_norm(qv)
+    if qn == 0.0:
+        raise ValueError("mmr_rerank_topk: query vector has zero norm")
     v = F.col(vec_col).cast("array<double>")
     qlit = F.array(*[F.lit(x) for x in qv])
-    dot = F.aggregate(
-        F.zip_with(v, qlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with(v, v, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    qn = _seq_norm(qv)
-    rel = dot / (nrm * F.lit(qn))
+    nrm = l2_norm(v)
+    rel = dot_product(v, qlit) / (nrm * F.lit(qn))
+    # zero-norm vectors (padding / failed encodes) would make rel
+    # NaN — and NaN sorts ABOVE all real values under desc, so they
+    # would hijack the pool and then divide-by-zero in the greedy;
+    # drop them before ranking (the oracle pool applies the same
+    # norm > 0 predicate)
     cands = (
         df.filter(F.col(id_col) != query_id)
+        .filter(nrm > F.lit(0.0))
         .select(F.col(id_col), v.alias("_v"), rel.alias("_rel"))
         .orderBy(F.desc("_rel"), F.col(id_col))
         .limit(int(pool))
@@ -2153,10 +2152,13 @@ def ivf_recall_curve(
 
     Scale shape: one map-only assignment pass (centroids as literals,
     k-struct array_min); queries broadcast (≤n_queries fanout of slim
-    (id, cell, d2) rows — payload vectors never shuffle); ranking
-    windows keyed on query / (query, nprobe); the nprobe grid is a
-    |nprobes|-row literal explode. Output: (query_id, nprobe,
-    n_retrieved, n_overlap, recall).
+    (id, cell, d2) rows — payload vectors never shuffle); the top-k
+    rank filters compile to WindowGroupLimit (plan-pinned), so each
+    map partition pre-prunes to k rows per (query[, nprobe]) group
+    BEFORE the exchange — the per-query reduce task sees ≤ k·n_map
+    rows, never the corpus; the nprobe grid is a |nprobes|-row
+    literal explode. Output: (query_id, nprobe, n_retrieved,
+    n_overlap, recall).
     """
     crows = (
         df.filter(F.col(id_col) < n_cells)
@@ -2166,18 +2168,15 @@ def ivf_recall_curve(
     )
     if not crows:
         raise ValueError("ivf_recall_curve: no codebook rows found")
+    from ..functions import sq_dist
+
     v = F.col(vec_col).cast("array<double>")
-
-    def _d2(other):
-        return F.aggregate(
-            F.zip_with(v, other, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     cands = [
         F.struct(
-            _d2(F.array(*[F.lit(float(x)) for x in r[vec_col]])).alias("d"),
+            sq_dist(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]),
+            ).alias("d"),
             F.lit(int(r[id_col])).alias("c"),
         )
         for r in crows
@@ -2195,17 +2194,11 @@ def ivf_recall_curve(
     )
     # probe order of each cell for each query: centroid-to-query
     # distances over the (n_queries x n_cells) literal-sized frame
-    qv = F.col("_qv").cast("array<double>")
     probe_cands = [
         F.struct(
-            F.aggregate(
-                F.zip_with(
-                    qv,
-                    F.array(*[F.lit(float(x)) for x in r[vec_col]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            sq_dist(
+                F.col("_qv"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]),
             ).alias("d"),
             F.lit(int(r[id_col])).alias("c"),
         )
@@ -2229,13 +2222,7 @@ def ivf_recall_curve(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.col("_cell").alias("cell"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("_v"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_d2"),
+            sq_dist(F.col("_v"), F.col("_qv")).alias("_d2"),
         )
     )
     wq = W.partitionBy("query_id").orderBy(

@@ -829,7 +829,9 @@ def ngram_novelty_by_source(
     other document of the corpus. Template/boilerplate-heavy sources
     score low (their grams recur across docs); fresh prose scores
     high. All counts are exact integers; novelty is one division,
-    rounded at 6.
+    rounded at 6 (NULL for a source with no n-grams at all). n_docs
+    counts EVERY document of the source — docs too short to emit an
+    n-gram still count, with zero gram mass.
 
     Scale shape: distinct (doc, gram) pairs once (the dedup tier's
     shingle frame); gram document-counts via one gram-keyed aggregate
@@ -856,15 +858,21 @@ def ngram_novelty_by_source(
             ),
         )
     )
+    # LEFT join from the doc frame: documents too short to emit any
+    # n-gram still count in n_docs (a short-doc-heavy source must not
+    # vanish from the report); they contribute zero gram mass
+    grams = F.sum(F.coalesce("_grams", F.lit(0)))
+    unseen = F.sum(F.coalesce("_unseen", F.lit(0)))
     return (
-        per_doc.join(df.select(id_col, group_col), id_col)
+        df.select(id_col, group_col)
+        .join(per_doc, id_col, "left")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("_grams").cast("long").alias("grams_total"),
-            F.sum("_unseen").cast("long").alias("grams_unique_to_doc"),
+            grams.cast("long").alias("grams_total"),
+            unseen.cast("long").alias("grams_unique_to_doc"),
             F.round(
-                F.sum("_unseen") / F.sum("_grams").cast("double"), 6
+                F.when(grams > 0, unseen / grams.cast("double")), 6
             ).alias("novelty"),
         )
     )

@@ -15235,12 +15235,15 @@ def q_dup_cluster_length_profile_docs(
        pd AS (SELECT sh.doc_id, count(*) AS grams,
                      sum(CASE WHEN gd.ndocs = 1 THEN 1 ELSE 0 END) AS unseen
               FROM sh JOIN gd USING (shingle) GROUP BY 1),
-       j AS (SELECT d.source, pd.grams, pd.unseen
-             FROM pd JOIN documents d USING (doc_id))
+       j AS (SELECT d.source, coalesce(pd.grams, 0) AS grams,
+                    coalesce(pd.unseen, 0) AS unseen
+             FROM documents d LEFT JOIN pd USING (doc_id))
        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(grams) AS BIGINT) AS grams_total,
               CAST(sum(unseen) AS BIGINT) AS grams_unique_to_doc,
-              round(sum(unseen) / CAST(sum(grams) AS DOUBLE), 6) AS novelty
+              round(CASE WHEN sum(grams) > 0
+                         THEN sum(unseen) / CAST(sum(grams) AS DOUBLE)
+                         END, 6) AS novelty
        FROM j GROUP BY source""",
     doc="per-source n-gram novelty: fraction of distinct-per-doc "
     "trigrams that appear in no other document — the inverse-"
@@ -15315,7 +15318,7 @@ def _mmr_sql(k: int = 5, pool: int = 12, lam: float = 0.7) -> str:
         " FROM embeddings)",
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
         f"pool AS (SELECT e.vec_id, e.v, {cos('e.v', 'q.qv')} AS rel"
-        f" FROM e, q WHERE e.vec_id <> 0"
+        f" FROM e, q WHERE e.vec_id <> 0 AND {nrm.format(a='e.v')} > 0"
         f" ORDER BY rel DESC, e.vec_id LIMIT {pool})",
         f"p0 AS (SELECT vec_id, v, rel, {lam} * rel AS score FROM pool"
         f" ORDER BY rel DESC, vec_id LIMIT 1)",
