@@ -146,9 +146,13 @@ HEADLINE = [
     "token_coverage_curve",
     "clustering_coef_copurchase",
     "cohens_kappa_filter_agreement",
-    # round 11: index/banding planner tier
+    # round 11: index/banding planner tier + retrieval re-rank
     "lsh_banding_planner_docs",
     "ivf_assignment_drift",
+    "ivf_recall_curve",
+    "mmr_rerank_topk",
+    "padding_waste_planner_docs",
+    "ngram_novelty_by_source_docs",
 ]
 
 

@@ -932,3 +932,52 @@ def zipf_slope_by_source(
         # not NaN (the ANSI discipline the two-sample stats follow)
         F.round(F.when(den != 0.0, slope), 4).alias("zipf_slope"),
     )
+
+
+def token_burstiness_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Burstiness of the corpus's top-k tokens (Church & Gale 1995):
+    collection frequency over document frequency — cf/df = 1 means a
+    token appears at most once wherever it appears (function-word
+    behavior); cf/df >> 1 means its occurrences CLUMP into few
+    documents (topical or template/boilerplate behavior). The
+    token-level companion to the Gopher repetition rules: a
+    high-burstiness high-rank token is usually markup or boilerplate.
+
+    Exact integers throughout (cf, df), one division rounded at 4;
+    ranking is (cf DESC, token) so the top-k set is deterministic.
+
+    Scale shape: one explode into a (token, doc) frame, ONE hash
+    aggregate keyed on token computing cf and df together (distinct
+    doc-count via the two-level (token, doc) pre-aggregate, both with
+    map-side partials), then a map-side partial top-k
+    (TakeOrderedAndProject) — the vocabulary never sorts globally.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col), F.explode(word_tokens(text_col)).alias("_t")
+        )
+        .filter(F.col("_t") != "")
+        .groupBy("_t", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = pairs.groupBy("_t").agg(
+        F.sum("_c").alias("_cf"),
+        F.count(F.lit(1)).alias("_df"),
+    )
+    return (
+        stats.orderBy(F.col("_cf").desc(), F.col("_t"))
+        .limit(int(k))
+        .select(
+            F.col("_t").alias("token"),
+            F.col("_cf").cast("long").alias("cf"),
+            F.col("_df").cast("long").alias("df"),
+            F.round(F.col("_cf") / F.col("_df").cast("double"), 4).alias(
+                "burstiness"
+            ),
+        )
+    )

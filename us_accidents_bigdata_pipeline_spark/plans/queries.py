@@ -15487,3 +15487,27 @@ def q_domain_reweight_step_docs(
     from ..operators.curation import domain_reweight_step
 
     return domain_reweight_step(_t(spark, sf_dir, "documents"), eta=1.0)
+
+
+@_register(
+    "token_burstiness_topk",
+    r"""WITH pairs AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+                    AS t
+         FROM documents),
+       pc AS (SELECT t, doc_id, count(*) AS c FROM pairs
+              WHERE t <> '' GROUP BY 1, 2),
+       st AS (SELECT t AS token, sum(c) AS cf, count(*) AS df
+              FROM pc GROUP BY 1)
+       SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+              round(cf / CAST(df AS DOUBLE), 4) AS burstiness
+       FROM st ORDER BY cf DESC, token LIMIT 50""",
+    doc="Church-Gale burstiness of the top-50 tokens: collection "
+    "frequency over document frequency — clumping tokens (cf/df >> 1) "
+    "flag markup/boilerplate at the token level "
+    "(operators/textstats.py::token_burstiness_topk)",
+)
+def q_token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_burstiness_topk
+
+    return token_burstiness_topk(_t(spark, sf_dir, "documents"), k=50)
