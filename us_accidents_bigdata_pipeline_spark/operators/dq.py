@@ -313,3 +313,92 @@ def dp_noisy_group_counts(
         F.round(F.col("_n") + noise, 4).alias("noisy_count"),
         F.lit(float(epsilon)).alias("epsilon"),
     )
+
+
+def fd_profile(
+    df: DataFrame,
+    candidates: list,
+) -> DataFrame:
+    """Functional-dependency discovery over candidate (determinant →
+    dependent) column pairs — the schema-profiling primitive behind
+    normalization checks, join-key inference, and denormalized-table
+    validation: an FD holds exactly when every determinant value maps
+    to ONE dependent value. Reports, per candidate, the determinant
+    cardinality, the violating-determinant count, the worst fan-out,
+    and the holds verdict. Exact integers throughout.
+
+    Scale shape: per candidate ONE (det, dep)-keyed aggregate with
+    map-side partial, reduced to a per-determinant distinct-dep count
+    and a 1-row summary; candidates union their 1-row results
+    (|candidates| is a config-sized list). NULL determinant rows
+    group as one class (SQL GROUP BY semantics both engines share).
+    """
+    parts = []
+    for det, dep in candidates:
+        per_det = (
+            df.groupBy(det)
+            .agg(F.count_distinct(F.col(dep)).alias("_ndep"))
+        )
+        parts.append(
+            per_det.agg(
+                F.lit(str(det)).alias("determinant"),
+                F.lit(str(dep)).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_det_values"),
+                F.sum(F.when(F.col("_ndep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("_ndep").cast("long").alias("max_fanout"),
+                (F.max("_ndep") <= 1).alias("fd_holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_key_profile(
+    df: DataFrame,
+    columns: list,
+) -> DataFrame:
+    """Candidate-key discovery: per column, the exact distinct count,
+    uniqueness ratio, and null count — ``is_key`` iff every row holds
+    a distinct non-null value. The other half of schema profiling
+    next to ``fd_profile`` (a key is the degenerate FD X → all).
+
+    Scale shape: ONE pass — a single aggregate computing every
+    column's count_distinct together (Catalyst plans multi-distinct
+    via Expand: |columns|× row fanout of slim columns, still one
+    shuffle round with partial aggregation), then a |columns|-row
+    unpivot. Exact integers.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"_null_{c}"
+            )
+        )
+    one = df.agg(*aggs)
+    rows = []
+    for c in columns:
+        rows.append(
+            one.select(
+                F.lit(str(c)).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(f"_d_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_null_{c}").cast("long").alias("n_nulls"),
+                F.round(
+                    F.col(f"_d_{c}") / F.col("_n").cast("double"), 6
+                ).alias("uniqueness"),
+                (
+                    (F.col(f"_d_{c}") == F.col("_n"))
+                    & (F.col(f"_null_{c}") == 0)
+                ).alias("is_key"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -15511,3 +15511,88 @@ def q_token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import token_burstiness_topk
 
     return token_burstiness_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@_register(
+    "fd_profile_lineitem",
+    """WITH c1 AS (
+         SELECT 'l_partkey' AS determinant, 'l_suppkey' AS dependent,
+                CAST(count(*) AS BIGINT) AS n_det_values,
+                CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_violating,
+                CAST(max(nd) AS BIGINT) AS max_fanout,
+                max(nd) <= 1 AS fd_holds
+         FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+               FROM lineitem GROUP BY 1)),
+       c2 AS (
+         SELECT 'l_orderkey', 'l_returnflag',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(max(nd) AS BIGINT), max(nd) <= 1
+         FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+               FROM lineitem GROUP BY 1)),
+       c3 AS (
+         SELECT 'l_orderkey', 'l_linestatus',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(max(nd) AS BIGINT), max(nd) <= 1
+         FROM (SELECT l_orderkey, count(DISTINCT l_linestatus) AS nd
+               FROM lineitem GROUP BY 1))
+       SELECT * FROM c1 UNION ALL SELECT * FROM c2
+       UNION ALL SELECT * FROM c3""",
+    doc="functional-dependency discovery over candidate column pairs "
+    "(determinant cardinality, violating determinants, worst fan-out, "
+    "holds verdict) — the normalization/join-key schema-profiling "
+    "primitive (operators/dq.py::fd_profile)",
+)
+def q_fd_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import fd_profile
+
+    return fd_profile(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("l_partkey", "l_suppkey"),
+            ("l_orderkey", "l_returnflag"),
+            ("l_orderkey", "l_linestatus"),
+        ],
+    )
+
+
+@_register(
+    "candidate_key_profile_orders",
+    """WITH one AS (
+         SELECT count(*) AS n,
+                count(DISTINCT o_orderkey) AS d1,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nl1,
+                count(DISTINCT o_custkey) AS d2,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nl2,
+                count(DISTINCT o_orderdate) AS d3,
+                sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nl3
+         FROM orders)
+       SELECT 'o_orderkey' AS column, CAST(n AS BIGINT) AS n_rows,
+              CAST(d1 AS BIGINT) AS n_distinct,
+              CAST(nl1 AS BIGINT) AS n_nulls,
+              round(d1 / CAST(n AS DOUBLE), 6) AS uniqueness,
+              d1 = n AND nl1 = 0 AS is_key FROM one
+       UNION ALL
+       SELECT 'o_custkey', CAST(n AS BIGINT), CAST(d2 AS BIGINT),
+              CAST(nl2 AS BIGINT), round(d2 / CAST(n AS DOUBLE), 6),
+              d2 = n AND nl2 = 0 FROM one
+       UNION ALL
+       SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(d3 AS BIGINT),
+              CAST(nl3 AS BIGINT), round(d3 / CAST(n AS DOUBLE), 6),
+              d3 = n AND nl3 = 0 FROM one""",
+    doc="candidate-key discovery: exact per-column distinct counts, "
+    "null counts, uniqueness ratios and is_key verdicts in ONE "
+    "multi-distinct pass (Catalyst Expand) "
+    "(operators/dq.py::candidate_key_profile)",
+)
+def q_candidate_key_profile_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dq import candidate_key_profile
+
+    return candidate_key_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
