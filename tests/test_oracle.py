@@ -133,6 +133,9 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "isotonic_calibration_value_purchase": {"nested_loop"},
     # 1-row pe-numerator frame broadcast onto the 1-row totals
     "cohens_kappa_filter_agreement": {"nested_loop"},
+    # three 1-row count frames (truth/candidates/hits) broadcast onto
+    # the 1-row doc-count frame — the pair sets themselves equi-join
+    "blocking_quality_report_docs": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

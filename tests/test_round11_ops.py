@@ -132,3 +132,44 @@ def test_ngram_novelty_bounds(spark):
     assert out["t"].novelty == 0.0          # every gram recurs in doc 1
     assert out["s"].grams_unique_to_doc == 2  # doc 2's grams only
     assert out["t"].n_docs == 2             # short doc still counted
+
+
+def test_blocking_quality_metrics(spark):
+    """A corpus with one exact-duplicate pair and two unrelated docs:
+    the truth set is the duplicate pair, banding must surface it
+    (identical signatures share every band), and the metric algebra
+    must come out exact."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        blocking_quality_report,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight"),
+        (4, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = blocking_quality_report(df, threshold=0.5).first()
+    assert out["n_docs"] == 4
+    assert out["n_possible_pairs"] == 6
+    assert out["n_true"] == 1
+    assert out["n_hits"] == 1
+    assert out["pair_completeness"] == 1.0
+    assert out["pair_quality"] == 1.0
+    # only the duplicate pair collides: 6 - 1 = 5 pairs pruned
+    assert out["n_candidates"] == 1
+    assert abs(out["reduction_ratio"] - (1.0 - 1.0 / 6.0)) < 1e-6
+    assert out["f_score"] == 1.0
+
+
+def test_blocking_quality_rejects_bad_bands(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        blocking_quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bands must divide"):
+        blocking_quality_report(df, n_hashes=16, bands=5)

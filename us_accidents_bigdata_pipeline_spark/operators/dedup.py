@@ -1520,3 +1520,142 @@ def dup_cluster_length_profile(
             ).alias("avg_chars"),
         )
     )
+
+
+def blocking_quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Blocking-scheme quality report (Christen's record-linkage
+    metrics): evaluate an md5-MinHash banded blocking scheme against
+    the EXACT n-gram-Jaccard ground truth on the same corpus, and
+    emit the one-row readout a curation stack checks before trusting
+    that scheme at 100 TB — pair completeness (recall: the fraction
+    of true near-dup pairs the blocking surfaces), pair quality
+    (precision over candidates), reduction ratio (the fraction of the
+    N·(N−1)/2 all-pairs space the blocking prunes away), and their
+    F-score.
+
+    Hashes are md5 over a salted shingle with the min taken over the
+    hex string — the same engine-portable signature
+    ``minhash_estimate_calibration`` certifies — so a SQL oracle
+    recomputes signatures, band keys, candidates, truth, AND the four
+    metrics end-to-end. Counts are exact integers; the metrics are
+    single IEEE divisions rounded at 6.
+
+    Scale shape: the truth side is the candidate-bounded shingle
+    equi-join (verification-tier, same as ``ngram_jaccard_pairs``);
+    the blocking side is one grouped signature aggregate (map-side
+    partial min per slot), an explode to ``bands`` keys per doc, and
+    a band-key equi-join — never all-pairs. Everything downstream of
+    the two pair sets is three 1-row count aggregates cross-joined
+    (broadcast scalars). At production scale the truth join is the
+    expensive audit you run on a SAMPLE; the metrics algebra is
+    identical.
+
+    Output: 1 row — (n_docs, n_possible_pairs, n_candidates, n_true,
+    n_hits, pair_completeness, pair_quality, reduction_ratio,
+    f_score).
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("blocking_quality_report: bands must divide n_hashes")
+    rpb = n_hashes // bands
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= float(threshold))
+        .select("doc_a", "doc_b")
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
+                f"_mh{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                F.concat_ws(
+                    "|", *[F.col(f"_mh{b * rpb + j}") for j in range(rpb)]
+                ).alias("_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bk")
+    ).select(
+        "_id",
+        F.col("_bk._band").alias("_band"),
+        F.col("_bk._key").alias("_key"),
+    )
+    cand = (
+        banded.select(F.col("_id").alias("doc_a"), "_band", "_key")
+        .join(
+            banded.select(F.col("_id").alias("doc_b"), "_band", "_key"),
+            ["_band", "_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    m_docs = df.agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    m_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    m_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    m_hits = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_possible = (
+        F.col("n_docs").cast("double")
+        * (F.col("n_docs") - F.lit(1)).cast("double")
+        / F.lit(2.0)
+    )
+    pc = F.when(
+        F.col("n_true") > 0,
+        F.col("n_hits") / F.col("n_true").cast("double"),
+    )
+    pq = F.when(
+        F.col("n_candidates") > 0,
+        F.col("n_hits") / F.col("n_candidates").cast("double"),
+    )
+    return (
+        m_docs.crossJoin(F.broadcast(m_true))
+        .crossJoin(F.broadcast(m_cand))
+        .crossJoin(F.broadcast(m_hits))
+        .select(
+            "n_docs",
+            n_possible.cast("long").alias("n_possible_pairs"),
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            F.round(pc, 6).alias("pair_completeness"),
+            F.round(pq, 6).alias("pair_quality"),
+            F.round(F.lit(1.0) - F.col("n_candidates") / n_possible, 6).alias(
+                "reduction_ratio"
+            ),
+            F.round(
+                F.when(pc + pq > 0, F.lit(2.0) * pc * pq / (pc + pq)), 6
+            ).alias("f_score"),
+        )
+    )

@@ -15596,3 +15596,91 @@ def q_candidate_key_profile_orders(
         _t(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderdate"],
     )
+
+
+@_register(
+    "blocking_quality_report_docs",
+    # Christen's blocking metrics, recomputed end-to-end in SQL: the
+    # md5-MinHash banded candidates (4 bands x 4 rows over the
+    # calibration-certified signature) vs the exact shingle-Jaccard
+    # truth set; counts are exact integers, metrics one division each.
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       truth AS (SELECT p.doc_a, p.doc_b
+                 FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+                        JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE CAST(p.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - p.n_common) >= 0.3),
+       sig AS (SELECT doc_id, s.i,
+                      min(md5(CAST(s.i AS VARCHAR) || '-' || shingle)) AS mh
+               FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS s(i)
+               GROUP BY doc_id, s.i),
+       band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+                       string_agg(mh, '|' ORDER BY i) AS band_key
+                FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+       md AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       mt AS (SELECT count(*) AS n_true FROM truth),
+       mc AS (SELECT count(*) AS n_candidates FROM cand),
+       mh AS (SELECT count(*) AS n_hits
+              FROM cand c JOIN truth t2
+                ON c.doc_a = t2.doc_a AND c.doc_b = t2.doc_b)
+       SELECT CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_docs * (n_docs - 1.0) / 2.0 AS BIGINT)
+                  AS n_possible_pairs,
+              CAST(n_candidates AS BIGINT) AS n_candidates,
+              CAST(n_true AS BIGINT) AS n_true,
+              CAST(n_hits AS BIGINT) AS n_hits,
+              round(CASE WHEN n_true > 0
+                         THEN n_hits / CAST(n_true AS DOUBLE) END, 6)
+                  AS pair_completeness,
+              round(CASE WHEN n_candidates > 0
+                         THEN n_hits / CAST(n_candidates AS DOUBLE) END, 6)
+                  AS pair_quality,
+              round(1.0 - n_candidates
+                          / (n_docs * (n_docs - 1.0) / 2.0), 6)
+                  AS reduction_ratio,
+              round(CASE WHEN (CASE WHEN n_true > 0
+                               THEN n_hits / CAST(n_true AS DOUBLE) END
+                             + CASE WHEN n_candidates > 0
+                               THEN n_hits / CAST(n_candidates AS DOUBLE) END)
+                             > 0
+                         THEN 2.0
+                              * (n_hits / CAST(n_true AS DOUBLE))
+                              * (n_hits / CAST(n_candidates AS DOUBLE))
+                              / (n_hits / CAST(n_true AS DOUBLE)
+                                 + n_hits / CAST(n_candidates AS DOUBLE))
+                         END, 6) AS f_score
+       FROM md, mt, mc, mh""",
+    doc="blocking-scheme quality report (Christen): md5-MinHash "
+    "banded candidates (4x4 over the calibration-certified "
+    "signature) scored against the exact shingle-Jaccard truth set "
+    "— pair completeness / pair quality / reduction ratio / F-score, "
+    "the audit a 100 TB dedup stack runs on a sample before "
+    "committing its banding parameters "
+    "(operators/dedup.py::blocking_quality_report)",
+)
+def q_blocking_quality_report_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import blocking_quality_report
+
+    return blocking_quality_report(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.3,
+        n_hashes=16,
+        bands=4,
+    )
