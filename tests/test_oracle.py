@@ -136,6 +136,9 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # three 1-row count frames (truth/candidates/hits) broadcast onto
     # the 1-row doc-count frame — the pair sets themselves equi-join
     "blocking_quality_report_docs": {"nested_loop"},
+    # 1-row doc_id min/max bounds + 1-row OLS moment frame broadcast
+    # onto the <=10-row checkpoint frame
+    "heaps_law_fit_docs": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice
@@ -196,6 +199,7 @@ for _name in (
     "ks_statistic_price_periods",    # 1-row assembly windows
     "ivf_assignment_drift",          # <=k-row cell-occupancy frame
     "domain_reweight_step_docs",     # |domains|-row weight frame
+    "heaps_law_fit_docs",            # <=10-row checkpoint frame
 ):
     _AUDIT_ALLOW.setdefault(_name, set()).add("single_partition_window")
 

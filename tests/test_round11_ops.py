@@ -173,3 +173,32 @@ def test_blocking_quality_rejects_bad_bands(spark):
     )
     with pytest.raises(ValueError, match="bands must divide"):
         blocking_quality_report(df, n_hashes=16, bands=5)
+
+
+def test_heaps_law_checkpoints_exact(spark):
+    """Hand-checkable corpus: 4 docs, 2 checkpoints. Doc ids 1-4 split
+    into buckets {1,2} and {3,4}; types count in the bucket of their
+    FIRST occurrence."""
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        heaps_law_fit,
+    )
+
+    rows = [
+        (1, "a b c"),        # 3 tokens, 3 new types
+        (2, "a b d d"),      # 4 tokens, 1 new type (d)
+        (3, "a e"),          # 2 tokens, 1 new type (e)
+        (4, "f"),            # 1 token, 1 new type (f)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["checkpoint"]: r
+        for r in heaps_law_fit(df, n_checkpoints=2).collect()
+    }
+    assert out[1]["cum_tokens"] == 7 and out[1]["cum_types"] == 4
+    assert out[2]["cum_tokens"] == 10 and out[2]["cum_types"] == 6
+    # the fit is the exact 2-point log-log line
+    import math
+
+    beta = (math.log(6) - math.log(4)) / (math.log(10) - math.log(7))
+    assert abs(out[1]["heaps_beta"] - round(beta, 4)) < 1e-9
+    assert out[1]["heaps_beta"] == out[2]["heaps_beta"]

@@ -981,3 +981,112 @@ def token_burstiness_topk(
             ),
         )
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth fit: distinct-type count as a
+    function of cumulative token count over a deterministic corpus
+    order, plus the log-log OLS fit V ≈ k·Nᵝ — the companion readout
+    to ``zipf_slope_by_source`` (natural language sits near β≈0.5;
+    β→1 is non-repeating/ID-like text, β→0 a closed template
+    vocabulary). Planners use it to extrapolate tokenizer vocabulary
+    pressure from a sample to the full 100 TB corpus.
+
+    The corpus order is doc_id ascending, checkpointed into
+    ``n_checkpoints`` equal-width doc_id range buckets (pure integer
+    arithmetic off the 1-row min/max frame — no rank pass). Cumulative
+    tokens per checkpoint are prefix sums of per-bucket token mass;
+    cumulative types use the first-occurrence trick: each type counts
+    in the bucket of its MINIMUM doc_id, so a prefix sum over the
+    K-row bucket frame equals the exact running distinct-type count —
+    no cumulative-distinct window over the corpus, ever.
+
+    Exactness: bucket assignment, token mass and type counts are exact
+    integers; ln() terms are IEEE doubles over those integers summed
+    across ≤K points (the zipf_slope noise class, far inside round-4).
+
+    Scale shape: one explode → (token, min-doc-id) hash aggregate with
+    map-side partial min; one per-doc token-count aggregate; both
+    reduce to K rows before any window — the prefix sums and the OLS
+    moments run on the K-row checkpoint frame, and the min/max bounds
+    ride in on a broadcast 1-row cross join.
+
+    Output: K rows — (checkpoint, cum_tokens, cum_types, heaps_beta,
+    heaps_k) with the fit repeated per row.
+    """
+    from pyspark.sql import Window as W
+
+    k = int(n_checkpoints)
+    bounds = df.agg(
+        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
+    )
+    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
+    bucket = (
+        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
+    ).cast("long") + F.lit(1)
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("_t")
+    ).filter(F.col("_t") != "")
+    doc_tokens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_tok"))
+    tok_by_bucket = (
+        doc_tokens.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("_b"), "_n_tok")
+        .groupBy("_b")
+        .agg(F.sum("_n_tok").alias("_tok"))
+    )
+    first_doc = toks.groupBy("_t").agg(F.min(id_col).alias(id_col))
+    typ_by_bucket = (
+        first_doc.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_typ"))
+    )
+    wcum = W.orderBy("_b").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        tok_by_bucket.join(typ_by_bucket, "_b", "left")
+        .select(
+            "_b",
+            F.sum("_tok").over(wcum).alias("_ct"),
+            F.sum(F.coalesce(F.col("_typ"), F.lit(0)))
+            .over(wcum)
+            .alias("_cv"),
+        )
+        .filter((F.col("_ct") > 0) & (F.col("_cv") > 0))
+    )
+    pts = cum.select(
+        "_b",
+        "_ct",
+        "_cv",
+        F.log(F.col("_ct").cast("double")).alias("_x"),
+        F.log(F.col("_cv").cast("double")).alias("_y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    intercept = (F.col("_sy") - beta * F.col("_sx")) / n
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("_b").cast("int").alias("checkpoint"),
+            F.col("_ct").cast("long").alias("cum_tokens"),
+            F.col("_cv").cast("long").alias("cum_types"),
+            F.round(F.when(den != 0.0, beta), 4).alias("heaps_beta"),
+            F.round(F.when(den != 0.0, F.exp(intercept)), 4).alias(
+                "heaps_k"
+            ),
+        )
+        .orderBy("checkpoint")
+    )

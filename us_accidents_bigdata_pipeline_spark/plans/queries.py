@@ -15684,3 +15684,61 @@ def q_blocking_quality_report_docs(
         n_hashes=16,
         bands=4,
     )
+
+
+@_register(
+    "heaps_law_fit_docs",
+    # Integer bucket assignment (// on exact integers), exact prefix
+    # sums; ln/OLS is the zipf_slope float class (<= K terms, round 4).
+    r"""WITH b AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+                  FROM documents),
+       tok AS (SELECT doc_id, t AS tokn
+               FROM (SELECT doc_id,
+                            UNNEST(string_split_regex(trim(text), '\s+'))
+                                AS t
+                     FROM documents)
+               WHERE t <> ''),
+       dt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+       tb AS (SELECT ((dt.doc_id - b.min_id) * 10)
+                     // (b.max_id - b.min_id + 1) + 1 AS bkt,
+                     sum(n_tok) AS tokm
+              FROM dt, b GROUP BY 1),
+       fd AS (SELECT tokn, min(doc_id) AS first_doc FROM tok GROUP BY tokn),
+       vb AS (SELECT ((fd.first_doc - b.min_id) * 10)
+                     // (b.max_id - b.min_id + 1) + 1 AS bkt,
+                     count(*) AS typ
+              FROM fd, b GROUP BY 1),
+       cum AS (SELECT tb.bkt,
+                      sum(tb.tokm) OVER (ORDER BY tb.bkt) AS ct,
+                      sum(coalesce(vb.typ, 0)) OVER (ORDER BY tb.bkt) AS cv
+               FROM tb LEFT JOIN vb ON vb.bkt = tb.bkt),
+       pts AS (SELECT bkt, ct, cv,
+                      ln(CAST(ct AS DOUBLE)) AS x,
+                      ln(CAST(cv AS DOUBLE)) AS y
+               FROM cum WHERE ct > 0 AND cv > 0),
+       fit AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy
+               FROM pts)
+       SELECT CAST(bkt AS INT) AS checkpoint,
+              CAST(ct AS BIGINT) AS cum_tokens,
+              CAST(cv AS BIGINT) AS cum_types,
+              round(CASE WHEN n * sxx - sx * sx <> 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         END, 4) AS heaps_beta,
+              round(CASE WHEN n * sxx - sx * sx <> 0
+                         THEN exp((sy - (n * sxy - sx * sy)
+                                        / (n * sxx - sx * sx) * sx) / n)
+                         END, 4) AS heaps_k
+       FROM pts, fit""",
+    doc="Heaps-law vocabulary-growth fit: cumulative distinct-type "
+    "count vs cumulative token mass over 10 doc_id-range checkpoints "
+    "(first-occurrence trick — no cumulative-distinct window), plus "
+    "the log-log OLS fit V = k*N^beta; the tokenizer-pressure "
+    "extrapolation readout beside zipf_slope_by_source "
+    "(operators/textstats.py::heaps_law_fit)",
+)
+def q_heaps_law_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import heaps_law_fit
+
+    return heaps_law_fit(_t(spark, sf_dir, "documents"), n_checkpoints=10)
