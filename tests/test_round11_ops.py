@@ -202,3 +202,31 @@ def test_heaps_law_checkpoints_exact(spark):
     beta = (math.log(6) - math.log(4)) / (math.log(10) - math.log(7))
     assert abs(out[1]["heaps_beta"] - round(beta, 4)) < 1e-9
     assert out[1]["heaps_beta"] == out[2]["heaps_beta"]
+
+
+def test_dp_contribution_bounding_caps_users(spark):
+    """One heavy user (10 rows, one group) must contribute exactly cap
+    rows; light users pass through; noise is bounded-count plus a
+    per-group constant."""
+    from us_accidents_bigdata_pipeline_spark.operators.dq import (
+        dp_contribution_bounded_counts,
+    )
+
+    rows = [(i, 1, "a") for i in range(10)] + [
+        (10, 2, "a"),
+        (11, 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, grp string")
+    out = {
+        r["grp"]: r
+        for r in dp_contribution_bounded_counts(
+            df, "grp", "user_id", "event_id", cap=2, epsilon=1.0
+        ).collect()
+    }
+    # heavy user capped at 2, light user 1 -> group a = 3
+    assert out["a"]["bounded_count"] == 3
+    assert out["b"]["bounded_count"] == 1
+    for r in out.values():
+        assert r["contribution_cap"] == 2
+        # Laplace noise at scale 2 stays within ~2*ln(2^47) < 66
+        assert abs(r["noisy_count"] - r["bounded_count"]) < 66.0

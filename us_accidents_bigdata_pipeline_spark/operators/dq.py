@@ -402,3 +402,86 @@ def candidate_key_profile(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def dp_contribution_bounded_counts(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+    id_col: str,
+    cap: int = 2,
+    epsilon: float = 1.0,
+    seed: int = 43,
+) -> DataFrame:
+    """USER-level differentially-private group counts with contribution
+    bounding (the Wilson et al. 2020 / "DP SQL" recipe): a user who
+    contributes thousands of rows would make a row-level-DP count
+    meaningless at user granularity, so each user's contribution is
+    first BOUNDED to ``cap`` rows — selected by a deterministic
+    seeded-md5 pseudo-random order, the engine-portable stand-in for
+    the uniform subsample — and the Laplace scale is then cap/ε
+    (each user moves any single count by at most cap).
+
+    **Like ``dp_noisy_group_counts``, the noise (and the subsample
+    order) is SEEDED — deterministic noise provides NO privacy.** The
+    operator verifies the mechanism — bounding plan, sensitivity
+    accounting, noise shape — cross-engine; production swaps both md5
+    draws for secure randomness.
+
+    Plan shape: the bounding pass is one row_number window KEYED on
+    the user column (per-user frames, hash-partitioned — never a
+    global sort), then a group-keyed count aggregate and a map-only
+    per-group noise expression. At 100 TB the window input is the slim
+    (user, group, id) projection; everything downstream is
+    group-cardinality-sized.
+
+    Output: (group, bounded_count, noisy_count, epsilon,
+    contribution_cap).
+    """
+    from pyspark.sql import Window as W
+
+    okey = F.md5(
+        F.concat(
+            F.lit(f"{seed}-"),
+            F.col(user_col).cast("string"),
+            F.lit("-"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = W.partitionBy(user_col).orderBy(okey, F.col(id_col))
+    bounded = (
+        df.select(group_col, user_col, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(cap))
+    )
+    counts = bounded.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    h48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}-"), F.col(group_col).cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    b = float(cap) / float(epsilon)
+    dev = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(dev)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(dev))
+    )
+    return counts.select(
+        F.col(group_col),
+        F.col("_n").cast("long").alias("bounded_count"),
+        F.round(F.col("_n") + noise, 4).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(int(cap)).alias("contribution_cap"),
+    )

@@ -15742,3 +15742,53 @@ def q_heaps_law_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import heaps_law_fit
 
     return heaps_law_fit(_t(spark, sf_dir, "documents"), n_checkpoints=10)
+
+
+@_register(
+    "dp_user_bounded_counts",
+    # Seeded md5 subsample order + seeded md5 Laplace draw — both
+    # engine-portable, so bounding, sensitivity and noise verify
+    # end-to-end (NO privacy from deterministic noise; docs say so).
+    """WITH r AS (SELECT event_type,
+                        row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY md5('43-' || CAST(user_id AS VARCHAR)
+                                         || '-'
+                                         || CAST(event_id AS VARCHAR)),
+                                     event_id) AS rn
+                 FROM events),
+       c AS (SELECT event_type, count(*) AS n
+             FROM r WHERE rn <= 2 GROUP BY event_type),
+       u AS (SELECT event_type, n,
+                    (CAST(CAST('0x' || substr(md5('43-'
+                          || event_type), 1, 12) AS BIGINT)
+                          AS DOUBLE) + 0.5) / 281474976710656.0 AS uu
+             FROM c)
+       SELECT event_type,
+              CAST(n AS BIGINT) AS bounded_count,
+              round(n + (-2.0) * sign(uu - 0.5)
+                        * ln(1.0 - 2.0 * abs(uu - 0.5)), 4)
+                  AS noisy_count,
+              CAST(1.0 AS DOUBLE) AS epsilon,
+              2 AS contribution_cap
+       FROM u""",
+    doc="USER-level DP noisy counts with contribution bounding "
+    "(Wilson et al. 2020): each user's rows capped at 2 via a "
+    "seeded-md5 pseudo-random per-user row_number (keyed window, "
+    "never a global sort), then Laplace noise at scale cap/eps=2 — "
+    "the sensitivity accounting row-level DP gets wrong when one "
+    "user contributes thousands of rows "
+    "(operators/dq.py::dp_contribution_bounded_counts)",
+)
+def q_dp_user_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import dp_contribution_bounded_counts
+
+    return dp_contribution_bounded_counts(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "user_id",
+        "event_id",
+        cap=2,
+        epsilon=1.0,
+        seed=43,
+    )
