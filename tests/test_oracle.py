@@ -139,6 +139,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # 1-row doc_id min/max bounds + 1-row OLS moment frame broadcast
     # onto the <=10-row checkpoint frame
     "heaps_law_fit_docs": {"nested_loop"},
+    # 1-row (n, k) meta frame broadcast onto the 1-row B/W sums
+    "calinski_harabasz_embeddings": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

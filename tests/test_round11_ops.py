@@ -230,3 +230,64 @@ def test_dp_contribution_bounding_caps_users(spark):
         assert r["contribution_cap"] == 2
         # Laplace noise at scale 2 stays within ~2*ln(2^47) < 66
         assert abs(r["noisy_count"] - r["bounded_count"]) < 66.0
+
+
+def test_krippendorff_alpha_known_values(spark):
+    """Perfect agreement -> alpha 1; a known mixed case matches the
+    hand-computed closed form."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        krippendorff_alpha_binary,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1, True, True, True), (2, False, False, False)],
+        "i long, r1 boolean, r2 boolean, r3 boolean",
+    )
+    row = krippendorff_alpha_binary(perfect, "i", ["r1", "r2", "r3"]).first()
+    assert row["alpha"] == 1.0 and row["n_ratings"] == 6
+
+    # 2 items x 3 raters: item1 = (1,1,0), item2 = (0,0,0)
+    # D_o = (2*1*2/2 + 0) / 6 = 1/3
+    # D_e = 2*2*4 / (6*5) = 8/15 -> alpha = 1 - (1/3)/(8/15) = 0.375
+    mixed = spark.createDataFrame(
+        [(1, True, True, False), (2, False, False, False)],
+        "i long, r1 boolean, r2 boolean, r3 boolean",
+    )
+    row = krippendorff_alpha_binary(mixed, "i", ["r1", "r2", "r3"]).first()
+    assert row["alpha"] == 0.375
+
+
+def test_krippendorff_missing_ratings(spark):
+    """NULL ratings drop out; items with <2 present ratings are
+    excluded entirely."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        krippendorff_alpha_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True, True, None), (2, True, None, None)],
+        "i long, r1 boolean, r2 boolean, r3 boolean",
+    )
+    row = krippendorff_alpha_binary(df, "i", ["r1", "r2", "r3"]).first()
+    assert row["n_items"] == 1 and row["n_ratings"] == 2
+    # all ratings positive -> D_e = 0 -> alpha undefined (NULL)
+    assert row["alpha"] is None
+
+
+def test_calinski_harabasz_two_point_clusters(spark):
+    """Two tight clusters far apart -> huge CH; exact algebra checked
+    against the closed form for a 4-point 1-D case."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        calinski_harabasz,
+    )
+
+    # 1-D: cluster 0 at {0, 1}, cluster 1 at {10, 11}
+    rows = [
+        (0, [0.0]), (0, [1.0]), (1, [10.0]), (1, [11.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = calinski_harabasz(df).first()
+    # means 0.5 / 10.5, grand 5.5 -> B = 2*25 + 2*25 = 100
+    # W = (0.25+0.25) + (0.25+0.25) = 1
+    assert r["between_ss"] == 100.0 and r["within_ss"] == 1.0
+    assert r["ch_index"] == round((100.0 / 1) / (1.0 / 2), 4)

@@ -2372,3 +2372,81 @@ def cramers_v(
         F.round(chi2, 4).alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def krippendorff_alpha_binary(
+    df: DataFrame,
+    id_col: str,
+    rating_cols: list,
+) -> DataFrame:
+    """Krippendorff's alpha for BINARY ratings from multiple raters —
+    the inter-annotator agreement statistic that, unlike Cohen's
+    kappa (two raters, no missing), handles any number of raters and
+    items with missing ratings (an item counts while ≥2 of its
+    ratings are present). The labeled-data QA readout for
+    multi-heuristic / multi-annotator filter panels: alpha ≥ 0.8 is
+    conventionally "reliable", ≤ 0 is chance-level.
+
+    Math (Krippendorff 2004, nominal data, binary): per item u with
+    n_u0 zeros and n_u1 ones (m_u = n_u0 + n_u1 ≥ 2), observed
+    disagreement D_o = Σ_u 2·n_u0·n_u1/(m_u−1) / Σ_u m_u; expected
+    D_e = 2·N_0·N_1 / (N·(N−1)) with N = Σm_u; alpha = 1 − D_o/D_e.
+
+    Exactness: all counts are exact integers; 2·n_u0·n_u1/(m_u−1)
+    divides by 1 or 2 for ≤3 raters (exact dyadic doubles — the
+    documented regime; ≥4 raters introduces /3, still far inside the
+    round-6 display), and alpha is a fixed expression over the 1-row
+    totals.
+
+    Scale shape: one explode of the rating array (items × raters slim
+    rows), one item-keyed hash aggregate, one 1-row total — map-side
+    partials everywhere, no window, no join.
+
+    Output: 1 row — (n_items, n_ratings, n_pos, n_neg, d_observed,
+    d_expected, alpha).
+    """
+    arr = F.array(*[F.col(c).cast("int") for c in rating_cols])
+    per = (
+        df.select(F.col(id_col).alias("_u"), F.explode(arr).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    item = (
+        per.groupBy("_u")
+        .agg(
+            F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).alias("_n1"),
+            F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).alias("_n0"),
+        )
+        .filter(F.col("_n0") + F.col("_n1") >= 2)
+    )
+    m = F.col("_n0") + F.col("_n1")
+    tot = item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(m).cast("long").alias("n_ratings"),
+        F.sum("_n1").cast("long").alias("n_pos"),
+        F.sum("_n0").cast("long").alias("n_neg"),
+        F.sum(
+            F.lit(2.0)
+            * F.col("_n0")
+            * F.col("_n1")
+            / (m - F.lit(1)).cast("double")
+        ).alias("_sd"),
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("_sd") / n
+    d_e = (
+        F.lit(2.0)
+        * F.col("n_pos")
+        * F.col("n_neg")
+        / (n * (n - F.lit(1.0)))
+    )
+    return tot.select(
+        "n_items",
+        "n_ratings",
+        "n_pos",
+        "n_neg",
+        F.round(d_o, 6).alias("d_observed"),
+        F.round(d_e, 6).alias("d_expected"),
+        F.round(F.when(d_e > 0.0, F.lit(1.0) - d_o / d_e), 6).alias(
+            "alpha"
+        ),
+    )

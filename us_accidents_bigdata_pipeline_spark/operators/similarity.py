@@ -2274,3 +2274,79 @@ def ivf_recall_curve(
         )
         .orderBy("query_id", "nprobe")
     )
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Calinski–Harabasz index (variance-ratio criterion) of a labeled
+    embedding set: CH = [B/(k−1)] / [W/(n−k)], B the between-cluster
+    and W the within-cluster sum of squares. The O(n·d) clustering /
+    class-separability readout that — unlike silhouette's O(n²)
+    pairwise distances — reduces entirely to per-(label, dim) moment
+    aggregates, making it THE cluster-quality metric you can afford on
+    a 100 TB embedding corpus.
+
+    Exactness: per-(label, dim) Σx and Σx² use the ``pca_2d_exact``
+    DECIMAL(13,10) discipline (float32 components are exact in double
+    and in decimal(13,10)); per-dim global sums stay decimal-exact via
+    a second decimal aggregate. W = ΣΣ (S2 − S1²/n_l) and
+    B = ΣΣ n_l·(μ_ld − μ_d)² are then sums of k·d engine-identical
+    doubles (the zipf float class — noise ~1e−12, far inside round 4).
+
+    Scale shape: one posexplode pass → (label, dim) hash aggregate
+    with map-side combine (k·d output rows), a per-dim decimal
+    rollup broadcast back onto it, and two 1-row reductions — no
+    window, no pairwise join, nothing fact-sized past the first agg.
+
+    Output: 1 row — (n_vectors, n_clusters, between_ss, within_ss,
+    ch_index).
+    """
+    d = df.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_xf"),
+    ).select("_l", "dim", F.col("_xf").cast("double").alias("_xd"))
+    x = F.col("_xd").cast("decimal(13,10)")
+    a = d.groupBy("_l", "dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
+    )
+    g = a.groupBy("dim").agg(
+        F.sum("_s1").alias("_gs1"), F.sum("_n").alias("_gn")
+    )
+    n_l = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    gmu = F.col("_gs1").cast("double") / F.col("_gn").cast("double")
+    lmu = s1 / n_l
+    sums = a.join(F.broadcast(g), "dim").agg(
+        F.sum(s2 - s1 * s1 / n_l).alias("_w"),
+        F.sum(n_l * (lmu - gmu) * (lmu - gmu)).alias("_b"),
+    )
+    meta = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct(label_col).cast("int").alias("n_clusters"),
+    )
+    nv = F.col("n_vectors").cast("double")
+    k = F.col("n_clusters").cast("double")
+    ch = (F.col("_b") / (k - F.lit(1.0))) / (
+        F.col("_w") / (nv - k)
+    )
+    return sums.crossJoin(F.broadcast(meta)).select(
+        "n_vectors",
+        "n_clusters",
+        F.round("_b", 4).alias("between_ss"),
+        F.round("_w", 4).alias("within_ss"),
+        F.round(
+            F.when(
+                (F.col("n_clusters") > 1)
+                & (F.col("_w") > 0.0)
+                & (F.col("n_vectors") > F.col("n_clusters")),
+                ch,
+            ),
+            4,
+        ).alias("ch_index"),
+    )

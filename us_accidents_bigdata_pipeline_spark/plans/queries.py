@@ -15792,3 +15792,113 @@ def q_dp_user_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         epsilon=1.0,
         seed=43,
     )
+
+
+@_register(
+    "krippendorff_alpha_docs",
+    # Exact integer coincidence counts; D_o terms divide by (m-1)=2
+    # (exact dyadic); alpha is one fixed expression over 1-row totals.
+    r"""WITH r AS (SELECT doc_id,
+                         CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END
+                             AS r1,
+                         CASE WHEN len(string_split_regex(trim(text),
+                                       '\s+')) >= 30 THEN 1 ELSE 0 END
+                             AS r2,
+                         CASE WHEN contains(text, 'the')
+                              THEN 1 ELSE 0 END AS r3
+                  FROM documents),
+       v AS (SELECT doc_id, UNNEST([r1, r2, r3]) AS val FROM r),
+       i AS (SELECT doc_id,
+                    sum(CASE WHEN val = 1 THEN 1 ELSE 0 END) AS n1,
+                    sum(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS n0
+             FROM v GROUP BY doc_id
+             HAVING sum(1) >= 2),
+       t AS (SELECT count(*) AS n_items,
+                    sum(n0 + n1) AS n_ratings,
+                    sum(n1) AS n_pos,
+                    sum(n0) AS n_neg,
+                    sum(2.0 * n0 * n1
+                        / CAST(n0 + n1 - 1 AS DOUBLE)) AS sd
+             FROM i)
+       SELECT CAST(n_items AS BIGINT) AS n_items,
+              CAST(n_ratings AS BIGINT) AS n_ratings,
+              CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(n_neg AS BIGINT) AS n_neg,
+              round(sd / n_ratings, 6) AS d_observed,
+              round(2.0 * n_pos * n_neg
+                    / (CAST(n_ratings AS DOUBLE)
+                       * (n_ratings - 1.0)), 6) AS d_expected,
+              round(CASE WHEN n_pos > 0 AND n_neg > 0
+                         THEN 1.0 - (sd / n_ratings)
+                              / (2.0 * n_pos * n_neg
+                                 / (CAST(n_ratings AS DOUBLE)
+                                    * (n_ratings - 1.0)))
+                         END, 6) AS alpha
+       FROM t""",
+    doc="Krippendorff's alpha over three deterministic binary "
+    "quality raters (char-length >= 150, token-count >= 30, "
+    "contains 'the') — the multi-rater generalization of Cohen's "
+    "kappa for annotator/filter-panel agreement; exact integer "
+    "coincidence counts, dyadic per-item disagreement at 3 raters "
+    "(operators/profile.py::krippendorff_alpha_binary)",
+)
+def q_krippendorff_alpha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import krippendorff_alpha_binary
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length("text") >= 150).alias("r1"),
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 30).alias("r2"),
+        F.col("text").contains("the").alias("r3"),
+    )
+    return krippendorff_alpha_binary(d, "doc_id", ["r1", "r2", "r3"])
+
+
+@_register(
+    "calinski_harabasz_embeddings",
+    """WITH d AS (SELECT e.label AS l, CAST(u.i - 1 AS INT) AS dim,
+                        CAST(e.embedding[u.i] AS DOUBLE) AS xd
+                 FROM embeddings e,
+                      UNNEST(generate_series(1, len(e.embedding)))
+                          AS u(i)),
+       a AS (SELECT l, dim, count(*) AS n,
+                    sum(CAST(xd AS DECIMAL(13,10))) AS s1,
+                    sum(CAST(CAST(xd AS DECIMAL(13,10))
+                             * CAST(xd AS DECIMAL(13,10))
+                             AS DECIMAL(26,20))) AS s2
+             FROM d GROUP BY 1, 2),
+       g AS (SELECT dim,
+                    CAST(CAST(sum(s1) AS VARCHAR) AS DOUBLE) AS gs1,
+                    sum(n) AS gn
+             FROM a GROUP BY dim),
+       x AS (SELECT a.l, a.dim, CAST(a.n AS DOUBLE) AS n,
+                    CAST(CAST(a.s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                    CAST(CAST(a.s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                    g.gs1, CAST(g.gn AS DOUBLE) AS gn
+             FROM a JOIN g ON a.dim = g.dim),
+       s AS (SELECT sum(s2d - s1d * s1d / n) AS w,
+                    sum(n * (s1d / n - gs1 / gn)
+                          * (s1d / n - gs1 / gn)) AS b
+             FROM x),
+       meta AS (SELECT count(*) AS nv, count(DISTINCT label) AS k
+                FROM embeddings)
+       SELECT CAST(nv AS BIGINT) AS n_vectors,
+              CAST(k AS INT) AS n_clusters,
+              round(b, 4) AS between_ss,
+              round(w, 4) AS within_ss,
+              round(CASE WHEN k > 1 AND w > 0 AND nv > k
+                         THEN (b / (k - 1.0)) / (w / (nv - k * 1.0))
+                         END, 4) AS ch_index
+       FROM s, meta""",
+    doc="Calinski-Harabasz variance-ratio index of the labeled "
+    "embedding set — the O(n*d) cluster-separability metric that "
+    "reduces to per-(label, dim) decimal-exact moment aggregates "
+    "(silhouette's O(n^2) alternative for 100 TB corpora) "
+    "(operators/similarity.py::calinski_harabasz)",
+)
+def q_calinski_harabasz_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import calinski_harabasz
+
+    return calinski_harabasz(_t(spark, sf_dir, "embeddings"))
