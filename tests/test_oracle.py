@@ -94,6 +94,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "ks_statistic_price_periods": {"nested_loop"}, # 1-row sample sizes
     "shard_uniformity_chi2": {"nested_loop"},      # 1-row expectation
     "int8_vs_float_topk": {"nested_loop"},         # 1 query point
+    # int8_vs_float scoring (1 query point) + 5-row depth suffix frame
+    "rbo_int8_vs_float": {"nested_loop", "single_partition_window"},
     "lsh_ann_verified_topk": {"nested_loop"},      # 1 query point re-rank
     "pq_ann_verified_topk": {"nested_loop"},       # 1 query point re-rank
     "lsh_ann_candidates": {"nested_loop"},         # 1 query point + 5-row
@@ -141,6 +143,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "heaps_law_fit_docs": {"nested_loop"},
     # 1-row (n, k) meta frame broadcast onto the 1-row B/W sums
     "calinski_harabasz_embeddings": {"nested_loop"},
+    # 1-row vector-count meta frame broadcast onto the 1-row DB avg
+    "davies_bouldin_embeddings": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

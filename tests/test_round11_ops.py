@@ -291,3 +291,38 @@ def test_calinski_harabasz_two_point_clusters(spark):
     # W = (0.25+0.25) + (0.25+0.25) = 1
     assert r["between_ss"] == 100.0 and r["within_ss"] == 1.0
     assert r["ch_index"] == round((100.0 / 1) / (1.0 / 2), 4)
+
+
+def test_rbo_identical_and_disjoint(spark):
+    """Identical top-k lists give the truncated-RBO ceiling 1-p^k;
+    disjoint lists give 0."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        rank_biased_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "neighbor_id long, rank int"
+    )
+    same = rank_biased_overlap(a, a, p=0.9, k=5).first()
+    assert same["n_common"] == 5
+    assert abs(same["rbo"] - round(1.0 - 0.9**5, 4)) < 1e-9
+
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 6)], "neighbor_id long, rank int"
+    )
+    disj = rank_biased_overlap(a, b, p=0.9, k=5).first()
+    assert disj["n_common"] == 0 and disj["rbo"] == 0.0
+
+
+def test_davies_bouldin_two_clusters(spark):
+    """1-D two-cluster case: sigma = 0.5 each, centroid distance 10
+    -> every R_ij = 1/10 -> DB = 0.1."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        davies_bouldin,
+    )
+
+    rows = [(0, [0.0]), (0, [1.0]), (1, [10.0]), (1, [11.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = davies_bouldin(df).first()
+    assert r["n_clusters"] == 2 and r["n_vectors"] == 4
+    assert r["db_index"] == 0.1

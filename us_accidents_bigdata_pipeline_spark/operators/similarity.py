@@ -2350,3 +2350,168 @@ def calinski_harabasz(
             4,
         ).alias("ch_index"),
     )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Davies–Bouldin index of a labeled embedding set: for each
+    cluster the worst-case similarity ratio R_ij = (σ_i + σ_j) /
+    d(μ_i, μ_j) against every other cluster, averaged — lower is
+    better-separated. σ_i is the RMS distance of cluster members to
+    their centroid, d the Euclidean centroid distance. The companion
+    to ``calinski_harabasz``: CH rewards global variance ratio, DB
+    exposes the single worst cluster pair.
+
+    Like CH, everything reduces to per-(label, dim) moment aggregates
+    (DECIMAL-exact Σx/Σx², one conversion to double each): σ_i² =
+    Σ_dims (S2/n − (S1/n)²), centroid distances are a k²·d
+    aggregate-sized self-join on dim, and the max/avg run over the
+    k²-row ratio frame. Sums over ≤ d doubles per term are the zipf
+    float class (round-4 safe). No pairwise row join anywhere — the
+    fact table is touched once.
+
+    Output: 1 row — (n_vectors, n_clusters, db_index).
+    """
+    d = df.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_xf"),
+    ).select("_l", "dim", F.col("_xf").cast("double").alias("_xd"))
+    x = F.col("_xd").cast("decimal(13,10)")
+    a = d.groupBy("_l", "dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
+    )
+    n_l = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mom = a.select(
+        "_l",
+        "dim",
+        (s1 / n_l).alias("_mu"),
+        (s2 / n_l - (s1 / n_l) * (s1 / n_l)).alias("_var_d"),
+        "_n",
+    )
+    sig = mom.groupBy("_l").agg(
+        F.sqrt(F.greatest(F.sum("_var_d"), F.lit(0.0))).alias("_sigma"),
+        F.max("_n").cast("long").alias("_nl"),
+    )
+    ci = mom.select(
+        F.col("_l").alias("_i"), "dim", F.col("_mu").alias("_mi")
+    )
+    cj = mom.select(
+        F.col("_l").alias("_j"), "dim", F.col("_mu").alias("_mj")
+    )
+    dist = (
+        ci.join(cj, "dim")
+        .filter(F.col("_i") != F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("_mi") - F.col("_mj"))
+                    * (F.col("_mi") - F.col("_mj"))
+                )
+            ).alias("_dij")
+        )
+    )
+    si = sig.select(F.col("_l").alias("_i"), F.col("_sigma").alias("_si"))
+    sj = sig.select(F.col("_l").alias("_j"), F.col("_sigma").alias("_sj"))
+    r = (
+        dist.join(F.broadcast(si), "_i")
+        .join(F.broadcast(sj), "_j")
+        .select(
+            "_i",
+            F.when(
+                F.col("_dij") > 0.0,
+                (F.col("_si") + F.col("_sj")) / F.col("_dij"),
+            ).alias("_r"),
+        )
+        .groupBy("_i")
+        .agg(F.max("_r").alias("_rmax"))
+    )
+    agg = r.agg(F.avg("_rmax").alias("_db"), F.count(F.lit(1)).alias("_k"))
+    meta = df.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return agg.crossJoin(F.broadcast(meta)).select(
+        "n_vectors",
+        F.col("_k").cast("int").alias("n_clusters"),
+        F.round("_db", 4).alias("db_index"),
+    )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    p: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two top-k rankings: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·A_d,
+    A_d the overlap fraction of the two depth-d prefixes. The
+    top-weighted ranking-agreement metric retrieval stacks use where
+    Kendall/Spearman over-weight the tail — e.g. quantized-vs-float
+    serving (``int8_vs_float_topk``), pre-vs-post index rebuild, or
+    two fusion policies (``rrf_fused_topk``).
+
+    Formulation without per-depth recomputation: an id appearing at
+    ranks (r_a, r_b) is inside both depth-d prefixes for every
+    d ≥ m = max(r_a, r_b), so Σ_d p^{d−1}·A_d = Σ_ids S_m with the
+    suffix sums S_m = Σ_{d=m..k} p^{d−1}/d taken over the k-row depth
+    frame — one equi-join of the matched-id frame against k rows.
+
+    Exactness: ranks are deterministic integers (callers tie-break);
+    p^{d−1}/d and the ≤k-term sums are the zipf float class.
+
+    Scale shape: everything is k-row-sized — the matched join, the
+    depth frame, its suffix window, the final 1-row aggregate. The
+    expensive part is building the rankings, which callers do with
+    map-side partial top-k.
+
+    Output: 1 row — (k, p, n_common, overlap_at_k, rbo).
+    """
+    from pyspark.sql import Window as W
+
+    spark = ranked_a.sparkSession
+    a = ranked_a.filter(F.col(rank_col) <= int(k)).select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
+    )
+    b = ranked_b.filter(F.col(rank_col) <= int(k)).select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
+    )
+    matched = a.join(b, "_id").select(
+        F.greatest("_ra", "_rb").alias("_m")
+    )
+    depths = spark.range(1, int(k) + 1).select(
+        F.col("id").alias("_d"),
+        (F.pow(F.lit(float(p)), F.col("id") - 1) / F.col("id")).alias(
+            "_w"
+        ),
+    )
+    suffix = depths.select(
+        "_d",
+        F.sum("_w")
+        .over(
+            W.orderBy(F.desc("_d")).rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("_s"),
+    )
+    t = matched.join(
+        F.broadcast(suffix), matched["_m"] == suffix["_d"]
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.sum("_s"), F.lit(0.0)).alias("_ssum"),
+    )
+    return t.select(
+        F.lit(int(k)).alias("k"),
+        F.lit(float(p)).alias("p"),
+        "n_common",
+        F.round(F.col("n_common") / F.lit(float(k)), 4).alias(
+            "overlap_at_k"
+        ),
+        F.round(F.lit(1.0 - float(p)) * F.col("_ssum"), 4).alias("rbo"),
+    )

@@ -15902,3 +15902,125 @@ def q_calinski_harabasz_embeddings(
     from ..operators.similarity import calinski_harabasz
 
     return calinski_harabasz(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "davies_bouldin_embeddings",
+    """WITH d AS (SELECT e.label AS l, CAST(u.i - 1 AS INT) AS dim,
+                        CAST(e.embedding[u.i] AS DOUBLE) AS xd
+                 FROM embeddings e,
+                      UNNEST(generate_series(1, len(e.embedding)))
+                          AS u(i)),
+       a AS (SELECT l, dim, count(*) AS n,
+                    sum(CAST(xd AS DECIMAL(13,10))) AS s1,
+                    sum(CAST(CAST(xd AS DECIMAL(13,10))
+                             * CAST(xd AS DECIMAL(13,10))
+                             AS DECIMAL(26,20))) AS s2
+             FROM d GROUP BY 1, 2),
+       mom AS (SELECT l, dim, n,
+                      CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mu,
+                      CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                          AS var_d
+               FROM a),
+       sig AS (SELECT l, sqrt(greatest(sum(var_d), 0.0)) AS sigma
+               FROM mom GROUP BY l),
+       dist AS (SELECT i.l AS li, j.l AS lj,
+                       sqrt(sum((i.mu - j.mu) * (i.mu - j.mu))) AS dij
+                FROM mom i JOIN mom j ON i.dim = j.dim AND i.l <> j.l
+                GROUP BY 1, 2),
+       r AS (SELECT li,
+                    max(CASE WHEN dij > 0
+                             THEN (si.sigma + sj.sigma) / dij END)
+                        AS rmax
+             FROM dist JOIN sig si ON si.l = dist.li
+                       JOIN sig sj ON sj.l = dist.lj
+             GROUP BY li),
+       agg AS (SELECT avg(rmax) AS db, count(*) AS k FROM r),
+       meta AS (SELECT count(*) AS nv FROM embeddings)
+       SELECT CAST(nv AS BIGINT) AS n_vectors,
+              CAST(k AS INT) AS n_clusters,
+              round(db, 4) AS db_index
+       FROM agg, meta""",
+    doc="Davies-Bouldin index of the labeled embedding set — "
+    "worst-pair cluster-similarity ratio averaged over clusters; "
+    "same per-(label, dim) decimal-exact moment base as "
+    "calinski_harabasz, k^2*d aggregate-sized centroid-distance "
+    "join, no pairwise row join "
+    "(operators/similarity.py::davies_bouldin)",
+)
+def q_davies_bouldin_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import davies_bouldin
+
+    return davies_bouldin(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "rbo_int8_vs_float",
+    # Same scoring CTEs as int8_vs_float_topk; the RBO tail uses the
+    # suffix-sum identity over the 5-row depth frame.
+    r"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0
+                        AS scale
+             FROM e),
+       q AS (SELECT vec_id, v, scale,
+                    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                        ELSE round(x / scale, 0) END) AS qv
+             FROM s),
+       qq AS (SELECT v AS q_v, qv AS q_qv, scale AS q_scale
+              FROM q WHERE vec_id = 0),
+       scored AS (
+         SELECT q.vec_id,
+                round(list_dot_product(q.v, qq.q_v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(qq.q_v, qq.q_v))), 4)
+                    AS cosine,
+                round(q.scale * qq.q_scale
+                      * list_dot_product(q.qv, qq.q_qv), 4) AS int8_dot
+         FROM q, qq WHERE q.vec_id <> 0),
+       f AS (SELECT vec_id,
+                    row_number() OVER (ORDER BY cosine DESC, vec_id)
+                        AS ra
+             FROM scored),
+       i AS (SELECT vec_id,
+                    row_number() OVER (ORDER BY int8_dot DESC, vec_id)
+                        AS rb
+             FROM scored),
+       m AS (SELECT greatest(f.ra, i.rb) AS mm
+             FROM f JOIN i ON f.vec_id = i.vec_id
+             WHERE f.ra <= 5 AND i.rb <= 5),
+       dep AS (SELECT d,
+                      sum(pow(0.9, d - 1) / d) OVER (ORDER BY d DESC)
+                          AS sfx
+               FROM (SELECT UNNEST(generate_series(1, 5)) AS d)),
+       t AS (SELECT count(*) AS n_common,
+                    coalesce(sum(dep.sfx), 0.0) AS ssum
+             FROM m JOIN dep ON dep.d = m.mm)
+       SELECT 5 AS k, CAST(0.9 AS DOUBLE) AS p,
+              CAST(n_common AS BIGINT) AS n_common,
+              round(n_common / 5.0, 4) AS overlap_at_k,
+              round(0.09999999999999998 * ssum, 4) AS rbo
+       FROM t""",
+    doc="rank-biased overlap (Webber 2010, truncated, p=0.9) between "
+    "the float-cosine and int8-quantized top-5 rankings for one "
+    "query — the top-weighted agreement readout behind the "
+    "quantization go/no-go; suffix-sum identity over the 5-row depth "
+    "frame, no per-depth recomputation "
+    "(operators/similarity.py::rank_biased_overlap)",
+)
+def q_rbo_int8_vs_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rank_biased_overlap
+
+    both = q_int8_vs_float_topk(spark, sf_dir)
+    a = both.filter(F.col("method") == "float").select(
+        "neighbor_id", "rank"
+    )
+    b = both.filter(F.col("method") == "int8").select(
+        "neighbor_id", "rank"
+    )
+    return rank_biased_overlap(a, b, p=0.9, k=5)
