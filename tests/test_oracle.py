@@ -145,6 +145,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "calinski_harabasz_embeddings": {"nested_loop"},
     # 1-row vector-count meta frame broadcast onto the 1-row DB avg
     "davies_bouldin_embeddings": {"nested_loop"},
+    # 1-row token-mass total broadcast onto the |sources|-row frame
+    "source_diversity_profile_docs": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

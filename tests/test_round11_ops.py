@@ -326,3 +326,58 @@ def test_davies_bouldin_two_clusters(spark):
     r = davies_bouldin(df).first()
     assert r["n_clusters"] == 2 and r["n_vectors"] == 4
     assert r["db_index"] == 0.1
+
+
+def test_intra_doc_line_dedup_keep_first(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        intra_doc_line_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x\ny\nx\nz\ny"), (2, "a\na\na")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in intra_doc_line_dedup(df).collect()}
+    assert out[1]["text_deduped"] == "x\ny\nz"
+    assert out[1]["n_lines"] == 5 and out[1]["n_dropped"] == 2
+    assert out[2]["text_deduped"] == "a"
+    assert out[2]["n_dropped"] == 2
+
+
+def test_readability_known_text(spark):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 vowel groups."""
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        readability_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "The cat sat. It ran!")], "source string, text string"
+    )
+    r = readability_profile(df).first()
+    assert r["n_words"] == 5 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    wps, spw = 2.5, 1.0
+    assert abs(
+        r["flesch_reading_ease"]
+        - round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    ) < 1e-9
+
+
+def test_source_diversity_uniform_two_sources(spark):
+    """Two sources with equal token mass -> entropy ln 2, effective
+    sources 2, Simpson 1/2."""
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        source_diversity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "w x y"), ("b", "p q r")], "source string, text string"
+    )
+    r = source_diversity_profile(df).first()
+    import math
+
+    assert r["n_sources"] == 2 and r["total_tokens"] == 6
+    assert abs(r["shannon_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert r["effective_sources"] == 2.0
+    assert r["simpson"] == 0.5 and r["inv_simpson"] == 2.0
+    assert r["top_source_share"] == 0.5

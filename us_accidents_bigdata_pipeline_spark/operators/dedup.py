@@ -1659,3 +1659,64 @@ def blocking_quality_report(
             ).alias("f_score"),
         )
     )
+
+
+def intra_doc_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """WITHIN-document line dedup (keep-first): drop every repeat of a
+    line inside the same document, reassembling survivors in original
+    order — the intra-page repetition trim (repeated nav blocks,
+    pagination artifacts, scraper stutter) that complements
+    ``drop_common_lines``' CROSS-document boilerplate filter. The
+    pretraining-pipeline step usually run before any cross-doc pass,
+    since intra-doc repeats inflate a page's apparent mass in every
+    downstream frequency signal.
+
+    Output: (id, out_col, n_lines, n_dropped); a document whose lines
+    are all repeats of its first keeps that first line.
+
+    Plan shape: posexplode lines, ONE row_number window keyed on
+    (doc, line) ordered by position — per-frame size is a single
+    document's copies of one line, so the window is as skew-safe as
+    the documents themselves — then the same order-preserving sorted
+    ``collect_list`` reassembly as ``drop_common_lines``, keyed on the
+    document. No corpus-wide state at all: the operator is
+    embarrassingly parallel over documents (cross-doc line counts
+    never enter), which is why it belongs BEFORE the cross-doc pass
+    in a 100 TB funnel.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = W.partitionBy(id_col, "line").orderBy("pos")
+    kept = lines.withColumn(
+        "_drop", F.row_number().over(w) > 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias(out_col),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_drop").cast("int")).cast("long").alias(
+                "n_dropped"
+            ),
+        )
+    )

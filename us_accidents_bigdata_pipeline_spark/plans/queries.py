@@ -16024,3 +16024,132 @@ def q_rbo_int8_vs_float(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id", "rank"
     )
     return rank_biased_overlap(a, b, p=0.9, k=5)
+
+
+@_register(
+    "intra_doc_line_dedup_docs",
+    """WITH t AS (
+         SELECT doc_id,
+                'AD BANNER' || chr(10) || text || chr(10) || 'AD BANNER'
+                    AS t2
+         FROM documents),
+       a AS (SELECT doc_id, string_split(t2, chr(10)) AS arr FROM t),
+       l AS (SELECT doc_id, CAST(g.i AS INT) - 1 AS pos, arr[g.i] AS line
+             FROM a CROSS JOIN
+                  unnest(generate_series(1, len(arr))) AS g(i)),
+       k AS (SELECT doc_id, pos, line,
+                    row_number() OVER (PARTITION BY doc_id, line
+                                       ORDER BY pos) > 1 AS dropped
+             FROM l)
+       SELECT doc_id,
+              COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                                  chr(10) ORDER BY pos), '')
+                  AS text_deduped,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped
+       FROM k GROUP BY doc_id""",
+    doc="within-document line dedup (keep-first repetition trim): the "
+    "intra-page complement to the cross-doc C4 boilerplate filter — "
+    "the query seeds a repeated line around every document so the "
+    "keep-first provably fires; embarrassingly parallel over docs "
+    "(operators/dedup.py::intra_doc_line_dedup)",
+)
+def q_intra_doc_line_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import intra_doc_line_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("AD BANNER\n"), F.col("text"), F.lit("\nAD BANNER")
+        ),
+    )
+    return intra_doc_line_dedup(docs)
+
+
+@_register(
+    "readability_profile_docs",
+    r"""WITH d AS (SELECT source,
+                         len(list_filter(string_split_regex(trim(
+                             coalesce(text, '')), '\s+'),
+                             x -> x <> '')) AS w,
+                         greatest(len(regexp_extract_all(
+                             coalesce(text, ''), '[.!?]+')), 1) AS s,
+                         len(regexp_extract_all(coalesce(text, ''),
+                             '[aeiouyAEIOUY]+')) AS y
+                  FROM documents),
+       a AS (SELECT source, count(*) AS n_docs, sum(w) AS n_words,
+                    sum(s) AS n_sentences, sum(y) AS n_syllables
+             FROM d GROUP BY source)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_words AS BIGINT) AS n_words,
+              CAST(n_sentences AS BIGINT) AS n_sentences,
+              CAST(n_syllables AS BIGINT) AS n_syllables,
+              round(n_words / CAST(n_sentences AS DOUBLE), 4)
+                  AS words_per_sentence,
+              round(n_syllables / CAST(n_words AS DOUBLE), 4)
+                  AS syllables_per_word,
+              round(206.835
+                    - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+                  AS flesch_reading_ease,
+              round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                    + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+                    - 15.59, 4) AS fk_grade
+       FROM a""",
+    doc="per-source Flesch reading ease / Flesch-Kincaid grade from "
+    "exact regex surface counts (vowel-group syllable proxy, "
+    "sentence runs floored at 1/doc) — the register-drift quality "
+    "signal; map-only counts, one group aggregate "
+    "(operators/textstats.py::readability_profile)",
+)
+def q_readability_profile_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import readability_profile
+
+    return readability_profile(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_diversity_profile_docs",
+    r"""WITH per AS (SELECT source,
+                          sum(len(list_filter(string_split_regex(trim(
+                              coalesce(text, '')), '\s+'),
+                              x -> x <> ''))) AS m
+                   FROM documents GROUP BY source),
+       tot AS (SELECT sum(m) AS tt, count(*) AS ns, max(m) AS mm
+               FROM per),
+       e AS (SELECT sum(CASE WHEN per.m > 0
+                             THEN -(per.m / CAST(tot.tt AS DOUBLE))
+                                  * ln(per.m / CAST(tot.tt AS DOUBLE))
+                             ELSE 0.0 END) AS h,
+                    sum((per.m / CAST(tot.tt AS DOUBLE))
+                        * (per.m / CAST(tot.tt AS DOUBLE))) AS simpson,
+                    max(tot.ns) AS ns,
+                    max(tot.tt) AS tt,
+                    max(tot.mm / CAST(tot.tt AS DOUBLE)) AS top
+             FROM per, tot)
+       SELECT CAST(ns AS BIGINT) AS n_sources,
+              CAST(tt AS BIGINT) AS total_tokens,
+              round(h, 6) AS shannon_entropy,
+              round(exp(h), 6) AS effective_sources,
+              round(simpson, 6) AS simpson,
+              round(CASE WHEN simpson > 0 THEN 1.0 / simpson END, 6)
+                  AS inv_simpson,
+              round(top, 6) AS top_source_share
+       FROM e""",
+    doc="source-diversity indices over token mass: Shannon entropy, "
+    "effective source count exp(H), Simpson collision index and "
+    "inverse, top-source share — the mixture-governance dashboard "
+    "row; aggregate-sized end to end "
+    "(operators/textstats.py::source_diversity_profile)",
+)
+def q_source_diversity_profile_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textstats import source_diversity_profile
+
+    return source_diversity_profile(_t(spark, sf_dir, "documents"))
