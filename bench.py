@@ -153,6 +153,17 @@ HEADLINE = [
     "mmr_rerank_topk",
     "padding_waste_planner_docs",
     "ngram_novelty_by_source_docs",
+    # round 11, second wave: blocking QA + text/cluster diagnostics
+    "blocking_quality_report_docs",
+    "heaps_law_fit_docs",
+    "krippendorff_alpha_docs",
+    "calinski_harabasz_embeddings",
+    "davies_bouldin_embeddings",
+    "intra_doc_line_dedup_docs",
+    "readability_profile_docs",
+    "source_diversity_profile_docs",
+    "dp_user_bounded_counts",
+    "rbo_int8_vs_float",
 ]
 
 
