@@ -147,6 +147,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "davies_bouldin_embeddings": {"nested_loop"},
     # 1-row token-mass total broadcast onto the |sources|-row frame
     "source_diversity_profile_docs": {"nested_loop"},
+    # 1-row row-count total broadcast onto the <=16x24 flow frame
+    "reshard_movement_report_docs": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

@@ -381,3 +381,42 @@ def test_source_diversity_uniform_two_sources(spark):
     assert r["effective_sources"] == 2.0
     assert r["simpson"] == 0.5 and r["inv_simpson"] == 2.0
     assert r["top_source_share"] == 0.5
+
+
+def test_banding_scurve_shapes(spark):
+    """Exact duplicates (j-bucket 1.0) must always collide (identical
+    signatures share every band): observed rate 1 at the top bucket,
+    and theory says 1 as well."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        banding_scurve_empirical,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["j_bucket"]: r for r in banding_scurve_empirical(df).collect()}
+    assert out[1.0]["n_pairs"] == 1 and out[1.0]["n_collided"] == 1
+    assert out[1.0]["observed_rate"] == 1.0
+    assert out[1.0]["theoretical_rate"] == 1.0
+
+
+def test_reshard_movement_conservation(spark):
+    """Flow shares sum to 1; the same-shard diagonal is exactly the
+    ids whose hash mod 16 equals its mod 24."""
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        reshard_movement_report,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    rows = reshard_movement_report(df, n_from=16, n_to=24).collect()
+    assert abs(sum(r["flow_share"] for r in rows) - 1.0) < 1e-6
+    assert sum(r["n_rows"] for r in rows) == 1000
+    for r in rows:
+        assert r["moved"] == (r["shard_from"] != r["shard_to"])
+    # h % 16 == h % 24 only when h % 48 has the same residue both ways:
+    # some rows must stay put, most must move
+    stay = sum(r["n_rows"] for r in rows if not r["moved"])
+    assert 0 < stay < 500

@@ -1734,3 +1734,121 @@ def intra_doc_line_dedup(
             ),
         )
     )
+
+
+def banding_scurve_empirical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_floor: float = 0.3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """EMPIRICAL banding S-curve: for each exact-Jaccard bucket of
+    observable near-dup pairs, the fraction that the md5-MinHash
+    banding actually surfaces as candidates, next to the theoretical
+    collision probability 1−(1−j^r)^b. ``lsh_banding_planner`` plans
+    from theory; this operator closes the loop by measuring the real
+    curve on the corpus — the divergence (theory assumes independent
+    uniform hashes; real shingle sets are small and correlated) is
+    exactly what you check on a sample before trusting the planner's
+    (b, r) at 100 TB.
+
+    Truth pairs and their exact Jaccard reuse the candidate-bounded
+    shingle self-join (pairs below ``jaccard_floor`` never share
+    enough shingles to observe — same floor discipline as the
+    planner); candidates are the banded signature equi-join from
+    ``blocking_quality_report``. One left join pair-to-pair, one
+    bucket aggregate — everything past the two pair sets is
+    |buckets|-row sized.
+
+    Output: one row per j-bucket — (j_bucket, n_pairs, n_collided,
+    observed_rate, theoretical_rate).
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("banding_scurve_empirical: bands must divide n_hashes")
+    rpb = n_hashes // bands
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= float(jaccard_floor))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 100) / 100.0).alias("_jb"),
+        )
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
+                f"_mh{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                F.concat_ws(
+                    "|", *[F.col(f"_mh{b * rpb + j}") for j in range(rpb)]
+                ).alias("_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bk")
+    ).select(
+        "_id",
+        F.col("_bk._band").alias("_band"),
+        F.col("_bk._key").alias("_key"),
+    )
+    cand = (
+        banded.select(F.col("_id").alias("doc_a"), "_band", "_key")
+        .join(
+            banded.select(F.col("_id").alias("doc_b"), "_band", "_key"),
+            ["_band", "_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    theo = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("j_bucket"), F.lit(float(rpb))),
+        F.lit(float(bands)),
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(F.col("_jb").alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long")
+            .alias("n_collided"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_collided",
+            F.round(
+                F.col("n_collided") / F.col("n_pairs").cast("double"), 6
+            ).alias("observed_rate"),
+            F.round(theo, 6).alias("theoretical_rate"),
+        )
+    )

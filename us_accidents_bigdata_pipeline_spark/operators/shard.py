@@ -312,3 +312,55 @@ def padding_waste_planner(
             ).alias("efficiency"),
         )
     )
+
+
+def reshard_movement_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_from: int = 16,
+    n_to: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Reshard cost planner: when the shard count changes n_from →
+    n_to under the mod-hash scheme (``_shard_of``), what fraction of
+    rows MOVES, and how the moved mass distributes over destination
+    shards. Mod-hash moves ~(1 − 1/lcm-ish) of keys on most resizes —
+    this report is the number a 100 TB layout migration budgets
+    (bytes over the wire = moved_fraction × corpus) before choosing
+    between in-place resize and a consistent-hashing scheme.
+
+    Both assignments derive from the SAME md5 shuffle key, so the
+    report is layout-independent and engine-exact (integer hash,
+    modulo, counts; the fractions are single divisions).
+
+    Scale shape: one map-only projection computing both shard ids,
+    one (from, to)-keyed count aggregate (≤ n_from·n_to rows), a
+    1-row total broadcast back — the corpus is touched once.
+
+    Output: one row per (shard_from, shard_to) flow with moved mass,
+    plus per-row moved flag aggregates: (shard_from, shard_to,
+    n_rows, moved, flow_share).
+    """
+    key = _shuffle_key(id_col, seed)
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    flows = (
+        df.select(
+            (h % n_from).cast("int").alias("shard_from"),
+            (h % n_to).cast("int").alias("shard_to"),
+        )
+        .groupBy("shard_from", "shard_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    tot = flows.agg(F.sum("n_rows").alias("_tot"))
+    return (
+        flows.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_from",
+            "shard_to",
+            "n_rows",
+            (F.col("shard_from") != F.col("shard_to")).alias("moved"),
+            F.round(
+                F.col("n_rows") / F.col("_tot").cast("double"), 6
+            ).alias("flow_share"),
+        )
+    )

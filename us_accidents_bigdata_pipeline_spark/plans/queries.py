@@ -16153,3 +16153,100 @@ def q_source_diversity_profile_docs(
     from ..operators.textstats import source_diversity_profile
 
     return source_diversity_profile(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "banding_scurve_empirical_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       truth AS (SELECT p.doc_a, p.doc_b,
+                        floor(CAST(p.n_common AS DOUBLE)
+                              / (sa.n_sh + sb.n_sh - p.n_common)
+                              * 100) / 100.0 AS jb
+                 FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+                        JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE CAST(p.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - p.n_common) >= 0.3),
+       sig AS (SELECT doc_id, s.i,
+                      min(md5(CAST(s.i AS VARCHAR) || '-' || shingle)) AS mh
+               FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS s(i)
+               GROUP BY doc_id, s.i),
+       band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+                       string_agg(mh, '|' ORDER BY i) AS band_key
+                FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id)
+       SELECT truth.jb AS j_bucket,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN cand.doc_a IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
+              round(sum(CASE WHEN cand.doc_a IS NOT NULL
+                             THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 6) AS observed_rate,
+              round(1.0 - pow(1.0 - pow(truth.jb, 4.0), 4.0), 6)
+                  AS theoretical_rate
+       FROM truth LEFT JOIN cand
+         ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b
+       GROUP BY truth.jb""",
+    doc="empirical banding S-curve: per exact-Jaccard bucket, the "
+    "fraction of observable near-dup pairs the 4x4 md5-MinHash "
+    "banding actually surfaces, next to the theoretical "
+    "1-(1-j^r)^b — the measured check on lsh_banding_planner's "
+    "theory before committing (b, r) at 100 TB "
+    "(operators/dedup.py::banding_scurve_empirical)",
+)
+def q_banding_scurve_empirical_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import banding_scurve_empirical
+
+    return banding_scurve_empirical(
+        _t(spark, sf_dir, "documents"),
+        jaccard_floor=0.3,
+        n_hashes=16,
+        bands=4,
+    )
+
+
+@_register(
+    "reshard_movement_report_docs",
+    """WITH h AS (SELECT CAST(CAST('0x' || substr(md5('42-'
+                       || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       AS BIGINT) AS hv
+                 FROM documents),
+       f AS (SELECT CAST(hv % 16 AS INT) AS shard_from,
+                    CAST(hv % 24 AS INT) AS shard_to,
+                    count(*) AS n_rows
+             FROM h GROUP BY 1, 2),
+       t AS (SELECT sum(n_rows) AS tot FROM f)
+       SELECT shard_from, shard_to,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              shard_from <> shard_to AS moved,
+              round(n_rows / CAST(tot AS DOUBLE), 6) AS flow_share
+       FROM f, t""",
+    doc="reshard cost planner for the 16 -> 24 mod-hash resize: "
+    "per-(from, to) row flows off the shared md5 shuffle key, moved "
+    "flags, shares — the bytes-over-the-wire budget a 100 TB layout "
+    "migration checks before resizing "
+    "(operators/shard.py::reshard_movement_report)",
+)
+def q_reshard_movement_report_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.shard import reshard_movement_report
+
+    return reshard_movement_report(
+        _t(spark, sf_dir, "documents"), n_from=16, n_to=24, seed=42
+    )
