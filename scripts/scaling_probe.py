@@ -61,6 +61,15 @@ OPS: dict[str, tuple[str, ...]] = {
     "token_coverage_curve": ("documents",),
     "lsh_banding_planner_docs": ("documents",),
     "ivf_assignment_drift": ("embeddings",),
+    # round-11 second wave
+    "blocking_quality_report_docs": ("documents",),
+    "banding_scurve_empirical_docs": ("documents",),
+    "heaps_law_fit_docs": ("documents",),
+    "krippendorff_alpha_docs": ("documents",),
+    "calinski_harabasz_embeddings": ("embeddings",),
+    "davies_bouldin_embeddings": ("embeddings",),
+    "intra_doc_line_dedup_docs": ("documents",),
+    "dp_user_bounded_counts": ("events",),
 }
 
 # table -> integer key columns shifted per replica (disjoint copies)
