@@ -111,6 +111,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     # the documented QUADRATIC reference tier (exact all-pairs cosine);
     # the banded/blas/lsh variants are the scale paths and stay clean
     "embedding_near_dup_pairs": {"nested_loop"},
+    # same quadratic audit tier (eager max_rows cap) + 1-row moments
+    "hubness_profile_embeddings": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals

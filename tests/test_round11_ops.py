@@ -420,3 +420,27 @@ def test_reshard_movement_conservation(spark):
     # some rows must stay put, most must move
     stay = sum(r["n_rows"] for r in rows if not r["moved"])
     assert 0 < stay < 500
+
+
+def test_hubness_invariants(spark):
+    """E[N_k] = k exactly when every vector has k valid neighbors;
+    histogram masses sum to n; the cap guard trips."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        hubness_profile,
+    )
+    import math
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(4)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hubness_profile(df, k=3, max_rows=None).collect()
+    assert sum(r["n_vectors"] for r in out) == 20
+    assert out[0]["mean_k_occurrence"] == 3.0
+    mass = sum(r["k_occurrence"] * r["n_vectors"] for r in out)
+    assert mass == 60  # n*k
+
+    with pytest.raises(ValueError, match="quadratic-tier cap"):
+        hubness_profile(df, k=3, max_rows=10)

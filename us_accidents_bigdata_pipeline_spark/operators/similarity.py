@@ -2515,3 +2515,104 @@ def rank_biased_overlap(
         ),
         F.round(F.lit(1.0 - float(p)) * F.col("_ssum"), 4).alias("rbo"),
     )
+
+
+def hubness_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Hubness profile of an embedding set (Radovanović et al. 2010):
+    the distribution of the k-OCCURRENCE N_k(x) — how many other
+    points list x in their cosine top-k — summarized as a histogram
+    with its skewness. High positive skew means a few "hub" vectors
+    dominate every neighbor list (the high-dimensional pathology that
+    silently wrecks kNN labeling, ANN recall and dedup verify
+    stages); antihubs (N_k = 0) are the unreachable tail. The
+    E[N_k] = k invariant makes the readout self-checking.
+
+    This is the documented QUADRATIC audit tier (the exact
+    upper-triangle discipline of ``embedding_near_dup_pairs``): score
+    every ordered pair, rank per query with a keyed window, count
+    top-k membership per neighbor. At 100 TB you run it on a SAMPLE —
+    ``max_rows`` enforces that contract up front (same eager-guard
+    style as the ``max_distinct`` window contracts); the banded/LSH
+    tiers are the production ANN paths.
+
+    Exactness: dot products are fixed-order folds over the dimension
+    axis (engine-identical IEEE), ranks tie-break on the neighbor id,
+    k-occurrences are exact integers; skewness is one expression over
+    the 1-row moment frame (round 4).
+
+    Output: one row per k-occurrence value — (k_occurrence,
+    n_vectors, skewness, mean_k_occurrence) with the scalar moments
+    repeated (1-row broadcast).
+    """
+    from pyspark.sql import Window as W
+
+    if max_rows is not None:
+        n_in = df.count()
+        if n_in > max_rows:
+            raise ValueError(
+                f"hubness_profile: {n_in} rows exceed the quadratic-tier "
+                f"cap max_rows={max_rows}; audit a sample instead"
+            )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = v.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, F.col("_qa") != F.col("_qb")).select(
+        "_qa",
+        "_qb",
+        (
+            dot(F.col("_va"), F.col("_vb"))
+            / (
+                F.sqrt(dot(F.col("_va"), F.col("_va")))
+                * F.sqrt(dot(F.col("_vb"), F.col("_vb")))
+            )
+        ).alias("_cos"),
+    )
+    w = W.partitionBy("_qa").orderBy(F.desc("_cos"), F.col("_qb"))
+    kocc = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .groupBy("_qb")
+        .agg(F.count(F.lit(1)).alias("_ko"))
+    )
+    per_vec = (
+        v.select("_id")
+        .join(kocc, v["_id"] == kocc["_qb"], "left")
+        .select(F.coalesce(F.col("_ko"), F.lit(0)).alias("_ko"))
+    )
+    x = F.col("_ko").cast("double")
+    mom = per_vec.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(x).alias("_m1"),
+        F.avg(x * x).alias("_m2"),
+        F.avg(x * x * x).alias("_m3"),
+    )
+    mu = F.col("_m1")
+    var = F.col("_m2") - mu * mu
+    m3c = F.col("_m3") - 3 * mu * F.col("_m2") + 2 * mu * mu * mu
+    skew = F.when(var > 0.0, m3c / F.pow(var, F.lit(1.5)))
+    hist = per_vec.groupBy(F.col("_ko").alias("k_occurrence")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return hist.crossJoin(F.broadcast(mom)).select(
+        F.col("k_occurrence").cast("int").alias("k_occurrence"),
+        "n_vectors",
+        F.round(skew, 4).alias("skewness"),
+        F.round(mu, 4).alias("mean_k_occurrence"),
+    )

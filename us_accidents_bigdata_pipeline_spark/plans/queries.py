@@ -16250,3 +16250,49 @@ def q_reshard_movement_report_docs(
     return reshard_movement_report(
         _t(spark, sf_dir, "documents"), n_from=16, n_to=24, seed=42
     )
+
+
+@_register(
+    "hubness_profile_embeddings",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+       p AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+                    list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) AS c
+             FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       r AS (SELECT qb, count(*) AS ko
+             FROM (SELECT qa, qb,
+                          row_number() OVER (PARTITION BY qa
+                                             ORDER BY c DESC, qb) AS rk
+                   FROM p)
+             WHERE rk <= 10 GROUP BY qb),
+       pv AS (SELECT coalesce(r.ko, 0) AS ko
+              FROM v LEFT JOIN r ON r.qb = v.vec_id),
+       mom AS (SELECT avg(CAST(ko AS DOUBLE)) AS m1,
+                      avg(CAST(ko AS DOUBLE) * ko) AS m2,
+                      avg(CAST(ko AS DOUBLE) * ko * ko) AS m3
+               FROM pv),
+       h AS (SELECT ko AS k_occurrence, count(*) AS n_vectors
+             FROM pv GROUP BY ko)
+       SELECT CAST(k_occurrence AS INT) AS k_occurrence,
+              CAST(n_vectors AS BIGINT) AS n_vectors,
+              round(CASE WHEN m2 - m1 * m1 > 0
+                         THEN (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                              / pow(m2 - m1 * m1, 1.5) END, 4)
+                  AS skewness,
+              round(m1, 4) AS mean_k_occurrence
+       FROM h, mom""",
+    doc="hubness profile (Radovanovic 2010): k-occurrence histogram "
+    "of the cosine top-10 graph with its skewness — the "
+    "high-dimensional hub pathology audit behind kNN/ANN recall; "
+    "documented quadratic audit tier with an eager max_rows sample "
+    "cap, E[N_k]=k self-check "
+    "(operators/similarity.py::hubness_profile)",
+)
+def q_hubness_profile_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import hubness_profile
+
+    return hubness_profile(_t(spark, sf_dir, "embeddings"), k=10)
