@@ -151,6 +151,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "source_diversity_profile_docs": {"nested_loop"},
     # 1-row row-count total broadcast onto the <=16x24 flow frame
     "reshard_movement_report_docs": {"nested_loop"},
+    # 6-row literal temperature grid crossed onto the |sources| frame
+    "temperature_sweep_plan_docs": {"nested_loop"},
+    # 17-row shard grid broadcast onto the id spine (HRW argmax)
+    "consistent_vs_mod_reshard_docs": {"nested_loop"},
     # 1-row normalizer broadcast onto the |classes|-row frame
     "class_balanced_weights_orderstatus": {"nested_loop"},
     # 1-row q-hat order statistic broadcast onto the test slice

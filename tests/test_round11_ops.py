@@ -444,3 +444,39 @@ def test_hubness_invariants(spark):
 
     with pytest.raises(ValueError, match="quadratic-tier cap"):
         hubness_profile(df, k=3, max_rows=10)
+
+
+def test_temperature_sweep_limits(spark):
+    """tau=1 reproduces raw shares; large tau flattens toward uniform
+    (entropy increases monotonically with tau for a skewed mixture)."""
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        temperature_sweep_plan,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "w " * 90), ("b", "w " * 10)], "source string, text string"
+    )
+    rows = temperature_sweep_plan(
+        df, temperatures=(1.0, 2.0, 100.0)
+    ).collect()
+    by = {(r["temperature"], r["source"]): r for r in rows}
+    assert by[(1.0, "a")]["weight"] == 0.9
+    assert by[(1.0, "b")]["weight"] == 0.1
+    # tau=100 ~ uniform
+    assert abs(by[(100.0, "a")]["weight"] - 0.5) < 0.01
+    ents = [by[(t, "a")]["entropy"] for t in (1.0, 2.0, 100.0)]
+    assert ents[0] < ents[1] < ents[2]
+
+
+def test_consistent_vs_mod_movement(spark):
+    """HRW must move far fewer rows than mod on a +1 resize, and both
+    measured fractions must land near their expectations."""
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        consistent_vs_mod_reshard,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    rows = {r["scheme"]: r for r in consistent_vs_mod_reshard(df).collect()}
+    assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
+    assert abs(rows["hrw"]["moved_fraction"] - 1 / 17) < 0.03
+    assert abs(rows["mod"]["moved_fraction"] - 16 / 17) < 0.03

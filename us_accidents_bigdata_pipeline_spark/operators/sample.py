@@ -258,3 +258,74 @@ def stratified_kfold(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def temperature_sweep_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    temperatures: tuple = (0.5, 0.7, 1.0, 1.5, 2.0, 3.0),
+) -> DataFrame:
+    """Sampling-temperature sweep planner: for each candidate
+    temperature τ, the flattened mixture p_s(τ) ∝ m_s^(1/τ) over the
+    observed per-source token masses, with the diversity readouts —
+    Shannon entropy, effective source count exp(H), and the top
+    source's share — per grid point. The closed-form companion to
+    ``temperature_mixture_sample`` (which draws ONE τ's sample): sweep
+    first, pick the τ whose effective-source count meets the mixture
+    target, then sample. mT5/Gopher-style mixture design as one
+    aggregate query.
+
+    Exactness: masses are exact integers; powers/entropy are the same
+    literal pow/ln expression trees both engines evaluate on identical
+    doubles (|sources| × |grid| terms, round 6).
+
+    Scale shape: one map-only token count + group aggregate
+    (|sources| rows), crossed with the |grid|-row literal temperature
+    frame, normalized by a per-τ keyed window over that tiny frame —
+    aggregate-sized end to end; the corpus is touched once.
+
+    Output: one row per (temperature, group) — (temperature, group,
+    token_mass, weight, entropy, effective_sources, top_share).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    per = df.groupBy(group_col).agg(
+        F.sum(toks).cast("long").alias("token_mass")
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in temperatures], "temperature double"
+    )
+    raw = per.crossJoin(F.broadcast(grid)).select(
+        "temperature",
+        group_col,
+        "token_mass",
+        F.pow(
+            F.col("token_mass").cast("double"),
+            F.lit(1.0) / F.col("temperature"),
+        ).alias("_u"),
+    )
+    wt = W.partitionBy("temperature")
+    p = F.col("_u") / F.sum("_u").over(wt)
+    with_p = raw.select(
+        "temperature", group_col, "token_mass", p.alias("_p")
+    )
+    ent = F.sum(
+        F.when(F.col("_p") > 0.0, -F.col("_p") * F.log("_p")).otherwise(0.0)
+    ).over(wt)
+    return with_p.select(
+        "temperature",
+        group_col,
+        "token_mass",
+        F.round("_p", 6).alias("weight"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(F.exp(ent), 6).alias("effective_sources"),
+        F.round(F.max("_p").over(wt), 6).alias("top_share"),
+    )

@@ -364,3 +364,106 @@ def reshard_movement_report(
             ).alias("flow_share"),
         )
     )
+
+
+def consistent_vs_mod_reshard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_from: int = 16,
+    n_to: int = 17,
+    seed: int = 42,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing vs mod-hash under a
+    shard-count change n_from → n_to: per scheme, the measured moved
+    fraction next to its closed-form expectation. HRW assigns each id
+    to argmax_s md5(seed-s-id), so adding shards moves only the ids
+    the NEW shards win — expectation (n_to − n_from)/n_to — while
+    mod-hash moves everything whose residue changes — expectation
+    1 − gcd·…/lcm (for 16→17, stay = lcm⁻¹·n_from = 1/17, move =
+    16/17). This is the one-query justification for consistent
+    placement before a 100 TB layout migration; the flow-level mod
+    detail lives in ``reshard_movement_report``.
+
+    Exactness: both schemes derive from md5 (hex-string argmax for
+    HRW — ties impossible, md5 is injective on the tiny input set in
+    practice and the tie-break on shard id is deterministic anyway);
+    counts are exact integers, fractions one division.
+
+    Scale shape: HRW explodes n_to slim (id, shard) rows per id and
+    reduces with ONE max_by aggregate keyed on id (map-side partial);
+    the from-assignment is the same aggregate filtered to the first
+    n_from shards — no second pass. Mod shards are map-only. One
+    1-row count aggregate per scheme, unpivoted to two rows.
+
+    Output: 2 rows — (scheme, n_rows, n_moved, moved_fraction,
+    expected_fraction).
+    """
+    spark = df.sparkSession
+    shards = spark.range(int(n_to)).select(
+        F.col("id").cast("int").alias("_s")
+    )
+    key = _shuffle_key(id_col, seed)
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        (h % n_from).cast("int").alias("_mf"),
+        (h % n_to).cast("int").alias("_mt"),
+    )
+    hv = F.md5(
+        F.concat(
+            F.lit(f"{seed}-"),
+            F.col("_s").cast("string"),
+            F.lit("-"),
+            F.col("_id").cast("string"),
+        )
+    )
+    hrw = (
+        base.join(F.broadcast(shards))
+        .select("_id", "_mf", "_mt", "_s", hv.alias("_hv"))
+        .groupBy("_id", "_mf", "_mt")
+        .agg(
+            F.max_by("_s", F.when(F.col("_s") < n_from, F.col("_hv"))).alias(
+                "_hf"
+            ),
+            F.max_by("_s", "_hv").alias("_ht"),
+        )
+    )
+    counts = hrw.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("_mf") != F.col("_mt")).cast("int"))
+        .cast("long")
+        .alias("_mod_moved"),
+        F.sum((F.col("_hf") != F.col("_ht")).cast("int"))
+        .cast("long")
+        .alias("_hrw_moved"),
+    )
+    import math
+
+    lcm = math.lcm(int(n_from), int(n_to))
+    mod_exp = 1.0 - float(n_from) / float(lcm)
+    hrw_exp = float(n_to - n_from) / float(n_to)
+    rows = F.array(
+        F.struct(
+            F.lit("mod").alias("scheme"),
+            F.col("_mod_moved").alias("n_moved"),
+            F.lit(mod_exp).alias("expected_fraction"),
+        ),
+        F.struct(
+            F.lit("hrw").alias("scheme"),
+            F.col("_hrw_moved").alias("n_moved"),
+            F.lit(hrw_exp).alias("expected_fraction"),
+        ),
+    )
+    return counts.select(
+        F.explode(rows).alias("_r"), F.col("_n").alias("n_rows")
+    ).select(
+        F.col("_r.scheme").alias("scheme"),
+        "n_rows",
+        F.col("_r.n_moved").alias("n_moved"),
+        F.round(
+            F.col("_r.n_moved") / F.col("n_rows").cast("double"), 6
+        ).alias("moved_fraction"),
+        F.round(F.col("_r.expected_fraction"), 6).alias(
+            "expected_fraction"
+        ),
+    )

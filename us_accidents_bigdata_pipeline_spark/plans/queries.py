@@ -16296,3 +16296,93 @@ def q_hubness_profile_embeddings(
     from ..operators.similarity import hubness_profile
 
     return hubness_profile(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+@_register(
+    "temperature_sweep_plan_docs",
+    r"""WITH per AS (SELECT source,
+                          sum(len(list_filter(string_split_regex(trim(
+                              coalesce(text, '')), '\s+'),
+                              x -> x <> ''))) AS token_mass
+                   FROM documents GROUP BY source),
+       g AS (SELECT UNNEST(CAST([0.5, 0.7, 1.0, 1.5, 2.0, 3.0]
+                                AS DOUBLE[])) AS temperature),
+       raw AS (SELECT g.temperature, per.source, per.token_mass,
+                      pow(CAST(per.token_mass AS DOUBLE),
+                          1.0 / g.temperature) AS u
+               FROM per, g),
+       w AS (SELECT temperature, source, token_mass,
+                    u / sum(u) OVER (PARTITION BY temperature) AS p
+             FROM raw)
+       SELECT temperature, source,
+              CAST(token_mass AS BIGINT) AS token_mass,
+              round(p, 6) AS weight,
+              round(sum(CASE WHEN p > 0 THEN -p * ln(p) ELSE 0.0 END)
+                        OVER (PARTITION BY temperature), 6) AS entropy,
+              round(exp(sum(CASE WHEN p > 0 THEN -p * ln(p)
+                            ELSE 0.0 END)
+                        OVER (PARTITION BY temperature)), 6)
+                  AS effective_sources,
+              round(max(p) OVER (PARTITION BY temperature), 6)
+                  AS top_share
+       FROM w""",
+    doc="sampling-temperature sweep planner: per candidate tau, the "
+    "m^(1/tau) flattened source mixture with entropy / effective "
+    "source count / top share — the mT5/Gopher mixture-design grid "
+    "run as one aggregate query before temperature_mixture_sample "
+    "draws the chosen tau (operators/sample.py::temperature_sweep_plan)",
+)
+def q_temperature_sweep_plan_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sample import temperature_sweep_plan
+
+    return temperature_sweep_plan(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "consistent_vs_mod_reshard_docs",
+    """WITH h AS (SELECT doc_id,
+                        CAST(CAST('0x' || substr(md5('42-'
+                             || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) AS BIGINT) AS hv
+                 FROM documents),
+       e AS (SELECT h.doc_id,
+                    CAST(h.hv % 16 AS INT) AS mf,
+                    CAST(h.hv % 17 AS INT) AS mt,
+                    s.s AS s,
+                    md5('42-' || CAST(s.s AS VARCHAR) || '-'
+                        || CAST(h.doc_id AS VARCHAR)) AS shv
+             FROM h, UNNEST(generate_series(0, 16)) AS s(s)),
+       a AS (SELECT doc_id, mf, mt,
+                    arg_max(s, CASE WHEN s < 16 THEN shv END) AS hf,
+                    arg_max(s, shv) AS ht
+             FROM e GROUP BY doc_id, mf, mt),
+       c AS (SELECT count(*) AS n,
+                    sum(CASE WHEN mf <> mt THEN 1 ELSE 0 END) AS modm,
+                    sum(CASE WHEN hf <> ht THEN 1 ELSE 0 END) AS hrwm
+             FROM a)
+       SELECT 'mod' AS scheme, CAST(n AS BIGINT) AS n_rows,
+              CAST(modm AS BIGINT) AS n_moved,
+              round(modm / CAST(n AS DOUBLE), 6) AS moved_fraction,
+              round(1.0 - 16.0 / 272.0, 6) AS expected_fraction
+       FROM c
+       UNION ALL
+       SELECT 'hrw', CAST(n AS BIGINT), CAST(hrwm AS BIGINT),
+              round(hrwm / CAST(n AS DOUBLE), 6),
+              round(1.0 / 17.0, 6)
+       FROM c""",
+    doc="rendezvous (HRW) vs mod-hash movement under the 16 -> 17 "
+    "resize: measured moved fractions vs closed-form expectations "
+    "(HRW ~1/17, mod ~16/17) — the one-query justification for "
+    "consistent placement before a 100 TB layout migration "
+    "(operators/shard.py::consistent_vs_mod_reshard)",
+)
+def q_consistent_vs_mod_reshard_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.shard import consistent_vs_mod_reshard
+
+    return consistent_vs_mod_reshard(
+        _t(spark, sf_dir, "documents"), n_from=16, n_to=17, seed=42
+    )
