@@ -164,6 +164,14 @@ HEADLINE = [
     "source_diversity_profile_docs",
     "dp_user_bounded_counts",
     "rbo_int8_vs_float",
+    "temperature_sweep_plan_docs",
+    "consistent_vs_mod_reshard_docs",
+    "reshard_movement_report_docs",
+    # hubness_profile_embeddings and banding_scurve_empirical_docs are
+    # NOT benched: the former is the documented quadratic audit tier
+    # (79 s at sf0.1 — run on samples by contract), the latter re-prices
+    # blocking_quality_report_docs' shingle subtrees. Both stay
+    # correctness-gated in the oracle sweep.
 ]
 
 
