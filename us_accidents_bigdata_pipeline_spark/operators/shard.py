@@ -398,6 +398,12 @@ def consistent_vs_mod_reshard(
     Output: 2 rows — (scheme, n_rows, n_moved, moved_fraction,
     expected_fraction).
     """
+    if int(n_to) <= int(n_from):
+        raise ValueError(
+            "consistent_vs_mod_reshard: n_to must exceed n_from (the "
+            "HRW from-assignment is the to-grid filtered to the first "
+            "n_from shards — growth only)"
+        )
     spark = df.sparkSession
     shards = spark.range(int(n_to)).select(
         F.col("id").cast("int").alias("_s")
