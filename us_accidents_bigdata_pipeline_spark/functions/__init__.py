@@ -3,6 +3,7 @@ from .columns import (
     impute_value,
     normalize_empty_string,
     bool_to_int,
+    nonempty_token_count,
     token_count,
     word_tokens,
     dot_product,
@@ -17,6 +18,7 @@ __all__ = [
     "impute_value",
     "normalize_empty_string",
     "bool_to_int",
+    "nonempty_token_count",
     "token_count",
     "word_tokens",
     "dot_product",

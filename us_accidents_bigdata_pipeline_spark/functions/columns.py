@@ -63,6 +63,21 @@ def token_count(text: Column | str) -> Column:
     return F.size(word_tokens(text))
 
 
+def nonempty_token_count(text: Column | str) -> Column:
+    """Count of NON-EMPTY whitespace tokens, NULL-safe (NULL → 0 words
+    via coalesce to ''). THE shared word-count expression: its DuckDB
+    twin is len(list_filter(string_split_regex(trim(coalesce(text,
+    '')), '\\s+'), x -> x <> '')) — engine-side users must route
+    through this one definition so a tokenization tweak cannot
+    desynchronize the value oracles site-by-site."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            word_tokens(F.coalesce(c, F.lit(""))), lambda x: x != ""
+        )
+    )
+
+
 # --- vector math over array<T> columns (LLM-pipeline extension) ---------
 # Higher-order functions (zip_with/aggregate) run in codegen'd JVM
 # expressions — this is the scalable form of a dot product over an

@@ -1522,6 +1522,96 @@ def dup_cluster_length_profile(
     )
 
 
+def _jaccard_truth_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    bucket: bool = False,
+) -> DataFrame:
+    """Exact-Jaccard pair set over a (id, shingle) frame: the
+    candidate-bounded shingle self-join + per-doc size join, filtered
+    at ``threshold``. With ``bucket=True`` adds the floor(j·100)/100
+    bucket column (the planner/S-curve histogram key). Shared truth
+    side of ``blocking_quality_report`` and
+    ``banding_scurve_empirical`` — one definition so the two operators
+    measure the SAME ground truth by construction."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb")
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= float(threshold))
+    )
+    if bucket:
+        return out.select(
+            "doc_a", "doc_b", (F.floor(jac * 100) / 100.0).alias("_jb")
+        )
+    return out.select("doc_a", "doc_b")
+
+
+def _banded_candidates(
+    sh: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """md5-MinHash banded candidate pairs over a (id, shingle) frame:
+    one grouped signature aggregate (map-side partial min per slot),
+    an explode to ``bands`` keys per doc, a band-key equi-join,
+    distinct. The salt/band-key layout here is the ONE definition both
+    the quality report and the empirical S-curve price."""
+    if n_hashes % bands != 0:
+        raise ValueError("banded candidates: bands must divide n_hashes")
+    rpb = n_hashes // bands
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
+                f"_mh{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                F.concat_ws(
+                    "|", *[F.col(f"_mh{b * rpb + j}") for j in range(rpb)]
+                ).alias("_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bk")
+    ).select(
+        "_id",
+        F.col("_bk._band").alias("_band"),
+        F.col("_bk._key").alias("_key"),
+    )
+    return (
+        banded.select(F.col("_id").alias("doc_a"), "_band", "_key")
+        .join(
+            banded.select(F.col("_id").alias("doc_b"), "_band", "_key"),
+            ["_band", "_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def blocking_quality_report(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1565,62 +1655,9 @@ def blocking_quality_report(
     """
     if n_hashes % bands != 0:
         raise ValueError("blocking_quality_report: bands must divide n_hashes")
-    rpb = n_hashes // bands
     sh = _doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        sh_a.join(sh_b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
-    truth = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= float(threshold))
-        .select("doc_a", "doc_b")
-    )
-    sigs = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
-                f"_mh{i}"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_band"),
-                F.concat_ws(
-                    "|", *[F.col(f"_mh{b * rpb + j}") for j in range(rpb)]
-                ).alias("_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bk")
-    ).select(
-        "_id",
-        F.col("_bk._band").alias("_band"),
-        F.col("_bk._key").alias("_key"),
-    )
-    cand = (
-        banded.select(F.col("_id").alias("doc_a"), "_band", "_key")
-        .join(
-            banded.select(F.col("_id").alias("doc_b"), "_band", "_key"),
-            ["_band", "_key"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    truth = _jaccard_truth_pairs(sh, id_col, threshold)
+    cand = _banded_candidates(sh, id_col, n_hashes, bands)
     m_docs = df.agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
     # One full-outer join + one aggregate yields all three pair counts
     # in a single evaluation of each (expensive) pair set — the naive
@@ -1766,68 +1803,11 @@ def banding_scurve_empirical(
     Output: one row per j-bucket — (j_bucket, n_pairs, n_collided,
     observed_rate, theoretical_rate).
     """
-    if n_hashes % bands != 0:
-        raise ValueError("banding_scurve_empirical: bands must divide n_hashes")
     rpb = n_hashes // bands
     sh = _doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        sh_a.join(sh_b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("_nb"))
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
-    truth = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= float(jaccard_floor))
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(jac * 100) / 100.0).alias("_jb"),
-        )
-    )
-    sigs = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
-                f"_mh{i}"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("_band"),
-                F.concat_ws(
-                    "|", *[F.col(f"_mh{b * rpb + j}") for j in range(rpb)]
-                ).alias("_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        F.col(id_col).alias("_id"), F.explode(band_structs).alias("_bk")
-    ).select(
-        "_id",
-        F.col("_bk._band").alias("_band"),
-        F.col("_bk._key").alias("_key"),
-    )
-    cand = (
-        banded.select(F.col("_id").alias("doc_a"), "_band", "_key")
-        .join(
-            banded.select(F.col("_id").alias("doc_b"), "_band", "_key"),
-            ["_band", "_key"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .withColumn("_c", F.lit(1))
+    truth = _jaccard_truth_pairs(sh, id_col, jaccard_floor, bucket=True)
+    cand = _banded_candidates(sh, id_col, n_hashes, bands).withColumn(
+        "_c", F.lit(1)
     )
     theo = F.lit(1.0) - F.pow(
         F.lit(1.0) - F.pow(F.col("j_bucket"), F.lit(float(rpb))),

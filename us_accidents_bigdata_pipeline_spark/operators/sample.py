@@ -290,14 +290,12 @@ def temperature_sweep_plan(
     """
     from pyspark.sql import Window as W
 
-    toks = F.size(
-        F.filter(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-            lambda x: x != "",
-        )
-    )
+    from ..functions import nonempty_token_count
+
     per = df.groupBy(group_col).agg(
-        F.sum(toks).cast("long").alias("token_mass")
+        F.sum(nonempty_token_count(text_col)).cast("long").alias(
+            "token_mass"
+        )
     )
     spark = df.sparkSession
     grid = spark.createDataFrame(

@@ -2276,6 +2276,28 @@ def ivf_recall_curve(
     )
 
 
+def _label_dim_moments(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-(label, dim) count/Σx/Σx² moment frame under the
+    ``pca_2d_exact`` DECIMAL discipline — float32 components are exact
+    in double and in DECIMAL(13,10), so ``_s1``/``_s2`` are EXACT
+    decimal aggregates (one correctly-rounded double conversion each
+    downstream). Shared base of ``calinski_harabasz`` and
+    ``davies_bouldin``: the precision/scale choices here are
+    load-bearing for oracle parity in BOTH indices."""
+    d = df.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_xf"),
+    ).select("_l", "dim", F.col("_xf").cast("double").alias("_xd"))
+    x = F.col("_xd").cast("decimal(13,10)")
+    return d.groupBy("_l", "dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
+    )
+
+
 def calinski_harabasz(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -2304,16 +2326,7 @@ def calinski_harabasz(
     Output: 1 row — (n_vectors, n_clusters, between_ss, within_ss,
     ch_index).
     """
-    d = df.select(
-        F.col(label_col).alias("_l"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_xf"),
-    ).select("_l", "dim", F.col("_xf").cast("double").alias("_xd"))
-    x = F.col("_xd").cast("decimal(13,10)")
-    a = d.groupBy("_l", "dim").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(x).alias("_s1"),
-        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
-    )
+    a = _label_dim_moments(df, vec_col, label_col)
     g = a.groupBy("dim").agg(
         F.sum("_s1").alias("_gs1"), F.sum("_n").alias("_gn")
     )
@@ -2375,16 +2388,7 @@ def davies_bouldin(
 
     Output: 1 row — (n_vectors, n_clusters, db_index).
     """
-    d = df.select(
-        F.col(label_col).alias("_l"),
-        F.posexplode(F.col(vec_col)).alias("dim", "_xf"),
-    ).select("_l", "dim", F.col("_xf").cast("double").alias("_xd"))
-    x = F.col("_xd").cast("decimal(13,10)")
-    a = d.groupBy("_l", "dim").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(x).alias("_s1"),
-        F.sum((x * x).cast("decimal(26,20)")).alias("_s2"),
-    )
+    a = _label_dim_moments(df, vec_col, label_col)
     n_l = F.col("_n").cast("double")
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
@@ -2393,11 +2397,9 @@ def davies_bouldin(
         "dim",
         (s1 / n_l).alias("_mu"),
         (s2 / n_l - (s1 / n_l) * (s1 / n_l)).alias("_var_d"),
-        "_n",
     )
     sig = mom.groupBy("_l").agg(
         F.sqrt(F.greatest(F.sum("_var_d"), F.lit(0.0))).alias("_sigma"),
-        F.max("_n").cast("long").alias("_nl"),
     )
     ci = mom.select(
         F.col("_l").alias("_i"), "dim", F.col("_mu").alias("_mi")
@@ -2474,8 +2476,6 @@ def rank_biased_overlap(
 
     Output: 1 row — (k, p, n_common, overlap_at_k, rbo).
     """
-    from pyspark.sql import Window as W
-
     spark = ranked_a.sparkSession
     a = ranked_a.filter(F.col(rank_col) <= int(k)).select(
         F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
@@ -2550,8 +2550,6 @@ def hubness_profile(
     n_vectors, skewness, mean_k_occurrence) with the scalar moments
     repeated (1-row broadcast).
     """
-    from pyspark.sql import Window as W
-
     if max_rows is not None:
         n_in = df.count()
         if n_in > max_rows:
@@ -2563,26 +2561,14 @@ def hubness_profile(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     a = v.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
     b = v.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
+    # shared fold (functions.columns.dot_product discipline): the
+    # DuckDB oracle replays the same left-fold as list_dot_product
     pairs = a.join(b, F.col("_qa") != F.col("_qb")).select(
         "_qa",
         "_qb",
-        (
-            dot(F.col("_va"), F.col("_vb"))
-            / (
-                F.sqrt(dot(F.col("_va"), F.col("_va")))
-                * F.sqrt(dot(F.col("_vb"), F.col("_vb")))
-            )
-        ).alias("_cos"),
+        cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
     )
     w = W.partitionBy("_qa").orderBy(F.desc("_cos"), F.col("_qb"))
     kocc = (

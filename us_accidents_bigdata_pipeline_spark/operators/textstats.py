@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import token_count, word_tokens
+from ..functions import nonempty_token_count, token_count, word_tokens
 
 # Tiny high-frequency stopword lists for the language-ID heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -1120,9 +1120,7 @@ def readability_profile(
     fk_grade).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.size(
-        F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
-    )
+    words = nonempty_token_count(text_col)
     sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
     syllables = F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+"))
     agg = df.groupBy(group_col).agg(
@@ -1174,14 +1172,8 @@ def source_diversity_profile(
     Output: 1 row — (n_sources, total_tokens, shannon_entropy,
     effective_sources, simpson, inv_simpson, top_source_share).
     """
-    toks = F.size(
-        F.filter(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-            lambda x: x != "",
-        )
-    )
     per = df.groupBy(group_col).agg(
-        F.sum(toks).cast("long").alias("_m")
+        F.sum(nonempty_token_count(text_col)).cast("long").alias("_m")
     )
     tot = per.agg(
         F.sum("_m").alias("_tot"),

@@ -15799,12 +15799,13 @@ def q_dp_user_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact integer coincidence counts; D_o terms divide by (m-1)=2
     # (exact dyadic); alpha is one fixed expression over 1-row totals.
     r"""WITH r AS (SELECT doc_id,
-                         CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END
-                             AS r1,
-                         CASE WHEN len(string_split_regex(trim(text),
+                         CASE WHEN length(coalesce(text, '')) >= 150
+                              THEN 1 ELSE 0 END AS r1,
+                         CASE WHEN len(string_split_regex(trim(
+                                       coalesce(text, '')),
                                        '\s+')) >= 30 THEN 1 ELSE 0 END
                              AS r2,
-                         CASE WHEN contains(text, 'the')
+                         CASE WHEN contains(coalesce(text, ''), 'the')
                               THEN 1 ELSE 0 END AS r3
                   FROM documents),
        v AS (SELECT doc_id, UNNEST([r1, r2, r3]) AS val FROM r),
@@ -15845,11 +15846,12 @@ def q_dp_user_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_krippendorff_alpha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import krippendorff_alpha_binary
 
+    t = F.coalesce(F.col("text"), F.lit(""))
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.length("text") >= 150).alias("r1"),
-        (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 30).alias("r2"),
-        F.col("text").contains("the").alias("r3"),
+        (F.length(t) >= 150).alias("r1"),
+        (F.size(F.split(F.trim(t), r"\s+")) >= 30).alias("r2"),
+        t.contains("the").alias("r3"),
     )
     return krippendorff_alpha_binary(d, "doc_id", ["r1", "r2", "r3"])
 
