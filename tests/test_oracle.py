@@ -113,6 +113,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "embedding_near_dup_pairs": {"nested_loop"},
     # same quadratic audit tier (eager max_rows cap) + 1-row moments
     "hubness_profile_embeddings": {"nested_loop"},
+    # k^2 centroid pairs + 1-row extrema/meta frames
+    "dunn_index_embeddings": {"nested_loop"},
+    # day-pair sign join (theil_sen discipline) + 1-row totals
+    "mann_kendall_daily_revenue": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals

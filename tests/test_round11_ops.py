@@ -480,3 +480,42 @@ def test_consistent_vs_mod_movement(spark):
     assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
     assert abs(rows["hrw"]["moved_fraction"] - 1 / 17) < 0.03
     assert abs(rows["mod"]["moved_fraction"] - 16 / 17) < 0.03
+
+
+def test_dunn_index_two_clusters(spark):
+    """1-D: clusters {0,1} and {10,11}: sigma 0.5 -> diameter 1.0,
+    centroid distance 10 -> Dunn = 10."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        dunn_index,
+    )
+
+    rows = [(0, [0.0]), (0, [1.0]), (1, [10.0]), (1, [11.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    r = dunn_index(df).first()
+    assert r["min_intercluster"] == 10.0
+    assert r["max_intracluster"] == 1.0
+    assert r["dunn_index"] == 10.0
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing series: S = n(n-1)/2, z > 0; constant
+    series: S = 0, all values tie -> var 0 -> z NULL."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        mann_kendall_trend,
+    )
+
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "x int, y double"
+    )
+    r = mann_kendall_trend(inc).first()
+    assert r["s_statistic"] == 45 and r["n_pairs"] == 45
+    # var = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert r["var_s"] == 125.0
+    assert abs(r["z"] - round(44 / 125**0.5, 4)) < 1e-9
+
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(5)], "x int, y double"
+    )
+    r2 = mann_kendall_trend(const).first()
+    assert r2["s_statistic"] == 0 and r2["var_s"] == 0.0
+    assert r2["z"] is None

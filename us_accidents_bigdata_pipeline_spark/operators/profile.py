@@ -2450,3 +2450,70 @@ def krippendorff_alpha_binary(
             "alpha"
         ),
     )
+
+
+def mann_kendall_trend(
+    d: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Mann–Kendall trend test over an (x, y) series — the
+    nonparametric significance companion to ``theil_sen_slope``
+    (Theil–Sen says HOW steep, Mann–Kendall says WHETHER the monotone
+    trend is real): S = Σ_{i<j} sign(y_j − y_i), the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    continuity-corrected Z.
+
+    Exactness: S and both variance terms are exact integers (sign
+    comparisons of engine-identical doubles, tie groups from an exact
+    value aggregate); Z is one division + sqrt, rounded at 4.
+
+    Scale shape: the caller hands in the AGGREGATE series (daily
+    revenue — calendar-bounded), so the pairwise sign join is
+    quadratic in days, never in facts — the ``theil_sen`` discipline;
+    ties and totals are 1-row frames broadcast back.
+
+    Output: 1 row — (n_points, n_pairs, s_statistic, var_s, z).
+    """
+    a = d.select(F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya"))
+    b = d.select(F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"))
+    pr = a.join(b, F.col("_xa") < F.col("_xb")).select(
+        F.signum(F.col("_yb") - F.col("_ya")).cast("long").alias("_sgn")
+    )
+    sagg = pr.agg(
+        F.coalesce(F.sum("_sgn"), F.lit(0)).cast("long").alias(
+            "s_statistic"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    npts = d.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    t = F.col("_t").cast("double")
+    ties = (
+        d.groupBy(F.col(y_col).alias("_yv"))
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .filter(F.col("_t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0.0)
+            ).alias("_tie_term")
+        )
+    )
+    n = F.col("n_points").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie_term")) / F.lit(18.0)
+    s = F.col("s_statistic").cast("double")
+    z = F.when(var_s <= 0.0, None).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        sagg.crossJoin(F.broadcast(npts))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_points",
+            "n_pairs",
+            "s_statistic",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 4).alias("z"),
+        )
+    )

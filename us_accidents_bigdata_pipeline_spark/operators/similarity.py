@@ -2602,3 +2602,82 @@ def hubness_profile(
         F.round(skew, 4).alias("skewness"),
         F.round(mu, 4).alias("mean_k_occurrence"),
     )
+
+
+def dunn_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Dunn index of a labeled embedding set — min inter-cluster
+    centroid distance over max intra-cluster spread (2σ, the RMS
+    diameter proxy): the worst-case separation ratio that completes
+    the cluster-validity trio (``calinski_harabasz`` = average
+    variance ratio, ``davies_bouldin`` = worst PAIR ratio, Dunn =
+    global min/max). Higher is better; a Dunn near 0 means some pair
+    of clusters touches.
+
+    The centroid-linkage/diameter-proxy form is deliberate: the
+    classical single-linkage/complete-diameter Dunn needs pairwise
+    point distances (O(n²)); this form reduces to the SAME
+    per-(label, dim) DECIMAL-exact moment base as its two siblings —
+    one posexplode pass, a k²·d centroid-distance join, two 1-row
+    extrema. O(n·d) at any corpus size.
+
+    Output: 1 row — (n_vectors, n_clusters, min_intercluster,
+    max_intracluster, dunn_index).
+    """
+    a = _label_dim_moments(df, vec_col, label_col)
+    n_l = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mom = a.select(
+        "_l",
+        "dim",
+        (s1 / n_l).alias("_mu"),
+        (s2 / n_l - (s1 / n_l) * (s1 / n_l)).alias("_var_d"),
+    )
+    diam = mom.groupBy("_l").agg(
+        (
+            F.lit(2.0)
+            * F.sqrt(F.greatest(F.sum("_var_d"), F.lit(0.0)))
+        ).alias("_diam")
+    )
+    ci = mom.select(F.col("_l").alias("_i"), "dim", F.col("_mu").alias("_mi"))
+    cj = mom.select(F.col("_l").alias("_j"), "dim", F.col("_mu").alias("_mj"))
+    dist = (
+        ci.join(cj, "dim")
+        .filter(F.col("_i") < F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("_mi") - F.col("_mj"))
+                    * (F.col("_mi") - F.col("_mj"))
+                )
+            ).alias("_dij")
+        )
+    )
+    mins = dist.agg(F.min("_dij").alias("min_intercluster"))
+    maxs = diam.agg(F.max("_diam").alias("max_intracluster"))
+    meta = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct(label_col).cast("int").alias("n_clusters"),
+    )
+    return (
+        mins.crossJoin(F.broadcast(maxs))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "n_vectors",
+            "n_clusters",
+            F.round("min_intercluster", 4).alias("min_intercluster"),
+            F.round("max_intracluster", 4).alias("max_intracluster"),
+            F.round(
+                F.when(
+                    F.col("max_intracluster") > 0.0,
+                    F.col("min_intercluster") / F.col("max_intracluster"),
+                ),
+                4,
+            ).alias("dunn_index"),
+        )
+    )

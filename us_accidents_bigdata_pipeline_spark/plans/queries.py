@@ -16388,3 +16388,115 @@ def q_consistent_vs_mod_reshard_docs(
     return consistent_vs_mod_reshard(
         _t(spark, sf_dir, "documents"), n_from=16, n_to=17, seed=42
     )
+
+
+@_register(
+    "dunn_index_embeddings",
+    """WITH d AS (SELECT e.label AS l, CAST(u.i - 1 AS INT) AS dim,
+                        CAST(e.embedding[u.i] AS DOUBLE) AS xd
+                 FROM embeddings e,
+                      UNNEST(generate_series(1, len(e.embedding)))
+                          AS u(i)),
+       a AS (SELECT l, dim, count(*) AS n,
+                    sum(CAST(xd AS DECIMAL(13,10))) AS s1,
+                    sum(CAST(CAST(xd AS DECIMAL(13,10))
+                             * CAST(xd AS DECIMAL(13,10))
+                             AS DECIMAL(26,20))) AS s2
+             FROM d GROUP BY 1, 2),
+       mom AS (SELECT l, dim,
+                      CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mu,
+                      CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                      - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                        * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                          AS var_d
+               FROM a),
+       diam AS (SELECT l, 2.0 * sqrt(greatest(sum(var_d), 0.0)) AS dm
+                FROM mom GROUP BY l),
+       dist AS (SELECT i.l AS li, j.l AS lj,
+                       sqrt(sum((i.mu - j.mu) * (i.mu - j.mu))) AS dij
+                FROM mom i JOIN mom j ON i.dim = j.dim AND i.l < j.l
+                GROUP BY 1, 2),
+       mn AS (SELECT min(dij) AS min_ic FROM dist),
+       mx AS (SELECT max(dm) AS max_ia FROM diam),
+       meta AS (SELECT count(*) AS nv, count(DISTINCT label) AS k
+                FROM embeddings)
+       SELECT CAST(nv AS BIGINT) AS n_vectors,
+              CAST(k AS INT) AS n_clusters,
+              round(min_ic, 4) AS min_intercluster,
+              round(max_ia, 4) AS max_intracluster,
+              round(CASE WHEN max_ia > 0 THEN min_ic / max_ia END, 4)
+                  AS dunn_index
+       FROM mn, mx, meta""",
+    doc="Dunn index (centroid-linkage / 2-sigma diameter proxy) of "
+    "the labeled embedding set — min inter-centroid distance over "
+    "max intra-cluster spread; completes the cluster-validity trio "
+    "on the shared per-(label, dim) decimal-exact moment base "
+    "(operators/similarity.py::dunn_index)",
+)
+def q_dunn_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dunn_index
+
+    return dunn_index(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "mann_kendall_daily_revenue",
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS x,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS y
+               FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+       pr AS (SELECT CAST(sign(b.y - a.y) AS BIGINT) AS sgn
+              FROM d a JOIN d b ON a.x < b.x),
+       s AS (SELECT coalesce(sum(sgn), 0) AS s_stat,
+                    count(*) AS n_pairs
+             FROM pr),
+       np AS (SELECT count(*) AS n FROM d),
+       ties AS (SELECT coalesce(sum(CAST(t AS DOUBLE) * (t - 1)
+                                    * (2 * t + 5)), 0.0) AS tie_term
+                FROM (SELECT count(*) AS t FROM d GROUP BY y
+                      HAVING count(*) > 1))
+       SELECT CAST(n AS BIGINT) AS n_points,
+              CAST(n_pairs AS BIGINT) AS n_pairs,
+              CAST(s_stat AS BIGINT) AS s_statistic,
+              round((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                     - tie_term) / 18.0, 4) AS var_s,
+              round(CASE WHEN (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                               - tie_term) / 18.0 <= 0 THEN NULL
+                         WHEN s_stat > 0
+                         THEN (s_stat - 1)
+                              / sqrt((CAST(n AS DOUBLE) * (n - 1)
+                                      * (2 * n + 5) - tie_term) / 18.0)
+                         WHEN s_stat < 0
+                         THEN (s_stat + 1)
+                              / sqrt((CAST(n AS DOUBLE) * (n - 1)
+                                      * (2 * n + 5) - tie_term) / 18.0)
+                         ELSE 0.0 END, 4) AS z
+       FROM s, np, ties""",
+    doc="Mann-Kendall monotone-trend test on daily revenue: exact "
+    "integer S over the calendar-bounded day-pair join (quadratic in "
+    "days, never facts — the theil_sen discipline), tie-corrected "
+    "variance, continuity-corrected Z — the significance companion "
+    "to the Theil-Sen slope "
+    "(operators/profile.py::mann_kendall_trend)",
+)
+def q_mann_kendall_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import mann_kendall_trend
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .alias("x"),
+            "y",
+        )
+    )
+    return mann_kendall_trend(d)
