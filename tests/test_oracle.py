@@ -117,6 +117,10 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "dunn_index_embeddings": {"nested_loop"},
     # day-pair sign join (theil_sen discipline) + 1-row totals
     "mann_kendall_daily_revenue": {"nested_loop"},
+    # two 1-row frames (totals + tail moments) cross-joined
+    "degree_powerlaw_fit_copurchase": {"nested_loop"},
+    # 1-row corpus totals broadcast onto the |sources|-row frame
+    "loo_source_impact_docs": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals

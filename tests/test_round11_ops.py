@@ -519,3 +519,39 @@ def test_mann_kendall_monotone_series(spark):
     r2 = mann_kendall_trend(const).first()
     assert r2["s_statistic"] == 0 and r2["var_s"] == 0.0
     assert r2["z"] is None
+
+
+def test_degree_powerlaw_fit_known(spark):
+    """Star graph: hub degree n-1, leaves degree 1. With d_min above
+    1, only the hub is in the tail; alpha = 1 + 1/ln(hub/d_min)."""
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        degree_powerlaw_fit,
+    )
+    import math
+
+    # symmetric edge list of a 6-leaf star centered at 0
+    edges = [(0, i) for i in range(1, 7)] + [(i, 0) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_powerlaw_fit(df, d_min=2).first()
+    assert r["n_nodes"] == 7 and r["max_degree"] == 6
+    assert r["n_tail"] == 1
+    assert abs(r["alpha"] - round(1 + 1 / math.log(3.0), 4)) < 1e-9
+
+
+def test_loo_group_impact_algebra(spark):
+    """Two groups: metric means 10 and 20 -> dropping the low group
+    raises the mean; deltas have opposite signs and exact values."""
+    from us_accidents_bigdata_pipeline_spark.operators.curation import (
+        loo_group_impact,
+    )
+
+    rows = [("a", 10), ("a", 10), ("b", 20), ("b", 20)]
+    df = spark.createDataFrame(rows, "source string, m int")
+    out = {
+        r["source"]: r
+        for r in loo_group_impact(df, F.col("m"), "source").collect()
+    }
+    assert out["a"]["group_mean"] == 10.0 and out["b"]["group_mean"] == 20.0
+    assert out["a"]["global_mean"] == 15.0
+    assert out["a"]["loo_mean"] == 20.0 and out["a"]["delta"] == -5.0
+    assert out["b"]["loo_mean"] == 10.0 and out["b"]["delta"] == 5.0

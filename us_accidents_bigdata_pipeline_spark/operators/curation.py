@@ -23,7 +23,7 @@ its logs); this module is its training-corpus counterpart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -629,4 +629,51 @@ def domain_reweight_step(
         F.round("_loss", 6).alias("proxy_loss"),
         F.round("_w_old", 6).alias("weight_old"),
         F.round(F.col("_w_upd") / z, 6).alias("weight_new"),
+    )
+
+
+def loo_group_impact(
+    df: DataFrame,
+    metric: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """Leave-one-group-out impact of each group on a corpus-level
+    mean metric: for every group g, the global mean WITHOUT g's rows
+    — loo_mean = (Σ − Σ_g)/(N − n_g) — and the delta the group's
+    presence contributes. The cheapest honest "data valuation"
+    readout a mixture owner gets before dropping or capping a source:
+    one aggregate pass, exact algebra, no retraining, no resampling.
+
+    Exactness: per-group sums and counts are exact (the caller
+    supplies an integer-valued or decimal-quantized metric column);
+    the means are single divisions rounded at 6.
+
+    Scale shape: ONE group-keyed aggregate with map-side partials;
+    the global totals are the 1-row rollup of that frame broadcast
+    back — the fact table is touched once.
+
+    Output: one row per group — (group, n_rows, group_mean,
+    global_mean, loo_mean, delta).
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(metric).alias("_s"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("_nt"), F.sum("_s").alias("_st")
+    )
+    g_mean = F.col("_s") / F.col("n_rows").cast("double")
+    glob = F.col("_st") / F.col("_nt").cast("double")
+    loo = F.when(
+        F.col("_nt") > F.col("n_rows"),
+        (F.col("_st") - F.col("_s"))
+        / (F.col("_nt") - F.col("n_rows")).cast("double"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        F.round(g_mean, 6).alias("group_mean"),
+        F.round(glob, 6).alias("global_mean"),
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(glob - loo, 6).alias("delta"),
     )

@@ -557,3 +557,56 @@ def local_clustering_coefficient(
             F.round("_cc", 4).alias("clustering_coef"),
         )
     )
+
+
+def degree_powerlaw_fit(
+    edges: DataFrame,
+    d_min: int = 5,
+) -> DataFrame:
+    """Hill / power-law tail fit of the degree distribution: the
+    continuous-MLE estimator α̂ = 1 + n_tail / Σ_{d ≥ d_min} ln(d /
+    d_min) over nodes with degree ≥ ``d_min`` (Clauset–Shalizi–Newman
+    2009's α̂ with a FIXED, caller-chosen x_min — the discrete
+    correction is within the readout's purpose here, which is skew
+    triage: α near 2 means extreme hubs, α > 3 a thin tail). Pairs
+    with ``copurchase_degree_histogram`` (the raw histogram) and
+    decides whether graph ops need the hub caps
+    (``max_degree`` guards in link prediction / clustering
+    coefficient).
+
+    Exactness: degrees and the tail count are exact integers; the ln
+    sum is ≤ n_tail doubles (zipf float class, round 4).
+
+    Scale shape: two hash aggregates over the slim symmetric edge
+    list (per-node degree, then two 1-row reductions) — no window, no
+    join beyond the broadcast of two 1-row frames.
+
+    Output: 1 row — (n_nodes, max_degree, d_min, n_tail,
+    tail_fraction, alpha).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("_d").cast("long").alias("max_degree"),
+    )
+    tail = deg.filter(F.col("_d") >= int(d_min)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.coalesce(
+            F.sum(F.log(F.col("_d").cast("double") / float(d_min))),
+            F.lit(0.0),
+        ).alias("_sln"),
+    )
+    alpha = F.when(
+        F.col("_sln") > 0.0,
+        F.lit(1.0) + F.col("n_tail") / F.col("_sln"),
+    )
+    return tot.crossJoin(F.broadcast(tail)).select(
+        "n_nodes",
+        "max_degree",
+        F.lit(int(d_min)).alias("d_min"),
+        "n_tail",
+        F.round(
+            F.col("n_tail") / F.col("n_nodes").cast("double"), 6
+        ).alias("tail_fraction"),
+        F.round(alpha, 4).alias("alpha"),
+    )

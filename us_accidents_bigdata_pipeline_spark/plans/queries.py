@@ -16500,3 +16500,76 @@ def q_mann_kendall_daily_revenue(
         )
     )
     return mann_kendall_trend(d)
+
+
+@_register(
+    "degree_powerlaw_fit_copurchase",
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM lineitem a
+                  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey <> b.l_partkey),
+       deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       tot AS (SELECT count(*) AS n_nodes, max(d) AS max_degree
+               FROM deg),
+       tail AS (SELECT count(*) AS n_tail,
+                       coalesce(sum(ln(CAST(d AS DOUBLE) / 5.0)), 0.0)
+                           AS sln
+                FROM deg WHERE d >= 5)
+       SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(max_degree AS BIGINT) AS max_degree,
+              5 AS d_min,
+              CAST(n_tail AS BIGINT) AS n_tail,
+              round(n_tail / CAST(n_nodes AS DOUBLE), 6)
+                  AS tail_fraction,
+              round(CASE WHEN sln > 0 THEN 1.0 + n_tail / sln END, 4)
+                  AS alpha
+       FROM tot, tail""",
+    doc="Hill power-law tail fit (alpha at fixed d_min=5) of the "
+    "co-purchase degree distribution — the skew-triage number that "
+    "decides whether graph ops need hub caps; two hash aggregates, "
+    "1-row frames (operators/graph.py::degree_powerlaw_fit)",
+)
+def q_degree_powerlaw_fit_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import copurchase_edges, degree_powerlaw_fit
+
+    return degree_powerlaw_fit(
+        copurchase_edges(_t(spark, sf_dir, "lineitem")), d_min=5
+    )
+
+
+@_register(
+    "loo_source_impact_docs",
+    r"""WITH per AS (SELECT source, count(*) AS n_rows,
+                          sum(len(list_filter(string_split_regex(trim(
+                              coalesce(text, '')), '\s+'),
+                              x -> x <> ''))) AS s
+                   FROM documents GROUP BY source),
+       tot AS (SELECT sum(n_rows) AS nt, sum(s) AS st FROM per)
+       SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+              round(s / CAST(n_rows AS DOUBLE), 6) AS group_mean,
+              round(st / CAST(nt AS DOUBLE), 6) AS global_mean,
+              round(CASE WHEN nt > n_rows
+                         THEN (st - s) / CAST(nt - n_rows AS DOUBLE)
+                         END, 6) AS loo_mean,
+              round(st / CAST(nt AS DOUBLE)
+                    - CASE WHEN nt > n_rows
+                           THEN (st - s) / CAST(nt - n_rows AS DOUBLE)
+                           END, 6) AS delta
+       FROM per, tot""",
+    doc="leave-one-source-out impact on the corpus mean tokens/doc: "
+    "per source, the global mean without it and the delta its "
+    "presence contributes — the one-pass data-valuation readout "
+    "before dropping or capping a source "
+    "(operators/curation.py::loo_group_impact)",
+)
+def q_loo_source_impact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import nonempty_token_count
+    from ..operators.curation import loo_group_impact
+
+    return loo_group_impact(
+        _t(spark, sf_dir, "documents"),
+        nonempty_token_count("text"),
+        "source",
+    )
