@@ -121,6 +121,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "degree_powerlaw_fit_copurchase": {"nested_loop"},
     # 1-row corpus totals broadcast onto the |sources|-row frame
     "loo_source_impact_docs": {"nested_loop"},
+    # per-column 1-row split-size totals broadcast onto the CDF scan
+    "split_ks_report_orders": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals

@@ -555,3 +555,23 @@ def test_loo_group_impact_algebra(spark):
     assert out["a"]["global_mean"] == 15.0
     assert out["a"]["loo_mean"] == 20.0 and out["a"]["delta"] == -5.0
     assert out["b"]["loo_mean"] == 10.0 and out["b"]["delta"] == 5.0
+
+
+def test_split_ks_identical_distributions(spark):
+    """A value column that is IDENTICAL across split sides (constant)
+    gives KS 0; a column equal to the split side itself gives KS 1."""
+    from us_accidents_bigdata_pipeline_spark.operators.shard import (
+        split_ks_report,
+        _shuffle_key,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    side = (
+        F.conv(F.substring(_shuffle_key("k", 42), 1, 8), 16, 10)
+        .cast("long") % 2
+    ).cast("int")
+    df = df.select("k", F.lit(1.0).alias("const"), side.cast("double").alias("leak"))
+    out = {r["column"]: r for r in split_ks_report(df, "k", ["const", "leak"]).collect()}
+    assert out["const"]["ks_stat"] == 0.0
+    assert out["leak"]["ks_stat"] == 1.0
+    assert out["const"]["n_a"] + out["const"]["n_b"] == 2000

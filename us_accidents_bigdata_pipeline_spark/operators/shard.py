@@ -473,3 +473,87 @@ def consistent_vs_mod_reshard(
             "expected_fraction"
         ),
     )
+
+
+def split_ks_report(
+    df: DataFrame,
+    id_col: str,
+    cols: list,
+    seed: int = 42,
+    n_partitions: int = 16,
+) -> DataFrame:
+    """Covariate-balance certificate for a deterministic md5 split:
+    for each numeric column, the two-sample KS statistic between the
+    split halves — the check that a train/test split didn't land
+    skewed on any feature (the per-COLUMN companion to
+    ``srm_check``'s per-COUNT guardrail). KS over the exact empirical
+    CDFs, no binning.
+
+    Split assignment is the engine-portable md5 parity of the id (the
+    same seeded-hash discipline as ``shard_assignment``), so the
+    report is layout-independent and the oracle replays it exactly.
+
+    Scale shape: per column, ONE range-exchange global running sum
+    (``layout.global_running_sums`` — the no-single-partition
+    ordered cumsum) and a 1-row max reduction; columns are a literal
+    list, so the whole report is |cols| linear passes. No window ever
+    sees more than its range-exchange slice.
+
+    Output: one row per column — (column, n_a, n_b, ks_stat).
+    """
+    from ..operators.layout import global_running_sums
+
+    key = _shuffle_key(id_col, seed)
+    side = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 2
+    ).cast("int")
+    frames = []
+    for c in cols:
+        pooled = df.select(
+            F.col(c).alias("_v"),
+            F.col(id_col).alias("_id"),
+            (side == 0).cast("int").alias("_a"),
+            (side == 1).cast("int").alias("_b"),
+        ).filter(F.col("_v").isNotNull())
+        run = global_running_sums(
+            pooled,
+            ["_v", "_id"],
+            ["_a", "_b"],
+            ["_ca", "_cb"],
+            n_partitions=n_partitions,
+        )
+        # KS evaluates the CDF gap at VALUE boundaries only: within a
+        # tie block the running counts depend on the id tie-break, so
+        # the per-value max (= end-of-block cumulative) is the correct
+        # empirical CDF point — without this a constant column reads
+        # KS ~ |n_a-n_b|/n instead of 0.
+        run = run.groupBy("_v").agg(
+            F.max("_ca").alias("_ca"), F.max("_cb").alias("_cb")
+        )
+        tot = pooled.agg(
+            F.sum("_a").cast("long").alias("n_a"),
+            F.sum("_b").cast("long").alias("n_b"),
+        )
+        frames.append(
+            run.select("_ca", "_cb")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(str(c)).alias("column"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("_ca").cast("double") / F.col("n_a")
+                            - F.col("_cb").cast("double") / F.col("n_b")
+                        )
+                    ),
+                    6,
+                ).alias("ks_stat"),
+            )
+            .select("column", "n_a", "n_b", "ks_stat")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -11908,16 +11908,20 @@ def q_cogrouped_ks_by_event_type(
                         ROWS UNBOUNDED PRECEDING) AS c2,
                     sum(is_early) OVER () AS n1,
                     sum(1 - is_early) OVER () AS n2
-             FROM pooled)
+             FROM pooled),
+       v AS (SELECT p, max(c1) AS c1, max(c2) AS c2,
+                    max(n1) AS n1, max(n2) AS n2
+             FROM c GROUP BY p)
        SELECT round(max(abs(CAST(c1 AS DOUBLE) / n1
                             - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat,
               CAST(max(n1) AS BIGINT) AS n_early,
               CAST(max(n2) AS BIGINT) AS n_late
-       FROM c""",
+       FROM v""",
     doc="two-sample KS statistic (early vs late order price): pooled "
     "sort, per-sample cumulative counts from one window pair, max "
-    "CDF gap — the unbinned drift metric beside PSI; at scale the "
-    "ordered cumsum rides layout.global_running_sum",
+    "CDF gap at VALUE boundaries (exact under ties) — the unbinned "
+    "drift metric beside PSI; at scale the ordered cumsum rides "
+    "layout.global_running_sum",
 )
 def q_ks_statistic_price_periods(
     spark: SparkSession, sf_dir: str
@@ -11947,6 +11951,11 @@ def q_ks_statistic_price_periods(
     )
     tot = pooled.agg(
         F.sum("is_early").alias("n1"), F.sum("is_late").alias("n2")
+    )
+    # CDF gap evaluated at VALUE boundaries (end-of-tie-block
+    # cumulative = per-value max) — exact KS under ties
+    run = run.groupBy("p").agg(
+        F.max("c1").alias("c1"), F.max("c2").alias("c2")
     )
     c = run.select("c1", "c2").crossJoin(F.broadcast(tot))
     return c.agg(
@@ -16572,4 +16581,75 @@ def q_loo_source_impact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         nonempty_token_count("text"),
         "source",
+    )
+
+
+@_register(
+    "split_ks_report_orders",
+    """WITH base AS (
+         SELECT o_orderkey, o_totalprice, o_custkey,
+                CAST(CAST('0x' || substr(md5('42-'
+                     || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 2 AS INT) AS side
+         FROM orders),
+       k1 AS (
+         SELECT 'o_totalprice' AS col,
+                max(abs(CAST(ca AS DOUBLE) / na
+                        - CAST(cb AS DOUBLE) / nb)) AS ks,
+                max(na) AS na, max(nb) AS nb
+         FROM (SELECT v, max(ca) AS ca, max(cb) AS cb,
+                      max(na) AS na, max(nb) AS nb
+               FROM (SELECT o_totalprice AS v,
+                            sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                                OVER (ORDER BY o_totalprice, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS ca,
+                            sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                                OVER (ORDER BY o_totalprice, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS cb,
+                            sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                                OVER () AS na,
+                            sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                                OVER () AS nb
+                     FROM base WHERE o_totalprice IS NOT NULL)
+               GROUP BY v)),
+       k2 AS (
+         SELECT 'o_custkey' AS col,
+                max(abs(CAST(ca AS DOUBLE) / na
+                        - CAST(cb AS DOUBLE) / nb)) AS ks,
+                max(na) AS na, max(nb) AS nb
+         FROM (SELECT v, max(ca) AS ca, max(cb) AS cb,
+                      max(na) AS na, max(nb) AS nb
+               FROM (SELECT o_custkey AS v,
+                            sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                                OVER (ORDER BY o_custkey, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS ca,
+                            sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                                OVER (ORDER BY o_custkey, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS cb,
+                            sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                                OVER () AS na,
+                            sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                                OVER () AS nb
+                     FROM base WHERE o_custkey IS NOT NULL)
+               GROUP BY v))
+       SELECT col AS column, CAST(na AS BIGINT) AS n_a,
+              CAST(nb AS BIGINT) AS n_b, round(ks, 6) AS ks_stat
+       FROM k1
+       UNION ALL
+       SELECT col, CAST(na AS BIGINT), CAST(nb AS BIGINT), round(ks, 6)
+       FROM k2""",
+    doc="per-column KS covariate-balance certificate for the md5 "
+    "train/test split of orders (o_totalprice, o_custkey): the "
+    "feature-level companion to srm_check — range-exchange running "
+    "sums, never a single-partition window "
+    "(operators/shard.py::split_ks_report)",
+)
+def q_split_ks_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shard import split_ks_report
+
+    return split_ks_report(
+        _t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        ["o_totalprice", "o_custkey"],
+        seed=42,
     )
