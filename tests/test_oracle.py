@@ -123,6 +123,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "loo_source_impact_docs": {"nested_loop"},
     # per-column 1-row split-size totals broadcast onto the CDF scan
     "split_ks_report_orders": {"nested_loop"},
+    # 1-row doc_id bounds broadcast onto the <=10-row checkpoint frame
+    "dedup_growth_curve_docs": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals
@@ -226,6 +228,8 @@ for _name in (
     "ivf_assignment_drift",          # <=k-row cell-occupancy frame
     "domain_reweight_step_docs",     # |domains|-row weight frame
     "heaps_law_fit_docs",            # <=10-row checkpoint frame
+    "dedup_growth_curve_docs",       # <=10-row checkpoint frame
+    "neyman_allocation_docs",        # |sources|-row apportionment
 ):
     _AUDIT_ALLOW.setdefault(_name, set()).add("single_partition_window")
 

@@ -575,3 +575,38 @@ def test_split_ks_identical_distributions(spark):
     assert out["const"]["ks_stat"] == 0.0
     assert out["leak"]["ks_stat"] == 1.0
     assert out["const"]["n_a"] + out["const"]["n_b"] == 2000
+
+
+def test_dedup_growth_curve_exact(spark):
+    """4 docs in 2 checkpoints, one exact dup in the second half:
+    cumulative distinct lags cumulative docs by exactly the dup."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        dedup_growth_curve,
+    )
+
+    rows = [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["checkpoint"]: r for r in dedup_growth_curve(df, n_checkpoints=2).collect()
+    }
+    assert out[1]["cum_docs"] == 2 and out[1]["cum_distinct"] == 2
+    assert out[2]["cum_docs"] == 4 and out[2]["cum_distinct"] == 3
+    assert out[2]["dup_fraction"] == 0.25
+
+
+def test_neyman_allocation_total_and_ordering(spark):
+    """Allocations sum exactly to the budget and favor the large,
+    noisy stratum over the same-size constant one."""
+    from us_accidents_bigdata_pipeline_spark.operators.sample import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("noisy", "w " * (10 * (i % 10 + 1))) for i in range(50)]
+        + [("flat", "w " * 50)] * 50
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in neyman_allocation(df, budget=1000).collect()}
+    assert out["noisy"]["alloc"] + out["flat"]["alloc"] == 1000
+    # flat stratum has sd 0 -> everything goes to the noisy one
+    assert out["flat"]["alloc"] == 0 and out["noisy"]["alloc"] == 1000

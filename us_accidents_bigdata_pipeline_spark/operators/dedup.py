@@ -1832,3 +1832,74 @@ def banding_scurve_empirical(
             F.round(theo, 6).alias("theoretical_rate"),
         )
     )
+
+
+def dedup_growth_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Dedup-savings growth curve: cumulative document count vs
+    cumulative DISTINCT-text count over a deterministic corpus order
+    (doc_id ascending, equal-width id-range checkpoints) — the
+    Heaps-law analog for duplication. Crawl dup rates GROW with crawl
+    size (every new snapshot re-fetches old pages), so extrapolating
+    this curve is how a 100 TB ingest forecasts post-dedup volume —
+    and storage/compute budget — from a prefix.
+
+    Same first-occurrence trick as ``heaps_law_fit``: each distinct
+    text counts in the checkpoint of its MINIMUM doc_id (keyed on
+    md5(text) — the payload never re-shuffles), so prefix sums over
+    the K-row bucket frame equal exact running distinct counts; no
+    cumulative-distinct window over the corpus.
+
+    Output: K rows — (checkpoint, cum_docs, cum_distinct, dup_fraction).
+    """
+    k = int(n_checkpoints)
+    bounds = df.agg(
+        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
+    )
+    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
+    bucket = (
+        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
+    ).cast("long") + F.lit(1)
+
+    docs_by_bucket = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+    )
+    first_doc = (
+        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    dist_by_bucket = (
+        first_doc.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_dist"))
+    )
+    wcum = W.orderBy("_b").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docs_by_bucket.join(dist_by_bucket, "_b", "left")
+        .select(
+            "_b",
+            F.sum("_docs").over(wcum).alias("_cd"),
+            F.sum(F.coalesce(F.col("_dist"), F.lit(0)))
+            .over(wcum)
+            .alias("_cu"),
+        )
+        .select(
+            F.col("_b").cast("int").alias("checkpoint"),
+            F.col("_cd").cast("long").alias("cum_docs"),
+            F.col("_cu").cast("long").alias("cum_distinct"),
+            F.round(
+                F.lit(1.0) - F.col("_cu") / F.col("_cd").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("checkpoint")
+    )

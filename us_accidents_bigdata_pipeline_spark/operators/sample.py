@@ -327,3 +327,88 @@ def temperature_sweep_plan(
         F.round(F.exp(ent), 6).alias("effective_sources"),
         F.round(F.max("_p").over(wt), 6).alias("top_share"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    budget: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split an integer
+    sampling ``budget`` across strata proportionally to n_s·σ_s (the
+    allocation that minimizes the variance of the stratified mean —
+    Neyman 1934), integerized by largest remainder so the total is
+    exactly preserved. The QA-sampling planner: audit more of the
+    strata that are LARGE and NOISY, not merely large.
+
+    σ_s here is the per-source population sd of the per-doc token
+    count (exact DECIMAL Σx/Σx² so the moments are summation-order
+    free); the Neyman weight n_s·σ_s is then QUANTIZED to exact
+    integer micro-units before apportionment — shares become exact
+    integer ratios, so both engines floor and rank identically (the
+    ``largest_remainder_allocation`` discipline).
+
+    Scale shape: one map-only token count, one group-keyed moment
+    aggregate, then everything is |strata|-row frames with two
+    aggregate-sized windows.
+
+    Output: one row per group — (group, n_rows, sd_tokens, alloc)
+    with Σalloc = budget exactly.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions import nonempty_token_count
+
+    x = nonempty_token_count(text_col).cast("decimal(18,0)")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x).alias("_s1"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    sd = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+    wq = per.select(
+        group_col,
+        "n_rows",
+        F.round(sd, 6).alias("sd_tokens"),
+        F.round(n * sd * 1e6, 0).cast("long").alias("_wc"),
+    )
+    w_all = W.partitionBy()
+    share = (
+        F.lit(float(budget)) * F.col("_wc") / F.sum("_wc").over(w_all)
+    )
+    s = wq.select(
+        group_col,
+        "n_rows",
+        "sd_tokens",
+        share.alias("_share"),
+        F.floor(share).cast("long").alias("_base"),
+    )
+    r = s.select(
+        group_col,
+        "n_rows",
+        "sd_tokens",
+        "_base",
+        (F.lit(int(budget)) - F.sum("_base").over(w_all)).alias("_left"),
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.desc(F.col("_share") - F.col("_base")), group_col
+            )
+        )
+        .alias("_rk"),
+    )
+    return r.select(
+        group_col,
+        "n_rows",
+        "sd_tokens",
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -16653,3 +16653,100 @@ def q_split_ks_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_custkey"],
         seed=42,
     )
+
+
+@_register(
+    "dedup_growth_curve_docs",
+    """WITH b AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id
+                 FROM documents),
+       db AS (SELECT ((d.doc_id - b.min_id) * 10)
+                     // (b.max_id - b.min_id + 1) + 1 AS bkt,
+                     count(*) AS docs
+              FROM documents d, b GROUP BY 1),
+       fd AS (SELECT md5(coalesce(text, '')) AS h,
+                     min(doc_id) AS first_doc
+              FROM documents GROUP BY 1),
+       vb AS (SELECT ((fd.first_doc - b.min_id) * 10)
+                     // (b.max_id - b.min_id + 1) + 1 AS bkt,
+                     count(*) AS dist
+              FROM fd, b GROUP BY 1),
+       cum AS (SELECT db.bkt,
+                      sum(db.docs) OVER (ORDER BY db.bkt) AS cd,
+                      sum(coalesce(vb.dist, 0)) OVER (ORDER BY db.bkt)
+                          AS cu
+               FROM db LEFT JOIN vb ON vb.bkt = db.bkt)
+       SELECT CAST(bkt AS INT) AS checkpoint,
+              CAST(cd AS BIGINT) AS cum_docs,
+              CAST(cu AS BIGINT) AS cum_distinct,
+              round(1.0 - cu / CAST(cd AS DOUBLE), 6) AS dup_fraction
+       FROM cum""",
+    doc="dedup-savings growth curve: cumulative docs vs cumulative "
+    "distinct texts over 10 doc-range checkpoints (first-occurrence "
+    "trick keyed on md5(text)) — the Heaps-law analog for "
+    "duplication that forecasts post-dedup volume from a crawl "
+    "prefix (operators/dedup.py::dedup_growth_curve)",
+)
+def q_dedup_growth_curve_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import dedup_growth_curve
+
+    return dedup_growth_curve(
+        _t(spark, sf_dir, "documents"), n_checkpoints=10
+    )
+
+
+@_register(
+    "neyman_allocation_docs",
+    r"""WITH per AS (SELECT source, count(*) AS n_rows,
+                          sum(CAST(len(list_filter(string_split_regex(
+                              trim(coalesce(text, '')), '\s+'),
+                              x -> x <> '')) AS DECIMAL(18,0))) AS s1,
+                          sum(CAST(CAST(len(list_filter(
+                              string_split_regex(trim(coalesce(text,
+                              '')), '\s+'), x -> x <> ''))
+                              AS DECIMAL(18,0))
+                              * CAST(len(list_filter(
+                              string_split_regex(trim(coalesce(text,
+                              '')), '\s+'), x -> x <> ''))
+                              AS DECIMAL(18,0)) AS DECIMAL(38,0)))
+                              AS s2
+                   FROM documents GROUP BY source),
+       m AS (SELECT source, n_rows,
+                    sqrt(greatest(
+                        CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n_rows
+                        - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_rows)
+                          * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                             / n_rows), 0.0)) AS sd
+             FROM per),
+       wq AS (SELECT source, n_rows, round(sd, 6) AS sd_tokens,
+                     CAST(round(n_rows * sd * 1000000.0, 0) AS BIGINT)
+                         AS wc
+              FROM m),
+       s AS (SELECT source, n_rows, sd_tokens,
+                    10000.0 * wc / sum(wc) OVER () AS share,
+                    CAST(floor(10000.0 * wc / sum(wc) OVER ())
+                         AS BIGINT) AS base
+             FROM wq),
+       r AS (SELECT source, n_rows, sd_tokens, base,
+                    10000 - sum(base) OVER () AS leftover,
+                    row_number() OVER (ORDER BY share - base DESC,
+                                       source) AS rk
+             FROM s)
+       SELECT source, CAST(n_rows AS BIGINT) AS n_rows, sd_tokens,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+       FROM r""",
+    doc="Neyman-optimal stratified sampling allocation of a "
+    "10000-row audit budget across sources (proportional to "
+    "n_s*sd_s over per-doc token counts, decimal-exact moments, "
+    "micro-unit quantized weights, largest-remainder integers) — "
+    "audit more of the strata that are large AND noisy "
+    "(operators/sample.py::neyman_allocation)",
+)
+def q_neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sample import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "documents"), "source", budget=10_000
+    )
