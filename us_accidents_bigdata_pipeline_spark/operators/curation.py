@@ -655,8 +655,10 @@ def loo_group_impact(
     Output: one row per group — (group, n_rows, group_mean,
     global_mean, loo_mean, delta).
     """
+    # count rows WHERE the metric is present (avg semantics): a NULL
+    # metric row must not dilute the means as a silent zero
     per = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(metric).cast("long").alias("n_rows"),
         F.sum(metric).alias("_s"),
     )
     tot = per.agg(

@@ -1653,8 +1653,6 @@ def blocking_quality_report(
     n_hits, pair_completeness, pair_quality, reduction_ratio,
     f_score).
     """
-    if n_hashes % bands != 0:
-        raise ValueError("blocking_quality_report: bands must divide n_hashes")
     sh = _doc_shingles(df, id_col, text_col, n)
     truth = _jaccard_truth_pairs(sh, id_col, threshold)
     cand = _banded_candidates(sh, id_col, n_hashes, bands)
@@ -1856,14 +1854,9 @@ def dedup_growth_curve(
 
     Output: K rows — (checkpoint, cum_docs, cum_distinct, dup_fraction).
     """
-    k = int(n_checkpoints)
-    bounds = df.agg(
-        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
-    )
-    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
-    bucket = (
-        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
-    ).cast("long") + F.lit(1)
+    from .layout import range_checkpoint_bucket
+
+    bounds, bucket = range_checkpoint_bucket(df, id_col, n_checkpoints)
 
     docs_by_bucket = (
         df.select(id_col)

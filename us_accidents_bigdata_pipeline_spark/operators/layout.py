@@ -354,3 +354,29 @@ def compact_parquet(
     return spark.read.parquet(dst).select(
         F.input_file_name()
     ).distinct().count()
+
+
+def range_checkpoint_bucket(
+    df: DataFrame, id_col: str, n_checkpoints: int
+) -> tuple:
+    """Equal-width id-range checkpoint scaffolding shared by the
+    growth-curve operators (``textstats.heaps_law_fit``,
+    ``dedup.dedup_growth_curve``): a 1-row (min, max) bounds frame
+    and the bucket expression ((id − min)·K) intdiv span + 1 ∈ [1, K]
+    — pure integer arithmetic, identical in DuckDB as
+    ``((id - min_id) * K) // (max_id - min_id + 1) + 1``. One
+    definition so a bucketing tweak cannot desynchronize the two
+    curves and their oracles.
+
+    Returns (bounds_df, bucket_column); callers cross-join the
+    broadcast bounds frame and select the bucket column.
+    """
+    k = int(n_checkpoints)
+    bounds = df.agg(
+        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
+    )
+    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
+    bucket = (
+        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
+    ).cast("long") + F.lit(1)
+    return bounds, bucket

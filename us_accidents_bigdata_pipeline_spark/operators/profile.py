@@ -2486,7 +2486,10 @@ def mann_kendall_trend(
         ),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
-    npts = d.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    npts = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct(x_col).cast("long").alias("_nx"),
+    )
     t = F.col("_t").cast("double")
     ties = (
         d.groupBy(F.col(y_col).alias("_yv"))
@@ -2501,7 +2504,12 @@ def mann_kendall_trend(
     n = F.col("n_points").cast("double")
     var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie_term")) / F.lit(18.0)
     s = F.col("s_statistic").cast("double")
-    z = F.when(var_s <= 0.0, None).otherwise(
+    # classical MK requires DISTINCT x (tied times drop pairs from S
+    # while Var(S) assumes the full pair set -> silently deflated z);
+    # emit NULL rather than a biased statistic
+    z = F.when(
+        (var_s <= 0.0) | (F.col("_nx") != F.col("n_points")), None
+    ).otherwise(
         F.when(s > 0, (s - 1) / F.sqrt(var_s))
         .when(s < 0, (s + 1) / F.sqrt(var_s))
         .otherwise(F.lit(0.0))

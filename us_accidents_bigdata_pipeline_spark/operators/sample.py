@@ -292,6 +292,10 @@ def temperature_sweep_plan(
 
     from ..functions import nonempty_token_count
 
+    if any(float(t) <= 0.0 for t in temperatures):
+        raise ValueError(
+            "temperature_sweep_plan: temperatures must be > 0"
+        )
     per = df.groupBy(group_col).agg(
         F.sum(nonempty_token_count(text_col)).cast("long").alias(
             "token_mass"
@@ -377,6 +381,15 @@ def neyman_allocation(
         F.round(n * sd * 1e6, 0).cast("long").alias("_wc"),
     )
     w_all = W.partitionBy()
+    # all-zero-variance degenerate corpus: fall back to size-
+    # proportional weights so Σalloc = budget still holds (a 0/0
+    # share would silently NULL every allocation)
+    wq = wq.withColumn(
+        "_wc",
+        F.when(F.sum("_wc").over(w_all) > 0, F.col("_wc")).otherwise(
+            F.col("n_rows")
+        ),
+    )
     share = (
         F.lit(float(budget)) * F.col("_wc") / F.sum("_wc").over(w_all)
     )

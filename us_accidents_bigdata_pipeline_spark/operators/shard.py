@@ -530,9 +530,11 @@ def split_ks_report(
         run = run.groupBy("_v").agg(
             F.max("_ca").alias("_ca"), F.max("_cb").alias("_cb")
         )
-        tot = pooled.agg(
-            F.sum("_a").cast("long").alias("n_a"),
-            F.sum("_b").cast("long").alias("n_b"),
+        # the split totals ARE the final running sums — no second
+        # scan of the source table
+        tot = run.agg(
+            F.max("_ca").cast("long").alias("n_a"),
+            F.max("_cb").cast("long").alias("n_b"),
         )
         frames.append(
             run.select("_ca", "_cb")

@@ -1021,14 +1021,9 @@ def heaps_law_fit(
     """
     from pyspark.sql import Window as W
 
-    k = int(n_checkpoints)
-    bounds = df.agg(
-        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
-    )
-    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
-    bucket = (
-        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
-    ).cast("long") + F.lit(1)
+    from .layout import range_checkpoint_bucket
+
+    bounds, bucket = range_checkpoint_bucket(df, id_col, n_checkpoints)
 
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("_t")
