@@ -125,6 +125,8 @@ _AUDIT_ALLOW: dict[str, set[str]] = {
     "split_ks_report_orders": {"nested_loop"},
     # 1-row doc_id bounds broadcast onto the <=10-row checkpoint frame
     "dedup_growth_curve_docs": {"nested_loop"},
+    # 1-row edge-count frame broadcast onto |sources|-row Q terms
+    "source_modularity_neardup_docs": {"nested_loop"},
     "part_revenue_concentration": {"nested_loop"}, # 1-row revenue total
     "top_revenue_suppliers": {"nested_loop"},      # 1-row scalar max
     "dsir_importance_weights": {"nested_loop"},    # 1-row vocab totals

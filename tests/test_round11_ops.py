@@ -610,3 +610,33 @@ def test_neyman_allocation_total_and_ordering(spark):
     assert out["noisy"]["alloc"] + out["flat"]["alloc"] == 1000
     # flat stratum has sd 0 -> everything goes to the noisy one
     assert out["flat"]["alloc"] == 0 and out["noisy"]["alloc"] == 1000
+
+
+def test_source_modularity_extremes(spark):
+    """All dup pairs intra-source -> intra fraction 1 and Q = the
+    maximum 1 - sum((d_s/2m)^2); a cross-source dup drops both."""
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        source_modularity,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    intra = spark.createDataFrame(
+        [
+            (1, base, "s1"), (2, base, "s1"),
+            (3, "one two three four five six", "s2"),
+            (4, "one two three four five six", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = source_modularity(intra, threshold=0.9).first()
+    assert r["n_edges"] == 2 and r["intra_edge_fraction"] == 1.0
+    # two sources, each with degree mass 2 of 2m=4 -> Q = 1 - 2*(1/2)^2
+    assert r["modularity"] == 0.5
+
+    cross = spark.createDataFrame(
+        [(1, base, "s1"), (2, base, "s2")],
+        "doc_id long, text string, source string",
+    )
+    r2 = source_modularity(cross, threshold=0.9).first()
+    assert r2["intra_edge_fraction"] == 0.0
+    assert r2["modularity"] < 0.0

@@ -1896,3 +1896,90 @@ def dedup_growth_curve(
         )
         .orderBy("checkpoint")
     )
+
+
+def source_modularity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the near-dup
+    graph: Q = Σ_s (e_ss/m − (d_s/2m)²), where e_ss counts near-dup
+    edges inside source s, d_s is the source's degree mass, and m the
+    total edge count. Q near its maximum means duplication is
+    INTRA-source (dedup can shard by source and parallelize
+    per-source); Q near 0 means near-dups cross source boundaries and
+    the dedup pass must be global — the one-number answer to "can I
+    dedup each source independently?", complementing
+    ``source_overlap_jaccard``'s pairwise view.
+
+    Edges are the exact shingle-Jaccard truth pairs (the
+    ``_jaccard_truth_pairs`` verification tier); everything after the
+    pair set is a broadcast id→source map join and |sources|-row
+    aggregates. Counts are exact integers; Q is a ≤|sources|-term
+    double sum (zipf float class, round 6).
+
+    Output: 1 row — (n_edges, n_sources, intra_edge_fraction,
+    modularity).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    pairs = _jaccard_truth_pairs(sh, id_col, threshold)
+    src = df.select(F.col(id_col), F.col(group_col).alias("_src"))
+    sa = src.select(
+        F.col(id_col).alias("doc_a"), F.col("_src").alias("_sa")
+    )
+    sb = src.select(
+        F.col(id_col).alias("doc_b"), F.col("_src").alias("_sb")
+    )
+    tagged = pairs.join(F.broadcast(sa), "doc_a").join(
+        F.broadcast(sb), "doc_b"
+    )
+    # degree mass per source: each edge endpoint contributes 1
+    deg = (
+        tagged.select(F.col("_sa").alias("_s"))
+        .unionByName(tagged.select(F.col("_sb").alias("_s")))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    intra = tagged.filter(F.col("_sa") == F.col("_sb")).groupBy(
+        F.col("_sa").alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_e"))
+    m1 = tagged.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    per = deg.join(intra, "_s", "left").select(
+        "_s",
+        F.col("_d"),
+        F.coalesce(F.col("_e"), F.lit(0)).alias("_e"),
+    )
+    q_terms = per.crossJoin(F.broadcast(m1)).select(
+        (
+            F.col("_e") / F.col("n_edges").cast("double")
+            - (
+                F.col("_d")
+                / (F.lit(2.0) * F.col("n_edges").cast("double"))
+            )
+            ** 2
+        ).alias("_q"),
+        (F.col("_e")).alias("_e"),
+    )
+    agg = q_terms.agg(
+        F.sum("_q").alias("_mod"),
+        F.sum("_e").cast("long").alias("_intra"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return agg.crossJoin(F.broadcast(m1)).select(
+        "n_edges",
+        "n_sources",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("_intra") / F.col("n_edges").cast("double"),
+            ),
+            6,
+        ).alias("intra_edge_fraction"),
+        F.round(F.when(F.col("n_edges") > 0, F.col("_mod")), 6).alias(
+            "modularity"
+        ),
+    )

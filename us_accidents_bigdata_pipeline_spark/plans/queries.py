@@ -16750,3 +16750,65 @@ def q_neyman_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(
         _t(spark, sf_dir, "documents"), "source", budget=10_000
     )
+
+
+@_register(
+    "source_modularity_neardup_docs",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0)))
+                   AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    count(*) AS n_common
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       truth AS (SELECT p.doc_a, p.doc_b
+                 FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+                        JOIN sizes sb ON p.doc_b = sb.doc_id
+                 WHERE CAST(p.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - p.n_common) >= 0.3),
+       tagged AS (SELECT truth.doc_a, truth.doc_b,
+                         da.source AS sa, db.source AS sb
+                  FROM truth
+                  JOIN documents da ON da.doc_id = truth.doc_a
+                  JOIN documents db ON db.doc_id = truth.doc_b),
+       m1 AS (SELECT count(*) AS n_edges FROM tagged),
+       deg AS (SELECT s, count(*) AS d FROM (
+                 SELECT sa AS s FROM tagged
+                 UNION ALL SELECT sb AS s FROM tagged) GROUP BY s),
+       intra AS (SELECT sa AS s, count(*) AS e FROM tagged
+                 WHERE sa = sb GROUP BY sa),
+       per AS (SELECT deg.s, deg.d, coalesce(intra.e, 0) AS e
+               FROM deg LEFT JOIN intra ON intra.s = deg.s),
+       agg AS (SELECT sum(e / CAST(m1.n_edges AS DOUBLE)
+                          - (d / (2.0 * m1.n_edges))
+                            * (d / (2.0 * m1.n_edges))) AS mod,
+                      sum(e) AS intra_e,
+                      count(*) AS n_sources
+               FROM per, m1)
+       SELECT CAST(m1.n_edges AS BIGINT) AS n_edges,
+              CAST(agg.n_sources AS BIGINT) AS n_sources,
+              round(CASE WHEN m1.n_edges > 0
+                         THEN intra_e / CAST(m1.n_edges AS DOUBLE) END,
+                    6) AS intra_edge_fraction,
+              round(CASE WHEN m1.n_edges > 0 THEN agg.mod END, 6)
+                  AS modularity
+       FROM agg, m1""",
+    doc="Newman modularity of the source partition over the exact "
+    "near-dup graph: Q near max -> duplication is intra-source "
+    "(dedup shards by source); Q near 0 -> near-dups cross sources "
+    "and the pass must be global. n_sources counts sources touching "
+    "at least one edge (operators/dedup.py::source_modularity)",
+)
+def q_source_modularity_neardup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import source_modularity
+
+    return source_modularity(
+        _t(spark, sf_dir, "documents"), threshold=0.3
+    )
