@@ -640,3 +640,29 @@ def test_source_modularity_extremes(spark):
     r2 = source_modularity(cross, threshold=0.9).first()
     assert r2["intra_edge_fraction"] == 0.0
     assert r2["modularity"] < 0.0
+
+
+def test_ratio_metric_delta_ci_sanity(spark):
+    """Ratio equals total purchases over total events per arm; CI
+    brackets the ratio; constant per-user behavior -> se ~ 0."""
+    from us_accidents_bigdata_pipeline_spark.operators.profile import (
+        ratio_metric_delta_ci,
+    )
+
+    # every user: 4 events, 1 purchase -> ratio exactly .25, variance 0
+    rows = []
+    for u in range(40):
+        rows += [(u, "purchase")] + [(u, "click")] * 3
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = ratio_metric_delta_ci(
+        df,
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+        F.lit(1),
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["ratio"] == 0.25
+        assert r["se"] == 0.0
+        assert r["ci_lo"] == 0.25 and r["ci_hi"] == 0.25
+    assert sum(r["n_users"] for r in out) == 40

@@ -2525,3 +2525,74 @@ def mann_kendall_trend(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+def ratio_metric_delta_ci(
+    df: DataFrame,
+    user_col: str,
+    num_expr,
+    den_expr,
+    seed: int = 42,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric under
+    user-level randomization — the experimentation estimator for
+    rates like purchases-per-event or revenue-per-session, where the
+    unit of analysis (event) differs from the unit of randomization
+    (user) and a naive binomial CI is wrong (Deng et al. 2017,
+    "ratio metrics"). Per md5-split arm: R = ΣY/ΣX over per-user
+    aggregates (y_u, x_u), with Var(R) ≈ (Var y + R²·Var x −
+    2R·Cov(x,y)) / (n·x̄²) from the user-level moment frame.
+
+    Arms come from the seeded md5 parity of the user id (the
+    ``shard_assignment`` discipline) so the assignment — and the
+    oracle — is deterministic. Per-user sums are exact integers /
+    decimal-quantized values; the moments are fixed expressions over
+    them (round 6).
+
+    Scale shape: one user-keyed aggregate (map-side partials), one
+    |arms|-row moment aggregate — the fact table is touched once, no
+    window, no join.
+
+    Output: one row per arm — (arm, n_users, sum_num, sum_den, ratio,
+    se, ci_lo, ci_hi).
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}-"), F.col(user_col).cast("string"))
+    )
+    arm = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 2
+    ).cast("int")
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.max(arm).alias("_arm"),
+        F.sum(num_expr).cast("double").alias("_y"),
+        F.sum(den_expr).cast("double").alias("_x"),
+    )
+    m = per_user.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_x").alias("_sx"),
+        F.avg("_y").alias("_my"),
+        F.avg("_x").alias("_mx"),
+        F.var_pop("_y").alias("_vy"),
+        F.var_pop("_x").alias("_vx"),
+        F.covar_pop("_x", "_y").alias("_cxy"),
+    )
+    r = F.col("_sy") / F.col("_sx")
+    n = F.col("n_users").cast("double")
+    var_r = (
+        F.col("_vy")
+        + r * r * F.col("_vx")
+        - F.lit(2.0) * r * F.col("_cxy")
+    ) / (n * F.col("_mx") * F.col("_mx"))
+    se = F.sqrt(F.greatest(var_r, F.lit(0.0)))
+    return m.select(
+        F.col("_arm").alias("arm"),
+        "n_users",
+        F.round("_sy", 4).alias("sum_num"),
+        F.round("_sx", 4).alias("sum_den"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(float(z)) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(float(z)) * se, 6).alias("ci_hi"),
+    )

@@ -16812,3 +16812,56 @@ def q_source_modularity_neardup_docs(
     return source_modularity(
         _t(spark, sf_dir, "documents"), threshold=0.3
     )
+
+
+@_register(
+    "ratio_metric_delta_ci_events",
+    """WITH pu AS (SELECT user_id,
+                   CAST(CAST('0x' || substr(md5('42-'
+                        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 2 AS INT) AS arm,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS y,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY user_id),
+       m AS (SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+                    avg(y) AS my, avg(x) AS mx,
+                    var_pop(y) AS vy, var_pop(x) AS vx,
+                    covar_pop(x, y) AS cxy
+             FROM pu GROUP BY arm)
+       SELECT arm, CAST(n AS BIGINT) AS n_users,
+              round(sy, 4) AS sum_num, round(sx, 4) AS sum_den,
+              round(sy / sx, 6) AS ratio,
+              round(sqrt(greatest((vy + (sy / sx) * (sy / sx) * vx
+                                   - 2.0 * (sy / sx) * cxy)
+                                  / (n * mx * mx), 0.0)), 6) AS se,
+              round(sy / sx - 1.959963984540054
+                    * sqrt(greatest((vy + (sy / sx) * (sy / sx) * vx
+                                     - 2.0 * (sy / sx) * cxy)
+                                    / (n * mx * mx), 0.0)), 6)
+                  AS ci_lo,
+              round(sy / sx + 1.959963984540054
+                    * sqrt(greatest((vy + (sy / sx) * (sy / sx) * vx
+                                     - 2.0 * (sy / sx) * cxy)
+                                    / (n * mx * mx), 0.0)), 6)
+                  AS ci_hi
+       FROM m""",
+    doc="delta-method CI for the purchases-per-event ratio metric "
+    "under user-level md5 randomization (Deng 2017): per-user "
+    "(y, x) aggregates, per-arm moment frame, Var(R) = (Vy + R^2 Vx "
+    "- 2R Cxy)/(n xbar^2) — the experimentation estimator when the "
+    "analysis unit differs from the randomization unit "
+    "(operators/profile.py::ratio_metric_delta_ci)",
+)
+def q_ratio_metric_delta_ci_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profile import ratio_metric_delta_ci
+
+    return ratio_metric_delta_ci(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+        F.lit(1),
+        seed=42,
+    )
