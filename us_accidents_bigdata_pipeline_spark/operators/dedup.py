@@ -1917,9 +1917,9 @@ def source_modularity(
     ``source_overlap_jaccard``'s pairwise view.
 
     Edges are the exact shingle-Jaccard truth pairs (the
-    ``_jaccard_truth_pairs`` verification tier); everything after the
-    pair set is a broadcast id→source map join and |sources|-row
-    aggregates. Counts are exact integers; Q is a ≤|sources|-term
+    ``_jaccard_truth_pairs`` verification tier); after the pair set
+    come two shuffle joins against the slim |docs|-row id→source
+    projection (pair-bounded) and |sources|-row aggregates. Counts are exact integers; Q is a ≤|sources|-term
     double sum (zipf float class, round 6).
 
     Output: 1 row — (n_edges, n_sources, intra_edge_fraction,
@@ -1934,9 +1934,9 @@ def source_modularity(
     sb = src.select(
         F.col(id_col).alias("doc_b"), F.col("_src").alias("_sb")
     )
-    tagged = pairs.join(F.broadcast(sa), "doc_a").join(
-        F.broadcast(sb), "doc_b"
-    )
+    # doc->source is a |docs|-row map: a plain shuffle join (never a
+    # forced broadcast — the map is corpus-sized, not source-sized)
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
     # degree mass per source: each edge endpoint contributes 1
     deg = (
         tagged.select(F.col("_sa").alias("_s"))

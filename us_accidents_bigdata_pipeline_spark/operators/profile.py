@@ -2557,16 +2557,16 @@ def ratio_metric_delta_ci(
     Output: one row per arm — (arm, n_users, sum_num, sum_den, ratio,
     se, ci_lo, ci_hi).
     """
-    key = F.md5(
-        F.concat(F.lit(f"{seed}-"), F.col(user_col).cast("string"))
-    )
-    arm = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % 2
-    ).cast("int")
+    from .shard import _shard_of, _shuffle_key
+
     per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
-        F.max(arm).alias("_arm"),
         F.sum(num_expr).cast("double").alias("_y"),
         F.sum(den_expr).cast("double").alias("_x"),
+    )
+    # arm assignment AFTER the per-user reduction: one hash per USER,
+    # not per fact row (and the one shared seeded-md5 definition)
+    per_user = per_user.withColumn(
+        "_arm", _shard_of(_shuffle_key("_u", seed), 2)
     )
     m = per_user.groupBy("_arm").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -2574,9 +2574,11 @@ def ratio_metric_delta_ci(
         F.sum("_x").alias("_sx"),
         F.avg("_y").alias("_my"),
         F.avg("_x").alias("_mx"),
-        F.var_pop("_y").alias("_vy"),
-        F.var_pop("_x").alias("_vx"),
-        F.covar_pop("_x", "_y").alias("_cxy"),
+        # SAMPLE moments (Deng 2017): var_pop would undercover small
+        # arms by (n-1)/n
+        F.var_samp("_y").alias("_vy"),
+        F.var_samp("_x").alias("_vx"),
+        F.covar_samp("_x", "_y").alias("_cxy"),
     )
     r = F.col("_sy") / F.col("_sx")
     n = F.col("n_users").cast("double")

@@ -16826,8 +16826,8 @@ def q_source_modularity_neardup_docs(
             FROM events GROUP BY user_id),
        m AS (SELECT arm, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
                     avg(y) AS my, avg(x) AS mx,
-                    var_pop(y) AS vy, var_pop(x) AS vx,
-                    covar_pop(x, y) AS cxy
+                    var_samp(y) AS vy, var_samp(x) AS vx,
+                    covar_samp(x, y) AS cxy
              FROM pu GROUP BY arm)
        SELECT arm, CAST(n AS BIGINT) AS n_users,
               round(sy, 4) AS sum_num, round(sx, 4) AS sum_den,
