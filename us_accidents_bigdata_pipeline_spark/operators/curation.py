@@ -36,9 +36,19 @@ def curate_corpus(
     jaccard_n: int = 3,
     jaccard_threshold: float = 0.5,
     decontam_n: int = 5,
+    classifier_weights: DataFrame | None = None,
+    classifier_bias_micro: int = 0,
+    classifier_keep_logit_micro: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the funnel; returns (curated_docs, funnel_counts) where
     funnel_counts is (stage_idx, stage, n_docs) with one row per stage.
+
+    ``classifier_weights`` (optional) appends the model-based quality
+    stage a GPT-3/CCNet-style funnel ends with: the broadcast linear
+    classifier (``textstats.quality_classifier_score``) scores each
+    decontaminated survivor and only ``keep`` docs pass — heuristics
+    first (cheap, row-local), near-dup and decontamination next,
+    classifier last where the candidate set is smallest.
 
     Each survivor frame is persisted while its count materializes, so
     every stage chain executes exactly ONCE (a lazy union-of-counts
@@ -105,15 +115,37 @@ def curate_corpus(
             (2, "repetition", int(stage_counts["qr"])),
             (3, "exact_dedup", s3.count()),
             (4, "near_dup", s4.count()),
-            (5, "decontaminated", s5.count()),
         ]
+        if classifier_weights is not None:
+            from .textstats import quality_classifier_score
+
+            s5 = _p(s5)
+            scored = quality_classifier_score(
+                s5,
+                classifier_weights,
+                id_col=id_col,
+                text_col=text_col,
+                bias_micro=classifier_bias_micro,
+                keep_logit_micro=classifier_keep_logit_micro,
+            )
+            s6 = s5.join(
+                scored.filter(F.col("keep")).select(id_col), id_col
+            )
+            counts += [
+                (5, "decontaminated", s5.count()),
+                (6, "classifier", s6.count()),
+            ]
+            s_out = s6
+        else:
+            counts.append((5, "decontaminated", s5.count()))
+            s_out = s5
     finally:
         for f in persisted:
             f.unpersist()
     funnel = spark.createDataFrame(
         counts, "stage_idx int, stage string, n_docs bigint"
     )
-    return s5, funnel
+    return s_out, funnel
 
 
 def token_budget_select(

@@ -1726,7 +1726,12 @@ def intra_doc_line_dedup(
     downstream frequency signal.
 
     Output: (id, out_col, n_lines, n_dropped); a document whose lines
-    are all repeats of its first keeps that first line.
+    are all repeats of its first keeps that first line. NULL text is
+    coalesced to '' (one kept empty line, n_lines=1, n_dropped=0) so
+    every input document appears in the output — without the coalesce,
+    ``split(NULL)`` is NULL and posexplode would silently drop the row,
+    vanishing the document from the corpus (the NULL-text discipline
+    shared with ``nonempty_token_count``/``readability_profile``).
 
     Plan shape: posexplode lines, ONE row_number window keyed on
     (doc, line) ordered by position — per-frame size is a single
@@ -1740,7 +1745,9 @@ def intra_doc_line_dedup(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     w = W.partitionBy(id_col, "line").orderBy("pos")
     kept = lines.withColumn(

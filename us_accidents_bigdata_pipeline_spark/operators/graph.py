@@ -26,16 +26,39 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    exact_units: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank) summing
     to 1.0 (±float error). Dangling-node mass is redistributed
     uniformly each iteration (the standard stochastic-matrix fix), so
     the result matches the textbook power iteration exactly —
     tests pin it against a NumPy reference.
+
+    ``exact_units``: FIXED-POINT mode. With e.g. ``exact_units=10**12``
+    every rank is a BIGINT count of 1/10^12 units and every step is
+    integer arithmetic — init ``U div n``, spread ``units div out_deg``
+    per edge, damp ``(d_pct · inflow) div 100`` with the uniform base
+    ``((100 − d_pct) · U) div (100·n)`` — so the whole iteration is
+    BIT-DETERMINISTIC: independent of shuffle/reduction order, of
+    executor count, and of engine (any SQL engine's integer ``div``
+    replays it exactly, which is what makes the fixed point
+    value-oracle-able). That reproducibility is the production
+    property: float PageRank sums contributions in shuffle order, so
+    two runs of the same job on a 1000-executor cluster differ in
+    final ulps — fixed-point runs are byte-identical. The floor
+    divisions shave ≤1 unit each, so total mass drifts below 1.0 by
+    ~n·iter units of 1/U — at U = 10^12 that is ~1e-9·n absolute,
+    far below any ranking-relevant gap; ``damping`` must be an exact
+    percent (0.85 → 85/100). Output adds ``rank_units`` (BIGINT)
+    beside the derived ``rank`` double (= units/U, one IEEE division).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if exact_units is not None:
+        return _pagerank_fixed_point(
+            e, int(exact_units), n_iter, damping, checkpoint_every
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -107,6 +130,90 @@ def pagerank(
     finally:
         nodes.unpersist()
         we.unpersist()
+
+
+def _pagerank_fixed_point(
+    e: DataFrame,
+    units: int,
+    n_iter: int,
+    damping: float,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Integer-unit PageRank loop (see ``pagerank(exact_units=...)``).
+    Same join/aggregate shape as the float path — one key-partitioned
+    edge⋈rank join + one groupBy per round — but every value is a
+    BIGINT unit count and every division is integral ``div``, so the
+    fixed point is reproducible bit-for-bit on any engine."""
+    dnum = int(round(damping * 100))
+    if abs(damping * 100 - dnum) > 1e-9:
+        raise ValueError(
+            f"exact_units mode needs an exact percent damping, got {damping}"
+        )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(out_deg, "src").persist()
+    ed.count()
+    base_units = ((100 - dnum) * units) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(units // n).cast("long").alias("rank_units")
+    )
+    has_dangling = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    try:
+        for it in range(n_iter):
+            if has_dangling:
+                ranks = ranks.localCheckpoint(eager=True)
+                dangling = (
+                    ranks.join(
+                        out_deg, ranks.node == out_deg.src, "left_anti"
+                    )
+                    .agg(F.sum("rank_units"))
+                    .first()[0]
+                    or 0
+                )
+                base_it = base_units + (dnum * int(dangling)) // (100 * n)
+            else:
+                base_it = base_units
+            contribs = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select(
+                    "dst", F.expr("rank_units div out_deg").alias("c")
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new_ranks = nodes.join(
+                contribs, nodes.node == contribs.dst, "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base_it).cast("long")
+                    + F.expr(f"({dnum} * coalesce(contrib, 0L)) div 100")
+                ).alias("rank_units"),
+            )
+            if not has_dangling and (it + 1) % checkpoint_every == 0:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+        return ranks.select(
+            "node",
+            "rank_units",
+            (
+                F.col("rank_units").cast("double") / F.lit(float(units))
+            ).alias("rank"),
+        )
+    finally:
+        nodes.unpersist()
+        ed.unpersist()
 
 
 def pagerank_mass(

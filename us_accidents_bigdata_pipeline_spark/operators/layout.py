@@ -375,8 +375,12 @@ def range_checkpoint_bucket(
     bounds = df.agg(
         F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
     )
-    span = F.col("_max_id") - F.col("_min_id") + F.lit(1)
-    bucket = (
-        (F.col(id_col) - F.col("_min_id")) * F.lit(k) / span
-    ).cast("long") + F.lit(1)
+    # `div` is Spark SQL's exact integral division on longs — the same
+    # operation as DuckDB's `//`. The earlier double-division-then-cast
+    # form was oracle-identical at tested scales but could round onto an
+    # integer boundary for id spans ~1e15+, off-by-one-bucket vs the
+    # oracle's floor division; `div` removes the IEEE step entirely.
+    bucket = F.expr(
+        f"((`{id_col}` - _min_id) * {k}) div (_max_id - _min_id + 1)"
+    ) + F.lit(1)
     return bounds, bucket

@@ -515,3 +515,103 @@ def frame_diff_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def ahash_signature(
+    feats: DataFrame,
+    id_col: str = "media_id",
+    feature_col: str = "features",
+) -> DataFrame:
+    """aHash-style binary signature from a decoded feature vector:
+    bit_i = 1 iff feature_i > mean(features) — the average-hash
+    perceptual fingerprint (the dHash/pHash family's simplest member),
+    computed RELATIONALLY over whatever ``decode_image_features``
+    produced, so it needs no codec of its own.
+
+    Exactness: with digest-fake features every lane is a dyadic
+    k/256, so the lane sum is exact in any fold order, the mean is one
+    IEEE division, and every bit decision is reproducible cross-engine
+    — which is what makes the downstream pair join value-oracle-able.
+    (With a real decoder the lanes are pixel block means — the same
+    arithmetic, just not oracle-checkable without the codec.)
+
+    The vector length must be ≤ 62 so the packed signature fits a
+    non-negative BIGINT (bit 63 is the sign; bit 62 is left unused to
+    keep every block value positive under any split).
+
+    Output: (id, signature BIGINT).
+    """
+    withm = feats.select(
+        id_col,
+        feature_col,
+        (
+            F.aggregate(feature_col, F.lit(0.0), lambda a, x: a + x)
+            / F.size(feature_col).cast("double")
+        ).alias("_mean"),
+    )
+    # F.shiftleft needs a literal bit count, but the lambda index is a
+    # Column — pow(2, i) is the column-shaped equivalent and exact
+    # (powers of two are exactly representable doubles; the long cast
+    # truncates nothing for i <= 61)
+    bits = F.transform(
+        F.col(feature_col),
+        lambda x, i: F.when(
+            x > F.col("_mean"),
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return withm.select(
+        F.col(id_col),
+        F.aggregate(
+            bits, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("signature"),
+    )
+
+
+def perceptual_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 60,
+    max_hamming: int = 5,
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual IMAGE near-dup pairs: decode each payload to a
+    ``dim``-lane feature vector, take the aHash signature, and emit
+    every pair within ``max_hamming`` Hamming distance — the image
+    dedup stage of a multimodal corpus funnel (re-encoded, resized or
+    lightly edited copies land a few bits apart; exact byte hashes
+    miss them entirely).
+
+    The pair join REUSES the SimHash blocked-Hamming machinery
+    (``dedup._blocked_hamming_pairs``): the signature splits into
+    ``max_hamming + 1`` blocks, so by pigeonhole any pair within the
+    budget collides on at least one block — recall 1 via a
+    key-partitioned equi-join, never an all-pairs product; the
+    bit_count(xor) verify is a 2-instruction projection. Same
+    100 TB scale shape as the text SimHash tier.
+
+    ``fake=True`` runs the deterministic digest-feature path (the
+    sandbox configuration — exactly oracle-able end to end since the
+    lanes are sha256 byte math); ``fake=False`` requires a real codec
+    and raises until one is integrated.
+
+    Output: (doc_a, doc_b, hamming) — the ``_blocked_hamming_pairs``
+    contract (generic pair-column names regardless of ``id_col``).
+    """
+    if not (1 <= dim <= 62):
+        raise ValueError(
+            f"perceptual_near_dup_pairs: dim={dim} must be in [1, 62] "
+            "so the packed signature stays a non-negative BIGINT"
+        )
+    from .dedup import _blocked_hamming_pairs
+
+    feats = decode_image_features(
+        df, payload_col=payload_col, id_col=id_col, dim=dim, fake=fake
+    )
+    sigs = ahash_signature(feats, id_col=id_col).select(
+        F.col(id_col), F.col("signature").alias("simhash")
+    )
+    return _blocked_hamming_pairs(
+        sigs, id_col, max_hamming, n_bits=dim
+    )

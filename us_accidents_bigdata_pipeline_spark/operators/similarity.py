@@ -2469,12 +2469,21 @@ def rank_biased_overlap(
     Exactness: ranks are deterministic integers (callers tie-break);
     p^{d−1}/d and the ≤k-term sums are the zipf float class.
 
+    Truncation contract: inputs are DENSE rankings (ranks 1..n per
+    list, the row_number discipline every caller uses). When either
+    list is shorter than ``k`` the effective depth clamps to
+    k_eff = min(k, |a|, |b|) — overlap is divided by k_eff and the
+    depth weights stop at k_eff, so a truncated list reads as a
+    shallower comparison, not as ranking disagreement (without the
+    clamp, missing depths silently counted as disagreement and biased
+    overlap_at_k/rbo downward). The output ``k`` column reports k_eff.
+
     Scale shape: everything is k-row-sized — the matched join, the
     depth frame, its suffix window, the final 1-row aggregate. The
     expensive part is building the rankings, which callers do with
     map-side partial top-k.
 
-    Output: 1 row — (k, p, n_common, overlap_at_k, rbo).
+    Output: 1 row — (k = k_eff, p, n_common, overlap_at_k, rbo).
     """
     spark = ranked_a.sparkSession
     a = ranked_a.filter(F.col(rank_col) <= int(k)).select(
@@ -2483,14 +2492,28 @@ def rank_biased_overlap(
     b = ranked_b.filter(F.col(rank_col) <= int(k)).select(
         F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
     )
+    keff = (
+        a.agg(F.count(F.lit(1)).alias("_na"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("_nb"))))
+        .select(
+            F.least(F.lit(int(k)), F.col("_na"), F.col("_nb"))
+            .cast("int")
+            .alias("_keff")
+        )
+    )
     matched = a.join(b, "_id").select(
         F.greatest("_ra", "_rb").alias("_m")
     )
-    depths = spark.range(1, int(k) + 1).select(
-        F.col("id").alias("_d"),
-        (F.pow(F.lit(float(p)), F.col("id") - 1) / F.col("id")).alias(
-            "_w"
-        ),
+    depths = (
+        spark.range(1, int(k) + 1)
+        .crossJoin(F.broadcast(keff))
+        .filter(F.col("id") <= F.col("_keff"))
+        .select(
+            F.col("id").alias("_d"),
+            (F.pow(F.lit(float(p)), F.col("id") - 1) / F.col("id")).alias(
+                "_w"
+            ),
+        )
     )
     suffix = depths.select(
         "_d",
@@ -2506,13 +2529,17 @@ def rank_biased_overlap(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.coalesce(F.sum("_s"), F.lit(0.0)).alias("_ssum"),
     )
-    return t.select(
-        F.lit(int(k)).alias("k"),
+    return t.crossJoin(F.broadcast(keff)).select(
+        F.col("_keff").alias("k"),
         F.lit(float(p)).alias("p"),
         "n_common",
-        F.round(F.col("n_common") / F.lit(float(k)), 4).alias(
-            "overlap_at_k"
-        ),
+        F.round(
+            F.when(
+                F.col("_keff") > 0,
+                F.col("n_common") / F.col("_keff").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("overlap_at_k"),
         F.round(F.lit(1.0 - float(p)) * F.col("_ssum"), 4).alias("rbo"),
     )
 

@@ -1196,3 +1196,92 @@ def source_diversity_profile(
         ).alias("inv_simpson"),
         F.round("_top", 6).alias("top_source_share"),
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias_micro: int = 0,
+    keep_logit_micro: int = 0,
+) -> DataFrame:
+    """Broadcast LINEAR quality classifier (the fastText/CCNet-style
+    stage of a pretraining-curation funnel, à la GPT-3's quality
+    filtering): tokenize each document, join a small broadcast
+    (token, weight) table learned OFFLINE, and score
+    z = bias + Σ_occurrences w(token), keep = sigmoid(z) ≥ threshold.
+    The model ships as a LITERAL frame (top-N weights exported from an
+    offline trainer), so scoring 100 TB is one map-side broadcast
+    hash join + one groupBy on the doc key — the corpus text never
+    shuffles, and there is no model server in the loop.
+
+    Exactness discipline: ``weights.weight_micro`` and ``bias_micro``
+    are INTEGER MICRO-UNITS (weight·10⁶), so the per-doc logit
+    accumulates as an exact BIGINT in any summation order and on any
+    engine; the float logit is ONE IEEE division (micro/10⁶) and the
+    sigmoid one exp+division rounded at 6. The keep decision compares
+    the INTEGER logit against ``keep_logit_micro``
+    (= round(logit(threshold)·10⁶), 0 for threshold 0.5) — pure
+    integer, so the cut is bit-exact cross-engine even when the score
+    sits on the boundary.
+
+    NULL text coalesces to '' (zero matched tokens, logit = bias) so
+    every input document is scored. Tokens are lowercased before the
+    weight lookup.
+
+    Output: (id, matched_tokens, logit_micro, logit, score, keep) —
+    one row per input document.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(
+                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+                )
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .select(id_col, F.lower(F.col("_tok")).alias("_tok"))
+    )
+    w = weights.select(
+        F.col("token").alias("_tok"),
+        F.col("weight_micro").cast("long").alias("_w"),
+    )
+    per = (
+        toks.join(F.broadcast(w), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched_tokens"),
+            F.sum("_w").cast("long").alias("_wsum"),
+        )
+    )
+    lm = (
+        F.coalesce(F.col("_wsum"), F.lit(0).cast("long"))
+        + F.lit(int(bias_micro)).cast("long")
+    )
+    logit = F.col("logit_micro").cast("double") / F.lit(1000000.0)
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("matched_tokens"), F.lit(0).cast("long")
+            ).alias("matched_tokens"),
+            lm.alias("logit_micro"),
+        )
+        .select(
+            id_col,
+            "matched_tokens",
+            "logit_micro",
+            F.round(logit, 6).alias("logit"),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+            ).alias("score"),
+            (
+                F.col("logit_micro") >= F.lit(int(keep_logit_micro))
+            ).alias("keep"),
+        )
+    )

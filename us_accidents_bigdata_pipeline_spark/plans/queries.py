@@ -5255,21 +5255,58 @@ def q_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "pagerank_copurchase",
-    None,
+    # Fixed-point (integer micro-unit) PageRank is exactly replayable
+    # in SQL: the 8 iterations unroll into 8 chained CTEs of identical
+    # shape, every step integral (`//` = Spark's `div`), so the BIGINT
+    # rank_units match bit-for-bit. The graph is symmetric (both edge
+    # directions emitted) => dangling-free, so the uniform base term is
+    # the same constant every round.
+    r"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey < 2000),
+       e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       nodes AS (SELECT DISTINCT src AS node FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS u
+              FROM nodes CROSS JOIN nn),
+"""
+    + ",\n".join(
+        f"""       i{k} AS (SELECT x.node,
+               CAST((15 * 1000000000000) // (100 * nn.n)
+                    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS u
+              FROM nodes x CROSS JOIN nn
+              LEFT JOIN (SELECT e.dst AS node, sum(r.u // deg.d) AS s
+                         FROM e JOIN {'r0' if k == 1 else f'i{k - 1}'} r
+                              ON e.src = r.node
+                              JOIN deg ON deg.src = e.src
+                         GROUP BY e.dst) c ON x.node = c.node)"""
+        for k in range(1, 9)
+    )
+    + """
+       SELECT node, u AS rank_units,
+              round(CAST(u AS DOUBLE) / 1000000000000.0, 8) AS rank
+       FROM i8 ORDER BY rank DESC, node LIMIT 20""",
     doc="PageRank over the part co-purchase graph (lineitem self-join "
-    "on the order key -> symmetric edges), top-20 parts by rank — "
-    "iterative numeric fixed point, not SQL-expressible; pinned "
-    "against a NumPy power-iteration reference incl. dangling-mass "
-    "handling in tests/test_textops.py "
-    "(operators/graph.py::pagerank)",
+    "on the order key -> symmetric edges), top-20 parts by rank, run "
+    "in FIXED-POINT mode (exact_units=10^12): every rank is a BIGINT "
+    "unit count and every step integral division, so the iteration is "
+    "bit-deterministic — independent of shuffle order, executor "
+    "count, and engine — which both makes it value-oracle-able "
+    "(8 unrolled integer CTE rounds) and is the reproducibility "
+    "property you want for a ranking job on a 1000-executor cluster "
+    "(float PageRank differs in final ulps run-to-run). The float "
+    "path stays pinned against a NumPy power-iteration reference "
+    "incl. dangling-mass handling in tests/test_textops.py "
+    "(operators/graph.py::pagerank, ::_pagerank_fixed_point)",
 )
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import copurchase_edges, pagerank
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
-    ranks = pagerank(copurchase_edges(li), n_iter=8)
+    ranks = pagerank(copurchase_edges(li), n_iter=8, exact_units=10**12)
     return ranks.select(
-        "node", F.round("rank", 8).alias("rank")
+        "node", "rank_units", F.round("rank", 8).alias("rank")
     ).orderBy(F.col("rank").desc(), F.col("node")).limit(20)
 
 
@@ -16864,4 +16901,113 @@ def q_ratio_metric_delta_ci_events(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0),
         F.lit(1),
         seed=42,
+    )
+
+
+# Offline-learned unigram weights for the broadcast linear quality
+# classifier, in integer micro-units (weight * 1e6). A literal frame,
+# the way a fastText-style model's top-N features ship to the cluster.
+_QC_WEIGHTS = [
+    ("spark", 300000), ("query", 250000), ("vector", 220000),
+    ("join", 200000), ("table", 180000), ("data", 150000),
+    ("fast", 120000), ("stream", 110000), ("batch", 90000),
+    ("hash", 70000), ("slow", -400000), ("small", -150000),
+    ("scan", -80000), ("the", -60000), ("a", -50000),
+    ("row", -30000),
+]
+
+
+@_register(
+    "quality_classifier_docs",
+    r"""WITH w(token, wm) AS (VALUES
+            ('spark', 300000), ('query', 250000), ('vector', 220000),
+            ('join', 200000), ('table', 180000), ('data', 150000),
+            ('fast', 120000), ('stream', 110000), ('batch', 90000),
+            ('hash', 70000), ('slow', -400000), ('small', -150000),
+            ('scan', -80000), ('the', -60000), ('a', -50000),
+            ('row', -30000)),
+       t AS (SELECT doc_id, lower(u.t) AS tok
+             FROM documents,
+                  UNNEST(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+')) AS u(t)
+             WHERE u.t <> ''),
+       m AS (SELECT t.doc_id,
+                    CAST(count(*) AS BIGINT) AS matched_tokens,
+                    CAST(sum(w.wm) AS BIGINT) AS wsum
+             FROM t JOIN w ON t.tok = w.token GROUP BY t.doc_id),
+       z AS (SELECT d.doc_id,
+                    CAST(COALESCE(m.matched_tokens, 0) AS BIGINT)
+                        AS matched_tokens,
+                    CAST(COALESCE(m.wsum, 0) - 1200000 AS BIGINT) AS lm
+             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+       SELECT doc_id, matched_tokens, lm AS logit_micro,
+              round(CAST(lm AS DOUBLE) / 1000000.0, 6) AS logit,
+              round(1.0 / (1.0 + exp(-(CAST(lm AS DOUBLE) / 1000000.0))),
+                    6) AS score,
+              lm >= 0 AS keep
+       FROM z""",
+    doc="broadcast linear quality classifier (fastText/CCNet-style "
+    "model-based curation stage): tokenize, broadcast-join a literal "
+    "(token, micro-weight) table, per-doc BIGINT logit + sigmoid. "
+    "Weights/bias in integer micro-units make the logit exact in any "
+    "summation order; the keep cut compares the INTEGER logit, so "
+    "the decision is bit-exact cross-engine; sigmoid is one exp "
+    "rounded at 6 (operators/textstats.py::quality_classifier_score; "
+    "composes with curate_corpus via classifier_weights)",
+)
+def q_quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_classifier_score
+
+    w = spark.createDataFrame(
+        _QC_WEIGHTS, "token string, weight_micro long"
+    )
+    return quality_classifier_score(
+        _t(spark, sf_dir, "documents"), w, bias_micro=-1200000
+    )
+
+
+@_register(
+    "multimodal_phash_pairs",
+    r"""WITH d AS (SELECT doc_id, sha256(coalesce(text, '')) AS h
+                  FROM documents),
+       lanes AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+                        CAST(CAST(concat('0x', substr(h, 2 * (i % 32) + 1, 2))
+                             AS INTEGER) AS DOUBLE) / 256.0 AS f
+                 FROM d, UNNEST(range(0, 60)) AS u(i)),
+       m AS (SELECT doc_id, sum(f) / 60.0 AS mean
+             FROM lanes GROUP BY doc_id),
+       sig AS (SELECT l.doc_id,
+                      CAST(sum(CASE WHEN l.f > m.mean
+                               THEN CAST(1 AS BIGINT) << l.i
+                               ELSE 0 END) AS BIGINT) AS s
+               FROM lanes l JOIN m USING (doc_id)
+               GROUP BY l.doc_id),
+       blocks AS (SELECT doc_id, s, CAST(bi AS INTEGER) AS bi,
+                         (s >> (CAST(bi AS INTEGER) * 10)) & 1023 AS bv
+                  FROM sig, UNNEST(range(0, 6)) AS b(bi)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.s AS sa, b.s AS sb
+                FROM blocks a JOIN blocks b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 5""",
+    doc="perceptual image near-dup pairs: digest-fake decode -> 60-lane "
+    "features -> aHash signature (bit = lane > mean; dyadic-exact) -> "
+    "Hamming <= 5 pairs via the SimHash blocked-Hamming equi-join "
+    "(pigeonhole recall 1, never all-pairs). Closes the image-dedup "
+    "gap in the multimodal tier with zero codec dependencies; DuckDB "
+    "replays every lane, bit and block from the sha256 hex "
+    "(operators/multimodal.py::perceptual_near_dup_pairs, "
+    "::ahash_signature; dedup.py::_blocked_hamming_pairs)",
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import perceptual_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return perceptual_near_dup_pairs(
+        d, id_col="doc_id", dim=60, max_hamming=5, fake=True
     )
