@@ -728,3 +728,98 @@ def test_foreach_batch_cdc_tombstones_and_replay(spark, tmp_path):
         **expected,
         2: "b9",
     }
+
+
+def test_left_outer_join_null_emission_on_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream join eviction timing: an unmatched
+    view's NULL row is emitted ONLY once the global watermark passes
+    its admissible window and its state is evicted. Without a later
+    batch advancing the watermark, the NULL row is WITHHELD at stream
+    end (Spark's documented outer-join behavior — state never evicts);
+    a far-future sentinel batch plus the no-data final micro-batch
+    flushes it. This is the production subtlety behind the sentinel in
+    plans/queries.py::q_streaming_stream_stream_left_outer."""
+    import datetime as dt
+    import time
+
+    from us_accidents_bigdata_pipeline_spark.streaming import (
+        parquet_stream_reader,
+        run_windowed_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    main_rows = [
+        (1, 10, "view", t0),  # no purchase -> outer NULL row
+        (2, 20, "view", t0),
+        (2, 21, "purchase", t0 + dt.timedelta(minutes=10)),  # matched
+    ]
+    sentinel_rows = [
+        (-1, -1, "view", t0 + dt.timedelta(hours=10)),
+        (-1, -2, "purchase", t0 + dt.timedelta(hours=20)),
+    ]
+
+    def _run(src: str, name: str):
+        sch = spark.read.parquet(src).schema
+        views = (
+            parquet_stream_reader(
+                spark, src, sch, glob_filter="*.parquet",
+                max_files_per_trigger=1,
+            )
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        purchases = (
+            parquet_stream_reader(
+                spark, src, sch, glob_filter="*.parquet",
+                max_files_per_trigger=1,
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "leftOuter",
+        )
+        out = run_windowed_batch(
+            joined, query_name=name, output_mode="append"
+        )
+        return {
+            (r["user_id"], r["view_id"]): r["purchase_id"]
+            for r in out.filter(F.col("user_id") >= 0).collect()
+        }
+
+    # WITHOUT the sentinel: matched row emits, unmatched view withheld
+    src_a = str(tmp_path / "no_sentinel")
+    spark.createDataFrame(main_rows, schema).coalesce(1).write.parquet(src_a)
+    got_a = _run(src_a, "louter_nosent")
+    assert got_a == {(2, 20): 21}, got_a
+
+    # WITH the sentinel second batch: the watermark passes every
+    # admissible window, state evicts, the NULL row appears
+    src_b = str(tmp_path / "with_sentinel")
+    spark.createDataFrame(main_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_b)
+    time.sleep(1.1)  # distinct mtimes -> ordered micro-batches
+    spark.createDataFrame(sentinel_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_b)
+    got_b = _run(src_b, "louter_sent")
+    assert got_b == {(2, 20): 21, (1, 10): None}, got_b

@@ -17011,3 +17011,115 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_near_dup_pairs(
         d, id_col="doc_id", dim=60, max_hamming=5, fake=True
     )
+
+
+@_register(
+    "streaming_stream_stream_left_outer",
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+       FROM events v LEFT JOIN events p
+         ON v.user_id = p.user_id AND p.event_type = 'purchase'
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+       WHERE v.event_type = 'view'""",
+    doc="STREAM-STREAM LEFT OUTER join with event-time range condition: "
+    "every view emits, purchase-matched rows immediately, UNMATCHED "
+    "views only when the global watermark passes view_ts + 30min + "
+    "delay and their join state is EVICTED — the null-emission-on-"
+    "eviction timing that distinguishes outer from inner streaming "
+    "joins in production. On bounded input the batch LEFT JOIN is the "
+    "oracle, which only holds because a far-future sentinel batch "
+    "(mtime-ordered second micro-batch, maxFilesPerTrigger=1) advances "
+    "both watermarks past every admissible match window and Spark's "
+    "no-data final micro-batch flushes the evicted state; without the "
+    "sentinel the last views' NULL rows would be withheld at stream "
+    "end (eviction-timing pin: tests/test_streaming.py)",
+)
+def q_streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming import parquet_stream_reader, run_windowed_batch
+    from ..tuning import safe_collect
+
+    raw = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # withWatermark (EVENT_TIME) accepts only TIMESTAMP; the cast is
+        # wall-clock-preserving because _t pins the session tz to UTC
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    t_max = raw.agg(F.max("ts")).first()[0]
+    # sentinel rows (user_id -1, filtered from the result): one per
+    # side so BOTH post-filter watermarks advance; 10h/20h offsets keep
+    # the sentinels from matching anything incl. each other (20h-10h
+    # and any real-row gap both exceed the 30min interval)
+    sentinels = spark.createDataFrame(
+        [
+            (-1, -1, "view", t_max + dt.timedelta(hours=10)),
+            (-1, -2, "purchase", t_max + dt.timedelta(hours=20)),
+        ],
+        raw.schema,
+    )
+    src = tempfile.mkdtemp(prefix="ss_louter_")
+    try:
+        raw.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> ordered micro-batches
+        sentinels.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def _src() -> DataFrame:
+            return parquet_stream_reader(
+                spark,
+                src,
+                schema,
+                glob_filter="*.parquet",
+                max_files_per_trigger=1,
+            )
+
+        views = (
+            _src()
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        purchases = (
+            _src()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "leftOuter",
+        )
+        out = run_windowed_batch(
+            joined,
+            query_name="stream_stream_left_outer",
+            output_mode="append",
+        )
+        res = out.filter(F.col("user_id") >= 0).select(
+            "user_id", "view_id", "purchase_id"
+        )
+        # memory-sink lifetime: materialize via the guarded collect
+        res = spark.createDataFrame(safe_collect(res, 500_000), res.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return res
