@@ -22,6 +22,14 @@ Usage: ``python3 scripts/scaling_probe.py`` (env:
 ``SPARK_GRAFT_SF_DIR`` base, default sf0.1; ``SPARK_GRAFT_SCALE_FACTOR``
 default 10; ``SPARK_GRAFT_SCALE_DIR`` scratch, default under /tmp).
 The scaled parquet is built once and reused if present.
+
+Re-probe mode (round-12): ``SPARK_GRAFT_SCALE_OPS`` restricts the run
+to a comma-separated op subset and ``SPARK_GRAFT_SCALE_TAG`` (e.g.
+``100x``) MERGES the results into the existing SCALING.json under
+``ops_<tag>`` instead of overwriting the main ``ops`` section — used
+to chain a second 10x step on top of the 10x dir (base=scale10x,
+scaled=scale100x) so fixed per-job overhead stops dominating the
+ratios of sub-second ops.
 """
 
 from __future__ import annotations
@@ -182,11 +190,18 @@ def _run(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="scaling_probe")
     spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
-    needed = {t for ts in OPS.values() for t in ts}
+    subset_env = os.environ.get("SPARK_GRAFT_SCALE_OPS")
+    ops = (
+        {n: OPS[n] for n in subset_env.split(",") if n}
+        if subset_env
+        else OPS
+    )
+    tag = os.environ.get("SPARK_GRAFT_SCALE_TAG")
+    needed = {t for ts in ops.values() for t in ts}
     _build_scaled(spark, needed)
 
     results: dict[str, dict] = {}
-    for name in OPS:
+    for name in ops:
         _run(spark, name, BASE)  # warm both code paths
         t_base = min(_run(spark, name, BASE) for _ in range(2))
         t_scaled = min(_run(spark, name, SCALED) for _ in range(2))
@@ -199,16 +214,26 @@ def main() -> None:
               f"(x{t_scaled / t_base:.2f})", flush=True)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    payload = {
-        "base_sf_dir": BASE,
-        "scale_factor": FACTOR,
-        "cpu_probe_miters_per_sec": round(_probe_miters(), 1),
-        "ops": results,
-    }
-    with open(os.path.join(here, "SCALING.json"), "w") as fh:
+    out_path = os.path.join(here, "SCALING.json")
+    if tag:
+        with open(out_path) as fh:
+            payload = json.load(fh)
+        payload[f"ops_{tag}"] = results
+        payload[f"base_sf_dir_{tag}"] = BASE
+        payload[f"cpu_probe_miters_per_sec_{tag}"] = round(
+            _probe_miters(), 1
+        )
+    else:
+        payload = {
+            "base_sf_dir": BASE,
+            "scale_factor": FACTOR,
+            "cpu_probe_miters_per_sec": round(_probe_miters(), 1),
+            "ops": results,
+        }
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(json.dumps(payload["ops"], sort_keys=True))
+    print(json.dumps(results, sort_keys=True))
 
 
 if __name__ == "__main__":

@@ -613,7 +613,12 @@ def lsh_banding_planner(
     Scale shape: one shingle equi-join for the pair histogram (the
     calibration shape, candidate-bounded), then everything downstream
     is the |buckets|-row histogram cross the |grid|-row plan frame —
-    aggregate-sized; the corpus itself is touched once.
+    aggregate-sized; the corpus itself is touched once. The histogram
+    join's cost tracks the observable near-dup PAIR MASS — linear in
+    corpus size at fixed dup density (each shingle key's document
+    frequency, not the corpus, sets the per-key fanout), which is what
+    SCALING.json's 10x time ratio prices; the ``ops_100x`` re-probe
+    confirms the ratio holds once fixed overhead is amortized.
 
     Output: one row per (grid point × observed bucket): (b, r,
     s_curve_threshold, p_at_target, recommended, j_bucket, n_pairs,
@@ -1803,7 +1808,11 @@ def banding_scurve_empirical(
     planner); candidates are the banded signature equi-join from
     ``blocking_quality_report``. One left join pair-to-pair, one
     bucket aggregate — everything past the two pair sets is
-    |buckets|-row sized.
+    |buckets|-row sized. Cost scales with the OBSERVABLE PAIR MASS
+    (shingle-join output + banded collisions), which grows linearly
+    with corpus size at fixed dup density — the intrinsic term behind
+    SCALING.json's 10x growth reading; the chained 10x->100x re-probe
+    (``ops_100x``) separates it from fixed overhead.
 
     Output: one row per j-bucket — (j_bucket, n_pairs, n_collided,
     observed_rate, theoretical_rate).

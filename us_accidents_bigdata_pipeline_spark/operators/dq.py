@@ -433,7 +433,10 @@ def dp_contribution_bounded_counts(
     global sort), then a group-keyed count aggregate and a map-only
     per-group noise expression. At 100 TB the window input is the slim
     (user, group, id) projection; everything downstream is
-    group-cardinality-sized.
+    group-cardinality-sized. Cost is LINEAR in input rows (the keyed
+    window dominates); SCALING.json's 10x entry reads >5x only because
+    the ~0.4 s base is mostly fixed job overhead — the chained
+    10x->100x re-probe (``ops_100x``) is the honest ratio.
 
     Output: (group, bounded_count, noisy_count, epsilon,
     contribution_cap).
