@@ -280,12 +280,56 @@ def _positional_grams(
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs, distinct per doc (set semantics for
-    Jaccard) — see ``_positional_grams`` for the formulation."""
-    return (
-        _positional_grams(df, id_col, text_col, n)
-        .select(id_col, F.col("gram").alias("shingle"))
-        .distinct()
+    Jaccard).
+
+    Formulation (optimization round 12): tokenize ONCE into a
+    LET-BOUND array column — a separate Project whose ``_toks`` alias
+    is referenced three times, which keeps CollapseProject from
+    inlining the regex split back into the per-shingle lambda
+    (Catalyst has no let-binding; an inlined split re-executes per
+    generated shingle, the trap ``_positional_grams`` documents) —
+    then generate shingles with slice/array_join over that array and
+    explode. Output is row-identical to the previous posexplode +
+    lead-window formulation (verified against every shingle oracle),
+    but generation is now MAP-ONLY: the window's full token-stream
+    shuffle + per-doc sort are gone, and the only exchange left is the
+    ``distinct``. At 100 TB that deletes one corpus-wide shuffle from
+    every shingle consumer (guide §2.4)."""
+    toks = F.split(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
     )
+    guarded = F.when(F.size(F.col("_toks")) >= n, gen).otherwise(
+        F.array().cast("array<string>")
+    )
+    return base.select(
+        F.col(id_col), F.explode(guarded).alias("shingle")
+    ).distinct()
+
+
+def _shared(frame: DataFrame) -> DataFrame:
+    """Materialize a subtree consumed by SEVERAL downstream branches
+    exactly once: a LAZY ``localCheckpoint`` (computed on the query's
+    first action, reused by every consumer; blocks are
+    MEMORY_AND_DISK-spillable and released by Spark's ContextCleaner
+    when the frame is garbage-collected — no unpersist point needed,
+    unlike ``.persist()`` whose CacheManager entry pins the plan for
+    the session).
+
+    Why: Catalyst re-derives a reused DataFrame subtree per consumer —
+    measured in this repo's round-12 plans as 12 parquet scans of the
+    corpus in ``minhash_banded_pairs`` and 14 in
+    ``blocking_quality_report`` (ReuseExchange cannot dedupe them:
+    column pruning makes each consumer's exchange child differ). With
+    the shingle stream checkpointed, the corpus is read and tokenized
+    ONCE per query. At production scale this is guide §8's "compute
+    the decision data once" discipline — the materialized frame is the
+    slim (id, shingle)/(id, signature) proxy, never the document
+    payload. Lazy (not eager) so that plan building, ``explain`` and
+    the plan audit stay free of side effects."""
+    return frame.localCheckpoint(eager=False)
 
 
 def winnow_fingerprints(
@@ -367,7 +411,7 @@ def ngram_jaccard_pairs(
     no discriminating signal. Default None = exact semantics (the
     oracle-checked configuration).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -479,13 +523,29 @@ def minhash_near_dup_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
-        F.col(id_col), shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Let-bound token array (same discipline as _doc_shingles): the
+    # single-expression shingles() form would re-execute the regex
+    # split per generated shingle. The shingle array itself is built
+    # in a separate Project so HashingTF sees a plain column.
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+    )
+    sh_arr = F.when(F.size(F.col("_toks")) >= n, gen).otherwise(
+        F.array().cast("array<string>")
+    )
+    docs = base.select(F.col(id_col), sh_arr.alias("sh")).filter(
+        F.size("sh") > 0
+    )
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
-    feat = tf.transform(docs)
+    # approxSimilarityJoin(feat, feat) consumes the hashed frame on
+    # BOTH sides; materialize it once (lazy localCheckpoint) so the
+    # tokenize + HashingTF + MinHash subtree is not re-derived per side
+    feat = _shared(tf.transform(docs))
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )
@@ -531,15 +591,17 @@ def minhash_estimate_calibration(
     shingles (map-side partial min per slot); the pair set and exact
     Jaccard reuse the candidate-join shape; the estimate join touches
     pairs only."""
-    sh = _doc_shingles(df, id_col, text_col, n)
-    sigs = sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_sh"),
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))).alias(
-                f"_mh{i}"
-            )
-            for i in range(n_hashes)
-        ],
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
+    sigs = _shared(
+        sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n_sh"),
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}-"), F.col("shingle")))
+                ).alias(f"_mh{i}")
+                for i in range(n_hashes)
+            ],
+        )
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -624,7 +686,7 @@ def lsh_banding_planner(
     s_curve_threshold, p_at_target, recommended, j_bucket, n_pairs,
     p_collide, expected_candidates, counts_toward_false).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -722,7 +784,7 @@ def minhash_lsh_verified_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -1081,19 +1143,22 @@ def minhash_banded_pairs(
     the candidate join shuffles ~b rows per doc; the exact-Jaccard
     verify joins touch only candidate pairs.
     """
-    # NOT cached: the builder returns a lazy frame, so a cache here
-    # would outlive the query (no unpersist point) and leak executor
-    # storage on every invocation; the 2-3 re-scans of the shingle
-    # subplan are cheap relative to that
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # _shared (lazy localCheckpoint, ContextCleaner-released) instead of
+    # .persist(): a cache here would outlive the query (no unpersist
+    # point) and leak executor storage on every invocation. Without it,
+    # the r12 baseline plan re-derived the shingle subtree per consumer
+    # — 12 parquet scans of the corpus in this one query.
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
 
     n_hashes = bands * rows_per_band
-    sigs = sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_sh"),
-        *[
-            F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_mh{i}")
-            for i in range(n_hashes)
-        ],
+    sigs = _shared(
+        sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n_sh"),
+            *[
+                F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"_mh{i}")
+                for i in range(n_hashes)
+            ],
+        )
     )
 
     band_entries = []
@@ -1186,7 +1251,7 @@ def prefix_filtered_jaccard_pairs(
     semantics survivor. ``curate_corpus`` therefore defaults to the
     plain join; switch on corpora with skewed shingle frequencies.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = W.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
@@ -1425,7 +1490,7 @@ def source_overlap_jaccard(
     """
     sh = _doc_shingles(df, id_col, text_col, n)
     src = df.select(F.col(id_col), F.col(source_col).alias("_s"))
-    ss = sh.join(src, id_col).select("_s", "shingle").distinct()
+    ss = _shared(sh.join(src, id_col).select("_s", "shingle").distinct())
     per = ss.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
     a = ss.select(F.col("_s").alias("source_a"), "shingle")
     b = ss.select(F.col("_s").alias("source_b"), "shingle")
@@ -1658,7 +1723,7 @@ def blocking_quality_report(
     n_hits, pair_completeness, pair_quality, reduction_ratio,
     f_score).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     truth = _jaccard_truth_pairs(sh, id_col, threshold)
     cand = _banded_candidates(sh, id_col, n_hashes, bands)
     m_docs = df.agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
@@ -1818,7 +1883,7 @@ def banding_scurve_empirical(
     observed_rate, theoretical_rate).
     """
     rpb = n_hashes // bands
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     truth = _jaccard_truth_pairs(sh, id_col, jaccard_floor, bucket=True)
     cand = _banded_candidates(sh, id_col, n_hashes, bands).withColumn(
         "_c", F.lit(1)
@@ -1941,7 +2006,7 @@ def source_modularity(
     Output: 1 row — (n_edges, n_sources, intra_edge_fraction,
     modularity).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     pairs = _jaccard_truth_pairs(sh, id_col, threshold)
     src = df.select(F.col(id_col), F.col(group_col).alias("_src"))
     sa = src.select(

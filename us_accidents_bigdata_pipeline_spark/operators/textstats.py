@@ -842,9 +842,9 @@ def ngram_novelty_by_source(
     hash-partitioned on gram — no broadcast of vocabulary-sized
     state.
     """
-    from ..operators.dedup import _doc_shingles
+    from ..operators.dedup import _doc_shingles, _shared
 
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = _shared(_doc_shingles(df, id_col, text_col, n))
     gram_docs = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("_ndocs")
     )
