@@ -81,3 +81,69 @@ def test_shared_preserves_rows(spark):
     a = sorted(map(tuple, sh.collect()))
     b = sorted(map(tuple, _shared(sh).collect()))
     assert a == b
+
+
+def _toy_edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)],
+        "src int, dst int",
+    )
+
+
+def test_graph_iteration_plans_share_edge_subtree(spark):
+    # pagerank_mass / local_clustering_coefficient previously persisted
+    # the edge frames but unpersisted them in `finally` BEFORE the
+    # returned lazy frame executed, so each iteration level re-derived
+    # the edge subtree from the source (56 scans in
+    # pagerank_mass_bounded's baseline plan, 140 in
+    # clustering_coef_copurchase). With _shared the final plan reads
+    # only checkpointed RDDs — the derivation runs once.
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+        pagerank_mass,
+    )
+
+    e = _toy_edges(spark)
+    for frame in (
+        pagerank_mass(e, n_iter=3),
+        local_clustering_coefficient(e),
+    ):
+        plan = (
+            frame._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Scan ExistingRDD" in plan
+        # every iteration consumes the SAME checkpointed inputs: the
+        # toy 7-edge graph's 3-iteration mass plan stays small
+        assert plan.count("Exchange") <= 25, plan.count("Exchange")
+
+
+def test_pagerank_mass_matches_pre_optimization_values(spark):
+    # exact integer arithmetic — the shared-subtree rewrite must not
+    # change a single mass unit vs the formula computed directly
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        pagerank_mass,
+    )
+
+    e = _toy_edges(spark)
+    got = {
+        r["node"]: r["mass"]
+        for r in pagerank_mass(e, n_iter=2, scale=10**6).collect()
+    }
+    # reference: same recurrence in plain python
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+    nodes = sorted({n for ed in edges for n in ed})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    mass = {n: 10**6 for n in nodes}
+    for _ in range(2):
+        recv = {}
+        for s, d in edges:
+            recv[d] = recv.get(d, 0) + mass[s] // out[s]
+        dang = sum(mass[n] for n in nodes if n not in out)
+        share = dang // len(nodes)
+        mass = {
+            n: (15 * 10**6 + 85 * (recv.get(n, 0) + share)) // 100
+            for n in nodes
+        }
+    assert got == mass

@@ -59,21 +59,27 @@ def pagerank(
         return _pagerank_fixed_point(
             e, int(exact_units), n_iter, damping, checkpoint_every
         )
-    nodes = (
+    from .dedup import _shared
+
+    # r12 optimization: persist()+unpersist-in-finally released these
+    # caches before the returned lazy frame executed — every iteration
+    # level then re-derived the edge subtree from the source scans.
+    # Lazy localCheckpoints live as long as the returned frame.
+    e = _shared(e)
+    nodes = _shared(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = _shared(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
     # weighted edges: each src spreads rank/out_deg to its targets
-    we = (
+    we = _shared(
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .persist()
     )
-    we.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     # Dangling nodes are a ONE-TIME structural property — detect them
     # once, not per iteration. Dangling-free graphs (e.g. symmetric
@@ -87,49 +93,45 @@ def pagerank(
         .count()
         > 0
     )
-    try:
-        for it in range(n_iter):
+    for it in range(n_iter):
+        contribs = (
+            we.join(ranks, we.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n
+        if has_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
+            dangling = (
+                ranks.join(
+                    out_deg, ranks.node == out_deg.src, "left_anti"
+                )
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            base += damping * dangling / n
             contribs = (
                 we.join(ranks, we.src == ranks.node)
                 .select("dst", (F.col("rank") * F.col("w")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            base = (1.0 - damping) / n
-            if has_dangling:
-                ranks = ranks.localCheckpoint(eager=True)
-                dangling = (
-                    ranks.join(
-                        out_deg, ranks.node == out_deg.src, "left_anti"
-                    )
-                    .agg(F.sum("rank"))
-                    .first()[0]
-                    or 0.0
-                )
-                base += damping * dangling / n
-                contribs = (
-                    we.join(ranks, we.src == ranks.node)
-                    .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-                    .groupBy("dst")
-                    .agg(F.sum("c").alias("contrib"))
-                )
-            new_ranks = nodes.join(
-                contribs, nodes.node == contribs.dst, "left"
-            ).select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            if not has_dangling and (it + 1) % checkpoint_every == 0:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
-            ranks = new_ranks
-        return ranks
-    finally:
-        nodes.unpersist()
-        we.unpersist()
+        new_ranks = nodes.join(
+            contribs, nodes.node == contribs.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if not has_dangling and (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks
 
 
 def _pagerank_fixed_point(
@@ -250,19 +252,28 @@ def pagerank_mass(
     the point: this is the "3 hops of influence" diagnostic a curation
     pipeline wants, not the converged fixed point.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    from .dedup import _shared
+
+    # r12 optimization: the previous persist()+unpersist-in-finally
+    # released the node/edge caches BEFORE the returned lazy frame ever
+    # executed, so every iteration level of the final plan re-derived
+    # the full edge subtree from the source scans (56 parquet scans in
+    # pagerank_mass_bounded's baseline plan). Lazy localCheckpoints
+    # survive with the returned frame (ContextCleaner frees the blocks
+    # on GC) — the edge derivation now runs once.
+    e = _shared(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
-    nodes = (
+    nodes = _shared(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ew = e.join(out_deg, "src").persist()
-    ew.count()
+    out_deg = _shared(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    ew = _shared(e.join(out_deg, "src"))
     has_dangling = (
         nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
         .limit(1)
@@ -270,42 +281,38 @@ def pagerank_mass(
         > 0
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("mass"))
-    try:
-        for _ in range(n_iter):
-            recv = (
-                ew.join(ranks, ew.src == ranks.node)
-                .select(
-                    "dst",
-                    F.expr("mass div out_deg").alias("c"),
-                )
-                .groupBy("dst")
-                .agg(F.sum("c").alias("recv"))
+    for _ in range(n_iter):
+        recv = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                "dst",
+                F.expr("mass div out_deg").alias("c"),
             )
-            dang_share = 0
-            if has_dangling:
-                ranks = ranks.localCheckpoint(eager=True)
-                dang = (
-                    ranks.join(
-                        out_deg, ranks.node == out_deg.src, "left_anti"
-                    )
-                    .agg(F.sum("mass"))
-                    .first()[0]
-                    or 0
+            .groupBy("dst")
+            .agg(F.sum("c").alias("recv"))
+        )
+        dang_share = 0
+        if has_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
+            dang = (
+                ranks.join(
+                    out_deg, ranks.node == out_deg.src, "left_anti"
                 )
-                dang_share = int(dang) // n
-            ranks = nodes.join(
-                recv, nodes.node == recv.dst, "left"
-            ).select(
-                "node",
-                F.expr(
-                    f"(15 * CAST({scale} AS BIGINT) + 85 * "
-                    f"(coalesce(recv, 0L) + {dang_share})) div 100"
-                ).alias("mass"),
+                .agg(F.sum("mass"))
+                .first()[0]
+                or 0
             )
-        return ranks
-    finally:
-        nodes.unpersist()
-        ew.unpersist()
+            dang_share = int(dang) // n
+        ranks = nodes.join(
+            recv, nodes.node == recv.dst, "left"
+        ).select(
+            "node",
+            F.expr(
+                f"(15 * CAST({scale} AS BIGINT) + 85 * "
+                f"(coalesce(recv, 0L) + {dang_share})) div 100"
+            ).alias("mass"),
+        )
+    return ranks
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -603,7 +610,16 @@ def local_clustering_coefficient(
     on the hub-free subgraph, self-consistently. The hub list is a
     tiny aggregate, broadcast into the anti-joins.
     """
-    und = (
+    from .dedup import _shared
+
+    # r12 optimization: und feeds the hub census (2 branches), the hub
+    # anti-joins, the adjacency union (2 branches), and the triangle
+    # semi-join — without sharing, each consumer re-derived the full
+    # edge self-join from the source scans (140 parquet scans in
+    # clustering_coef_copurchase's baseline plan). One lazy
+    # localCheckpoint per graph stage collapses that to a single
+    # derivation.
+    und = _shared(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
@@ -621,14 +637,16 @@ def local_clustering_coefficient(
             .filter(F.col("_d") > max_degree)
             .select("n")
         )
-        und = und.join(
-            F.broadcast(hubs.select(F.col("n").alias("u"))),
-            "u",
-            "left_anti",
-        ).join(
-            F.broadcast(hubs.select(F.col("n").alias("v"))),
-            "v",
-            "left_anti",
+        und = _shared(
+            und.join(
+                F.broadcast(hubs.select(F.col("n").alias("u"))),
+                "u",
+                "left_anti",
+            ).join(
+                F.broadcast(hubs.select(F.col("n").alias("v"))),
+                "v",
+                "left_anti",
+            )
         )
     adj = und.select(
         F.col("u").alias("n"), F.col("v").alias("nbr")
