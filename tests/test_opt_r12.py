@@ -83,6 +83,68 @@ def test_shared_preserves_rows(spark):
     assert a == b
 
 
+def test_unit_normalized_matches_inline_form(spark):
+    # the let-bound norm must divide by bit-identical values
+    from us_accidents_bigdata_pipeline_spark.functions import l2_norm
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _unit_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.1, -0.2, 0.0][:2]), (3, [1e-8, 2.5])],
+        "vec_id int, embedding array<double>",
+    )
+    new = _unit_normalized(df, "embedding").select("vec_id", "_unit")
+    old = df.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm("embedding"),
+        ).alias("_unit"),
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+
+def test_brp_buckets_deterministic_and_layout_independent(spark):
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _brp_bucket_udf,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)]) for i in range(40)]
+    udf = _brp_bucket_udf(16, 1.0, seed=42)
+    out = {}
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        ).repartition(nparts)
+        out[nparts] = {
+            r["vec_id"]: tuple(r["b"])
+            for r in df.select(
+                "vec_id", udf(F.col("embedding")).alias("b")
+            ).collect()
+        }
+        assert all(len(b) == 16 for b in out[nparts].values())
+    assert out[1] == out[7]
+
+
+def test_lsh_ann_batch_verified_equals_brute_force(spark):
+    # the native candidate stage must keep recall complete so the
+    # exact re-rank output equals cosine_topk_batch (the standing
+    # recall assertion the oracle enforces at every SF)
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        cosine_topk_batch,
+        lsh_ann_batch_verified,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, lsh_ann_batch_verified(e, qs, k=5).collect()))
+    exact = sorted(map(tuple, cosine_topk_batch(e, qs, k=5).collect()))
+    assert got == exact
+
+
 def _toy_edges(spark):
     return spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)],

@@ -2066,17 +2066,14 @@ def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.py::lsh_topk_candidates)",
 )
 def q_lsh_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import l2_norm
-    from ..operators.similarity import cosine_topk, lsh_topk_candidates
+    from ..operators.similarity import (
+        _unit_normalized,
+        cosine_topk,
+        lsh_topk_candidates,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    unit = e.withColumn(
-        "_unit",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x / l2_norm("embedding"),
-        ),
-    )
+    unit = _unit_normalized(e, "embedding")
     cand = lsh_topk_candidates(
         unit,
         query_id=0,
