@@ -145,6 +145,45 @@ def test_lsh_ann_batch_verified_equals_brute_force(spark):
     assert got == exact
 
 
+def test_quality_and_repetition_tokenize_once_when_bound(spark):
+    # the funnel's annotate pass previously executed split(trim(text))
+    # 10x per doc (inline expressions; HOFs don't subexpression-
+    # eliminate). With the let-bound token array the plan carries
+    # exactly ONE split, and values are identical.
+    from us_accidents_bigdata_pipeline_spark.functions import word_tokens
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        quality_score,
+        repetition_flag,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day to nap"),
+            (2, "word word word word word word word word word word"),
+            (3, ""),
+            (4, None),
+            (5, "a b"),
+        ],
+        "doc_id int, text string",
+    )
+    base = docs.select("*", word_tokens("text").alias("_toks"))
+    new = base.select(
+        "doc_id",
+        (quality_score("text", toks=F.col("_toks")) >= 0.8).alias("q"),
+        (~repetition_flag("text", toks=F.col("_toks"))).alias("r"),
+    )
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(trim(") == 1, plan
+    old = docs.select(
+        "doc_id",
+        (quality_score("text") >= 0.8).alias("q"),
+        (~repetition_flag("text")).alias("r"),
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+
 def _toy_edges(spark):
     return spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)],

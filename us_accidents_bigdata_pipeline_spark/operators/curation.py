@@ -80,9 +80,24 @@ def curate_corpus(
         # counts come from a single conditional aggregate. Empty-token
         # docs count as repetitive (inner-join parity with the
         # repetition_stats formulation, which omits them).
+        # r12: the token array is LET-BOUND in its own Project and fed
+        # to both predicates — the inline forms re-executed the regex
+        # split 10x per doc (CollapseProject keeps multi-referenced
+        # non-cheap aliases bound, so the split runs once).
+        from ..functions import word_tokens
+
+        base = docs.select("*", word_tokens(text_col).alias("_toks"))
         ann = _p(
-            docs.withColumn("_q_ok", quality_score(text_col) >= quality_min)
-            .withColumn("_rep_ok", ~repetition_flag(text_col))
+            base.select(
+                *docs.columns,
+                (
+                    quality_score(text_col, toks=F.col("_toks"))
+                    >= quality_min
+                ).alias("_q_ok"),
+                (~repetition_flag(text_col, toks=F.col("_toks"))).alias(
+                    "_rep_ok"
+                ),
+            )
         )
         stage_counts = ann.agg(
             F.count(F.lit(1)).alias("raw"),

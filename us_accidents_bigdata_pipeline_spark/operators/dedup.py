@@ -544,8 +544,11 @@ def minhash_near_dup_pairs(
     )
     # approxSimilarityJoin(feat, feat) consumes the hashed frame on
     # BOTH sides; materialize it once (lazy localCheckpoint) so the
-    # tokenize + HashingTF + MinHash subtree is not re-derived per side
-    feat = _shared(tf.transform(docs))
+    # tokenize + HashingTF + MinHash subtree is not re-derived per side.
+    # Slimmed to (id, features): the shingle ARRAY otherwise rides
+    # through MLlib's explode + join + fat-row distinct on both sides
+    # (guide §2.3 — shuffle only the columns the consumer needs).
+    feat = _shared(tf.transform(docs).select(F.col(id_col), "features"))
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

@@ -52,12 +52,21 @@ def text_stats(
     )
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: blend of length adequacy,
     stopword presence, and mean-word-length plausibility (the
-    Gopher/C4-style rule-based filters, rule subset)."""
-    toks = n_tokens(text)
-    swr = stopword_count(text) / toks
+    Gopher/C4-style rule-based filters, rule subset).
+
+    ``toks`` (optional) is a pre-bound raw whitespace-token array
+    (``word_tokens(text)`` aliased in its own Project): without it the
+    regex split re-executes per sub-expression — CollapseProject
+    inlines single-use aliases, and HOF-bearing expressions don't
+    participate in codegen subexpression elimination (r12: 10
+    ``split(trim(`` per doc in the curation funnel's annotate pass).
+    Values are identical either way."""
+    tok_arr = word_tokens(text) if toks is None else toks
+    toks = F.size(tok_arr)
+    swr = F.size(F.filter(tok_arr, lambda t: t.isin(*EN_STOPWORDS))) / toks
     awl = F.length(F.regexp_replace(text, r"\s+", "")) / toks
     len_ok = F.least(toks / F.lit(50.0), F.lit(1.0))
     sw_ok = F.least(swr / F.lit(0.05), F.lit(1.0))
@@ -84,6 +93,7 @@ def repetition_flag(
     text_col: Column | str,
     top_frac_max: float = 0.2,
     distinct_ratio_min: float = 0.3,
+    toks: Column | None = None,
 ) -> Column:
     """The Gopher repetition predicate as a single COLUMN expression
     (true = repetitive OR token-less), composable into any projection
@@ -91,8 +101,12 @@ def repetition_flag(
     into one pass. Same math as ``repetition_stats``; see there for
     the plan-shape rationale. NULL-safe: empty/whitespace-only docs
     yield true (they carry no signal and the grouped formulation
-    excluded them from its output entirely)."""
-    toks = F.filter(word_tokens(text_col), lambda t: t != "")
+    excluded them from its output entirely).
+
+    ``toks`` (optional): pre-bound raw token array — same let-binding
+    rationale as ``quality_score``; values identical either way."""
+    raw = word_tokens(text_col) if toks is None else toks
+    toks = F.filter(raw, lambda t: t != "")
     n_tokens = F.size(toks)
     sorted_toks = F.array_sort(toks)
     top_c = F.aggregate(

@@ -1141,10 +1141,16 @@ def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rule-based quality score (operators/textstats.py::quality_score)",
 )
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_tokens
     from ..operators.textstats import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
+    # let-bound token array (see quality_score): one regex split per
+    # doc instead of four
+    base = d.select("doc_id", "text", word_tokens("text").alias("_toks"))
+    return base.select(
+        "doc_id", quality_score("text", toks=F.col("_toks")).alias("quality")
+    )
 
 
 @_register(
@@ -11377,9 +11383,17 @@ def q_geometric_mean_daily_growth(
 def q_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.fpm import FPGrowth
 
+    from ..operators.dedup import _shared
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
+    # r12: the basket aggregation is consumed four times (our basket
+    # count, MLlib's minCount count, the frequent-items pass and the
+    # FP-tree pass) — share the shuffled aggregate instead of
+    # re-deriving it from the lineitem scan per consumer
+    baskets = _shared(
+        li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("items")
+        )
     )
     n_baskets = baskets.count()
     model = FPGrowth(
