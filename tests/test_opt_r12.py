@@ -248,3 +248,86 @@ def test_pagerank_mass_matches_pre_optimization_values(spark):
             for n in nodes
         }
     assert got == mass
+
+
+def _union_find_components(nodes, pairs):
+    # reference: classic union-find → min-id canonical label per node
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    return {
+        n: min(members)
+        for root, members in groups.items()
+        for n in members
+    }
+
+
+def test_resolve_components_sum_convergence_matches_union_find(spark):
+    # the r12 sum-based convergence check must not terminate early:
+    # a long path graph needs several propagation rounds, so a check
+    # that spuriously reports "converged" (e.g. comparing NULL sums)
+    # would leave mid-chain nodes mislabeled
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        resolve_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 25)]  # 16-node path
+    extra = [(30, 31), (40, 40)]  # small comp + self-loop singleton
+    pairs = chain + extra
+    node_ids = sorted({n for p in pairs for n in p} | {99})  # + isolate
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in resolve_components(nodes, edges).collect()
+    }
+    ref = _union_find_components(node_ids, pairs)
+    assert got == {n: (c, n == c) for n, c in ref.items()}
+
+
+def test_resolve_components_non_numeric_ids_use_join_fallback(spark):
+    # string ids cast to DECIMAL as NULL; without the type guard the
+    # sum check would see None == None and stop after one round with
+    # wrong labels on any graph deeper than one hop
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        resolve_components,
+    )
+
+    pairs = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(8)]
+    node_ids = sorted({n for p in pairs for n in p})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id string")
+    edges = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_components(nodes, edges).collect()
+    }
+    assert got == {n: "d00" for n in node_ids}
+
+
+def test_blocked_hamming_banded_frame_shared(spark):
+    # both join branches of the blocked-Hamming self-join consume the
+    # banded frame; with _shared the signature subtree (token explode +
+    # per-bit aggregates) must appear as a checkpointed RDD, not be
+    # re-derived per branch
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = _edge_docs(spark).filter(F.col("text").isNotNull())
+    frame = simhash_near_dup_pairs(docs, max_hamming=10)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    # the per-bit signature aggregation runs once, not once per branch
+    assert plan.count("HashAggregate") <= 2, plan.count("HashAggregate")

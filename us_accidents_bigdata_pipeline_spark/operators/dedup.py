@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import word_tokens
 
@@ -851,6 +852,19 @@ def resolve_components(
     labels = nodes.select(
         F.col(id_col).alias("_node"), F.col(id_col).alias("_label")
     ).localCheckpoint()
+    # The cheap sum-based convergence check (below) is exact only for
+    # integral/decimal ids; for any other id type (string ids, floats)
+    # the cast would NULL out and every round's sum would compare equal
+    # — fall back to the join-based changed-count there.
+    exact_sum_ok = isinstance(
+        labels.schema["_label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    prev_sum = (
+        labels.agg(F.sum(F.col("_label").cast("decimal(38,0)"))).first()[0]
+        if exact_sum_ok
+        else None
+    )
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, F.col("_src") == F.col("_node"))
@@ -871,12 +885,27 @@ def resolve_components(
             .select("_node", F.coalesce("_jl", "_label").alias("_label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n._node") == F.col("o._node"))
-            .filter(F.col("n._label") != F.col("o._label"))
-            .count()
-        )
+        # r12 convergence check: min-propagation labels are monotone
+        # NON-INCREASING per node (least(label, nbr); jump maps label →
+        # label(label) ≤ label), so the label multiset is unchanged iff
+        # its exact sum is unchanged. One scan-aggregate over the
+        # just-checkpointed frame replaces the old/new equi-join +
+        # filter + count that previously shuffled both label frames
+        # every iteration. DECIMAL(38,0): exact at any id magnitude ×
+        # any corpus cardinality (no float/overflow wobble).
+        if exact_sum_ok:
+            new_sum = new_labels.agg(
+                F.sum(F.col("_label").cast("decimal(38,0)"))
+            ).first()[0]
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n._node") == F.col("o._node"))
+                .filter(F.col("n._label") != F.col("o._label"))
+                .count()
+            )
         labels = new_labels
         if changed == 0:
             break
@@ -1056,10 +1085,19 @@ def _blocked_hamming_pairs(
             for i in range(nb)
         ]
     )
-    banded = sims.select(
-        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
-    ).select(
-        id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    # r12: both join branches (a, b) consume the banded frame — without
+    # sharing, the whole signature subtree (token explode + per-bit
+    # aggregates for the simhash variants) derives TWICE. One lazy
+    # localCheckpoint of the slim (id, simhash, bi, bv) frame halves it.
+    banded = _shared(
+        sims.select(
+            F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
+        ).select(
+            id_col,
+            "simhash",
+            F.col("b.bi").alias("bi"),
+            F.col("b.bv").alias("bv"),
+        )
     )
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"), "bi", "bv"
