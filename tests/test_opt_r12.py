@@ -331,3 +331,20 @@ def test_blocked_hamming_banded_frame_shared(spark):
     assert "Scan ExistingRDD" in plan
     # the per-bit signature aggregation runs once, not once per branch
     assert plan.count("HashAggregate") <= 2, plan.count("HashAggregate")
+
+
+def test_triangle_count_intersection_form(spark):
+    # the r12 adjacency-intersection rewrite must count each triangle
+    # exactly once — toy graph: K4 (4 triangles... C(4,3)=4), one
+    # pendant edge, a duplicate + reversed duplicate edge, and a
+    # disconnected 2-node component (0 triangles)
+    from us_accidents_bigdata_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (1, 2), (2, 1), (10, 11)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    assert triangle_count(e).collect()[0]["n_triangles"] == 4
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0

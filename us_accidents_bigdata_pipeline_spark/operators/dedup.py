@@ -2057,8 +2057,12 @@ def source_modularity(
         F.col(id_col).alias("doc_b"), F.col("_src").alias("_sb")
     )
     # doc->source is a |docs|-row map: a plain shuffle join (never a
-    # forced broadcast — the map is corpus-sized, not source-sized)
-    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # forced broadcast — the map is corpus-sized, not source-sized).
+    # r12: tagged feeds the degree mass (both endpoint branches), the
+    # intra count and the edge total — 10 source scans in the baseline
+    # plan without sharing; the checkpointed frame is the slim tagged
+    # edge list (4 ids/strings per near-dup pair).
+    tagged = _shared(pairs.join(sa, "doc_a").join(sb, "doc_b"))
     # degree mass per source: each edge endpoint contributes 1
     deg = (
         tagged.select(F.col("_sa").alias("_s"))

@@ -417,9 +417,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     orient+dedupe → wedge self-join on the midpoint → closing-edge
     semi-ish join. All equi-joins on vertex keys.
     """
-    und = edges.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    from .dedup import _shared
+
+    # r12: und feeds sym (twice, via the symmetric union), the degree
+    # aggregate AND the orientation join; oriented feeds all three
+    # wedge/closing branches. Without sharing, every branch re-derives
+    # the whole edge subtree from the source — 30 lineitem scans in
+    # q_triangle_count_copurchase's baseline plan (the edge list there
+    # is itself an order-key self-join + distinct). Two slim lazy
+    # localCheckpoints compute each exactly once.
+    und = _shared(
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).distinct()
+    )
     sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
@@ -439,14 +451,35 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
     )
-    e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
-    e2 = oriented.select(F.col("s").alias("y2"), F.col("d").alias("z"))
-    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
-    e3 = oriented.select(F.col("s").alias("x3"), F.col("d").alias("z3"))
-    closed = wedges.join(
-        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
+    oriented = _shared(oriented)
+    # r12 (guide §2.3/§3): the former wedge-enumeration shape
+    # materialized and SHUFFLED every wedge into the closing join —
+    # 49M 3-int rows at sf0.1 (20.6 s of the query's 54 s) for 1.9M
+    # triangles. The adjacency-intersection form counts the same
+    # triangles without ever materializing wedges: per oriented edge
+    # (u, v), |N⁺(u) ∩ N⁺(v)| — every triangle has a unique
+    # topological order a→b→c in the DAG and is counted exactly once,
+    # at edge (a, b). Shuffled bytes drop from wedge-count scale
+    # (Σ d⁺²) to edge-list scale (the adjacency arrays carry each
+    # edge id once). The O(√|E|) out-degree bound now caps the ARRAY
+    # sizes instead of the wedge fanout.
+    adj = _shared(
+        oriented.groupBy("s").agg(F.collect_set("d").alias("_nbrs"))
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    a1 = adj.select(F.col("s").alias("_s1"), F.col("_nbrs").alias("_n1"))
+    a2 = adj.select(F.col("s").alias("_s2"), F.col("_nbrs").alias("_n2"))
+    per_edge = (
+        oriented.join(a1, F.col("s") == F.col("_s1"))
+        .join(a2, F.col("d") == F.col("_s2"), "left")
+        .select(
+            F.when(F.col("_n2").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("_n1", "_n2")))
+            .alias("_c")
+        )
+    )
+    return per_edge.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles")
+    )
 
 
 def common_neighbors_link_prediction(
@@ -477,7 +510,14 @@ def common_neighbors_link_prediction(
     the edge set and the degree lookups are all key-partitioned
     hash joins.
     """
-    und = (
+    from .dedup import _shared
+
+    # r12: und feeds the symmetric adjacency (twice) and the
+    # non-adjacency anti-join; adj feeds the hub filter, the degree
+    # aggregate and both wedge branches — 18 source scans in
+    # q_link_prediction_copurchase's baseline plan. Share both slim
+    # frames once.
+    und = _shared(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
@@ -500,6 +540,7 @@ def common_neighbors_link_prediction(
             "nbr",
             "left_anti",
         )
+    adj = _shared(adj)
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     a = adj.select(F.col("n").alias("_mid"), F.col("nbr").alias("x"))
     b = adj.select(F.col("n").alias("_mid"), F.col("nbr").alias("y"))
@@ -553,7 +594,13 @@ def degree_assortativity(
     keys (both broadcastable — the degree table is |V| slim rows);
     corr is a single-pass aggregate. No window, no driver loop.
     """
-    und = (
+    from .dedup import _shared
+
+    # r12: und feeds both directions of the symmetric union; the
+    # symmetric edge stream feeds the degree aggregate AND the
+    # degree-annotation join — 12 source scans in
+    # q_assortativity_copurchase's baseline plan. Share both.
+    und = _shared(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
@@ -561,8 +608,10 @@ def degree_assortativity(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    both = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    both = _shared(
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("u"), F.col("deg").alias("deg_u"))
@@ -709,7 +758,14 @@ def degree_powerlaw_fit(
     Output: 1 row — (n_nodes, max_degree, d_min, n_tail,
     tail_fraction, alpha).
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    from .dedup import _shared
+
+    # r12: deg feeds the total and tail reductions — share the slim
+    # per-node degree frame instead of re-deriving the edge subtree
+    # (4 source scans in q_degree_powerlaw_fit_copurchase's baseline).
+    deg = _shared(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    )
     tot = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.max("_d").cast("long").alias("max_degree"),

@@ -152,6 +152,80 @@ def _brp_bucket_udf(
     return _buckets
 
 
+def _nearest_centroid_udf(cells, centroids):
+    """Arrow pandas_udf: nearest-centroid assignment, bit-identical to
+    the expression form ``array_min(array_k(struct(sq_dist(v, c_k),
+    id_k))).c``. Each squared distance replays the same strict
+    LEFT-TO-RIGHT double fold (``np.cumsum`` sums sequentially, exactly
+    matching ``F.aggregate``'s acc ordering and DuckDB's ``list_sum``;
+    every (x−y)² term is one exactly-rounded IEEE op in both), and the
+    argmin replays Spark's struct ordering: double NaN-last, NULL/NaN
+    rows and exact ties resolve to the smallest cell id (``cells`` must
+    be ascending, as the callers' ordered collect guarantees).
+
+    Why (guide §4): the expression form is a k·d-term HOF tree per row
+    — measured 3 ms/row at k=8, d=64 in ``ivf_assignment_drift`` (6.4 s
+    for 2000 rows at sf0.1). One vectorized numpy pass per Arrow batch
+    does the same math; only the vector column crosses the boundary,
+    and the centroid matrix is built once per task from the closure.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = [int(c) for c in cells]
+    cmat = [np.asarray(c, dtype=np.float64) for c in centroids]
+
+    @pandas_udf("int")
+    def _assign(col):
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        dim = len(cmat[0])
+        rows = [
+            np.full(dim, np.nan)
+            if v is None
+            else np.asarray(v, dtype=np.float64)
+            for v in col
+        ]
+        vmat = np.stack(rows)
+        best_d = best_c = None
+        for cid, c in zip(ids, cmat):
+            diff = vmat - c
+            d = np.cumsum(diff * diff, axis=1)[:, -1]
+            if best_d is None:
+                best_d = d
+                best_c = np.full(len(d), cid, dtype=np.int64)
+            else:
+                better = ~np.isnan(d) & (np.isnan(best_d) | (d < best_d))
+                best_d = np.where(better, d, best_d)
+                best_c = np.where(better, cid, best_c)
+        return pd.Series(best_c.astype("int32"))
+
+    return _assign
+
+
+def _sq_dist_pair_udf():
+    """Arrow pandas_udf: exact pairwise squared L2 of two array
+    columns — the same strict left-to-right fold as
+    ``functions.sq_dist`` (see ``_nearest_centroid_udf`` for the
+    cumsum-equivalence argument), one vectorized pass per Arrow batch
+    instead of a d-term interpreted HOF tree per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _d2(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        amat = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        bmat = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        diff = amat - bmat
+        return pd.Series(np.cumsum(diff * diff, axis=1)[:, -1])
+
+    return _d2
+
+
 def lsh_topk_candidates(
     df: DataFrame,
     query_id: int,
@@ -1956,20 +2030,15 @@ def ivf_assignment_drift(
     )
     if not crows:
         raise ValueError("ivf_assignment_drift: no centroid rows found")
-    from ..functions import sq_dist
-
-    cands = [
-        F.struct(
-            sq_dist(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in r[vec_col]]),
-            ).alias("d"),
-            F.lit(int(r[id_col])).alias("c"),
-        )
-        for r in crows
-    ]
+    # r12 (guide §4): Arrow-vectorized nearest-centroid assignment —
+    # bit-identical to the k-struct array_min expression form it
+    # replaces (see _nearest_centroid_udf), 6.4 s → sub-second at
+    # sf0.1 where the interpreted k·d-term HOF tree dominated.
+    assign = _nearest_centroid_udf(
+        [r[id_col] for r in crows], [r[vec_col] for r in crows]
+    )
     assigned = df.select(
-        F.array_min(F.array(*cands)).getField("c").alias("cell"),
+        assign(F.col(vec_col)).alias("cell"),
         (F.col(id_col) % 2 == 0).alias("_is_a"),
     )
     cells = assigned.groupBy("cell").agg(
@@ -2222,20 +2291,16 @@ def ivf_recall_curve(
     from ..functions import sq_dist
 
     v = F.col(vec_col).cast("array<double>")
-    cands = [
-        F.struct(
-            sq_dist(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in r[vec_col]]),
-            ).alias("d"),
-            F.lit(int(r[id_col])).alias("c"),
-        )
-        for r in crows
-    ]
+    # r12 (guide §4): same Arrow-vectorized assignment as
+    # ivf_assignment_drift — bit-identical to the k-struct array_min
+    # expression form (see _nearest_centroid_udf).
+    assign = _nearest_centroid_udf(
+        [r[id_col] for r in crows], [r[vec_col] for r in crows]
+    )
     assigned = df.select(
         F.col(id_col),
         v.alias("_v"),
-        F.array_min(F.array(*cands)).getField("c").alias("_cell"),
+        assign(F.col(vec_col)).alias("_cell"),
     )
     q = assigned.filter(
         (F.col(id_col) >= n_cells) & (F.col(id_col) < n_cells + n_queries)
@@ -2266,14 +2331,23 @@ def ivf_recall_curve(
     ).select(
         "query_id", "cell", (F.col("_probe_pos") + 1).alias("probe_rank")
     )
-    scored = (
+    from .dedup import _shared
+
+    # r12: `scored` feeds exact, cand->retrieved, cand->approx and
+    # overlap — without sharing, each consumer branch re-derives the
+    # corpus scan + per-row n_cells-centroid assignment (16 parquet
+    # scans in the baseline plan). One lazy localCheckpoint of the
+    # slim (query_id, neighbor_id, cell, _d2) frame — the payload
+    # vectors never materialize — computes it once.
+    pair_d2 = _sq_dist_pair_udf()
+    scored = _shared(
         assigned.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.col("_cell").alias("cell"),
-            sq_dist(F.col("_v"), F.col("_qv")).alias("_d2"),
+            pair_d2(F.col("_v"), F.col("_qv")).alias("_d2"),
         )
     )
     wq = W.partitionBy("query_id").orderBy(
@@ -2289,7 +2363,10 @@ def ivf_recall_curve(
     grid = F.explode(
         F.array(*[F.lit(int(p)) for p in nprobes])
     ).alias("nprobe")
-    cand = (
+    # shared as well: retrieved and approx both consume cand; the
+    # explode-by-nprobe fanout is |nprobes|x the scored rows, still
+    # slim ints+double.
+    cand = _shared(
         scored.join(probes, ["query_id", "cell"])
         .select("query_id", "neighbor_id", "_d2", "probe_rank", grid)
         .filter(F.col("probe_rank") <= F.col("nprobe"))

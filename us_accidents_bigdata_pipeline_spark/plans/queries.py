@@ -6415,8 +6415,14 @@ def q_spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(all 20 cells are populated on this data)",
 )
 def q_chi2_event_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shared
+
     ev = _t(spark, sf_dir, "events")
-    obs = (
+    # r12: obs (a ~20-cell contingency table) feeds tot, rowt, colt AND
+    # the final join — without sharing each consumer re-scans events
+    # and re-runs the big groupBy (8 scans / 36 aggregates in the
+    # baseline plan). Checkpoint the tiny table once.
+    obs = _shared(
         ev.groupBy(
             "event_type", (F.col("user_id") % 4).cast("int").alias("bucket")
         )
