@@ -348,3 +348,256 @@ def test_triangle_count_intersection_form(spark):
     assert triangle_count(e).collect()[0]["n_triangles"] == 4
     empty = spark.createDataFrame([], "src int, dst int")
     assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+
+
+# ---- wave 10/11: norm let-binding + redundant self-join removal -------
+
+
+def _emb_frame(spark):
+    # embeddings with edge cases: a zero vector (NaN cosine path), a
+    # negative vector, ties-by-construction, float32-ish values
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (2, [-1.0, -2.0, -3.0, -4.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 2.0, 3.0, 4.0]),
+        (5, [0.1, 0.2, 0.3, 0.4]),
+        (6, [2.0, -1.0, 0.5, 3.25]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_batch_let_bound_norms_bit_identical(spark):
+    # the let-bound-norm rewrite must be BIT-identical to the inline
+    # cosine_similarity form (same IEEE ops, just evaluated per row /
+    # per query instead of per pair)
+    from pyspark.sql import Window as W
+
+    from us_accidents_bigdata_pipeline_spark.functions import (
+        cosine_similarity,
+    )
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    e = _emb_frame(spark).filter(F.col("vec_id") != 3)
+    queries = e.filter(F.col("vec_id") < 2)
+    # the pre-optimization formulation, inline
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("embedding", "_qv"), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    old = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    new = cosine_topk_batch(e, queries, k=3)
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    o = {key(r): r["cosine"] for r in old.collect()}
+    n = {key(r): r["cosine"] for r in new.collect()}
+    assert o == n  # exact float equality — same IEEE ops
+
+
+def test_prefix_scored_matches_inline_cosines(spark):
+    # _prefix_scored's bound norms/slices must reproduce the inline
+    # two-cosine form exactly (bit-equal doubles)
+    from us_accidents_bigdata_pipeline_spark.functions import (
+        cosine_similarity,
+    )
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _prefix_scored,
+    )
+
+    e0 = _emb_frame(spark).filter(F.col("vec_id") != 3)
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e0.select(F.col("vec_id"), dvec.alias("_v"))
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    old = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
+            F.round(
+                cosine_similarity(
+                    F.slice("_v", 1, 2), F.slice("_qv", 1, 2)
+                ),
+                4,
+            ).alias("cos_prefix"),
+        )
+    )
+    new = _prefix_scored(e0, 2, 2, "vec_id", "embedding")
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    o = {key(r): (r["cos_full"], r["cos_prefix"]) for r in old.collect()}
+    n = {key(r): (r["cos_full"], r["cos_prefix"]) for r in new.collect()}
+    assert o == n
+
+
+def test_truncated_overlap_filter_form_matches_join_form(spark):
+    # "in both top-k sets" as rf<=k AND rp<=k must equal the former
+    # top_full ⋈ top_prefix intersection (each (query, neighbor) row is
+    # unique in the ranked frame, so the join was a row-local filter)
+    from pyspark.sql import Window as W
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        _prefix_scored,
+        truncated_topk_overlap,
+    )
+
+    e = _emb_frame(spark).filter(F.col("vec_id") != 3)
+    k, nq, p = 3, 2, 2
+    scored = _prefix_scored(e, nq, p, "vec_id", "embedding")
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    top_full = ranked.filter(F.col("rf") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    top_prefix = ranked.filter(F.col("rp") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    joined = (
+        top_full.join(top_prefix, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    old = {r["query_id"]: r["n_overlap"] for r in joined.collect()}
+    got = {
+        r["query_id"]: r["n_overlap"]
+        for r in truncated_topk_overlap(
+            e, n_queries=nq, k=k, prefix_dims=p
+        ).collect()
+    }
+    assert got == {q: old.get(q, 0) for q in got}
+    assert set(got) == {0, 1}
+
+
+def test_truncated_overlap_plan_has_no_self_join_rederivation(spark):
+    # the former join form derived the scored+window subtree TWICE;
+    # the filter form derives it once: exactly 2 Window nodes and no
+    # join above them
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        truncated_topk_overlap,
+    )
+
+    e = _emb_frame(spark)
+    plan = (
+        truncated_topk_overlap(e, n_queries=2, k=3, prefix_dims=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly the two rank windows (the former join form had four);
+    # "Window [" excludes WindowGroupLimit pushdown nodes
+    assert plan.count("Window [") == 2, plan
+
+
+def test_label_centroid_distances_matches_inline_form(spark):
+    # bound _dv/_cos/centroid-norm must reproduce the inline duplicated
+    # cosine expression exactly
+    from us_accidents_bigdata_pipeline_spark.functions import (
+        cosine_similarity,
+    )
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        label_centroid_distances,
+    )
+
+    rows = [
+        (0, [1.0, 2.0], "a"),
+        (1, [2.0, 1.0], "a"),
+        (2, [-1.0, -2.0], "b"),
+        (3, [1.5, -0.5], "b"),
+        (4, [0.5, 0.25], "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exploded = df.select(F.col("label"), F.posexplode(dvec).alias("dim", "x"))
+    centroids = (
+        exploded.groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("_cv")
+        )
+    )
+    cos = F.round(cosine_similarity(dvec, F.col("_cv")), 4)
+    old = {
+        r["vec_id"]: (r["cos_centroid"], r["is_outlier"])
+        for r in df.join(F.broadcast(centroids), "label")
+        .select(
+            F.col("vec_id"),
+            cos.alias("cos_centroid"),
+            (cos < F.lit(0.0)).alias("is_outlier"),
+        )
+        .collect()
+    }
+    new = {
+        r["vec_id"]: (r["cos_centroid"], r["is_outlier"])
+        for r in label_centroid_distances(df).collect()
+    }
+    assert new == old
+
+
+def test_session_overlap_sessionize_subtree_shared(spark, tmp_path):
+    # both sides of the overlap self-join read the ONE checkpointed
+    # session frame — the events scan + sessionize windows run once
+    from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = REGISTRY["session_overlap_pairs"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+
+
+def test_substring_grams_subtree_shared(spark):
+    # both sides of the positional-gram self-join read the ONE
+    # checkpointed gram frame — tokenize + posexplode run once
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        shared_substring_runs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h i j x y"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    frame = shared_substring_runs(docs, k=3, min_run=4)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan, "posexplode must be checkpointed away"

@@ -144,6 +144,12 @@ def shared_substring_runs(
             .select("g")
         )
         grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    # both sides of the positional-gram self-join consume `grams`:
+    # without the shared materialization each side re-derives the
+    # document scan + tokenize + posexplode (2 identical branches in
+    # the r12 before-plan). The checkpointed frame is the slim
+    # (id, pos, gram) proxy, never the document payload.
+    grams = _shared(grams)
     a = grams.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "g")
     b = grams.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "g")
     m = (

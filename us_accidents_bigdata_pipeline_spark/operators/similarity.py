@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity, dot_product
+from ..functions import cosine_similarity, dot_product, l2_norm
 
 
 def cosine_topk(
@@ -40,14 +40,25 @@ def cosine_topk(
     One-row query side is crossJoin(broadcast(...)) — at any corpus
     size this is a map-only scan followed by TakeOrderedAndProject
     (per-partition heap, driver merge); no shuffle of the corpus.
+
+    The query norm is LET-BOUND on the (1-row) broadcast side, so the
+    per-row score pays one dot fold + one corpus-norm fold instead of
+    three O(d) folds (the inline ``cosine_similarity`` re-derived the
+    query norm per corpus row). Same IEEE ops — values unchanged.
     """
-    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), l2_norm(vec_col).alias("_qn")
+    )
     return (
         df.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(vec_col, "_qv"), 4).alias("cosine"),
+            F.round(
+                dot_product(vec_col, "_qv")
+                / (l2_norm(vec_col) * F.col("_qn")),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -64,21 +75,35 @@ def cosine_topk_batch(
     """Exact top-k neighbors for a batch of query vectors.
 
     ``queries`` (query_id, query vec) is broadcast; the corpus scan
-    scores |queries| dots per row; a ranking window partitioned by
-    query_id takes the top-k. Shuffle is |corpus|·|queries| scored
-    rows — fine for broadcast-sized query batches; beyond that, use
-    the LSH/IVF tiers.
+    scores |queries| dots per row; the per-query top-k runs as a rank
+    window whose Partial ``WindowGroupLimit`` prunes to k rows per
+    query ON THE MAP SIDE (Spark 4 rank-limit pushdown), so the
+    exchange carries tasks×|queries|×k rows, not |corpus|·|queries|.
+
+    Norms are LET-BOUND below the join — corpus norm once per corpus
+    row (a Project under the join, which CollapseProject cannot merge
+    into the per-pair projection), query norms once per query on the
+    broadcast side — so each scored pair pays ONE O(d) fold (the dot)
+    instead of three. Same IEEE division/multiply — values unchanged.
     """
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(vec_col).alias("_qn"),
+    )
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_n")
     )
     scored = (
-        df.crossJoin(F.broadcast(qs))
+        corpus.crossJoin(F.broadcast(qs))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity(vec_col, "_qv"), 4).alias("cosine"),
+            F.round(
+                dot_product(vec_col, "_qv") / (F.col("_n") * F.col("_qn")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -370,11 +395,14 @@ def lsh_ann_batch_verified(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # norms let-bound below the joins (one O(d) fold per corpus row /
+    # per query row instead of three per scored pair) — same IEEE ops
     scored = (
         cand.join(
             df.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("_nv"),
+                l2_norm(vec_col).alias("_nn"),
             ),
             "neighbor_id",
         )
@@ -383,6 +411,7 @@ def lsh_ann_batch_verified(
                 queries.select(
                     F.col(id_col).alias("query_id"),
                     F.col(vec_col).alias("_qv"),
+                    l2_norm(vec_col).alias("_qn"),
                 )
             ),
             "query_id",
@@ -390,7 +419,10 @@ def lsh_ann_batch_verified(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("_nv", "_qv"), 4).alias("cosine"),
+            F.round(
+                dot_product("_nv", "_qv") / (F.col("_nn") * F.col("_qn")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -448,14 +480,22 @@ def lsh_ann_verified_topk(
         bucket_length=bucket_length,
         num_hash_tables=num_hash_tables,
     ).select(id_col)
-    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    # query norm let-bound on the 1-row broadcast side (was re-folded
+    # per candidate row) — same IEEE ops, values unchanged
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), l2_norm(vec_col).alias("_qn")
+    )
     return (
         df.join(F.broadcast(cand), id_col, "left_semi")
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(vec_col, "_qv"), 4).alias("cosine"),
+            F.round(
+                dot_product(vec_col, "_qv")
+                / (l2_norm(vec_col) * F.col("_qn")),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1272,15 +1312,21 @@ def pq_ann_verified_topk(
         .limit(k * overfetch)
         .select(id_col)
     )
+    # query norm let-bound on the 1-row broadcast side (was re-folded
+    # per candidate row) — same IEEE ops, values unchanged
     qv = df.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qv")
+        F.col(vec_col).alias("_qv"), l2_norm(vec_col).alias("_qn")
     )
     return (
         df.join(F.broadcast(cand), id_col, "left_semi")
         .crossJoin(F.broadcast(qv))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(vec_col, "_qv"), 4).alias("cosine"),
+            F.round(
+                dot_product(vec_col, "_qv")
+                / (l2_norm(vec_col) * F.col("_qn")),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -1425,8 +1471,19 @@ def embedding_near_dup_pairs(
     """
     if method == "blas":
         return _embedding_pairs_blas(df, threshold, id_col, vec_col)
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    # norms let-bound once per VECTOR (a Project below the pair join)
+    # instead of re-folded per PAIR: 2n folds replace 2n² — same IEEE
+    # division, values unchanged
+    a = df.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col).alias("_nb"),
+    )
     if method == "exact":
         cand = a.join(b, F.col("doc_a") < F.col("doc_b"))
     elif method == "lsh":
@@ -1466,6 +1523,8 @@ def embedding_near_dup_pairs(
             return _embedding_pairs_blas(df, threshold, id_col, vec_col)
         max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
         joined = model.approxSimilarityJoin(feat, feat, max_dist, distCol="_d")
+        # per-vector norms computed before the candidate join (rode in
+        # as one extra double per row) — not re-folded per candidate
         cand = joined.filter(
             F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
         ).select(
@@ -1473,10 +1532,17 @@ def embedding_near_dup_pairs(
             F.col(f"datasetA.{vec_col}").alias("_va"),
             F.col(f"datasetB.{id_col}").alias("doc_b"),
             F.col(f"datasetB.{vec_col}").alias("_vb"),
+        ).select(
+            "doc_a",
+            "_va",
+            "doc_b",
+            "_vb",
+            l2_norm("_va").alias("_na"),
+            l2_norm("_vb").alias("_nb"),
         )
     else:
         raise ValueError(f"unknown embedding near-dup method: {method!r}")
-    cos = cosine_similarity("_va", "_vb")
+    cos = dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
     # threshold on the raw cosine (rounding only for display): the two
     # engines' float folds agree to ~1e-15, and the corpus has no pair
     # within 1e-5 of the default threshold — filtering rounded values
@@ -1675,8 +1741,6 @@ def semantic_dedup_pairs(
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b, distinct
     (a pair found in two shared cells emits once).
     """
-    from ..functions import cosine_similarity
-
     import numpy as np
     import pandas as pd
 
@@ -1761,15 +1825,82 @@ def label_centroid_distances(
             F.array_sort(F.collect_list(F.struct("dim", "m"))),
             lambda s: s["m"],
         ).alias("_cv")
-    )
-    cos = F.round(cosine_similarity(dvec, F.col("_cv")), 4)
-    return (
+    ).withColumn("_cn", l2_norm("_cv"))
+    # let-bind the cast vector and the ROUNDED cosine as multi-
+    # referenced aliases: the centroid norm folds once per LABEL (on
+    # the broadcast side, was once per row), the vector cast runs once
+    # per row (was inlined into each HOF), and the whole cosine
+    # evaluates once per row (the `cos`/`is_outlier` pair previously
+    # duplicated the full 3-fold expression). Same IEEE ops.
+    scored = (
         df.join(F.broadcast(centroids), label_col)
+        .withColumn("_dv", dvec)
+        .withColumn(
+            "_cos",
+            F.round(
+                dot_product("_dv", "_cv") / (l2_norm("_dv") * F.col("_cn")),
+                4,
+            ),
+        )
+    )
+    return scored.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.col("_cos").alias("cos_centroid"),
+        (F.col("_cos") < F.lit(outlier_cos)).alias("is_outlier"),
+    )
+
+
+def _prefix_scored(
+    df: DataFrame,
+    n_queries: int,
+    prefix_dims: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared scored frame for the prefix-retrieval evals
+    (``truncated_topk_overlap`` / ``prefix_ndcg`` /
+    ``rrf_fuse_rankings``): per (query, neighbor) pair the ROUNDED
+    full-dim and prefix cosines.
+
+    The cast vector, both norms and the prefix slice are LET-BOUND
+    once per VECTOR in a Project below the broadcast cross join — the
+    previous inline form re-folded both norms and re-sliced per PAIR,
+    so 4 of the 6 O(d) folds per scored pair were redundant. The
+    division/multiply order is unchanged, so values are bit-identical.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = (
+        df.select(F.col(id_col), dvec.alias("_v"))
         .select(
-            F.col(label_col),
             F.col(id_col),
-            cos.alias("cos_centroid"),
-            (cos < F.lit(outlier_cos)).alias("is_outlier"),
+            "_v",
+            l2_norm("_v").alias("_nf"),
+            F.slice("_v", 1, prefix_dims).alias("_vp"),
+        )
+        .withColumn("_np", l2_norm("_vp"))
+    )
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nf").alias("_qnf"),
+        F.col("_vp").alias("_qvp"),
+        F.col("_np").alias("_qnp"),
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot_product("_v", "_qv") / (F.col("_nf") * F.col("_qnf")),
+                4,
+            ).alias("cos_full"),
+            F.round(
+                dot_product("_vp", "_qvp") / (F.col("_np") * F.col("_qnp")),
+                4,
+            ).alias("cos_prefix"),
         )
     )
 
@@ -1796,29 +1927,15 @@ def truncated_topk_overlap(
     Plan shape: queries (id < n_queries) broadcast; ONE corpus scan
     computes both scores (the prefix dot is a slice of the same
     array); two ranking windows partitioned by query — shuffle keyed
-    on query_id only, corpus never shuffles its payload.
+    on query_id only, corpus never shuffles its payload. The
+    intersection is a conjunctive FILTER on the ranked frame (each
+    (query, neighbor) row is unique, so "in both top-k sets" is
+    exactly ``rf <= k AND rp <= k``) — the former
+    top_full ⋈ top_prefix self-join re-derived the whole scored+window
+    subtree per side and paid a join shuffle for a row-local
+    predicate.
     """
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = df.select(F.col(id_col), dvec.alias("_v"))
-    q = e.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
-            F.round(
-                cosine_similarity(
-                    F.slice("_v", 1, prefix_dims),
-                    F.slice("_qv", 1, prefix_dims),
-                ),
-                4,
-            ).alias("cos_prefix"),
-        )
-    )
+    scored = _prefix_scored(df, n_queries, prefix_dims, id_col, vec_col)
     wf = W.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col("neighbor_id")
     )
@@ -1831,17 +1948,16 @@ def truncated_topk_overlap(
         F.row_number().over(wf).alias("rf"),
         F.row_number().over(wp).alias("rp"),
     )
-    top_full = ranked.filter(F.col("rf") <= k).select(
-        "query_id", "neighbor_id"
+    inter = (
+        ranked.filter((F.col("rf") <= k) & (F.col("rp") <= k))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    top_prefix = ranked.filter(F.col("rp") <= k).select(
-        "query_id", "neighbor_id"
+    qids = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id")
     )
-    inter = top_full.join(top_prefix, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_overlap"))
     return (
-        q.select("query_id")
+        qids
         .join(inter, "query_id", "left")
         .select(
             "query_id",
@@ -1875,27 +1991,7 @@ def prefix_ndcg(
     """
     import math
 
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = df.select(F.col(id_col), dvec.alias("_v"))
-    q = e.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
-            F.round(
-                cosine_similarity(
-                    F.slice("_v", 1, prefix_dims),
-                    F.slice("_qv", 1, prefix_dims),
-                ),
-                4,
-            ).alias("cos_prefix"),
-        )
-    )
+    scored = _prefix_scored(df, n_queries, prefix_dims, id_col, vec_col)
     wf = W.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col("neighbor_id")
     )
@@ -1942,27 +2038,7 @@ def rrf_fuse_rankings(
 
     Same one-scan/broadcast-query plan shape as the other prefix evals.
     """
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    e = df.select(F.col(id_col), dvec.alias("_v"))
-    q = e.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_similarity("_v", "_qv"), 4).alias("cos_full"),
-            F.round(
-                cosine_similarity(
-                    F.slice("_v", 1, prefix_dims),
-                    F.slice("_qv", 1, prefix_dims),
-                ),
-                4,
-            ).alias("cos_prefix"),
-        )
-    )
+    scored = _prefix_scored(df, n_queries, prefix_dims, id_col, vec_col)
     wf = W.partitionBy("query_id").orderBy(
         F.col("cos_full").desc(), F.col("neighbor_id")
     )
@@ -2181,17 +2257,25 @@ def mmr_rerank_topk(
         raise ValueError("mmr_rerank_topk: query vector has zero norm")
     v = F.col(vec_col).cast("array<double>")
     qlit = F.array(*[F.lit(x) for x in qv])
-    nrm = l2_norm(v)
-    rel = dot_product(v, qlit) / (nrm * F.lit(qn))
     # zero-norm vectors (padding / failed encodes) would make rel
     # NaN — and NaN sorts ABOVE all real values under desc, so they
     # would hijack the pool and then divide-by-zero in the greedy;
     # drop them before ranking (the oracle pool applies the same
-    # norm > 0 predicate)
+    # norm > 0 predicate). The norm is let-bound as a multi-referenced
+    # alias (was re-folded for the guard filter AND inside rel) — same
+    # IEEE ops, one O(d) fold saved per row.
     cands = (
         df.filter(F.col(id_col) != query_id)
-        .filter(nrm > F.lit(0.0))
-        .select(F.col(id_col), v.alias("_v"), rel.alias("_rel"))
+        .select(F.col(id_col), v.alias("_v"))
+        .withColumn("_n", l2_norm("_v"))
+        .filter(F.col("_n") > F.lit(0.0))
+        .select(
+            F.col(id_col),
+            "_v",
+            (
+                dot_product("_v", qlit) / (F.col("_n") * F.lit(qn))
+            ).alias("_rel"),
+        )
         .orderBy(F.desc("_rel"), F.col(id_col))
         .limit(int(pool))
         .collect()
@@ -2716,14 +2800,27 @@ def hubness_profile(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    a = v.select(F.col("_id").alias("_qa"), F.col("_v").alias("_va"))
-    b = v.select(F.col("_id").alias("_qb"), F.col("_v").alias("_vb"))
+    # norms let-bound once per VECTOR below the pair join (the inline
+    # cosine re-folded both norms per PAIR — 2n folds replace 2n² on
+    # this quadratic tier); same IEEE ops, values unchanged
+    a = v.select(
+        F.col("_id").alias("_qa"),
+        F.col("_v").alias("_va"),
+        l2_norm("_v").alias("_na"),
+    )
+    b = v.select(
+        F.col("_id").alias("_qb"),
+        F.col("_v").alias("_vb"),
+        l2_norm("_v").alias("_nb"),
+    )
     # shared fold (functions.columns.dot_product discipline): the
     # DuckDB oracle replays the same left-fold as list_dot_product
     pairs = a.join(b, F.col("_qa") != F.col("_qb")).select(
         "_qa",
         "_qb",
-        cosine_similarity(F.col("_va"), F.col("_vb")).alias("_cos"),
+        (
+            dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+        ).alias("_cos"),
     )
     w = W.partitionBy("_qa").orderBy(F.desc("_cos"), F.col("_qb"))
     kocc = (

@@ -7657,6 +7657,7 @@ def q_point_in_time_state_join(
     "bugs surface as mismatches",
 )
 def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shared
     from ..operators.rangejoin import interval_overlap_join_binned
 
     e = _t(spark, sf_dir, "events")
@@ -7676,10 +7677,15 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(W.unboundedPreceding, 0)
         ).alias("sid"),
     )
-    sess = s.groupBy("user_id", "sid").agg(
+    # both sides of the overlap self-join consume `sess`: without the
+    # shared materialization each side re-derives the full sessionize
+    # subtree (scan + 2 windows + aggregate) — measured as 2 identical
+    # branches in the r12 before-plan. The checkpointed frame is the
+    # slim (user_id, sid, lo, hi) session summary, never the events.
+    sess = _shared(s.groupBy("user_id", "sid").agg(
         F.min("_us").alias("lo"),
         F.max("_us").alias("hi"),
-    )
+    ))
     a = sess.select(
         F.col("user_id").alias("user_a"),
         F.col("lo").alias("lo_a"),
