@@ -352,8 +352,17 @@ def token_kl_by_source(
     the same frame (Zipf-bounded, broadcast back); final agg on group.
     Every p > 0 implies q > 0 (the group is part of the corpus), so
     the sum is always finite.
+
+    The (group, token, c, g_total) frame is materialized ONCE
+    (`_shared` lazy localCheckpoint): it feeds the corpus re-aggregate,
+    the eager corpus-total readout AND the final join — without the
+    checkpoint each consumer re-derived the full tokenize + explode +
+    aggregate from the corpus scan (measured r12: 2 parquet scans in
+    the final plan plus a third derivation for the total).
     """
     from pyspark.sql import Window
+
+    from .dedup import _shared
 
     toks = df.select(
         F.col(group_col), F.explode(word_tokens(text_col)).alias("token")
@@ -361,9 +370,9 @@ def token_kl_by_source(
     per_group = toks.groupBy(group_col, "token").agg(
         F.count(F.lit(1)).alias("c")
     )
-    per_group = per_group.withColumn(
+    per_group = _shared(per_group.withColumn(
         "g_total", F.sum("c").over(Window.partitionBy(group_col))
-    )
+    ))
     corpus = per_group.groupBy("token").agg(F.sum("c").alias("cc"))
     # corpus total derives from the already-aggregated (Zipf-tiny)
     # frame — never a second tokenize pass over the raw corpus
@@ -474,8 +483,13 @@ def dsir_logweights(
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
         F.count(F.lit(1)).alias("cs"),
     )
+    from .dedup import _shared
+
     w = Window.orderBy(F.col("cs").desc(), F.col("token").asc())
-    vocab = (
+    # the ~|V|-row vocab feeds BOTH the totals aggregate and the ratio
+    # projection — checkpointed so the token aggregation + global
+    # top-|V| window run once, not once per consumer
+    vocab = _shared(
         counts.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= vocab_size)
         .drop("_r")
@@ -1042,7 +1056,18 @@ def heaps_law_fit(
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(text_col)).alias("_t")
     ).filter(F.col("_t") != "")
-    doc_tokens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_tok"))
+    # per-doc token counts need no explode+shuffle: size(filter(...))
+    # is map-only and row-identical to the former
+    # explode→groupBy(id)→count (docs with zero non-empty tokens —
+    # incl. NULL text, where size() yields -1 — produced no group row
+    # before, hence the > 0 filter; greatest() absorbs the -1)
+    doc_tokens = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(F.filter(word_tokens(text_col), lambda t: t != "")),
+            F.lit(0),
+        ).alias("_n_tok"),
+    ).filter(F.col("_n_tok") > 0)
     tok_by_bucket = (
         doc_tokens.crossJoin(F.broadcast(bounds))
         .select(bucket.alias("_b"), "_n_tok")
@@ -1068,13 +1093,19 @@ def heaps_law_fit(
         )
         .filter((F.col("_ct") > 0) & (F.col("_cv") > 0))
     )
-    pts = cum.select(
+    from .dedup import _shared
+
+    # pts is a ≤K-row frame consumed by BOTH the OLS fit aggregate and
+    # the output projection — without the checkpoint each consumer
+    # re-derived the whole corpus subtree (measured r12: 4 parquet
+    # scans / 21 exchanges in the before-plan)
+    pts = _shared(cum.select(
         "_b",
         "_ct",
         "_cv",
         F.log(F.col("_ct").cast("double")).alias("_x"),
         F.log(F.col("_cv").cast("double")).alias("_y"),
-    )
+    ))
     fit = pts.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_sx"),

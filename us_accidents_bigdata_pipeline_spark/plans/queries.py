@@ -9521,11 +9521,16 @@ def q_weighted_median_price_by_flag(
 def q_bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     terms = ["hash", "join", "scan"]
+    from ..operators.dedup import _shared
+
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
+    # the slim (doc_id, token, n) tf frame feeds dl, the per-term doc
+    # frequencies AND the scoring join — checkpointed so the corpus
+    # tokenize+aggregate runs once, not once per consumer
+    tf = _shared(tok.groupBy("doc_id", "token").agg(F.count("*").alias("n")))
     dl = tf.groupBy("doc_id").agg(F.sum("n").alias("dl"))
     s = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
         docs.agg(F.count("*").alias("n_docs"))
@@ -9673,8 +9678,15 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "token"
         ),
     ).filter(F.col("token") != "")
+    from ..operators.dedup import _shared
+
     wl = W.partitionBy("doc_id").orderBy("pos")
-    b = (
+    # the bigram stream feeds c12, c1 AND the scoring join — without
+    # the checkpoint each consumer re-derived the corpus explode + lag
+    # window (3 window passes over the token stream). `v` stays on
+    # `tok`: single-token docs contribute a distinct token but no
+    # bigram, so it cannot be derived from `b`.
+    b = _shared(
         tok.select(
             "doc_id",
             F.lag("token").over(wl).alias("w1"),
