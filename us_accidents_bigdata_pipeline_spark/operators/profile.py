@@ -1006,7 +1006,13 @@ def cuped_adjustment(
     hash join), one global 1-row moment aggregate broadcasts back,
     one group-keyed agg — no window, no driver loop.
     """
-    j = metric.select(
+    from .dedup import _shared
+
+    # the joined (key, group, y, x) frame feeds the moment aggregate,
+    # the variance-reduction aggregate and the per-group means — each
+    # consumer re-derived the metric⋈covariate join without the
+    # checkpoint (measured r12: 6 parquet scans / 23 exchanges)
+    j = _shared(metric.select(
         F.col(key_col), F.col(group_col),
         F.col(y_col).cast("double").alias("_y"),
     ).join(
@@ -1015,7 +1021,7 @@ def cuped_adjustment(
         ),
         key_col,
         "left",
-    ).withColumn("_x", F.coalesce(F.col("_x"), F.lit(0.0)))
+    ).withColumn("_x", F.coalesce(F.col("_x"), F.lit(0.0))))
     mom = j.agg(
         (F.covar_pop("_x", "_y") / F.var_pop("_x")).alias("_theta"),
         F.avg("_x").alias("_xbar"),

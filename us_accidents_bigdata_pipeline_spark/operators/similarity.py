@@ -2538,7 +2538,12 @@ def calinski_harabasz(
     Output: 1 row — (n_vectors, n_clusters, between_ss, within_ss,
     ch_index).
     """
-    a = _label_dim_moments(df, vec_col, label_col)
+    from .dedup import _shared
+
+    # the k·d-row moment frame feeds the per-dim rollup AND the W/B
+    # reduction join — checkpointed so the corpus posexplode +
+    # decimal aggregate runs once, not once per consumer
+    a = _shared(_label_dim_moments(df, vec_col, label_col))
     g = a.groupBy("dim").agg(
         F.sum("_s1").alias("_gs1"), F.sum("_n").alias("_gn")
     )
@@ -2600,16 +2605,22 @@ def davies_bouldin(
 
     Output: 1 row — (n_vectors, n_clusters, db_index).
     """
+    from .dedup import _shared
+
     a = _label_dim_moments(df, vec_col, label_col)
     n_l = F.col("_n").cast("double")
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
-    mom = a.select(
+    # the k·d-row per-(label, dim) frame feeds the spread aggregate
+    # and BOTH sides of the centroid-distance self-join —
+    # checkpointed so the corpus posexplode + decimal aggregate runs
+    # once, not three times
+    mom = _shared(a.select(
         "_l",
         "dim",
         (s1 / n_l).alias("_mu"),
         (s2 / n_l - (s1 / n_l) * (s1 / n_l)).alias("_var_d"),
-    )
+    ))
     sig = mom.groupBy("_l").agg(
         F.sqrt(F.greatest(F.sum("_var_d"), F.lit(0.0))).alias("_sigma"),
     )
@@ -2879,16 +2890,22 @@ def dunn_index(
     Output: 1 row — (n_vectors, n_clusters, min_intercluster,
     max_intracluster, dunn_index).
     """
+    from .dedup import _shared
+
     a = _label_dim_moments(df, vec_col, label_col)
     n_l = F.col("_n").cast("double")
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
-    mom = a.select(
+    # the k·d-row per-(label, dim) frame feeds the spread aggregate
+    # and BOTH sides of the centroid-distance self-join —
+    # checkpointed so the corpus posexplode + decimal aggregate runs
+    # once, not three times
+    mom = _shared(a.select(
         "_l",
         "dim",
         (s1 / n_l).alias("_mu"),
         (s2 / n_l - (s1 / n_l) * (s1 / n_l)).alias("_var_d"),
-    )
+    ))
     diam = mom.groupBy("_l").agg(
         (
             F.lit(2.0)

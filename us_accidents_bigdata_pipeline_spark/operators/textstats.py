@@ -618,7 +618,14 @@ def token_pmi(
     TakeOrderedAndProject. The corpus text shuffles once, as slim
     (doc, token) pairs.
     """
-    dt = (
+    from .dedup import _shared
+
+    # the slim (doc, token) incidence frame feeds the doc-frequency
+    # aggregate AND (via the vocab semi-join) both sides of the
+    # per-doc pair join; the Zipf-bounded vocab feeds the semi-join
+    # and the two df lookups — checkpointed so the corpus explode +
+    # distinct and the frequency aggregate each run once
+    dt = _shared(
         df.select(
             F.col(id_col).alias("_d"),
             F.explode(word_tokens(text_col)).alias("token"),
@@ -627,7 +634,7 @@ def token_pmi(
         .distinct()
     )
     dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
-    vocab = dfreq.filter(F.col("df_docs") >= min_doc_freq)
+    vocab = _shared(dfreq.filter(F.col("df_docs") >= min_doc_freq))
     dtv = dt.join(F.broadcast(vocab.select("token")), "token")
     n_docs = df.count()
     a = dtv.select("_d", F.col("token").alias("token_a"))

@@ -16097,9 +16097,14 @@ def q_davies_bouldin_embeddings(
     "(operators/similarity.py::rank_biased_overlap)",
 )
 def q_rbo_int8_vs_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shared
     from ..operators.similarity import rank_biased_overlap
 
-    both = q_int8_vs_float_topk(spark, sf_dir)
+    # the ≤2k-row ranking frame feeds both method filters, and each
+    # side is consumed twice inside rank_biased_overlap (k_eff count +
+    # matched join) — without the checkpoint the int8-vs-float scoring
+    # subtree re-derived per consumer (measured r12: 6 parquet scans)
+    both = _shared(q_int8_vs_float_topk(spark, sf_dir))
     a = both.filter(F.col("method") == "float").select(
         "neighbor_id", "rank"
     )
