@@ -1300,15 +1300,22 @@ def quantile_treatment_effect(
             + F.ceil(F.col("q") * F.col("_n") / n_quantiles)
         ).alias("_grn"),
     )
-    qs = ranked.join(F.broadcast(targets), ["_is_a", "_grn"])
+    from .dedup import _shared
+
+    # the 2·(n_quantiles−1)-row quantile frame feeds both group
+    # filters — checkpointed so the ranked broadcast-join runs once
+    qs = _shared(ranked.join(F.broadcast(targets), ["_is_a", "_grn"]))
     a = qs.filter(F.col("_is_a")).select(
         "q", F.col("_v").alias("value_a")
     )
     b = qs.filter(~F.col("_is_a")).select(
         "q", F.col("_v").alias("value_b")
     )
+    # explicit broadcast: qs is ≤2·(n_quantiles−1) rows by
+    # construction, but the checkpoint hides that from the planner's
+    # size estimate (an ExistingRDD defaults to huge → sort-merge)
     return (
-        a.join(b, "q")
+        a.join(F.broadcast(b), "q")
         .select(
             "q",
             "value_a",
@@ -2481,9 +2488,18 @@ def mann_kendall_trend(
 
     Output: 1 row — (n_points, n_pairs, s_statistic, var_s, z).
     """
+    from .dedup import _shared
+
+    # the calendar-bounded series feeds both pair-join sides, the
+    # point-count aggregate and the tie aggregate — checkpointed so
+    # the caller's upstream aggregation runs once, not four times
+    d = _shared(d.select(F.col(x_col), F.col(y_col)))
     a = d.select(F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya"))
     b = d.select(F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"))
-    pr = a.join(b, F.col("_xa") < F.col("_xb")).select(
+    # explicit broadcast for the non-equi pair join: the series is
+    # calendar-bounded by contract, and the checkpoint hides its size
+    # from the planner
+    pr = a.join(F.broadcast(b), F.col("_xa") < F.col("_xb")).select(
         F.signum(F.col("_yb") - F.col("_ya")).cast("long").alias("_sgn")
     )
     sagg = pr.agg(

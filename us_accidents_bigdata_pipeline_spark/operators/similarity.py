@@ -2631,7 +2631,9 @@ def davies_bouldin(
         F.col("_l").alias("_j"), "dim", F.col("_mu").alias("_mj")
     )
     dist = (
-        ci.join(cj, "dim")
+        # explicit broadcast: cj is k·d rows (aggregate-sized); the
+        # checkpoint hides that from the planner's size estimate
+        ci.join(F.broadcast(cj), "dim")
         .filter(F.col("_i") != F.col("_j"))
         .groupBy("_i", "_j")
         .agg(
@@ -2724,7 +2726,8 @@ def rank_biased_overlap(
             .alias("_keff")
         )
     )
-    matched = a.join(b, "_id").select(
+    # explicit broadcast: b is ≤k rows by the truncation filter
+    matched = a.join(F.broadcast(b), "_id").select(
         F.greatest("_ra", "_rb").alias("_m")
     )
     depths = (
@@ -2915,7 +2918,9 @@ def dunn_index(
     ci = mom.select(F.col("_l").alias("_i"), "dim", F.col("_mu").alias("_mi"))
     cj = mom.select(F.col("_l").alias("_j"), "dim", F.col("_mu").alias("_mj"))
     dist = (
-        ci.join(cj, "dim")
+        # explicit broadcast: cj is k·d rows (aggregate-sized); the
+        # checkpoint hides that from the planner's size estimate
+        ci.join(F.broadcast(cj), "dim")
         .filter(F.col("_i") < F.col("_j"))
         .groupBy("_i", "_j")
         .agg(

@@ -8740,12 +8740,19 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "basket set — support pruning IS the scale knob.",
 )
 def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shared
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the slim distinct (order, part) basket frame feeds the order
+    # count, the per-item counts and BOTH pair-join sides — without
+    # the checkpoint the scan+distinct re-derived per consumer
+    baskets = _shared(li.select("l_orderkey", "l_partkey").distinct())
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("double").alias("_n")
     )
-    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    item = _shared(
+        baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    )
     a = baskets.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_a")
     )
