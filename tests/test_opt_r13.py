@@ -1,0 +1,114 @@
+"""Round-13 optimization pins.
+
+Each change in OPTIMIZATION_r13.md that rewrites an operator's
+internals gets a focused identity/plan pin here, mirroring
+test_opt_r12.py's discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+
+def _brute_topk(emb_rows, query_id, k):
+    """Reference: exact rounded-cosine top-k with id tiebreak — the
+    DuckDB oracle's ordering, recomputed in numpy."""
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    X = np.array([list(r["embedding"]) for r in emb_rows], dtype=np.float64)
+    q = X[ids == query_id][0]
+    cos = np.round(
+        X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q)), 4
+    )
+    m = ids != query_id
+    return [
+        (int(i), float(-c)) for c, i in sorted(zip(-cos[m], ids[m]))[:k]
+    ]
+
+
+def test_pq_certified_bound_exact_across_queries(spark):
+    """The certified triangle-inequality candidate bound makes
+    pq_ann_verified_topk EXACT for every query — swept across query
+    ids on the adversarial (near-uniform, worst-case-for-PQ) corpus,
+    where the old fixed k*overfetch cut missed a true neighbor at
+    sf0.1 (ADC rank 523 > 200)."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_ann_verified_topk,
+        pq_encode,
+        pq_train,
+        _unit_normalized,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    rows = emb.collect()
+    unit = _unit_normalized(emb, "embedding")
+    books = pq_train(unit, m=8, k_codes=16, vec_col="_unit")
+    codes = pq_encode(unit, books, vec_col="_unit").persist()
+    codes.count()
+    try:
+        for qid in (0, 1, 7, 42, 99):
+            got = [
+                (r["vec_id"], r["cosine"])
+                for r in pq_ann_verified_topk(
+                    emb, query_id=qid, k=5, index=(books, codes)
+                ).collect()
+            ]
+            assert got == _brute_topk(rows, qid, 5), qid
+    finally:
+        codes.unpersist()
+
+
+def test_pq_encode_qe2_is_reconstruction_error_both_modes(spark):
+    """_qe2 must equal the squared reconstruction error of each
+    vector against its assigned codewords (the quantity the certified
+    search bound relies on), in both the Arrow and the expression
+    encode modes, and the two modes must agree on codes."""
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = pq_train(emb, m=8, k_codes=16)
+    C = np.asarray(books)
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for mode in ("arrow", "expr"):
+        out = pq_encode(emb, books, mode=mode).collect()
+        assert {r["vec_id"] for r in out} == set(orig)
+        for r in out:
+            rec = np.concatenate(
+                [C[j, c] for j, c in enumerate(r["codes"])]
+            )
+            want = float(((orig[r["vec_id"]] - rec) ** 2).sum())
+            assert r["_qe2"] == pytest.approx(want, abs=1e-9), (
+                mode,
+                r["vec_id"],
+            )
+
+
+def test_pq_legacy_index_without_qe2_still_works(spark):
+    """An index tuple whose codes lack _qe2 (pre-round-13 layout)
+    falls back to the fixed-overfetch cut and still returns k rows."""
+    from pyspark.sql import functions as F
+
+    from us_accidents_bigdata_pipeline_spark.operators.similarity import (
+        pq_ann_verified_topk,
+        pq_encode,
+        pq_train,
+        _unit_normalized,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    unit = _unit_normalized(emb, "embedding")
+    books = pq_train(unit, m=8, k_codes=16, vec_col="_unit")
+    legacy = pq_encode(unit, books, vec_col="_unit").drop("_qe2")
+    got = pq_ann_verified_topk(
+        emb, query_id=1, k=5, index=(books, legacy)
+    ).collect()
+    assert len(got) == 5
+    assert all(r["cosine"] is not None for r in got)

@@ -1160,9 +1160,15 @@ def pq_encode(
     vec_col: str = "embedding",
     mode: str = "arrow",
 ) -> DataFrame:
-    """Map-only PQ encoding: (id, codes array<int>) — per subspace the
-    argmin-distance centroid id. No join, no shuffle either way;
-    encoding 100 TB is a pure scan.
+    """Map-only PQ encoding: (id, codes array<int>, _qe2 double) — per
+    subspace the argmin-distance centroid id, plus the vector's total
+    squared reconstruction error Σ_j min_c‖x_j − c‖² (a byproduct of
+    the argmin the encode already computes). ``_qe2`` is what makes
+    the search tier CERTIFIABLY exact: by the triangle inequality the
+    true distance of x to any query lies within ±√_qe2 of the ADC
+    distance, so ``pq_ann_verified_topk`` can bound its candidate set
+    instead of gambling on a fixed overfetch. No join, no shuffle
+    either way; encoding 100 TB is a pure scan.
 
     ``mode="arrow"`` (default): one Arrow-batched pandas_udf computes
     all m argmins per batch as a single ``einsum`` against the
@@ -1175,7 +1181,10 @@ def pq_encode(
     ``mode="expr"``: the pure-JVM struct-min over codebook literals
     (the ``_nearest_cells_expr`` idiom) — zero Python in the plan,
     kept as the cross-check twin (ties break identically: numpy
-    argmin and the (d2, code) struct-min both pick the lowest code).
+    argmin and the (d2, code) struct-min both pick the lowest code;
+    the two modes' ``_qe2`` agree to FP rounding — the expr form sums
+    (a−b)² directly while arrow expands ‖x‖²+‖c‖²−2x·c — which the
+    search tier's certification pad absorbs).
     """
     import numpy as np
 
@@ -1190,25 +1199,38 @@ def pq_encode(
         # no type hints: `from __future__ import annotations` turns
         # them into strings, which pandas_udf's inference rejects —
         # the bare signature selects the scalar eval type directly
-        @pandas_udf("array<int>")
+        @pandas_udf("struct<codes:array<int>,qe2:double>")
         def _codes(v):
             X = np.asarray(v.tolist(), dtype=np.float64)
             if X.size == 0:
-                return pd.Series([], dtype=object)
+                return pd.DataFrame({"codes": [], "qe2": []})
             Xs = X.reshape(X.shape[0], m_, sub_)
             dots = np.einsum("bms,mks->bmk", Xs, C)
-            # ‖x‖² is constant per argmin row — omit it
-            codes = (c2[None, :, :] - 2.0 * dots).argmin(axis=2)
-            return pd.Series(list(codes.astype(np.int32)))
+            part = c2[None, :, :] - 2.0 * dots  # ‖c‖²−2x·c per (b,m,k)
+            codes = part.argmin(axis=2)
+            # add the omitted ‖x_j‖² back to get the true min distance
+            # per subspace; clamp tiny FP negatives at 0
+            x2 = (Xs**2).sum(axis=2)  # b × m
+            qe2 = np.maximum(part.min(axis=2) + x2, 0.0).sum(axis=1)
+            return pd.DataFrame(
+                {"codes": list(codes.astype(np.int32)), "qe2": qe2}
+            )
 
+        # single-aliased struct then field projection: the UDF runs
+        # once per row (two direct _codes(...) calls would be two
+        # ArrowEvalPython columns)
         return df.select(
             F.col(id_col),
-            _codes(F.col(vec_col).cast("array<double>")).alias("codes"),
+            _codes(F.col(vec_col).cast("array<double>")).alias("_pq"),
+        ).select(
+            F.col(id_col),
+            F.col("_pq.codes").alias("codes"),
+            F.col("_pq.qe2").alias("_qe2"),
         )
     if mode != "expr":
         raise ValueError(f"pq_encode: unknown mode {mode!r}")
     sub = len(codebooks[0][0])
-    code_cols = []
+    best_cols = []
     for j, book in enumerate(codebooks):
         subvec = F.slice(
             F.col(vec_col).cast("array<double>"), j * sub + 1, sub
@@ -1228,11 +1250,22 @@ def pq_encode(
             )
             for i, c in enumerate(book)
         ]
-        code_cols.append(
-            F.array_min(F.array(*structs)).getField("code").alias(f"_c{j}")
-        )
-    return df.select(
-        F.col(id_col), F.array(*[c for c in code_cols]).alias("codes")
+        best_cols.append(F.array_min(F.array(*structs)).alias(f"_b{j}"))
+    # two-step select: the struct-min itself is a multi-referenced
+    # alias, so the m HOF folds evaluate once per subspace — a plain
+    # getField pair on the same expression would re-run the fold
+    # (codegen does not CSE higher-order functions)
+    staged = df.select(F.col(id_col), *best_cols)
+    qe2 = None
+    for j in range(len(codebooks)):
+        term = F.greatest(F.col(f"_b{j}.d2"), F.lit(0.0))
+        qe2 = term if qe2 is None else qe2 + term
+    return staged.select(
+        F.col(id_col),
+        F.array(
+            *[F.col(f"_b{j}.code") for j in range(len(codebooks))]
+        ).alias("codes"),
+        qe2.alias("_qe2"),
     )
 
 
@@ -1251,25 +1284,35 @@ def pq_ann_verified_topk(
     """PQ asymmetric-distance search with an exact re-rank — the third
     verified ANN tier next to LSH (``lsh_ann_verified_topk``) and IVF
     (``ivf_search``): encode the L2-NORMALIZED corpus to m-code words,
-    score candidates by the query's per-subspace lookup table (ADC),
-    keep the ``k*overfetch`` best, then EXACT cosine re-rank on the
-    RAW vectors picks the top k.
+    prune by the query's per-subspace lookup table (ADC), then EXACT
+    cosine re-rank on the RAW vectors picks the top k.
 
-    Output equals brute force whenever the true top-k survive the ADC
-    prune, so the exact-top-k oracle doubles as a standing recall
-    assertion — a quantization miss surfaces as a hash mismatch
-    instead of being assumed away (the ``lsh_ann_verified_topk``
-    discipline; verified exact-equal at sf0.001/0.01/0.1). The default
-    overfetch is deliberately high (40) because the synthetic corpus
-    is near-uniform on the sphere (max cosine ~0.39) — the WORST case
-    for quantization, with no cluster structure for the codebooks to
-    exploit; clustered production embeddings need far less.
+    The candidate set is CERTIFIED (optimization round 13; the
+    ``ivf_search_exact_pruned`` discipline brought to PQ): with
+    ``_qe2`` — the per-vector squared reconstruction error
+    ``pq_encode`` emits as a byproduct of its argmin — the triangle
+    inequality bounds every vector's true unit-space distance to the
+    query within ``√adc ± √_qe2``. Keep every vector whose LOWER
+    bound is ≤ the k-th smallest UPPER bound (padded for the
+    4-decimal display rounding of the final cosine, which can shift
+    tie-breaks by up to 1.5e-4 in cosine = 3e-4 in squared distance),
+    and the true top-k provably survive at ANY corpus/scale — the
+    former fixed ``k*overfetch`` cut missed a true neighbor at sf0.1
+    (ADC rank 523 vs the 200-row cut). The exact-top-k oracle is now
+    an identity, not a standing bet. On this synthetic near-uniform
+    corpus (max cosine ~0.39, reconstruction error ~0.76 vs pair
+    distances ~1.19 — the WORST case for quantization) the certified
+    bound honestly keeps ~the whole corpus, pricing what exact search
+    on unclusterable data costs; clustered production embeddings have
+    small ``_qe2`` and prune hard. ``overfetch`` remains only for
+    legacy ``index`` tuples whose codes lack ``_qe2``.
 
-    Scale: codes are m bytes/vector (the 100 TB corpus becomes a code
-    table); ADC is a map-only expression over the codes (the m·k_codes
-    LUT rides the plan as literals); only k·overfetch rows ever touch
-    raw vectors again. On unit-norm vectors Euclidean-ADC order is
-    cosine order (||a-b||² = 2(1-cos))."""
+    Scale: codes are m bytes/vector + one error double (the 100 TB
+    corpus becomes a code table); ADC and the bounds are map-only
+    expressions over the codes (the m·k_codes LUT rides the plan as
+    literals); only certified candidates ever touch raw vectors
+    again. On unit-norm vectors Euclidean-ADC order is cosine order
+    (||a-b||² = 2(1-cos))."""
     import numpy as np
 
     unit = _unit_normalized(df, vec_col)
@@ -1305,13 +1348,47 @@ def pq_ann_verified_topk(
         )
         term = F.element_at(lut, F.col("codes").getItem(j) + 1)
         adc = term if adc is None else adc + term
-    cand = (
-        codes.filter(F.col(id_col) != query_id)
-        .select(F.col(id_col), adc.alias("_adc"))
-        .orderBy(F.col("_adc"), F.col(id_col))
-        .limit(k * overfetch)
-        .select(id_col)
-    )
+    if "_qe2" in codes.columns:
+        from .dedup import _shared
+
+        # certified candidates: τ = k-th smallest upper bound
+        # √adc + √_qe2; keep L = max(√adc − √_qe2, 0) ≤ √(τ² + pad).
+        # Every vector the rounded final ordering can place in the
+        # top-k has exact distance ≤ √(τ² + 3e-4) (see docstring), so
+        # this set provably contains the answer. The slim (id, _da,
+        # _e) frame feeds both the τ readout and the filter —
+        # materialized once (`_shared`) so the ADC scan runs once.
+        bnd = _shared(
+            codes.filter(F.col(id_col) != query_id).select(
+                F.col(id_col),
+                F.sqrt(adc).alias("_da"),
+                F.sqrt(F.greatest(F.col("_qe2"), F.lit(0.0))).alias("_e"),
+            )
+        )
+        tau = (
+            bnd.select((F.col("_da") + F.col("_e")).alias("_u"))
+            .orderBy("_u")
+            .limit(k)
+            .agg(F.max("_u").alias("_tau"))
+        )
+        cand = (
+            bnd.crossJoin(F.broadcast(tau))
+            .filter(
+                F.greatest(F.col("_da") - F.col("_e"), F.lit(0.0))
+                <= F.sqrt(F.col("_tau") * F.col("_tau") + F.lit(4.0e-4))
+            )
+            .select(id_col)
+        )
+    else:
+        # legacy index without the error column: fixed ADC overfetch
+        # (NOT certified — kept only for pre-round-13 index tuples)
+        cand = (
+            codes.filter(F.col(id_col) != query_id)
+            .select(F.col(id_col), adc.alias("_adc"))
+            .orderBy(F.col("_adc"), F.col(id_col))
+            .limit(k * overfetch)
+            .select(id_col)
+        )
     # query norm let-bound on the 1-row broadcast side (was re-folded
     # per candidate row) — same IEEE ops, values unchanged
     qv = df.filter(F.col(id_col) == query_id).select(
