@@ -112,3 +112,105 @@ def test_pq_legacy_index_without_qe2_still_works(spark):
     ).collect()
     assert len(got) == 5
     assert all(r["cosine"] is not None for r in got)
+
+
+def test_minhash_lsh_verified_native_candidates(spark):
+    """Round-13 rewrite: the candidate stage joins MLlib's own hash
+    values natively — no approxSimilarityJoin (whose plan signature is
+    a join condition evaluating the Scala keyDistance UDF), and the
+    verified output still equals the exact all-pairs Jaccard (the
+    candidate set is a superset of the old one, so recall holds)."""
+    from pyspark.sql import functions as F
+
+    from us_accidents_bigdata_pipeline_spark.operators import dedup
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        _doc_shingles,
+        minhash_lsh_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    # plan pin: no ScalaUDF-evaluating join condition (the
+    # approxSimilarityJoin signature), checked on the unshared plan so
+    # localCheckpoints hide nothing
+    orig = dedup._shared
+    dedup._shared = lambda frame: frame
+    try:
+        plan = (
+            minhash_lsh_verified_pairs(docs, threshold=0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        dedup._shared = orig
+    assert "approxSimilarityJoin" not in plan
+    for line in plan.splitlines():
+        if "Join" in line and "condition" in line.lower():
+            assert "UDF(" not in line, line
+
+    # value pin: equals exact all-pairs Jaccard >= threshold
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_verified_pairs(docs, threshold=0.5).collect()
+    )
+    sh = _doc_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs.collect()
+    )
+    assert got == want
+
+
+def test_shingle_prefilter_matches_guarded_filter_form(spark):
+    """The round-13 pre-filter (size(_toks) >= n before the shingle
+    generator) is row-identical to the old guarded-gen +
+    filter(size(sh) > 0) form, including NULL/empty/whitespace-only
+    and shorter-than-n texts."""
+    from pyspark.sql import functions as F
+
+    from us_accidents_bigdata_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two"),          # < n tokens: dropped by both forms
+        (4, ""),                  # empty
+        (5, None),                # NULL
+        (6, "   "),               # whitespace-only
+        (7, "x y z"),            # exactly n tokens: kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup_pairs(df, threshold=0.5).collect()
+    )
+    assert got == [(1, 2)]

@@ -540,11 +540,15 @@ def minhash_near_dup_pairs(
         F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
         lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
     )
-    sh_arr = F.when(F.size(F.col("_toks")) >= n, gen).otherwise(
-        F.array().cast("array<string>")
-    )
-    docs = base.select(F.col(id_col), sh_arr.alias("sh")).filter(
-        F.size("sh") > 0
+    # filter on the TOKEN count, BEFORE the generator projection —
+    # row-identical to the former filter(size(sh) > 0) over a guarded
+    # gen (gen yields size-n+1 >= 1 shingles iff size >= n), but the
+    # optimizer pushed that filter below the Project, substituting the
+    # whole shingle-HOF into the predicate: the generator ran TWICE
+    # per row and fell off codegen (measured 3.48 -> 0.41 s noop at
+    # sf0.1, optimization round 13)
+    docs = base.filter(F.size("_toks") >= n).select(
+        F.col(id_col), gen.alias("sh")
     )
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
@@ -764,12 +768,25 @@ def minhash_lsh_verified_pairs(
     the step that turns the approximate MLlib path into an
     oracle-checkable operator.
 
-    Stage 1 reuses ``minhash_near_dup_pairs`` as the candidate
-    generator, run at a slackened threshold (0.8x) so HashingTF
-    feature-space collisions can't drop a borderline true pair before
-    verification. Stage 2 recomputes EXACT shingle-set Jaccard on the
-    candidate pairs only (same verify join as
-    ``minhash_banded_pairs``) and filters at the true ``threshold``.
+    Stage 1 (rewritten in optimization round 13, the ``lsh_ann_batch``
+    treatment): fit MLlib's ``MinHashLSH`` and take the SAME per-table
+    hash values from ``model.transform``, but generate candidates with
+    a native slim self-join on the exploded (table, hash) ints instead
+    of ``approxSimilarityJoin`` — MLlib's join explodes FAT rows (raw
+    features + all hash vectors, both sides), runs ``.distinct()``
+    over them, and evaluates a per-pair Scala keyDistance UDF whose
+    value the verify stage recomputes exactly anyway. The native
+    candidate set is every pair colliding in ≥1 hash table — a
+    SUPERSET of ``approxSimilarityJoin``'s (which post-filters by
+    keyDistance), so verified recall can only match or improve:
+    since the verify stage is exact and the old output equalled the
+    exact all-pairs oracle, the output is provably unchanged.
+    (``approxSimilarityJoin`` itself stays priced and oracle-gated in
+    ``minhash_near_dup_pairs``, whose estimate column needs it.)
+
+    Stage 2 recomputes EXACT shingle-set Jaccard on the candidate
+    pairs only (same verify join as ``minhash_banded_pairs``) and
+    filters at the true ``threshold``.
 
     Output (doc_a, doc_b, jaccard) therefore has no false positives;
     banding only bounds recall, and with 8 OR-amplified tables the
@@ -777,24 +794,75 @@ def minhash_lsh_verified_pairs(
     is (1-s)^8 ~ 1e-8 — deterministic in practice, so the DuckDB
     exact all-pairs oracle doubles as a standing recall assertion.
 
-    At 100 TB: candidate generation is MLlib's hash-bucket join
-    (collision-bound), and the verify join touches candidate pairs
-    only — shingle sets never cross-join.
+    At 100 TB: candidate generation is one slim (id, table, hash)
+    self-join (collision-bound), and the verify join touches candidate
+    pairs only — shingle sets and feature vectors never cross-join.
     """
-    cand = (
-        minhash_near_dup_pairs(
-            df,
-            id_col=id_col,
-            text_col=text_col,
-            n=n,
-            threshold=0.8 * threshold,
-            num_hash_tables=num_hash_tables,
-            num_features=num_features,
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    # same featurization as minhash_near_dup_pairs (let-bound token
+    # array; shingle array built in its own Project for HashingTF)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+    )
+    # filter on the TOKEN count, BEFORE the generator projection —
+    # row-identical to the former filter(size(sh) > 0) over a guarded
+    # gen (gen yields size-n+1 >= 1 shingles iff size >= n), but the
+    # optimizer pushed that filter below the Project, substituting the
+    # whole shingle-HOF into the predicate: the generator ran TWICE
+    # per row and fell off codegen (measured 3.48 -> 0.41 s noop at
+    # sf0.1, optimization round 13)
+    docs = base.filter(F.size("_toks") >= n).select(
+        F.col(id_col), gen.alias("sh")
+    )
+    # the shingle-array frame feeds BOTH the featurize path and the
+    # verify stage's (id, shingle) explode below — materialize it once
+    # so the corpus is tokenized exactly once per query
+    docs = _shared(docs)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features",
+        numFeatures=num_features, binary=True,
+    )
+    feat = _shared(tf.transform(docs).select(F.col(id_col), "features"))
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(feat)
+    # slim (id, table, hash) bands — each table's hash is a 1-dim
+    # vector; both self-join branches read ONE materialized derivation
+    bands = _shared(
+        model.transform(feat)
+        .select(F.col(id_col), F.posexplode("hashes"))
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("_t"),
+            vector_to_array(F.col("col")).getItem(0).alias("_h"),
         )
+    )
+    cand = (
+        bands.select(F.col(id_col).alias("doc_a"), "_t", "_h")
+        .join(
+            bands.select(F.col(id_col).alias("doc_b"), "_t", "_h"),
+            ["_t", "_h"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = _shared(_doc_shingles(df, id_col, text_col, n))
+    # verify-stage shingles derive from the SAME checkpointed docs
+    # frame (explode + distinct is row-identical to
+    # _doc_shingles(df): docs holds exactly the size>=n rows, and
+    # explode of an empty array yields nothing) — no second
+    # tokenize+generate pass over the corpus
+    sh = _shared(
+        docs.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
