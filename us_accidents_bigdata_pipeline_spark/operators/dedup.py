@@ -335,7 +335,18 @@ def _shared(frame: DataFrame) -> DataFrame:
     the decision data once" discipline — the materialized frame is the
     slim (id, shingle)/(id, signature) proxy, never the document
     payload. Lazy (not eager) so that plan building, ``explain`` and
-    the plan audit stay free of side effects."""
+    the plan audit stay free of side effects.
+
+    Cluster-deployment caveat (ADVICE r12): ``localCheckpoint`` is a
+    NON-RELIABLE checkpoint — lineage is truncated, so losing an
+    executor that holds checkpoint blocks (node failure,
+    dynamic-allocation decommission) fails the job instead of
+    recomputing. Fine for a single-node harness and for clusters with
+    ``spark.decommission.enabled`` block migration; deployments with
+    aggressive dynamic allocation should swap this body for
+    ``.persist(StorageLevel.MEMORY_AND_DISK)`` (recomputable, at the
+    cost of CacheManager pinning the plan for the session) or a
+    reliable ``checkpoint()`` to the cluster checkpoint dir."""
     return frame.localCheckpoint(eager=False)
 
 

@@ -2486,6 +2486,15 @@ def mann_kendall_trend(
     quadratic in days, never in facts — the ``theil_sen`` discipline;
     ties and totals are 1-row frames broadcast back.
 
+    INPUT-SIZE BOUND (hard contract): the series is force-broadcast
+    into the pair join (the checkpoint hides its size statistics from
+    the planner, which would otherwise default the nested-loop join
+    to a huge estimate). A broadcast side must stay well under
+    Spark's 8 GB / 512M-row relation cap — tens of thousands of
+    points is fine (a decade of daily aggregates is ~3.7K rows); a
+    caller passing raw FACTS violates both this bound and the O(n²)
+    pair semantics. Aggregate to the calendar grain first.
+
     Output: 1 row — (n_points, n_pairs, s_statistic, var_s, z).
     """
     from .dedup import _shared

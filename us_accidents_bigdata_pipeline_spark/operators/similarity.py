@@ -1600,8 +1600,13 @@ def embedding_near_dup_pairs(
             return _embedding_pairs_blas(df, threshold, id_col, vec_col)
         max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
         joined = model.approxSimilarityJoin(feat, feat, max_dist, distCol="_d")
-        # per-vector norms computed before the candidate join (rode in
-        # as one extra double per row) — not re-folded per candidate
+        # per-vector norms are LET-BOUND per candidate pair in the
+        # projection below the join output (ADVICE r12: they are NOT
+        # computed pre-join on this branch — approxSimilarityJoin
+        # consumes its own featurized frames, so the saving here is
+        # only that each pair's two norm folds are not duplicated
+        # across the filter and the select; the 2n-vs-2n² pre-join
+        # binding applies to the exact tier, not this one)
         cand = joined.filter(
             F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
         ).select(

@@ -1066,15 +1066,26 @@ def heaps_law_fit(
     # per-doc token counts need no explode+shuffle: size(filter(...))
     # is map-only and row-identical to the former
     # explode→groupBy(id)→count (docs with zero non-empty tokens —
-    # incl. NULL text, where size() yields -1 — produced no group row
-    # before, hence the > 0 filter; greatest() absorbs the -1)
-    doc_tokens = df.select(
+    # incl. NULL text, where ANSI size() yields NULL (-1 legacy) —
+    # produced no group row before). The no-token exclusion is a
+    # PRE-filter on the raw text: trim(text) != '' holds exactly when
+    # >= 1 non-empty whitespace token exists (NULL text -> NULL ->
+    # dropped), so it is row-identical to the former
+    # filter(_n_tok > 0) — which the optimizer pushed below the
+    # Project, substituting the whole tokenize-HOF into the predicate
+    # and evaluating it twice per row (the round-13
+    # filter-under-Project lesson; greatest() stays as the NULL/-1
+    # belt against exotic inputs).
+    doc_tokens = df.filter(
+        F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)
+        != ""
+    ).select(
         F.col(id_col),
         F.greatest(
             F.size(F.filter(word_tokens(text_col), lambda t: t != "")),
             F.lit(0),
         ).alias("_n_tok"),
-    ).filter(F.col("_n_tok") > 0)
+    )
     tok_by_bucket = (
         doc_tokens.crossJoin(F.broadcast(bounds))
         .select(bucket.alias("_b"), "_n_tok")
