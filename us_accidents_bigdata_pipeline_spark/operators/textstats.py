@@ -187,13 +187,24 @@ def repetition_stats(
     n_tok = F.col("top_c") / F.col("n_tokens")
     d_ratio = F.col("n_distinct") / F.col("n_tokens")
     return (
-        df.select(
+        # the no-token exclusion is a PRE-filter on the raw text:
+        # trim(text) != '' holds exactly when >= 1 non-empty token
+        # exists (NULL text -> NULL -> dropped) — row-identical to the
+        # former filter(n_tokens > 0), which the optimizer pushed
+        # below the Project and re-evaluated the tokenize expression
+        # inside the predicate (round-13 filter-under-Project lesson)
+        df.filter(
+            F.trim(
+                F.col(text_col) if isinstance(text_col, str) else text_col
+            )
+            != ""
+        )
+        .select(
             F.col(id_col),
             F.size(toks).cast("long").alias("n_tokens"),
             F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
             run.cast("long").alias("top_c"),
         )
-        .filter(F.col("n_tokens") > 0)
         .select(
             F.col(id_col),
             F.col("n_tokens"),
