@@ -14,6 +14,25 @@ from us_accidents_bigdata_pipeline_spark.plans import REGISTRY
 from .conftest import SF_ORACLE
 
 
+def n_shuffles(plan: str) -> int:
+    """Exchange count EXCLUDING the adaptive input-split repartition
+    (Exchange roundrobinpartitioning) that plans.queries adds right
+    after reading this testdata's single-row-group parquet files
+    (round 13: a row group is Spark's minimum split unit, so without
+    it every map stage ran single-task). That exchange is a no-op on
+    production multi-file layouts, so shuffle-shape pins count the
+    plan's REAL exchanges only."""
+    low = plan.lower()
+    return low.count("exchange ") - low.count(
+        "exchange roundrobinpartitioning"
+    )
+
+
+def assert_map_only(plan: str, ctx: str = "") -> None:
+    """No exchanges beyond the adaptive input-split repartition."""
+    assert n_shuffles(plan) == 0, f"{ctx} shuffles:\n{plan}"
+
+
 def plan_of(spark, name: str) -> str:
     df = REGISTRY[name].builder(spark, SF_ORACLE)
     return df._jdf.queryExecution().executedPlan().toString()
@@ -88,7 +107,7 @@ def test_groupby_queries_have_single_shuffle(spark, name):
     plan = plan_of(spark, name)
     # one Exchange for the agg (plus possibly one for a final orderBy of
     # the tiny result) - never more
-    n_exchanges = plan.count("Exchange ")
+    n_exchanges = n_shuffles(plan)
     assert n_exchanges <= 2, f"{name}: {n_exchanges} exchanges\n{plan}"
 
 
@@ -139,7 +158,7 @@ def test_minhash_banded_no_allpairs_join(spark):
 def test_mixture_sample_is_map_only(spark):
     # hash-threshold sampling must not shuffle: no Exchange anywhere
     plan = plan_of(spark, "mixture_sample_docs")
-    assert "Exchange" not in plan, plan
+    assert_map_only(plan, "mixture_sample_docs")
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
@@ -177,7 +196,7 @@ def test_round4_text_ops_plan_shapes(spark):
     for name in ("chunk_documents", "embedding_quantize_error",
                  "pii_redact_docs"):
         plan = plan_of(spark, name)
-        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert_map_only(plan, name)
 
     # tfidf / KL join a Zipf-bounded side frame: must broadcast, never
     # sort-merge the exploded token stream against it
@@ -250,7 +269,7 @@ def test_q6_full_predicate_pushdown(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" not in read_schema
     assert "Exchange" in plan  # single-row final combine only
-    assert plan.count("Exchange") == 1
+    assert n_shuffles(plan) == 1
 
 
 def test_q3_broadcasts_customer_and_take_ordered(spark):
@@ -297,7 +316,7 @@ def test_q22_scalar_broadcast_and_anti_join(spark):
 def test_hof_stats_map_only_no_python(spark):
     # higher-order functions stay JVM-side: zero shuffles, zero Python
     plan = plan_of(spark, "embedding_hof_stats")
-    assert "Exchange" not in plan
+    assert_map_only(plan, "embedding_hof_stats")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -719,12 +738,12 @@ def test_token_budget_selection_no_global_sort_window(spark):
         assert "n_chars" in spec, f"window without bin partition:\n{plan}"
     # the union's full-bin side is filter-only: no Exchange between the
     # scan and the filter branch beyond the one window shuffle
-    assert plan.count("Exchange ") <= 2, plan
+    assert n_shuffles(plan) <= 2, plan
 
 
 def test_source_quota_cap_single_shuffle(spark):
     plan = plan_of(spark, "source_quota_cap")
-    assert plan.count("Exchange ") <= 1, plan
+    assert n_shuffles(plan) <= 1, plan
     assert "row_number" in plan
 
 
@@ -733,7 +752,7 @@ def test_ewma_single_shuffle_no_python(spark):
     two exchanges total (agg + window repartition on the same key may
     collapse to one), zero Python in the plan."""
     plan = plan_of(spark, "ewma_hourly_events")
-    assert plan.count("Exchange ") <= 2, plan
+    assert n_shuffles(plan) <= 2, plan
     assert "EvalPython" not in plan, plan
 
 
@@ -781,7 +800,7 @@ def test_source_dedup_quota_report_shuffle_bound(spark):
     source-keyed join: count(DISTINCT text) expands to a two-level
     agg, so the budget is 4 exchanges, none of them a global sort."""
     plan = plan_of(spark, "source_dedup_quota_report")
-    assert plan.count("Exchange ") <= 4, plan
+    assert n_shuffles(plan) <= 4, plan
     assert "row_number" in plan
     assert "EvalPython" not in plan, plan
 
@@ -882,7 +901,7 @@ def test_clustering_coef_wedge_stays_key_partitioned(spark):
 def test_gopher_rules_is_map_only(spark):
     """The rule panel is a pure projection: no Exchange at all."""
     plan = plan_of(spark, "gopher_quality_rules")
-    assert "Exchange" not in plan, plan
+    assert_map_only(plan, "gopher_quality_rules")
 
 
 def test_energy_distance_no_fact_window(spark):

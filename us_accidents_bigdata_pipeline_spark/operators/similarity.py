@@ -1083,24 +1083,31 @@ def pq_train(
 
     from .sample import count_targeted_sample
 
-    sample = count_targeted_sample(
-        df.select(F.col(vec_col).cast("array<double>").alias("_v")),
-        fit_sample_rows,
-        seed=seed,
-    ).persist()
-    n_total = sample.select(F.size("_v").alias("d")).head()
-    if n_total is None:
-        raise ValueError("pq_train: empty input")
-    dim = n_total["d"]
-    if dim % m != 0:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
-    sub = dim // m
+    slim = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
 
     if fit_mode == "local":
-        from ..tuning import safe_to_pandas
-
-        pdf = safe_to_pandas(sample, max_rows=max(fit_sample_rows, 1))
-        sample.unpersist()
+        # Lean job chain (round 13): the old path ran FOUR sequential
+        # driver jobs — count_targeted_sample's count, a head() for the
+        # dim, safe_to_pandas' guard count, the collect. The sample is
+        # bounded at fit_sample_rows BY CONSTRUCTION (limit), so the
+        # guard count is redundant, and the dim reads off the collected
+        # frame. Two jobs: the sizing count + one Arrow collect. Same
+        # sample rows, same seed, same sort → codebooks bit-identical.
+        n = slim.count()
+        sample = count_targeted_sample(
+            slim, fit_sample_rows, total=n, seed=seed
+        )
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = sample.toPandas()
+        if len(pdf) == 0:
+            raise ValueError("pq_train: empty input")
+        dim = len(pdf["_v"].iloc[0])
+        if dim % m != 0:
+            raise ValueError(
+                f"pq_train: dim {dim} not divisible by m={m}"
+            )
+        sub = dim // m
         X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         # collect order depends on partition layout — sort rows so the
         # codebooks are byte-identical on any cluster/partitioning
@@ -1120,6 +1127,14 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    sample = count_targeted_sample(slim, fit_sample_rows, seed=seed).persist()
+    n_total = sample.select(F.size("_v").alias("d")).head()
+    if n_total is None:
+        raise ValueError("pq_train: empty input")
+    dim = n_total["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
     # fully materialize the cache once, so the concurrent fits below
     # all read the same cached sample instead of racing to compute it
     sample.count()

@@ -26,6 +26,7 @@ column pruning apply. See docstrings per query.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -78,7 +79,71 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPLIT_TABLES:
+        return _adaptive_input_split(spark, df)
+    return df
+
+
+# Tables whose map stages are CPU-heavy per byte (tokenize / shingle /
+# hash / HOF folds / Arrow kernels over text and vector payloads) —
+# the only ones where parallelizing an unsplittable scan beats the
+# one-time round-robin shuffle. Relational tables (lineitem, orders,
+# events, ...) have scan-bound map stages where the extra exchange
+# LOSES: measured pricing_summary 0.59 -> 1.31 s and median_exact
+# 1.31 -> 2.44 s with the split applied to lineitem, vs
+# substring_dup_runs 8.2 -> 1.6 s and corpus_curation_funnel ~2x with
+# it applied to documents.
+_SPLIT_TABLES = frozenset({"documents", "embeddings"})
+
+# tables below this size stay single-task: a dimension read feeds a
+# broadcast or a trivial scan, and 32 micro-tasks cost more scheduler
+# time than one
+_SPLIT_MIN_BYTES = 256 << 10
+
+
+def _adaptive_input_split(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guide §2.5 "one huge unsplittable file": this testdata writes
+    each table as ONE parquet file with ONE row group, and a row group
+    is Spark's minimum scan-split unit — so every map-side stage
+    (tokenize/shingle/hash/partial-aggregate) over the table runs as a
+    SINGLE task no matter how many cores the session has. Measured on
+    the 10x replica tier (round 13, SCALING_CORES.json): the
+    shuffle-heavy headliners read 0.84-0.93x going 8 -> 32 cores with
+    healthy CPU probes — flat, because stage one is serial — and
+    2x faster at BOTH core counts once the read is repartitioned.
+
+    Rule (scale-adaptive, not a local[32] constant): when the scan
+    exposes fewer input files than the session's parallelism AND the
+    table is big enough for one round-robin shuffle of it to be noise
+    (> _SPLIT_MIN_BYTES of local file bytes), repartition to
+    ``defaultParallelism`` right after the read. On production data
+    (many files / multi-row-group files >= parallelism) or non-local
+    storage this returns the frame untouched. Predicate pushdown and
+    column pruning pass through Repartition, so PushedFilters /
+    ReadSchema pins are unaffected; results are partition-layout
+    independent by the driver's own layout sweep.
+    """
+    try:
+        par = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if not files or len(files) >= par:
+            return df
+        total = 0
+        for uri in files:
+            if not uri.startswith("file:"):
+                # remote storage: sizes unknown locally — leave the
+                # scan alone (production layouts bring their own
+                # parallelism)
+                return df
+            from urllib.parse import unquote, urlparse
+
+            total += os.path.getsize(unquote(urlparse(uri).path))
+        if total < _SPLIT_MIN_BYTES:
+            return df
+        return df.repartition(par)
+    except Exception:
+        return df
 
 
 # ---------------------------------------------------------------------
