@@ -586,14 +586,18 @@ def ivf_fit_assign(
     if fit_mode == "local":
         import numpy as np
 
-        from ..tuning import safe_to_pandas
-
+        # lean job chain (round 13, the pq_train treatment): the
+        # sample is bounded at fit_sample_rows BY CONSTRUCTION
+        # (limit), so safe_to_pandas' guard count was a redundant
+        # third driver job — sizing count + one Arrow collect suffice.
+        # Same sample rows, same seed, same sort → fit bit-identical.
+        slim = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
         sample = count_targeted_sample(
-            df.select(F.col(vec_col).cast("array<double>").alias("_v")),
-            fit_sample_rows,
-            seed=seed,
+            slim, fit_sample_rows, total=slim.count(), seed=seed
         )
-        pdf = safe_to_pandas(sample, max_rows=max(fit_sample_rows, 1))
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = sample.toPandas()
         X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         X = X[np.lexsort(X.T[::-1])]
         centers = _kmeanspp_lloyd(X, n_cells, seed)
