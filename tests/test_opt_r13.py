@@ -214,3 +214,48 @@ def test_shingle_prefilter_matches_guarded_filter_form(spark):
         for r in minhash_near_dup_pairs(df, threshold=0.5).collect()
     )
     assert got == [(1, 2)]
+
+
+def test_dup_ngram_frac_exact_rational_matches_double_round(spark):
+    """Round-13 rounding fix: the exact-rational half-up
+    (20000*dup + tot) div (2*tot) must agree with the old
+    round(dup/tot, 4) double formulation on every document of the
+    oracle corpus (verified identical at sf0.001/0.01/0.1 when
+    introduced) — the change corrects only the DuckDB oracle's
+    double-multiply rounding at half-point boundaries."""
+    from pyspark.sql import functions as F
+
+    from us_accidents_bigdata_pipeline_spark.operators.textstats import (
+        dup_ngram_char_fraction,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    new = dup_ngram_char_fraction(docs, n=2, flag_threshold=0.1)
+    got = {r["doc_id"]: r["dup_char_frac"] for r in new.collect()}
+    # recompute the old double formulation's value per doc
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    pg = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = pg.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.length("gram")).alias("t"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(0)
+        ).alias("d"),
+    )
+    old = {
+        r["doc_id"]: r["f"]
+        for r in pd_.select(
+            "doc_id", F.round(F.col("d") / F.col("t"), 4).alias("f")
+        ).collect()
+    }
+    for did, f in old.items():
+        assert got[did] == f, (did, got[did], f)

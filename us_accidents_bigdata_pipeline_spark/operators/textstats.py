@@ -724,8 +724,18 @@ def dup_ngram_char_fraction(
             .otherwise(F.lit(0))
         ).alias("_dup"),
     )
-    frac = F.round(
-        F.coalesce(F.col("_dup") / F.col("_tot"), F.lit(0.0)), 4
+    # EXACT-RATIONAL 4-decimal rounding (round 13): _dup and _tot are
+    # exact integer sums, but round(dup/tot, 4) on the double QUOTIENT
+    # is engine-fragile at half-point boundaries (found at sf0.1: doc
+    # 3859's quotient rounds 0.1413 in Spark — BigDecimal HALF_UP on
+    # the shortest double repr — vs 0.1412 in DuckDB's double
+    # arithmetic). round_half_up(10^4·dup/tot) = (20000·dup + tot) div
+    # (2·tot) is pure integer arithmetic every engine agrees on;
+    # /10000.0 is one correctly-rounded conversion. Fits BIGINT at any
+    # document size this operator can see (dup ≤ tot ≤ chars·n).
+    frac = F.coalesce(
+        F.expr("(20000 * _dup + _tot) div (2 * _tot)") / F.lit(10000.0),
+        F.lit(0.0),
     )
     return (
         df.select(id_col)

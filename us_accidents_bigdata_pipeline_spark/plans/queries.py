@@ -13391,10 +13391,10 @@ def q_seasonal_naive_backtest_revenue(
                               ELSE 0 END) AS dup
               FROM pg GROUP BY doc_id)
        SELECT d.doc_id,
-              coalesce(round(pd.dup / CAST(pd.tot AS DOUBLE), 4), 0.0)
-                  AS dup_char_frac,
-              coalesce(round(pd.dup / CAST(pd.tot AS DOUBLE), 4) > 0.1,
-                       FALSE) AS is_repetitive
+              coalesce(((20000 * pd.dup + pd.tot) // (2 * pd.tot))
+                       / 10000.0, 0.0) AS dup_char_frac,
+              coalesce(((20000 * pd.dup + pd.tot) // (2 * pd.tot))
+                       / 10000.0 > 0.1, FALSE) AS is_repetitive
        FROM documents d LEFT JOIN pd USING (doc_id)""",
     doc="Gopher's duplicate-n-gram CHARACTER-fraction rule (the rep "
     "signal unigram stats miss): share of bigram characters inside "
